@@ -1,0 +1,173 @@
+"""Aggregations — SURVEY.md §2.5 (A1-A5) plus distinct/rollup/cube.
+
+All are single-shuffle hash aggregates with map-side partial aggregation;
+collect-list shapes are made deterministic by sorting (the driver's value
+hash is order-insensitive across *rows* but not inside a string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.functions.compat import davg, dsum, money, sql_davg, sql_dsum, sql_money
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+# ---------------------------------------------------------------------------
+# agg_distinct — distinct aggregates (absent from the reference,
+# SURVEY §2.5 note; Spark expands to a two-phase aggregate).
+# ---------------------------------------------------------------------------
+
+_DISTINCT_SQL = """
+SELECT
+  c_mktsegment,
+  count(DISTINCT c_nationkey) AS n_nations,
+  count(*)                    AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_distinct", sql=_DISTINCT_SQL)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_stats — A1 (count) + min/max/sum/avg family over money columns
+# (deterministic decimal arithmetic, see functions.compat).
+# ---------------------------------------------------------------------------
+
+_STATS_SQL = f"""
+SELECT
+  c_nationkey,
+  count(*)                              AS n_customers,
+  min(c_acctbal)                        AS min_bal,
+  max(c_acctbal)                        AS max_bal,
+  {sql_dsum(sql_money('c_acctbal'))}    AS sum_bal,
+  {sql_davg(sql_money('c_acctbal'))}    AS avg_bal
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("agg_stats", sql=_STATS_SQL)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        dsum(money("c_acctbal")).alias("sum_bal"),
+        davg(money("c_acctbal")).alias("avg_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_collect_sorted — A4: the reference collects uuid/hubmap_id lists for
+# the manifest (bin/concatenate.py:342). Deterministic form: sorted
+# collect_set joined to a string.
+# ---------------------------------------------------------------------------
+
+_COLLECT_SQL = """
+SELECT
+  c_nationkey,
+  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+  count(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("agg_collect_sorted", sql=_COLLECT_SQL)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_first_match — A5: the reference takes the first matching antibody row
+# per name (bin/concatenate.py:212-220). Deterministic re-expression:
+# min_by over a unique key (arg_min in DuckDB).
+# ---------------------------------------------------------------------------
+
+_FIRST_SQL = """
+SELECT
+  p_brand,
+  arg_min(p_type, p_partkey) AS first_type,
+  min(p_partkey)             AS first_partkey,
+  count(*)                   AS n_parts
+FROM part
+GROUP BY p_brand
+"""
+
+
+@register("agg_first_match", sql=_FIRST_SQL)
+def agg_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = T(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.min_by("p_type", "p_partkey").alias("first_type"),
+        F.min("p_partkey").alias("first_partkey"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_rollup / agg_cube — hierarchical aggregates (absent from the
+# reference, SURVEY §2.5 note; Spark Expand operator feeds one hash agg).
+# Subtotal rows carry NULL group keys in both engines.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = f"""
+SELECT
+  r_name,
+  n_name,
+  count(*)                           AS n_customers,
+  {sql_dsum(sql_money('c_acctbal'))} AS sum_bal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("agg_rollup", sql=_ROLLUP_SQL)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(money("c_acctbal")).alias("sum_bal"),
+    )
+
+
+_CUBE_SQL = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_cube", sql=_CUBE_SQL)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

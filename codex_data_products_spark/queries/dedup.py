@@ -1,0 +1,464 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+Five dedup families, all Spark-first and all fully oracle-checkable
+because every hash is derived from md5 (bit-identical across engines):
+
+  * exact           — md5 groupBy, keep min doc_id
+  * n-gram Jaccard  — 5-token shingles → shingle self-join → set Jaccard
+  * MinHash + LSH   — 8 md5-seeded minhashes → 2 bands → band-bucket join
+                      → Jaccard verification of candidates only
+  * SimHash         — 32-bit simhash from token md5s → 16-bit band join →
+                      Hamming distance via bit_count(xor)
+  * embedding cosine— near-dup pairs within an IVF-style coarse partition
+                      (label) at cosine ≥ threshold
+
+Scale design: the shingle/band joins are equi-joins on high-cardinality
+keys (shuffle-partitionable, AQE-skew-splittable); hyper-common shingles
+are dropped by a document-frequency cap exactly like stop-shingle
+filtering in production minhash pipelines — without it one viral shingle
+produces a quadratic join blowup at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+SHINGLE_K = 5  # tokens per shingle
+SHINGLE_DF_CAP = 100  # drop shingles appearing in more docs than this
+JACCARD_THRESHOLD = 0.4
+NUM_MINHASHES = 8
+MINHASH_BANDS = 2  # 2 bands × 4 rows
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+
+_SQL_TOKENS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+# --- shared Spark-side shingle builder ------------------------------------
+
+
+def _tokens() -> Column:
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def shingle_table(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) with distinct k-token shingles per doc.
+
+    Documents shorter than k tokens produce no shingles (mirrors the SQL
+    generate_series bound).
+    """
+    toks = _tokens()
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    return (
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+    )
+
+
+def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
+    """Drop stop-shingles above the document-frequency cap (both engines)."""
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    keep = df_counts.filter(F.col("df") <= SHINGLE_DF_CAP).select("shingle")
+    return sh.join(keep, "shingle")
+
+
+_SQL_SHINGLES = f"""
+toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+  WHERE len({_SQL_TOKENS}) >= {SHINGLE_K}
+),
+sh_raw AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + {SHINGLE_K - 1}), ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - {SHINGLE_K - 1})) AS g(i)
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh_raw
+  WHERE shingle IN (
+    SELECT shingle FROM sh_raw GROUP BY shingle
+    HAVING count(*) <= {SHINGLE_DF_CAP}
+  )
+)
+"""
+
+_SQL_JACCARD_TAIL = f"""
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT
+    c.doc_a, c.doc_b,
+    round(CAST(c.n_common AS DOUBLE)
+          / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)
+"""
+
+
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """All-pairs set Jaccard from a (doc_id, shingle) table."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — exact dedup: hash-groupBy, keeper = min doc_id. One
+# shuffle on the 128-bit hash; at 100 TB this is the cheapest pass and
+# runs first to shrink the corpus for the fuzzy passes.
+# ---------------------------------------------------------------------------
+
+_EXACT_SQL = """
+SELECT
+  md5(text)   AS exact_hash,
+  min(doc_id) AS keeper_doc_id,
+  count(*)    AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", sql=_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("exact_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — full pairwise n-gram Jaccard over shingle-sharing
+# pairs (the exact version of what MinHash approximates).
+# ---------------------------------------------------------------------------
+
+_NGRAM_SQL = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_JACCARD_TAIL}
+SELECT doc_a, doc_b, jaccard FROM jac
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", sql=_NGRAM_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    sh = _frequent_shingles_removed(shingle_table(docs))
+    return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — MinHash signatures (md5-seeded, portable) → banded
+# LSH candidate join → exact Jaccard verification of candidates only.
+# The candidate join touches only band-bucket collisions, never all pairs:
+# the 100 TB scale path.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_expr(i: int) -> Column:
+    """i-th minhash of the shingle set: min over md5('{i}|'+shingle)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 15), 16, 10
+    ).cast("long")
+    return F.min(h).alias(f"mh{i}")
+
+
+def _sql_minhash(i: int) -> str:
+    return (
+        f"min(CAST(concat('0x', substring(md5(concat('{i}|', shingle)), 1, 15)) "
+        f"AS BIGINT)) AS mh{i}"
+    )
+
+
+_ROWS_PER_BAND = NUM_MINHASHES // MINHASH_BANDS
+
+_SQL_BAND_SELECTS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', {cols})) AS band_val FROM sig".format(
+        b=b,
+        cols=", ".join(
+            f"CAST(mh{i} AS VARCHAR)"
+            for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+        ),
+    )
+    for b in range(MINHASH_BANDS)
+)
+
+_MINHASH_SQL = f"""
+WITH {_SQL_SHINGLES},
+sig AS (
+  SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(NUM_MINHASHES))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_SQL_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+),
+{_SQL_JACCARD_TAIL}
+SELECT j.doc_a, j.doc_b, j.jaccard
+FROM jac j
+JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_lsh", sql=_MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    sh = _frequent_shingles_removed(shingle_table(docs))
+    sig = sh.groupBy("doc_id").agg(
+        *[_minhash_expr(i) for i in range(NUM_MINHASHES)]
+    )
+    band_frames = []
+    for b in range(MINHASH_BANDS):
+        cols = [
+            F.col(f"mh{i}").cast("string")
+            for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+        ]
+        band_frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_val"),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return verified.join(cand, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 32-bit SimHash from per-token md5s; candidate pairs from
+# two 16-bit band buckets; Hamming distance via bit_count(xor).
+# ---------------------------------------------------------------------------
+
+
+def _simhash_expr(hashes: Column, n: Column) -> Column:
+    """SimHash: bit b set iff more than half the token hashes have bit b."""
+    terms = []
+    for b in range(SIMHASH_BITS):
+        ones = F.size(
+            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0)
+        )
+        terms.append(F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def _sql_simhash() -> str:
+    terms = []
+    for b in range(SIMHASH_BITS):
+        ones = f"len(list_filter(hs, h -> (h & {1 << b}) != 0))"
+        terms.append(f"(CASE WHEN {ones} * 2 > n THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_SIMHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct({_SQL_TOKENS}),
+           tok -> CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+         ) AS hs,
+         len(list_distinct({_SQL_TOKENS})) AS n
+  FROM documents
+),
+sim AS (
+  SELECT doc_id, {_sql_simhash()} AS simhash FROM t
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, simhash // 65536 AS band_val, simhash FROM sim
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, simhash % 65536 AS band_val, simhash FROM sim
+)
+SELECT DISTINCT
+  a.doc_id AS doc_a,
+  b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash", sql=_SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    toks_distinct = F.array_distinct(_tokens())
+    hashes = F.transform(
+        toks_distinct,
+        lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"),
+    )
+    sim = docs.select(
+        "doc_id",
+        _simhash_expr(hashes, F.size(toks_distinct)).alias("simhash"),
+    )
+    bands = sim.select(
+        "doc_id",
+        F.lit(0).alias("band_idx"),
+        (F.col("simhash") / 65536).cast("long").alias("band_val"),
+        "simhash",
+    ).unionByName(
+        sim.select(
+            "doc_id",
+            F.lit(1).alias("band_idx"),
+            (F.col("simhash") % 65536).alias("band_val"),
+            "simhash",
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_cosine — embedding near-dup pairs within an IVF-style
+# coarse partition (the `label` column = cluster assignment), cosine ≥
+# threshold. Partition-local pairing keeps the join linear in cluster
+# size instead of quadratic in corpus size.
+# ---------------------------------------------------------------------------
+
+EMB_DUP_THRESHOLD = 0.95
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, sequential fold
+    (deterministic order, matches DuckDB's list_dot_product ordering)."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+_EMB_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT
+  a.vec_id AS vec_a,
+  b.vec_id AS vec_b,
+  round(list_dot_product(a.v, b.v)
+        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+        6) AS cosine
+FROM e a
+JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6)
+      >= {EMB_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", sql=_EMB_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    )

@@ -1,0 +1,90 @@
+"""Windowed event aggregation (batch form of the streaming queries).
+
+The reference has no streaming (SURVEY §2.10); these tumbling-window
+aggregates are the batch shape of ``streaming/events.py``'s Structured
+Streaming jobs — pytest asserts streaming output equals these results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+_TUMBLING_SQL = """
+SELECT
+  strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+@register("events_tumbling_window", sql=_TUMBLING_SQL)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = T(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SLIDING_SQL = """
+WITH offsets AS (
+  SELECT unnest([0, 30]) AS off_min
+),
+slid AS (
+  SELECT
+    time_bucket(INTERVAL '1 hour', e.ts - to_minutes(o.off_min))
+      + to_minutes(o.off_min) AS w_start,
+    e.value
+  FROM events e CROSS JOIN offsets o
+)
+SELECT
+  strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+  count(*) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+FROM slid
+GROUP BY window_start
+"""
+
+
+@register("events_sliding_window", sql=_SLIDING_SQL)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in 2
+    windows. Spark's window(slideDuration) does the duplication natively;
+    the oracle replicates via an offsets cross join."""
+    events = T(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,202 @@
+"""Join operators — SURVEY.md §2.4 (J1-J7) re-expressed Spark-first.
+
+The reference's joins are pandas merges and dict lookups; here each shape
+becomes the idiomatic Spark join with the right physical strategy
+(broadcast for dims, left-semi/anti for membership, left-outer for
+re-indexing against a canonical dimension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+# ---------------------------------------------------------------------------
+# join_semi — J3: membership via left-semi join (the reference uses isin
+# masks, bin/concatenate.py:284-286,318-320; semi-join scales where an
+# isin literal list cannot).
+# ---------------------------------------------------------------------------
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register("join_semi", sql=_SEMI_SQL)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    urgent = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# join_anti — anti-join (absent from the reference, SURVEY §2.4 note;
+# Spark built-in "left_anti").
+# ---------------------------------------------------------------------------
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+)
+"""
+
+
+@register("join_anti", sql=_ANTI_SQL)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_outer_reindex — J5: the reference re-indexes per-dataset annotation
+# frames against the unioned channel axis with NaN fill
+# (bin/concatenate.py:419-426) = left-outer join against the canonical
+# dimension + coalesce.
+# ---------------------------------------------------------------------------
+
+_OUTER_SQL = """
+SELECT
+  n.n_nationkey,
+  n.n_name,
+  coalesce(s.n_suppliers, 0) AS n_suppliers,
+  coalesce(s.total_bal, 0.0) AS total_bal
+FROM nation n
+LEFT JOIN (
+  SELECT
+    s_nationkey,
+    count(*) AS n_suppliers,
+    CAST(round(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
+  FROM supplier
+  GROUP BY s_nationkey
+) s ON s.s_nationkey = n.n_nationkey
+"""
+
+
+@register("join_outer_reindex", sql=_OUTER_SQL)
+def join_outer_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = T(spark, sf_dir, "nation")
+    supp_agg = (
+        T(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+    return (
+        nation.join(
+            F.broadcast(supp_agg),
+            nation.n_nationkey == supp_agg.s_nationkey,
+            "left",
+        )
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("total_bal", F.lit(0.0)).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_synonym — J4: the reference normalizes antibody names via a
+# hardcoded synonym dict with strip→lower match and identity fallback
+# (bin/concatenate.py:26-42,74-81). Re-expressed as a broadcast join of a
+# literal synonym dimension + coalesce fallback — no UDF.
+# ---------------------------------------------------------------------------
+
+_SYNONYMS = [
+    ("building", "CONSTRUCTION"),
+    ("automobile", "AUTO"),
+    ("household", "HOME"),
+]
+
+_SYN_VALUES = ", ".join(f"('{s}', '{c}')" for s, c in _SYNONYMS)
+
+_SYN_SQL = f"""
+SELECT
+  c_custkey,
+  c_mktsegment,
+  coalesce(syn.canonical, c_mktsegment) AS segment_canonical
+FROM customer
+LEFT JOIN (VALUES {_SYN_VALUES}) AS syn(synonym_lower, canonical)
+  ON lower(trim(c_mktsegment)) = syn.synonym_lower
+"""
+
+
+@register("join_synonym", sql=_SYN_SQL)
+def join_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    syn = spark.createDataFrame(_SYNONYMS, ["synonym_lower", "canonical"])
+    return (
+        cust.join(
+            F.broadcast(syn),
+            F.lower(F.trim(cust.c_mktsegment)) == syn.synonym_lower,
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("canonical", "c_mktsegment").alias("segment_canonical"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_map_lookup — J2/E11: scalar code→description lookup (the reference's
+# organ_types.yaml dict, bin/concatenate.py:99-103) as a create_map literal
+# expression — stays inside whole-stage codegen, zero shuffle.
+# ---------------------------------------------------------------------------
+
+_REGION_DESC = {
+    "AFRICA": "African region",
+    "AMERICA": "American region",
+    "ASIA": "Asian region",
+    "EUROPE": "European region",
+    "MIDDLE EAST": "Middle-Eastern region",
+}
+
+_MAP_CASE = " ".join(f"WHEN r_name = '{k}' THEN '{v}'" for k, v in _REGION_DESC.items())
+
+_MAP_SQL = f"""
+SELECT
+  n_nationkey,
+  n_name,
+  CASE {_MAP_CASE} ELSE 'UNKNOWN' END AS region_desc
+FROM nation
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@register("join_map_lookup", sql=_MAP_SQL)
+def join_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    lookup = F.create_map(
+        *[F.lit(x) for kv in _REGION_DESC.items() for x in kv]
+    )
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce(lookup[F.col("r_name")], F.lit("UNKNOWN")).alias("region_desc"),
+        )
+    )

@@ -1,0 +1,349 @@
+"""Core relational queries: scans, filters, projections, scalar functions.
+
+Covers SURVEY.md §2.1 (S1-S3 scan semantics), §2.3 (F1-F8 filters), §2.8
+(E1-E13 scalar functions) on the driver's synthetic tables. Reference
+behaviors cited per query; implementations are Spark-first (declarative
+DataFrame chains → Catalyst pushes filters/pruning into the parquet scan).
+
+Determinism: money/rate aggregates use exact DECIMAL arithmetic (see
+``functions.compat``); every top-k has a unique-key tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.functions.compat import (
+    davg,
+    dsum,
+    money,
+    one_minus,
+    one_plus,
+    rate,
+    sql_davg,
+    sql_dsum,
+    sql_money,
+    sql_one_minus,
+    sql_one_plus,
+    sql_rate,
+)
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+# ---------------------------------------------------------------------------
+# q1_pricing_summary — flagship aggregation (SURVEY §2.5 A2/A3: the
+# reference consumes per-group sum ("total") and mean ("meanAll") matrices,
+# bin/concatenate.py:240-263; here computed as a single hash aggregate with
+# map-side partial aggregation, one shuffle on the 2 grouping keys).
+# ---------------------------------------------------------------------------
+
+_REV = f"({sql_money('l_extendedprice')} * {sql_one_minus('l_discount')})"
+_CHARGE = f"({_REV} * {sql_one_plus('l_tax')})"
+
+_Q1_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum(sql_money('l_quantity'))}      AS sum_qty,
+  {sql_dsum(sql_money('l_extendedprice'))} AS sum_base_price,
+  {sql_dsum(_REV)}                         AS sum_disc_price,
+  {sql_dsum(_CHARGE)}                      AS sum_charge,
+  {sql_davg(sql_money('l_quantity'))}      AS avg_qty,
+  {sql_davg(sql_money('l_extendedprice'))} AS avg_price,
+  {sql_davg(sql_rate('l_discount'))}       AS avg_disc,
+  count(*)                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", sql=_Q1_SQL)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    charge = revenue * one_plus("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(money("l_quantity")).alias("sum_qty"),
+            dsum(money("l_extendedprice")).alias("sum_base_price"),
+            dsum(revenue).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(money("l_quantity")).alias("avg_qty"),
+            davg(money("l_extendedprice")).alias("avg_price"),
+            davg(rate("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3_shipping_priority — broadcast-dim join + agg + deterministic top-k
+# (SURVEY §2.4 J1: uuids⋈obs broadcast-hash join, bin/concatenate.py:300-307).
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = f"""
+SELECT
+  l_orderkey,
+  {sql_dsum(_REV)} AS revenue,
+  count(*)         AS n_lines
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", sql=_Q3_SQL)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            dsum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5_region_revenue — multi-way join chain with two dim hops
+# (SURVEY §2.4: J1 broadcast joins composed; Catalyst reorders/broadcasts).
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = f"""
+SELECT
+  n_name,
+  {sql_dsum(_REV)} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@register("q5_region_revenue", sql=_Q5_SQL)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = T(spark, sf_dir, "nation")
+    cust = T(spark, sf_dir, "customer")
+    supp = T(spark, sf_dir, "supplier")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter_regex — F5: the reference drops channels matching
+# ^Channel:\d+:\d+$ or containing 'blank' case-insensitively
+# (bin/concatenate.py:443-447). Same shape applied to part names.
+# ---------------------------------------------------------------------------
+
+_FILTER_REGEX_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE NOT regexp_matches(p_name, '^small .*')
+  AND NOT contains(lower(p_name), 'bolt')
+  AND regexp_matches(p_brand, '^Brand#[0-9]+$')
+"""
+
+
+@register("filter_regex", sql=_FILTER_REGEX_SQL)
+def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = T(spark, sf_dir, "part")
+    return part.filter(
+        ~F.col("p_name").rlike("^small .*")
+        & ~F.lower(F.col("p_name")).contains("bolt")
+        & F.col("p_brand").rlike("^Brand#[0-9]+$")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+# ---------------------------------------------------------------------------
+# filter_predicates — F2 (null predicate), F3 (drop-null), F4 (membership),
+# F8 (existence): bin/concatenate.py:339-342, make_directory.py:113,
+# bin/concatenate.py:284-286, make_uuids_tsv.py:15-34.
+# ---------------------------------------------------------------------------
+
+_FILTER_PRED_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('F', 'P')
+  AND o_orderpriority NOT LIKE '5%'
+  AND o_custkey IS NOT NULL
+  AND o_totalprice BETWEEN 1000 AND 400000
+"""
+
+
+@register("filter_predicates", sql=_FILTER_PRED_SQL)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & ~F.col("o_orderpriority").startswith("5")
+        & F.col("o_custkey").isNotNull()
+        & F.col("o_totalprice").between(1000, 400000)
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# scalar_functions — E1-E7/E13: regex-strip chains (bin/concatenate.py:63-71),
+# lower/trim normalize (:74-81), concat_ws global-id construction (:273-275),
+# casts (:305), coalesce fallbacks (:256-263), string formatting (:163-168).
+# ---------------------------------------------------------------------------
+
+_SCALAR_SQL = f"""
+SELECT
+  c_custkey,
+  regexp_replace(c_name, '^Customer#0*', '')               AS name_id,
+  lower(trim(c_mktsegment))                                AS segment_norm,
+  concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS global_id,
+  CAST(round({sql_money('c_acctbal')}, 0) AS BIGINT)       AS acctbal_int,
+  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')      AS segment_bucket,
+  substr(c_name, 1, 8)                                     AS name_prefix,
+  CAST(length(c_name) AS BIGINT)                           AS name_len
+FROM customer
+"""
+
+
+@register("scalar_functions", sql=_SCALAR_SQL)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "^Customer#0*", "").alias("name_id"),
+        F.lower(F.trim(F.col("c_mktsegment"))).alias("segment_norm"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias(
+            "global_id"
+        ),
+        F.round(money("c_acctbal"), 0).cast("long").alias("acctbal_int"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("segment_bucket"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# date_functions — temporal scalar functions over order dates (the
+# reference only stamps str(datetime.now()), bin/concatenate.py:433; this
+# exercises the full date-part family the harness needs).
+# ---------------------------------------------------------------------------
+
+_DATE_SQL = f"""
+SELECT
+  CAST(year(o_orderdate) AS BIGINT)            AS order_year,
+  CAST(month(o_orderdate) AS BIGINT)           AS order_month,
+  count(*)                                     AS n_orders,
+  {sql_dsum(sql_money('o_totalprice'))}        AS total_price,
+  CAST(min(dayofmonth(o_orderdate)) AS BIGINT) AS min_dom,
+  CAST(max(quarter(o_orderdate)) AS BIGINT)    AS max_quarter
+FROM orders
+GROUP BY order_year, order_month
+"""
+
+
+@register("date_functions", sql=_DATE_SQL)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice")).alias("total_price"),
+            F.min(F.dayofmonth("o_orderdate")).cast("long").alias("min_dom"),
+            F.max(F.quarter("o_orderdate")).cast("long").alias("max_quarter"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# json_extraction — E12: nested JSON field gets with defaults over REST
+# hits (make_uuids_tsv.py:77-102). events.props is a JSON string column.
+# ---------------------------------------------------------------------------
+
+_JSON_SQL = """
+SELECT
+  event_type,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        / count(*), 6)                                                AS avg_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT))              AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_extraction", sql=_JSON_SQL)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_k_orders — ORDER BY + LIMIT with unique-key determinism (SURVEY §2.9:
+# absent from the reference; Spark plans TakeOrderedAndProject — no full
+# sort, per-partition top-k then merge on the driver).
+# ---------------------------------------------------------------------------
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@register("top_k_orders", sql=_TOPK_SQL)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )

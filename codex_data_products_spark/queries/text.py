@@ -1,0 +1,182 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Green-field LLM-data-pipeline surface (BASELINE.json north star): token
+counting, quality scoring, language-ID heuristic, document fingerprinting.
+Everything is built-in column expressions (split / transform / filter /
+md5) — JVM-side, whole-stage codegen, zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+# Tokens: lowercase, whitespace-split. Both engines split with the same
+# regex so token arrays are identical.
+def _tokens():
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+_SQL_TOKENS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+# ---------------------------------------------------------------------------
+# text_tokens — token & character accounting (whitespace + regex
+# tokenizer; the BPE-ish pass lives in text_quality's word stats).
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = f"""
+SELECT
+  doc_id,
+  CAST(len({_SQL_TOKENS}) AS BIGINT)          AS n_tokens,
+  CAST(length(text) AS BIGINT)                AS n_chars_actual,
+  n_chars                                     AS n_chars_declared,
+  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / len({_SQL_TOKENS}), 6)              AS avg_token_len
+FROM documents
+"""
+
+
+@register("text_tokens", sql=_TOKENS_SQL)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.col("n_chars").alias("n_chars_declared"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens,
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_quality — heuristic quality scores: stopword ratio, type-token
+# ratio, length bucket. Set-based array expressions, no UDF.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+)
+SELECT
+  doc_id,
+  round(CAST(len(list_filter(toks, x -> list_contains({_SQL_STOPLIST}, x))) AS DOUBLE)
+        / len(toks), 6)                                   AS stopword_ratio,
+  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS type_token_ratio,
+  CASE WHEN len(toks) < 30 THEN 'short'
+       WHEN len(toks) < 80 THEN 'medium'
+       ELSE 'long' END                                    AS length_bucket
+FROM t
+"""
+
+
+@register("text_quality", sql=_QUALITY_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_distinct = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.round(n_stop.cast("double") / n, 6).alias("stopword_ratio"),
+        F.round(n_distinct.cast("double") / n, 6).alias("type_token_ratio"),
+        F.when(n < 30, "short")
+        .when(n < 80, "medium")
+        .otherwise("long")
+        .alias("length_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_langid — n-gram/stopword-list language heuristic with a
+# deterministic arg-max (ties broken by fixed language order).
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "das"],
+}
+
+
+def _sql_lang_score(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(toks, x -> list_contains({lst}, x)))"
+
+
+_LANGID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang AS lang_declared, {_SQL_TOKENS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, lang_declared,
+         {_sql_lang_score('en')} AS s_en,
+         {_sql_lang_score('es')} AS s_es,
+         {_sql_lang_score('de')} AS s_de
+  FROM t
+)
+SELECT doc_id, lang_declared,
+       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_de THEN 'es'
+            ELSE 'de' END AS lang_predicted,
+       CAST(s_en AS BIGINT) AS score_en
+FROM s
+"""
+
+
+@register("text_langid", sql=_LANGID_SQL)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def score(lang: str):
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    s_en, s_es, s_de = score("en"), score("es"), score("de")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        F.when((s_en >= s_es) & (s_en >= s_de), "en")
+        .when(s_es >= s_de, "es")
+        .otherwise("de")
+        .alias("lang_predicted"),
+        s_en.cast("long").alias("score_en"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_fingerprint — canonical-form document fingerprint (sorted distinct
+# tokens → md5), the standard "fingerprint method" for clustering near-
+# identical records; md5 is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_FPRINT_SQL = f"""
+SELECT
+  doc_id,
+  md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' ')) AS fingerprint,
+  md5(text)                                                          AS exact_hash
+FROM documents
+"""
+
+
+@register("text_fingerprint", sql=_FPRINT_SQL)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(_tokens())), " ")
+        ).alias("fingerprint"),
+        F.md5(F.col("text")).alias("exact_hash"),
+    )

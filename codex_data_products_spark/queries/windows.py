@@ -1,0 +1,290 @@
+"""Window functions, positional semantics, as-of join, sessionization —
+SURVEY.md §2.9 (W1-W4) plus the analytic-window family the reference lacks.
+
+W1 (position→key remap) is the load-bearing one: the reference's
+MatrixMarket adjacency indices are row positions in a labels file
+(bin/concatenate.py:313-329); relationally that is row_number over the
+label order joined twice against the edge list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+# ---------------------------------------------------------------------------
+# window_rank — ranking family (row_number / rank / dense_rank) with a
+# unique-key tie-break; top-3 customers per nation by balance.
+# ---------------------------------------------------------------------------
+
+_RANK_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk
+FROM (
+  SELECT
+    c_nationkey, c_custkey, c_acctbal,
+    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+    rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer
+) t
+WHERE rn <= 3
+"""
+
+
+@register("window_rank", sql=_RANK_SQL)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_lag — lag/lead frame: order-over-order price delta per customer.
+# The delta stays a raw double: both engines do the identical IEEE
+# subtraction on identical operands.
+# ---------------------------------------------------------------------------
+
+_LAG_SQL = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_totalprice,
+  o_totalprice - lag(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ) AS price_delta
+FROM orders
+"""
+
+
+@register("window_lag", sql=_LAG_SQL)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_running_sum — W2: cumulative offsets (the reference's block_diag
+# implicitly offsets indices by cumulative cell counts,
+# bin/concatenate.py:333-336). Exact decimal running sum → double.
+# ---------------------------------------------------------------------------
+
+_RUNSUM_SQL = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+@register("window_running_sum", sql=_RUNSUM_SQL)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# position_remap — W1: MatrixMarket 1-based positions → keys. The labels
+# frame is documents ordered by doc_id (row_number = position, as in
+# bin/concatenate.py:322-329); a synthetic edge list over positions is
+# remapped to doc ids by joining the labels frame once per endpoint.
+# ---------------------------------------------------------------------------
+
+_REMAP_SQL = """
+WITH labels AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS pos
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+edges AS (
+  SELECT
+    event_id,
+    (event_id * 7)  % (SELECT n_docs FROM n) + 1 AS i,
+    (event_id * 13) % (SELECT n_docs FROM n) + 1 AS j
+  FROM events
+)
+SELECT e.event_id, src.doc_id AS src_doc, dst.doc_id AS dst_doc
+FROM edges e
+JOIN labels src ON e.i = src.pos
+JOIN labels dst ON e.j = dst.pos
+"""
+
+
+@register("position_remap", sql=_REMAP_SQL)
+def position_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    events = T(spark, sf_dir, "events")
+    n_docs = docs.count()  # small catalog-style scalar, driver-side like J2
+    labels = docs.select(
+        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("pos")
+    )
+    edges = events.select(
+        "event_id",
+        (F.col("event_id") * 7 % n_docs + 1).alias("i"),
+        (F.col("event_id") * 13 % n_docs + 1).alias("j"),
+    )
+    src = labels.select(F.col("doc_id").alias("src_doc"), F.col("pos").alias("i"))
+    dst = labels.select(F.col("doc_id").alias("dst_doc"), F.col("pos").alias("j"))
+    return (
+        edges.join(F.broadcast(src), "i")
+        .join(F.broadcast(dst), "j")
+        .select("event_id", "src_doc", "dst_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# asof_join — as-of join (SURVEY §2.4 note: absent from the reference;
+# needed by any time-series consumer). For each purchase event, the most
+# recent strictly-earlier view event of the same user. Implemented with
+# the union+last_value(ignoreNulls) window pattern — one shuffle on
+# user_id, no range explosion.
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+SELECT
+  p.event_id,
+  p.user_id,
+  strftime(max(v.ts), '%Y-%m-%d %H:%M:%S.%f') AS prev_view_ts
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
+@register("asof_join", sql=_ASOF_SQL)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = T(spark, sf_dir, "events")
+    # Tag both sides, union, and carry the last view timestamp forward.
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts"), F.col("ts").alias("view_ts"), F.lit(None).cast("long").alias("event_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.lit(None).cast("timestamp").alias("view_ts"), "event_id"
+    )
+    unioned = views.unionByName(purchases)
+    # Order views before purchases at identical timestamps? No: the oracle
+    # uses strict v.ts < p.ts, so at ties the view must NOT be visible.
+    # Sorting nulls_first on view_ts at equal ts puts the purchase row
+    # before the co-timed view row, excluding it — matching strict <.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("view_ts").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        unioned.withColumn("prev_view", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("prev_view", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "prev_view_ts"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionize — gap-based sessionization in batch (SURVEY §2.10: streaming
+# is green-field; this is the batch shape of session_window). A session
+# breaks after a 30-minute silence; classic lag + cumulative-sum pattern.
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = """
+WITH gaps AS (
+  SELECT
+    user_id,
+    event_id,
+    ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT
+    user_id,
+    ts,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_id
+  FROM gaps
+)
+SELECT
+  user_id,
+  session_id,
+  count(*) AS n_events,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize", sql=_SESSION_SQL)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("double") - prev_ts.cast("double") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+        )
+    )

@@ -1,0 +1,49 @@
+"""Loaders for the driver's synthetic tables (TESTDATA.md).
+
+All reads are plain ``spark.read.parquet`` so Catalyst gets predicate
+pushdown + column pruning at the scan. At cluster scale these would be
+partitioned table locations; the API is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables that should always broadcast in joins.
+DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table by name.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which the Spark parquet
+    reader rejects; read nanos as long and truncate to microseconds
+    (lossless here — the generator emits microsecond precision, and
+    DuckDB reads the same column as microsecond TIMESTAMP).
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every synthetic table into a dict of DataFrames."""
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
