@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codex_data_products_spark.registry import register
-from codex_data_products_spark.tables import table as T
+from codex_data_products_spark.tables import spread, table as T
 
 SHINGLE_K = 5  # tokens per shingle
 SHINGLE_DF_CAP = 100  # drop shingles appearing in more docs than this
@@ -59,16 +59,26 @@ def shingle_table(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
         )
     )
     return (
-        docs.filter(F.size(toks) >= k)
+        spread(docs.filter(F.size(toks) >= k), "doc_id")
         .select("doc_id", F.explode(shingles).alias("shingle"))
     )
 
 
 def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
-    """Drop stop-shingles above the document-frequency cap (both engines)."""
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    keep = df_counts.filter(F.col("df") <= SHINGLE_DF_CAP).select("shingle")
-    return sh.join(keep, "shingle")
+    """Drop stop-shingles above the document-frequency cap (both engines).
+
+    A count-over-window needs one shuffle and one pass; the equivalent
+    groupBy + semi-join would shuffle twice and recompute the md5-heavy
+    shingle explode.
+    """
+    from pyspark.sql import Window
+
+    df = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("df", df)
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .drop("df")
+    )
 
 
 _SQL_SHINGLES = f"""
@@ -109,6 +119,40 @@ jac AS (
   JOIN sizes sb ON sb.doc_id = c.doc_b
 )
 """
+
+
+def _jaccard_for_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact set Jaccard for a given (doc_a, doc_b) candidate-pair frame.
+
+    Unlike ``_jaccard_pairs`` this never enumerates non-candidate pairs:
+    candidates × their shingles → equi-join on (doc_b, shingle) → count.
+    This is the LSH scale path — verification cost is proportional to the
+    candidate set, not to all shingle-sharing pairs.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    size_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    size_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(size_a, "doc_a")
+        .join(size_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
 
 
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
@@ -253,8 +297,15 @@ WHERE j.jaccard >= {JACCARD_THRESHOLD}
 
 @register("dedup_minhash_lsh", sql=_MINHASH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = T(spark, sf_dir, "documents")
-    sh = _frequent_shingles_removed(shingle_table(docs))
+    # The shingle table feeds signature building AND candidate
+    # verification; persist it (disk-spillable) instead of recomputing
+    # the md5-heavy explode three times.
+    sh = _frequent_shingles_removed(shingle_table(docs)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = sh.groupBy("doc_id").agg(
         *[_minhash_expr(i) for i in range(NUM_MINHASHES)]
     )
@@ -288,9 +339,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    verified = _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    return verified.join(cand, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    return _jaccard_for_pairs(cand, sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 
@@ -300,18 +350,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _simhash_expr(hashes: Column, n: Column) -> Column:
-    """SimHash: bit b set iff more than half the token hashes have bit b."""
-    terms = []
-    for b in range(SIMHASH_BITS):
-        ones = F.size(
-            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0)
+def simhash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — bit b set iff more than half the distinct-token
+    hashes have bit b.
+
+    Computed as explode → one hash aggregate with 32 conditional sums:
+    each md5 is evaluated exactly once and the bit-counting runs as a
+    map-side-combinable hash aggregate (vs. 32 re-evaluations of the
+    token-hash array in a naive per-row expression).
+    """
+    toks = F.array_distinct(_tokens())
+    hashed = spread(docs, "doc_id").select(
+        "doc_id",
+        F.explode(toks).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    aggs = [
+        F.sum((F.col("h").bitwiseAND(F.lit(1 << b)) != 0).cast("long")).alias(
+            f"ones{b}"
         )
-        terms.append(F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n"))
+    terms = [
+        F.when(F.col(f"ones{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    ]
     out = terms[0]
     for t in terms[1:]:
         out = out + t
-    return out.cast("long")
+    return sums.select("doc_id", out.cast("long").alias("simhash"))
 
 
 def _sql_simhash() -> str:
@@ -354,15 +424,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 @register("dedup_simhash", sql=_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
-    toks_distinct = F.array_distinct(_tokens())
-    hashes = F.transform(
-        toks_distinct,
-        lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"),
-    )
-    sim = docs.select(
-        "doc_id",
-        _simhash_expr(hashes, F.size(toks_distinct)).alias("simhash"),
-    )
+    sim = simhash_frame(docs)
     bands = sim.select(
         "doc_id",
         F.lit(0).alias("band_idx"),
@@ -446,8 +508,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    # Broadcast one side: the pair generation then runs partition-parallel
+    # on the spread side with no shuffle — and no skew from the tiny
+    # label-key space (10 labels would otherwise occupy ≤10 reducers).
+    a = spread(emb, "vec_id").alias("a")
+    b = F.broadcast(emb).alias("b")
     cos = F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
     return (
         a.join(

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from codex_data_products_spark.queries.dedup import cosine_expr
 from codex_data_products_spark.registry import register
-from codex_data_products_spark.tables import table as T
+from codex_data_products_spark.tables import spread, table as T
 
 QUERY_STRIDE = 50  # every 50th vector is a query
 TOP_K = 5
@@ -68,7 +68,9 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        spread(emb, "vec_id").join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -118,7 +120,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        emb.join(
+        spread(emb, "vec_id").join(
             F.broadcast(queries),
             (F.col("label") == F.col("qlabel"))
             & (F.col("vec_id") != F.col("query_id")),

@@ -47,3 +47,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every synthetic table into a dict of DataFrames."""
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition to full core parallelism before CPU-heavy expressions.
+
+    Small single-file parquet inputs arrive as one task; per-row work like
+    per-shingle md5 then serializes on one core. One cheap round-robin/hash
+    shuffle of the (tiny) input buys full-width execution of the expensive
+    stage. On a real cluster the scan would already be split; this is still
+    the right call after a selective filter collapses partition counts.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys) if keys else df.repartition(n)
