@@ -1,0 +1,340 @@
+"""The flagship CODEX concatenation pipeline — reference Entry C
+(pipeline.cwl → bin/concatenate.py main(), SURVEY.md §3.3) as one lazy
+Spark DAG.
+
+Differences from the reference, by design (SURVEY §3.3 "Spark
+re-expression"):
+
+  * the per-dataset Python loop builds *plans*, not data — per-dataset
+    frames are unioned lazily and execute as one job;
+  * file quintuples are aligned by dataset uuid parsed from paths, not by
+    zip order (J7 — the reference silently mis-pairs incomplete lists);
+  * the expression matrix lives in long form (cell_id, channel, total,
+    mean) — the scale representation; wide export is a pivot at the sink;
+  * adjacency is an edge list on globally-unique string cell ids, so the
+    block-diagonal union (U3) is a plain unionByName;
+  * uuid/timestamp are injectable for reproducible products (E8/E9).
+
+Product layout (K1): a directory of parquet tables (x_long partitioned
+by dataset for partition pruning) + uns.json + a manifest (K2).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.functions.antibodies import canonical_channel_py
+from codex_data_products_spark.sources.antibodies_tsv import (
+    first_match_per_antibody,
+    read_antibodies,
+)
+from codex_data_products_spark.sources.expression_csv import (
+    read_centers,
+    read_channel_names,
+)
+from codex_data_products_spark.sources.hdf5 import Decoder, h5py_decoder, read_hdf5_expression
+from codex_data_products_spark.sources.labels import read_labels, remap_edges_to_cell_ids
+from codex_data_products_spark.sources.matrix_market import read_matrix_market
+
+# S10: the five glob families, two filename variants each
+# (find_files_by_type, bin/concatenate.py:118-151).
+FILE_PATTERNS = {
+    "hdf5": ["out.hdf5"],
+    "expression_csv": [
+        "reg1_stitched_expressions.ome.tiff-cell_channel_total.csv",
+        "reg001_expr.ome.tiff-cell_channel_total.csv",
+    ],
+    "adjacency": [
+        "reg1_stitched_expressions.ome.tiff_AdjacencyMatrix.mtx",
+        "reg001_expr.ome.tiff_AdjacencyMatrix.mtx",
+    ],
+    "labels": [
+        "reg1_stitched_expressions.ome.tiff_AdjacencyMatrixRowColLabels.txt",
+        "reg001_expr.ome.tiff_AdjacencyMatrixRowColLabels.txt",
+    ],
+    "centers": [
+        "reg1_stitched_expressions.ome.tiff-cell_centers.csv",
+        "reg001_expr.ome.tiff-cell_centers.csv",
+    ],
+}
+
+CHANNEL_DROP_REGEX = r"^Channel:\d+:\d+$"  # F5, bin/concatenate.py:443-447
+
+
+@dataclass
+class CodexProduct:
+    """The data product as logical tables (SURVEY §1.1 data model)."""
+
+    x_long: DataFrame  # (dataset, cell_id, channel, total, mean)
+    obs: DataFrame  # cell metadata + donor fields + Epic literals
+    var: DataFrame  # surviving channels
+    varm_long: DataFrame  # (channel, dataset, uniprot, rrid, antibodies_tsv_id)
+    edges: DataFrame  # (src_cell_id, dst_cell_id, weight)
+    uns: dict = field(default_factory=dict)
+
+
+def discover_dataset_files(data_dir: str, dataset_uuid: str) -> dict[str, str] | None:
+    """S10: glob the five file families under one dataset dir; first
+    match per family (find_files early-return, make_directory.py:12-19).
+    Driver-side file-metadata work, like Spark's own file listing."""
+    base = os.path.join(data_dir, dataset_uuid)
+    if not os.path.isdir(base):
+        return None
+    found: dict[str, str] = {}
+    for kind, patterns in FILE_PATTERNS.items():
+        for pat in patterns:
+            hits = sorted(glob.glob(os.path.join(base, "**", pat), recursive=True))
+            if hits:
+                found[kind] = hits[0]
+                break
+    required = {"expression_csv", "adjacency", "labels", "centers"}
+    return found if required <= set(found) else None
+
+
+def read_catalog(spark: SparkSession, uuids_tsv: str) -> DataFrame:
+    """S1: the uuids TSV with the pandas index column dropped
+    (F1, bin/concatenate.py:303,306 — '^Unnamed' prune)."""
+    df = spark.read.options(sep="\t", header=True).csv(uuids_tsv)
+    keep = [
+        c
+        for c in df.columns
+        if c and not c.startswith("Unnamed") and not c.startswith("_c")
+    ]
+    return df.select(*keep)
+
+
+def build_product(
+    spark: SparkSession,
+    data_dir: str,
+    uuids_tsv: str,
+    tissue: str | None = None,
+    *,
+    decoder: Decoder = h5py_decoder,
+    tissue_by_uuid: dict[str, str] | None = None,
+    product_uuid: str | None = None,
+    creation_time: str | None = None,
+) -> CodexProduct:
+    """Compose the full Entry-C DAG. Nothing executes here except tiny
+    driver-side metadata reads (catalog collect, CSV headers)."""
+    import uuid as uuidlib
+    from datetime import datetime
+
+    catalog = read_catalog(spark, uuids_tsv)
+    cat_rows = catalog.select(
+        "uuid", "hubmap_id", "immediate_ancestor_ids", "immediate_descendant_ids"
+    ).collect()  # catalog ≤ thousands of rows: driver-side like J2
+
+    # F2: leaves = processed datasets (null descendants,
+    # bin/concatenate.py:339-342).
+    leaves = [r for r in cat_rows if r["immediate_descendant_ids"] is None]
+    processed_uuids = [r["uuid"] for r in leaves]
+    processed_hbmids = [r["hubmap_id"] for r in leaves]
+    ancestor_of = {r["uuid"]: r["immediate_ancestor_ids"] for r in cat_rows}
+
+    x_parts: list[DataFrame] = []
+    obs_parts: list[DataFrame] = []
+    varm_parts: list[DataFrame] = []
+    edge_parts: list[DataFrame] = []
+
+    for ds in processed_uuids:
+        files = discover_dataset_files(data_dir, ds)
+        if files is None:  # skip-sparse-dirs guard (bin/concatenate.py:358-359)
+            continue
+        ds_tissue = tissue or (tissue_by_uuid or {}).get(ds, "unknown")
+
+        # Channel names: CSV header (S3), canonicalized BEFORE the union
+        # (J4 on var names: find_antibody_key only, bin/concatenate.py:246).
+        raw_channels = read_channel_names(files["expression_csv"])
+        channels = [canonical_channel_py(c) for c in raw_channels]
+        channel_map = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(channels)], "channel_idx int, channel string"
+        )
+
+        # S4: HDF5 decode (one task per file) → long rows; channel names
+        # joined on position.
+        expr = read_hdf5_expression(spark, files["hdf5"], decoder=decoder)
+        global_id = F.concat_ws("-", F.col("dataset"), F.col("original_obs_id"))
+        x_parts.append(
+            expr.join(F.broadcast(channel_map), "channel_idx")
+            .select(
+                "dataset",
+                global_id.alias("cell_id"),
+                "channel",
+                "total",
+                "mean",
+            )
+        )
+
+        # obs: one row per cell + centers coordinates (F4/J3 semi
+        # semantics via left join on the cell's own id set).
+        cells = expr.select("dataset", "original_obs_id").distinct()
+        centers = read_centers(spark, files["centers"])
+        obs_parts.append(
+            cells.join(centers, "original_obs_id", "left")
+            .select(
+                F.concat_ws("-", "dataset", "original_obs_id").alias("cell_id"),
+                "dataset",
+                "original_obs_id",
+                F.lit(ds_tissue).alias("tissue"),
+                "x",
+                "y",
+            )
+        )
+
+        # varm: parent antibodies.tsv (J2 ancestor lookup) ∩ var channels
+        # (U2), first match per name (A5), tidy long form (P1 internal).
+        parent = ancestor_of.get(ds)
+        antibodies_path = None
+        if parent:
+            hits = sorted(
+                glob.glob(os.path.join(data_dir, parent, "*antibodies.tsv"))
+            )
+            antibodies_path = hits[0] if hits else None
+        if antibodies_path:
+            antb = first_match_per_antibody(
+                read_antibodies(spark, antibodies_path)
+            )
+            ds_channels = spark.createDataFrame(
+                [(c,) for c in channels], "channel string"
+            )
+            varm_parts.append(
+                antb.join(
+                    ds_channels, antb.antibody_name == ds_channels.channel, "inner"
+                ).select(
+                    "channel",
+                    F.lit(ds).alias("dataset"),
+                    F.col("uniprot_accession_number").alias("uniprot"),
+                    F.col("rr_id").alias("rrid"),
+                    F.col("channel_id").alias("antibodies_tsv_id"),
+                )
+            )
+
+        # Adjacency: MM positions → cell ids, edges kept only when both
+        # endpoints exist in obs (W1 + J3, bin/concatenate.py:310-330),
+        # then globalized — U3 block-diagonal union for free.
+        mm = read_matrix_market(spark, files["adjacency"])
+        labels = read_labels(spark, files["labels"])
+        keep = cells.select(F.col("original_obs_id").alias("cell_id"))
+        local_edges = remap_edges_to_cell_ids(mm, labels, keep=keep)
+        edge_parts.append(
+            local_edges.select(
+                F.concat_ws("-", F.lit(ds), "src_cell_id").alias("src_cell_id"),
+                F.concat_ws("-", F.lit(ds), "dst_cell_id").alias("dst_cell_id"),
+                "weight",
+            )
+        )
+
+    if not x_parts:
+        raise ValueError(f"no complete datasets found under {data_dir}")
+
+    def union_all(parts: list[DataFrame]) -> DataFrame:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # U1: outer union-by-name across datasets (anndata.concat(join="outer"),
+    # bin/concatenate.py:412). Long form: missing (cell, channel) pairs are
+    # simply absent — documented null-vs-absent choice (SURVEY §7 hard #5).
+    x_long = union_all(x_parts)
+    obs = union_all(obs_parts)
+    edges = union_all(edge_parts) if edge_parts else None
+    varm_long = (
+        union_all(varm_parts)
+        if varm_parts
+        else spark.createDataFrame(
+            [],
+            "channel string, dataset string, uniprot string, rrid string, "
+            "antibodies_tsv_id string",
+        )
+    )
+
+    # F5: unidentifiable-channel filter, pushed (by us, once) below every
+    # consumer instead of running after full materialization.
+    var = (
+        x_long.select("channel")
+        .distinct()
+        .filter(
+            ~F.col("channel").rlike(CHANNEL_DROP_REGEX)
+            & ~F.lower(F.col("channel")).contains("blank")
+        )
+    )
+    x_long = x_long.join(F.broadcast(var), "channel", "left_semi").select(
+        "dataset", "cell_id", "channel", "total", "mean"
+    )
+    # J5: varm re-indexed to the surviving channel axis.
+    varm_long = varm_long.join(F.broadcast(var), "channel", "left_semi")
+
+    # J1: donor metadata broadcast join + E5 age cast + F7 Epic literals.
+    donor_cols = ["age", "sex", "height", "weight", "bmi", "cause_of_death", "race"]
+    cat_donor = catalog.select(
+        F.col("uuid"),
+        *[F.col(c) for c in donor_cols if c in catalog.columns],
+    )
+    obs = (
+        obs.join(F.broadcast(cat_donor), obs.dataset == cat_donor.uuid, "inner")
+        .drop("uuid")
+        .withColumn("age", F.col("age").cast("double"))
+        .withColumn("object_type", F.lit("ftu"))
+        .withColumn("analyte_class", F.lit("Protein"))
+    )
+
+    uns = {
+        "creation_data_time": creation_time or str(datetime.now()),
+        "uuid": product_uuid or str(uuidlib.uuid4()),
+        "datasets": processed_hbmids,
+        "dataset_uuids": processed_uuids,
+        "protocol": "https://github.com/hubmapconsortium/codex-data-products",
+        "epic_type": "analyses",
+        "tissue": tissue,
+    }
+    return CodexProduct(
+        x_long=x_long, obs=obs, var=var, varm_long=varm_long, edges=edges, uns=uns
+    )
+
+
+def write_product(product: CodexProduct, out_dir: str) -> dict:
+    """K1 + K2: parquet product directory + manifest.
+
+    x_long/edges partitioned by dataset → partition pruning for
+    per-dataset consumers; obs/var/varm are product-scale tables.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    product.x_long.write.mode("overwrite").partitionBy("dataset").parquet(
+        f"{out_dir}/x_long"
+    )
+    product.obs.write.mode("overwrite").parquet(f"{out_dir}/obs")
+    product.var.write.mode("overwrite").parquet(f"{out_dir}/var")
+    product.varm_long.write.mode("overwrite").parquet(f"{out_dir}/varm_long")
+    if product.edges is not None:
+        product.edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
+    with open(f"{out_dir}/uns.json", "w") as f:
+        json.dump(product.uns, f, indent=2)
+
+    # K2 manifest (create_json, bin/concatenate.py:154-177): counts are
+    # DataFrame actions; file size measured on the written product.
+    total_cells = product.obs.count()
+    size = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _, fns in os.walk(out_dir)
+        for fn in fns
+    )
+    manifest = {
+        "Data Product UUID": product.uns["uuid"],
+        "Tissue": product.uns.get("tissue"),
+        "Assay": "codex",
+        "Creation Time": product.uns["creation_data_time"],
+        "Dataset UUIDs": product.uns["dataset_uuids"],
+        "Dataset HBMIDs": product.uns["datasets"],
+        "Total Cell Count": total_cells,
+        "Raw File Size": size,
+    }
+    with open(f"{out_dir}/{product.uns['uuid']}.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest

@@ -1,0 +1,118 @@
+"""HDF5 expression-matrix ingest — SURVEY.md §2.1 S4 / §2.11.
+
+The reference opens each ``out.hdf5`` with pandas HDFStore and tries two
+key layouts (bin/concatenate.py:239-264):
+
+  /total/channel/cell/expressions.ome.tiff/stitched/reg1  (+ matching /meanAll/...)
+  /total/channel/cell/expr.ome.tiff/reg001                (+ matching /meanAll/...)
+
+Spark has no native HDF5 source, so this is the one legitimate
+pandas-UDF boundary: ``binaryFile`` rows → ``mapInPandas`` decode → long
+rows (dataset, original_obs_id, channel_idx, total, mean). One file per
+task (HDF5 is not splittable); parallelism = number of datasets, which
+matches the reference's unit of work.
+
+The byte→matrix decoder is injectable: the default needs ``h5py`` (not
+present in this container → a clear NotImplementedError), and tests
+inject a fake-format decoder so the Spark plumbing (binary scan, Arrow
+batching, schema, per-file tasks) is exercised for real.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+# decoder(payload, path) -> pandas DataFrame with columns
+#   original_obs_id (str), channel_idx (int), total (float), mean (float)
+Decoder = Callable[[bytes, str], pd.DataFrame]
+
+TOTAL_KEYS = (
+    "/total/channel/cell/expressions.ome.tiff/stitched/reg1",
+    "/total/channel/cell/expr.ome.tiff/reg001",
+)
+MEAN_KEYS = (
+    "/meanAll/channel/cell/expressions.ome.tiff/stitched/reg1",
+    "/meanAll/channel/cell/expr.ome.tiff/reg001",
+)
+
+DECODED_SCHEMA = (
+    "dataset string, original_obs_id string, channel_idx int, "
+    "total double, mean double"
+)
+
+
+def h5py_decoder(payload: bytes, path: str) -> pd.DataFrame:
+    """Real decoder: two-key-variant fallback over an HDF5 payload.
+
+    Requires h5py, which this container does not ship — the import guard
+    raises a clear error; the Spark plumbing around it is decoder-
+    agnostic and tested with an injected fake.
+    """
+    try:
+        import h5py  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "HDF5 decoding requires h5py, which is not available in this "
+            "environment; inject a custom decoder or convert inputs to "
+            "parquet with the offline utility"
+        ) from e
+    import io
+
+    import numpy as np
+
+    with h5py.File(io.BytesIO(payload), "r") as f:  # pragma: no cover
+        for tk, mk in zip(TOTAL_KEYS, MEAN_KEYS):
+            if tk in f:
+                total = np.asarray(f[tk])
+                mean = np.asarray(f[mk])
+                n_cells, n_channels = total.shape
+                ids = np.repeat(np.arange(n_cells).astype(str), n_channels)
+                ch = np.tile(np.arange(n_channels), n_cells)
+                return pd.DataFrame(
+                    {
+                        "original_obs_id": ids,
+                        "channel_idx": ch,
+                        "total": total.ravel(),
+                        "mean": mean.ravel(),
+                    }
+                )
+    raise ValueError(f"no known matrix key in {path}")  # pragma: no cover
+
+
+def dataset_uuid_from_path(path: str) -> str:
+    """E10: the dataset uuid is the parent directory name
+    (hdf5_store.parent.stem, bin/concatenate.py:232)."""
+    parts = path.rstrip("/").split("/")
+    return parts[-2] if len(parts) >= 2 else path
+
+
+def read_hdf5_expression(
+    spark: SparkSession,
+    path_glob: str,
+    decoder: Decoder = h5py_decoder,
+) -> DataFrame:
+    """Distributed HDF5 ingest: one decode task per file.
+
+    Output is the long-format expression relation keyed by
+    (dataset, original_obs_id, channel_idx); channel *names* come from
+    the per-dataset CSV header (S3) and are joined on position later.
+    """
+    binary = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, payload in zip(pdf["path"], pdf["content"]):
+                out = decoder(bytes(payload), path)
+                out = out.assign(dataset=dataset_uuid_from_path(path))
+                yield out[
+                    ["dataset", "original_obs_id", "channel_idx", "total", "mean"]
+                ]
+
+    # One file per Arrow batch row; repartition so each file decodes in
+    # its own task (binaryFile packs small files into shared splits).
+    return binary.repartition("path").mapInPandas(decode, DECODED_SCHEMA)
