@@ -1,0 +1,185 @@
+"""Streaming event analytics over the ``events`` table.
+
+The batch twins live in ``queries/events.py`` and ``queries/windows.py``;
+pytest asserts stream output == batch output on the same files (the
+exactly-once file-source model makes that comparison exact).
+
+Design notes for the 100 TB / continuous case:
+  * file source + ``availableNow`` gives incremental backfill with the
+    same code that runs ``processingTime`` triggers in production;
+  * watermarks bound state: 2 hours on 1-hour tumbling windows means a
+    window's state is dropped once the event-time high-water-mark passes
+    window_end + 2h;
+  * sessionization uses ``applyInPandasWithState`` — the custom stateful
+    operator escape hatch (SURVEY §2.10) — with per-user state carrying
+    the open session and an *event-time* timeout: a session closes when
+    the watermark passes its last event + gap. Event-time timeouts are
+    deterministic (driven by data, not wall clock), so ``availableNow``
+    backfills terminate and replays are reproducible — a wall-clock
+    (processing-time) timeout would keep the query alive waiting for
+    timers and make emitted sessions depend on scheduling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events.parquet stores ts as TIMESTAMP(NANOS) → read as long + convert,
+# mirroring tables.table("events").
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+SESSION_GAP_SECONDS = 1800
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of queries/events.events_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, "
+    "session_start string, session_end string"
+)
+SESSION_STATE_SCHEMA = "open_start long, open_end long, open_n long, next_id long"
+
+
+def _sessionize_group(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user stateful sessionizer.
+
+    State carries the open (possibly still-growing) session across
+    micro-batches; closed sessions are emitted as soon as a gap larger
+    than SESSION_GAP_SECONDS is observed. The open session is closed and
+    emitted when the watermark passes its end + gap (event-time timeout),
+    after which the user's state is dropped — state size is O(users with
+    activity inside the watermark horizon), not O(all users ever seen).
+    """
+    (user_id,) = key
+    ts_us: list[int] = []
+    for pdf in batches:
+        ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+
+    if state.hasTimedOut:
+        if state.exists:
+            open_start, open_end, open_n, next_id = state.get
+            state.remove()
+            yield _session_row(user_id, next_id, open_n, open_start, open_end)
+        return
+
+    ts_us.sort()
+    if state.exists:
+        open_start, open_end, open_n, next_id = state.get
+    else:
+        open_start = open_end = -1
+        open_n = 0
+        next_id = 1
+
+    out: list[pd.DataFrame] = []
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    for t in ts_us:
+        if open_n == 0:
+            open_start, open_end, open_n = t, t, 1
+        elif t - open_end > gap_us:
+            out.append(
+                _session_row(user_id, next_id, open_n, open_start, open_end)
+            )
+            next_id += 1
+            open_start, open_end, open_n = t, t, 1
+        else:
+            open_end = t
+            open_n += 1
+    state.update((open_start, open_end, open_n, next_id))
+    # Close the open session once event time moves past its end + gap.
+    # The timestamp must be beyond the current watermark; the +gap bound
+    # guarantees that (events below the watermark were already dropped).
+    state.setTimeoutTimestamp(open_end // 1000 + SESSION_GAP_SECONDS * 1000)
+    yield from out
+
+
+def _session_row(
+    user_id: int, session_id: int, n: int, start_us: int, end_us: int
+) -> pd.DataFrame:
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_id": [session_id],
+            "n_events": [n],
+            "session_start": [
+                pd.Timestamp(start_us * 1000).strftime(fmt)
+            ],
+            "session_end": [pd.Timestamp(end_us * 1000).strftime(fmt)],
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: gap-based sessions per user
+    (applyInPandasWithState, the batch twin is queries/windows.sessionize)."""
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> Any:
+    """Execute a streaming frame to completion against current files
+    (availableNow) into an in-memory table; returns the query handle."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

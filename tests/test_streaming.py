@@ -1,0 +1,50 @@
+"""Streaming/batch parity: the Structured Streaming jobs must produce the
+same results as their batch twins on the same files."""
+
+from __future__ import annotations
+
+from codex_data_products_spark.queries.events import events_tumbling_window
+from codex_data_products_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    tumbling_counts,
+)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "tumbling_test", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events_tumbling_window(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sessionize_stream_closes_sessions(spark, sf_dir):
+    from codex_data_products_spark.queries.windows import sessionize
+    from codex_data_products_spark.streaming.events import sessionize_stream
+
+    stream = sessionize_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "sessions_test", output_mode="append")
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_end"])
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_end"])
+        for r in sessionize(spark, sf_dir).collect()
+    }
+    # The stream emits only *closed* sessions (the open tail per user
+    # stays in state until timeout); every emitted session must match the
+    # batch result exactly, and all but at most one session per user must
+    # have been emitted.
+    assert got, "stream emitted no sessions"
+    for key, val in got.items():
+        assert batch[key] == val
+    n_users = len({u for u, _ in batch})
+    assert len(got) >= len(batch) - n_users
