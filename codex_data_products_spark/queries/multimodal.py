@@ -54,3 +54,105 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         extract_meta, schema="doc_id long, n_bytes long, payload_md5 string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Image / AV operators from operators.multimodal, driven with the
+# deterministic fake codec over documents-as-payloads. The fake derives
+# everything from md5(payload), so DuckDB replicates it exactly and even
+# the Python-stage (mapInPandas) results are value-hash-checked.
+# ---------------------------------------------------------------------------
+
+from codex_data_products_spark.operators.multimodal import (  # noqa: E402
+    av_metadata,
+    image_metadata,
+    md5_field_sql,
+    resize_plan,
+    sample_frames,
+)
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+_IMG_W = f"16 + ({md5_field_sql('text', 0)} % 240)"
+_IMG_H = f"16 + ({md5_field_sql('text', 1)} % 240)"
+
+_IMAGE_STATS_SQL = f"""
+SELECT
+  doc_id                                          AS asset_id,
+  CAST(octet_length(encode(text)) AS BIGINT)      AS n_bytes,
+  CAST({_IMG_W} AS BIGINT)                        AS width,
+  CAST({_IMG_H} AS BIGINT)                        AS height,
+  CAST(3 AS BIGINT)                               AS channels,
+  CAST(({_IMG_W}) * ({_IMG_H}) AS BIGINT)         AS n_pixels
+FROM documents
+"""
+
+
+@register("multimodal_image_stats", sql=_IMAGE_STATS_SQL)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_metadata(_payloads(spark, sf_dir))
+
+
+_RESIZE_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS asset_id, {_IMG_W} AS w, {_IMG_H} AS h FROM documents
+),
+s AS (
+  SELECT asset_id, w, h, 224.0 / greatest(w, h) AS scale FROM m
+)
+SELECT
+  asset_id,
+  CAST(w AS BIGINT)                                   AS src_width,
+  CAST(h AS BIGINT)                                   AS src_height,
+  CAST(greatest(1, floor(w * scale + 0.5)) AS BIGINT) AS dst_width,
+  CAST(greatest(1, floor(h * scale + 0.5)) AS BIGINT) AS dst_height,
+  floor(scale * 1e6 + 0.5) / 1e6                      AS scale
+FROM s
+"""
+
+
+@register("multimodal_resize_plan", sql=_RESIZE_SQL)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_plan(_payloads(spark, sf_dir), target=224)
+
+
+_N_FRAMES = f"1 + ({md5_field_sql('text', 2)} % 60)"
+
+_FRAMES_SQL = f"""
+WITH v AS (
+  SELECT doc_id AS asset_id, {_N_FRAMES} AS n_frames FROM documents
+)
+SELECT
+  asset_id,
+  CAST(i AS BIGINT)               AS frame_idx,
+  round(i * 1000.0 / 25.0, 3)     AS frame_ts_ms
+FROM v, unnest(generate_series(0, n_frames - 1, 10)) AS g(i)
+"""
+
+
+@register("multimodal_frame_sample", sql=_FRAMES_SQL)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(av_metadata(_payloads(spark, sf_dir)), stride=10)
+
+
+_AV_SQL = f"""
+SELECT
+  doc_id                                        AS asset_id,
+  CAST({_N_FRAMES} AS BIGINT)                   AS n_frames,
+  25.0                                          AS fps,
+  CAST(40 * ({_N_FRAMES}) AS BIGINT)            AS duration_ms,
+  CAST(16000 AS BIGINT)                         AS sample_rate,
+  ({md5_field_sql('text', 3)} % 10000) / 10000.0 AS rms
+FROM documents
+"""
+
+
+@register("multimodal_av_features", sql=_AV_SQL)
+def multimodal_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return av_metadata(_payloads(spark, sf_dir))
