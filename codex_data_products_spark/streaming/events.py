@@ -72,6 +72,41 @@ def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of queries/events.events_sliding_window: 1-hour
+    windows sliding every 30 minutes (each event lands in 2 windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id.
+
+    ``dropDuplicatesWithinWatermark`` keeps the dedup state bounded: an
+    id is remembered only until the watermark passes its event time +
+    the delay, instead of growing state forever like a global
+    ``dropDuplicates`` would on an unbounded stream.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_id long, n_events long, "
     "session_start string, session_end string"

@@ -1,0 +1,124 @@
+"""Watermark semantics: late data is dropped, dedup state is bounded.
+
+These tests drive *incremental* runs: two availableNow executions
+sharing one checkpoint, with new files landing between them — the
+file-source equivalent of a continuously running job seeing a late
+arrival after the watermark has advanced.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.streaming.events import (
+    dedup_events_stream,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+
+def _write_batch(spark, path, rows, part):
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(f"{path}/b{part}")
+
+
+def _stream(spark, path):
+    return spark.readStream.schema(SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(path)
+
+
+def _run(stream_df, out, ckpt):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _ev(eid, minutes, etype="click", value=1.0, uid=1):
+    return (eid, T0 + dt.timedelta(minutes=minutes), uid, etype, value)
+
+
+def test_late_rows_are_dropped_after_watermark(spark, tmp_path):
+    src, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    # run 1: one event at 10:15 and one at 13:30 → watermark after the
+    # batch = 13:30 - 2h = 11:30, so window [10:00,11:00) closes and is
+    # emitted (append mode emits only closed windows)
+    _write_batch(spark, src, [_ev(1, 15), _ev(2, 210)], 1)
+    _run(tumbling_counts(_stream(spark, src), watermark="2 hours"), out, ckpt)
+
+    # run 2: a LATE event back at 10:20 (window already closed) plus a
+    # fresh one at 14:00 — the late row must be dropped, not re-open the
+    # closed window
+    _write_batch(spark, src, [_ev(3, 20), _ev(4, 240)], 2)
+    _run(tumbling_counts(_stream(spark, src), watermark="2 hours"), out, ckpt)
+
+    rows = spark.read.parquet(out).collect()
+    by_window = {}
+    for r in rows:
+        by_window.setdefault(r["window_start"], []).append(r["n_events"])
+    # closed window emitted exactly once, counting only the on-time event
+    assert by_window["2026-01-01 10:00:00"] == [1]
+
+
+def test_sliding_stream_matches_batch_shape(spark, tmp_path):
+    src, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_batch(
+        spark, src, [_ev(1, 10), _ev(2, 40), _ev(3, 70), _ev(4, 500)], 1
+    )
+    _run(sliding_counts(_stream(spark, src), watermark="1 hour"), out, ckpt)
+    got = {
+        r["window_start"]: r["n_events"] for r in spark.read.parquet(out).collect()
+    }
+    # events at 10:10/10:40/11:10; closed 1h-wide windows sliding 30min:
+    # [09:30): {10:10}=1, [10:00): {10:10,10:40}=2, [10:30): {10:40,11:10}=2,
+    # [11:00): {11:10}=1
+    assert got["2026-01-01 09:30:00"] == 1
+    assert got["2026-01-01 10:00:00"] == 2
+    assert got["2026-01-01 10:30:00"] == 2
+    assert got["2026-01-01 11:00:00"] == 1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    # same event_id arrives three times within the watermark window
+    _write_batch(
+        spark,
+        src,
+        [_ev(1, 0), _ev(1, 1), _ev(2, 2)],
+        1,
+    )
+    _run(dedup_events_stream(_stream(spark, src), watermark="2 hours"), out, ckpt)
+    _write_batch(spark, src, [_ev(1, 3), _ev(3, 4)], 2)
+    _run(dedup_events_stream(_stream(spark, src), watermark="2 hours"), out, ckpt)
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {r["event_id"]: r["n"] for r in got}
+    assert counts == {1: 1, 2: 1, 3: 1}
