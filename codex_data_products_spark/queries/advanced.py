@@ -1,0 +1,231 @@
+"""Advanced relational operators beyond the reference's own surface
+(SURVEY §2.4/§2.5/§2.9 "not present in reference" rows): range join,
+RANGE window frames, exact percentiles, GROUPING SETS, and the
+conditional/math scalar family.
+
+Scale notes: the range join broadcasts the 25-row band dim (a
+non-equi broadcast-nested-loop over a tiny side — the only sane plan;
+an equi-join rewrite via floor(price/width) would be used if bands were
+uniform and numerous). The RANGE frame sorts within customer partitions
+only. GROUPING SETS computes one shuffle wide-agg with grouping-id
+expansion, not three separate scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.functions.compat import dsum, money
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+# ---------------------------------------------------------------------------
+# join_range — non-equi (range) join of orders against 25 price bands
+# derived from nation keys (lo = key*20k, hi = lo+20k).
+# ---------------------------------------------------------------------------
+
+BAND_WIDTH = 20_000
+
+_RANGE_SQL = f"""
+WITH bands AS (
+  SELECT n_nationkey AS band_idx,
+         n_nationkey * {BAND_WIDTH} AS lo,
+         (n_nationkey + 1) * {BAND_WIDTH} AS hi
+  FROM nation
+)
+SELECT
+  b.band_idx,
+  count(*) AS n_orders,
+  round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)::DOUBLE AS total_price
+FROM orders o
+JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band_idx
+"""
+
+
+@register("join_range", sql=_RANGE_SQL)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    nation = T(spark, sf_dir, "nation")
+    bands = nation.select(
+        F.col("n_nationkey").alias("band_idx"),
+        (F.col("n_nationkey") * BAND_WIDTH).alias("lo"),
+        ((F.col("n_nationkey") + 1) * BAND_WIDTH).alias("hi"),
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_range_frame — RANGE BETWEEN 30 PRECEDING AND CURRENT ROW over
+# epoch-day order time per customer: 30-day trailing spend.
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', TIMESTAMP '1990-01-01', o_orderdate) AS day_no,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+)
+SELECT
+  o_orderkey,
+  o_custkey,
+  CAST(day_no AS BIGINT) AS day_no,
+  round(sum(price) OVER (
+    PARTITION BY o_custkey ORDER BY day_no
+    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+  ), 2)::DOUBLE AS trailing_30d_spend
+FROM o
+"""
+
+
+@register("window_range_frame", sql=_RANGE_FRAME_SQL)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1990-01-01")).cast("long").alias(
+            "day_no"
+        ),
+        money("o_totalprice").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_no",
+        F.round(F.sum("price").over(w), 2)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_percentiles — exact continuous percentiles (sort-based agg; both
+# engines interpolate a + (b-a)*frac with IEEE doubles).
+# ---------------------------------------------------------------------------
+
+_PCT_SQL = """
+SELECT
+  l_returnflag,
+  quantile_cont(l_quantity, 0.25) AS q25,
+  quantile_cont(l_quantity, 0.5)  AS q50,
+  quantile_cont(l_quantity, 0.75) AS q75,
+  quantile_cont(l_quantity, 0.9)  AS q90
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_percentiles", sql=_PCT_SQL)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.expr("percentile(l_quantity, 0.9)").alias("q90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_grouping_sets — explicit GROUPING SETS with grouping_id (cube and
+# rollup live in aggregates.py; this is the general form).
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+  count(*) AS n_rows,
+  round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2)::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("agg_grouping_sets", sql=_GSETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+            AS gid,
+          count(*) AS n_rows,
+          CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+            AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# conditional_math — CASE/IF/NULLIF/GREATEST/LEAST + the deterministic
+# math scalar family (abs/floor/ceil/sign/mod/sqrt/integer power).
+# ---------------------------------------------------------------------------
+
+_COND_SQL = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CASE WHEN l_quantity < 10 THEN 'low'
+       WHEN l_quantity < 35 THEN 'mid'
+       ELSE 'high' END                                   AS qty_bucket,
+  greatest(l_quantity, 25.0)                             AS qty_floor25,
+  least(l_quantity, 25.0)                                AS qty_cap25,
+  nullif(l_quantity, 50.0)                               AS qty_not_max,
+  abs(l_quantity - 25.0)                                 AS dist_from_25,
+  floor(l_quantity / 7.0)                                AS qty_div7,
+  ceil(l_quantity / 7.0)                                 AS qty_div7_up,
+  CAST(sign(l_quantity - 25.0) AS DOUBLE)                AS sign_off_mid,
+  CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT)         AS qty_mod7,
+  sqrt(l_quantity)                                       AS qty_sqrt,
+  l_quantity * l_quantity                                AS qty_sq
+FROM lineitem
+"""
+
+
+@register("conditional_math", sql=_COND_SQL)
+def conditional_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(q < 10, "low").when(q < 35, "mid").otherwise("high").alias(
+            "qty_bucket"
+        ),
+        F.greatest(q, F.lit(25.0)).alias("qty_floor25"),
+        F.least(q, F.lit(25.0)).alias("qty_cap25"),
+        F.nullif(q, F.lit(50.0)).alias("qty_not_max"),
+        F.abs(q - 25.0).alias("dist_from_25"),
+        F.floor(q / 7.0).cast("double").alias("qty_div7"),
+        F.ceil(q / 7.0).cast("double").alias("qty_div7_up"),
+        F.signum(q - 25.0).cast("double").alias("sign_off_mid"),
+        (q.cast("long") % 7).cast("long").alias("qty_mod7"),
+        F.sqrt(q).alias("qty_sqrt"),
+        (q * q).alias("qty_sq"),
+    )

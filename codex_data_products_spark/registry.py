@@ -39,6 +39,7 @@ def register(name: str, sql: str | None = None):
 def load_all() -> None:
     """Import every query module so registrations run."""
     from codex_data_products_spark.queries import (  # noqa: F401
+        advanced,
         aggregates,
         dedup,
         events,
