@@ -1,0 +1,192 @@
+"""Composed training-data curation pipeline over a document corpus.
+
+The LLM-data-pipeline counterpart of the CODEX plan: one lazy DAG that
+takes a raw ``documents``-shaped corpus through the standard curation
+stages and writes a partitioned parquet product plus a JSON manifest.
+
+Stages (each reuses the oracle-checked operator cores):
+
+  1. exact dedup        — md5 groupBy, keep min doc_id (one shuffle);
+  2. near-dup dedup     — simhash banding (row-local signatures, first-
+                          match-band candidates); drops the higher
+                          doc_id of every <= max_hamming pair;
+  3. quality filter     — stopword ratio / type-token ratio / length
+                          bounds, pure column expressions;
+  4. language ID        — marker-list argmax heuristic, keeps a
+                          configurable language set;
+  5. token accounting   — per-doc token/char counts carried to the sink
+                          for downstream mixture weighting.
+
+Scale design: stages 3-5 are row-local (no shuffle); stage 1 shuffles
+once on the hash; stage 2's joins shuffle on band values. The surviving
+corpus is written partitioned by (lang, length_bucket) so mixture
+sampling prunes partitions at read time. Nothing collects to the
+driver except the manifest counts.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.queries.dedup import simhash_frame
+
+_STOPWORDS = ["the", "a", "of", "and", "to"]
+_LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "das"],
+}
+
+
+@dataclass
+class CurationConfig:
+    min_tokens: int = 10
+    max_tokens: int = 100_000
+    max_stopword_ratio: float = 0.6
+    min_type_token_ratio: float = 0.2
+    keep_langs: tuple[str, ...] = ("en",)
+    # 4 bands over the 32-bit simhash guarantee (pigeonhole) a candidate
+    # for every pair within hamming 3
+    max_hamming: int = 3
+
+
+def _toks():
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def exact_dedup_keepers(docs: DataFrame) -> DataFrame:
+    """Stage 1: one survivor per exact text hash."""
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+N_BANDS = 4  # 8-bit bands over the 32-bit simhash
+
+
+def neardup_losers(docs: DataFrame, max_hamming: int) -> DataFrame:
+    """Stage 2: the higher doc_id of every near-dup pair (to drop).
+
+    4 bands of 8 bits: the pigeonhole principle guarantees any pair
+    within hamming ``N_BANDS - 1`` collides in at least one band (at
+    production scale you would widen to a 64-bit simhash with 16-bit
+    bands for the same guarantee and far fewer accidental collisions).
+    First-match-band emission keeps every pair single-counted without a
+    distinct over pair rows; a doc dropped by several pairs dedups on a
+    single id column — cheap.
+    """
+    sim = simhash_frame(docs)
+
+    def band(side: str, k: int):
+        return F.shiftright(F.col(f"{side}.simhash"), 8 * k) % 256
+
+    a, b = sim.alias("a"), sim.alias("b")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    losers = []
+    for k in range(N_BANDS):
+        cond = band("a", k) == band("b", k)
+        for prev in range(k):
+            cond = cond & (band("a", prev) != band("b", prev))
+        losers.append(
+            a.join(b, cond & lt)
+            .filter(hamming <= max_hamming)
+            .select(F.col("b.doc_id").alias("doc_id"))
+        )
+    out = losers[0]
+    for frame in losers[1:]:
+        out = out.unionByName(frame)
+    return out.distinct()
+
+
+def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
+    """The full curation DAG → surviving docs with curation columns."""
+    cfg = cfg or CurationConfig()
+
+    surviving = exact_dedup_keepers(docs)
+    surviving = surviving.join(
+        neardup_losers(surviving, cfg.max_hamming), "doc_id", "left_anti"
+    )
+
+    toks = _toks()
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n = F.size(toks)
+    scored = surviving.select(
+        "*",
+        n.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+            .cast("double")
+            / n,
+            6,
+        ).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+    def lang_score(lang: str):
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    s_en, s_es, s_de = (lang_score(lg) for lg in ("en", "es", "de"))
+    scored = scored.withColumn(
+        "lang_predicted",
+        F.when((s_en >= s_es) & (s_en >= s_de), "en")
+        .when(s_es >= s_de, "es")
+        .otherwise("de"),
+    ).withColumn(
+        "length_bucket",
+        F.when(F.col("n_tokens") < 30, "short")
+        .when(F.col("n_tokens") < 80, "medium")
+        .otherwise("long"),
+    )
+
+    return scored.filter(
+        (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("n_tokens") <= cfg.max_tokens)
+        & (F.col("stopword_ratio") <= cfg.max_stopword_ratio)
+        & (F.col("type_token_ratio") >= cfg.min_type_token_ratio)
+        & F.col("lang_predicted").isin(*cfg.keep_langs)
+    )
+
+
+def write_curated(
+    docs: DataFrame, out_dir: str, cfg: CurationConfig | None = None
+) -> dict:
+    """Run curation, write the product, return the manifest.
+
+    Layout: parquet partitioned by (lang_predicted, length_bucket) for
+    partition-pruned mixture sampling; manifest with per-stage counts.
+    """
+    cfg = cfg or CurationConfig()
+    curated = curate(docs, cfg)
+    curated.write.mode("overwrite").partitionBy(
+        "lang_predicted", "length_bucket"
+    ).parquet(f"{out_dir}/corpus")
+
+    kept = curated.count()
+    manifest = {
+        "input_docs": docs.count(),
+        "kept_docs": kept,
+        "total_tokens_kept": (
+            curated.agg(F.sum("n_tokens")).collect()[0][0] if kept else 0
+        ),
+        "config": {
+            "min_tokens": cfg.min_tokens,
+            "max_tokens": cfg.max_tokens,
+            "max_stopword_ratio": cfg.max_stopword_ratio,
+            "min_type_token_ratio": cfg.min_type_token_ratio,
+            "keep_langs": list(cfg.keep_langs),
+            "max_hamming": cfg.max_hamming,
+        },
+    }
+    with open(f"{out_dir}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest

@@ -1,0 +1,63 @@
+"""Composed curation pipeline: stage semantics + product layout."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from codex_data_products_spark.plans.training_pipeline import (
+    CurationConfig,
+    curate,
+    exact_dedup_keepers,
+    write_curated,
+)
+
+GOOD_EN = (
+    "the quick brown fox jumps over a lazy dog and runs to the forest "
+    "while the hunters watch a bird of prey circle over the meadow"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_doc_id(spark):
+    docs = _docs(spark, [(1, "aaa"), (5, "aaa"), (3, "bbb")])
+    kept = sorted(r["doc_id"] for r in exact_dedup_keepers(docs).collect())
+    assert kept == [1, 3]
+
+
+def test_curate_drops_near_duplicates_and_junk(spark):
+    near_dup = GOOD_EN.replace("meadow", "valley")
+    docs = _docs(
+        spark,
+        [
+            (1, GOOD_EN),
+            (2, GOOD_EN),  # exact dup of 1
+            (3, near_dup),  # near dup of 1 (1 token differs)
+            (4, "el perro corre por la calle de la ciudad " * 3),  # spanish
+            (5, "tiny doc"),  # too short
+            (6, "the " * 40),  # stopword spam, low TTR
+        ],
+    )
+    out = curate(docs, CurationConfig(min_tokens=10))
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_write_curated_layout_and_manifest(spark, tmp_path):
+    docs = _docs(spark, [(1, GOOD_EN), (2, GOOD_EN + " extra tokens here")])
+    out = str(tmp_path / "product")
+    manifest = write_curated(docs, out)
+    assert manifest["input_docs"] == 2
+    assert manifest["kept_docs"] >= 1
+    assert manifest["total_tokens_kept"] > 0
+    # partitioned layout: lang/length_bucket directories
+    assert any(
+        d.startswith("lang_predicted=") for d in os.listdir(f"{out}/corpus")
+    )
+    with open(f"{out}/manifest.json") as f:
+        assert json.load(f) == manifest
+    # product is readable and carries the curation columns
+    back = spark.read.parquet(f"{out}/corpus")
+    assert {"n_tokens", "stopword_ratio", "lang_predicted"} <= set(back.columns)
