@@ -1,0 +1,181 @@
+"""Property-based tests (SURVEY §5.4) — hypothesis drives the invariants
+the reference only implies.
+
+Driver-side properties (synonym normalization) run with full example
+budgets; Spark-backed properties use small budgets and tiny frames so
+each example is one fast local job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.functions.antibodies import (
+    ANTIBODY_SYNONYMS,
+    canonical_channel,
+    canonical_channel_py,
+)
+
+SPARK_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# --- synonym normalization (J4): pure driver-side, full budget ------------
+
+name_strategy = st.one_of(
+    st.sampled_from(
+        [syn for v in ANTIBODY_SYNONYMS.values() for syn in v]
+        + list(ANTIBODY_SYNONYMS)
+    ),
+    st.text(min_size=0, max_size=12),
+)
+
+
+@given(name_strategy)
+def test_canonicalization_is_idempotent(name):
+    once = canonical_channel_py(name)
+    assert canonical_channel_py(once) in (once, canonical_channel_py(once))
+    # canonical keys are fixed points unless they are another key's synonym
+    for canonical in ANTIBODY_SYNONYMS:
+        mapped = canonical_channel_py(canonical)
+        all_syns = {
+            s.strip().lower()
+            for v in ANTIBODY_SYNONYMS.values()
+            for s in v
+        }
+        if canonical.strip().lower() not in all_syns:
+            assert mapped == canonical
+
+
+@given(st.lists(name_strategy, min_size=1, max_size=6, unique=True))
+@settings(**SPARK_SETTINGS)
+def test_column_and_python_normalization_agree(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r["name"]: r["canon"]
+        for r in df.select(
+            "name", canonical_channel("name").alias("canon")
+        ).collect()
+    }
+    assert got == {n: canonical_channel_py(n) for n in names}
+
+
+# --- union-by-name (U1): commutative up to row order ----------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from("abcd")),
+        min_size=0,
+        max_size=8,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from("cdef")),
+        min_size=0,
+        max_size=8,
+    ),
+)
+@settings(**SPARK_SETTINGS)
+def test_union_by_name_commutes(spark, rows_a, rows_b):
+    a = spark.createDataFrame(rows_a, "cell_id int, channel string") if rows_a else None
+    b = spark.createDataFrame(rows_b, "cell_id int, channel string") if rows_b else None
+    if a is None or b is None:
+        return
+    ab = sorted(map(tuple, a.unionByName(b).collect()))
+    ba = sorted(map(tuple, b.unionByName(a).collect()))
+    assert ab == ba
+
+
+# --- adjacency remap (W1/J3): edge survives iff both endpoints kept -------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 6), st.integers(1, 6)),
+        min_size=0,
+        max_size=10,
+    ),
+    st.sets(st.integers(1, 6)),
+)
+@settings(**SPARK_SETTINGS)
+def test_edge_filter_keeps_iff_both_endpoints(spark, edge_pos, kept_pos):
+    from codex_data_products_spark.sources.labels import (
+        remap_edges_to_cell_ids,
+    )
+
+    n = 6
+    labels = spark.createDataFrame(
+        [(p, f"cell-{p}") for p in range(1, n + 1)], "pos int, cell_id string"
+    )
+    if not edge_pos:
+        return
+    edges = spark.createDataFrame(
+        [(i, j, 1.0) for i, j in edge_pos], "i int, j int, weight double"
+    )
+    keep = spark.createDataFrame(
+        [(f"cell-{p}",) for p in sorted(kept_pos)], "cell_id string"
+    ) if kept_pos else spark.createDataFrame([], "cell_id string")
+
+    got = {
+        (r["src_cell_id"], r["dst_cell_id"])
+        for r in remap_edges_to_cell_ids(edges, labels, keep=keep).collect()
+    }
+    want = {
+        (f"cell-{i}", f"cell-{j}")
+        for i, j in edge_pos
+        if i in kept_pos and j in kept_pos
+    }
+    assert got == want
+
+
+# --- global cell id (E3): construction is injective ------------------------
+
+
+@given(
+    st.sets(
+        st.tuples(
+            st.sampled_from(["dsA", "dsB", "dsC"]),
+            st.integers(1, 50).map(str),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SPARK_SETTINGS)
+def test_global_cell_id_unique(spark, pairs):
+    df = spark.createDataFrame(
+        list(pairs), "dataset string, original_obs_id string"
+    ).select(
+        F.concat_ws("-", "dataset", "original_obs_id").alias("cell_id")
+    )
+    assert df.distinct().count() == len(pairs)
+
+
+# --- pivot/unpivot (P1/P3): long → wide → long round-trips -----------------
+
+
+@given(
+    st.dictionaries(
+        st.tuples(st.sampled_from("xy"), st.sampled_from(["c1", "c2", "c3"])),
+        st.integers(0, 99),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SPARK_SETTINGS)
+def test_pivot_roundtrip_property(spark, cells):
+    long_rows = [(rid, ch, float(v)) for (rid, ch), v in cells.items()]
+    long_df = spark.createDataFrame(long_rows, "rid string, ch string, v double")
+    channels = sorted({ch for _, ch in cells})
+    wide = long_df.groupBy("rid").pivot("ch", channels).agg(F.first("v"))
+    back = {
+        (r["rid"], ch): r[ch]
+        for r in wide.collect()
+        for ch in channels
+        if r[ch] is not None
+    }
+    assert back == {(rid, ch): float(v) for (rid, ch), v in cells.items()}
