@@ -22,8 +22,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "join_range",
     "window_rank",
     "window_running_sum",
+    "window_range_frame",
     "sessionize",
     "events_tumbling_window",
     "dedup_exact",
@@ -35,6 +37,8 @@ HEADLINE = [
     "knn_ivf",
     "text_quality",
     "text_fingerprint",
+    "multimodal_image_stats",
+    "multimodal_frame_sample",
     "pivot_event_values",
     "asof_join",
 ]
