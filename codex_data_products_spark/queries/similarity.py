@@ -103,6 +103,110 @@ FROM scored WHERE rn <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# knn_lsh — random-hyperplane (sign) LSH: an 8-bit signature buckets the
+# corpus; each query probes only its bucket. The hyperplanes are
+# deterministic integer vectors (seeded by (plane, dim) arithmetic) so
+# both engines compute identical signatures. At 100 TB the signature is
+# computed at write time and the table is partitioned by bucket —
+# probing is partition pruning. Complements knn_ivf (coarse-cell
+# partitioning): LSH needs no trained centroids.
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+EMB_DIM = 64
+
+
+def _plane(p: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane components in [-2, 2]."""
+    return [((p * 31 + d * 7 + 3) % 5) - 2 for d in range(EMB_DIM)]
+
+
+def _lsh_bucket_col() -> "F.Column":
+    """Signature bit p = (v · plane_p) > 0; bucket = Σ bit_p · 2^p."""
+    terms = []
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(float(c)) for c in _plane(p)])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        terms.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def _sql_plane_lit(p: int) -> str:
+    return "[" + ", ".join(f"{c}.0" for c in _plane(p)) + "]"
+
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_sql_plane_lit(p)}) > 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(N_PLANES)
+)
+
+_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sig AS (
+  SELECT vec_id, v, CAST({_SQL_BUCKET} AS BIGINT) AS bucket FROM e
+),
+q AS (SELECT * FROM sig WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    c.vec_id AS neighbor_id,
+    {_SQL_COS} AS cosine,
+    row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY {_SQL_COS} DESC, c.vec_id
+    ) AS rn
+  FROM q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM scored WHERE rn <= {TOP_K}
+"""
+
+
+@register("knn_lsh", sql=_LSH_SQL)
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    sig = spread(emb, "vec_id").select(
+        "vec_id", "v", _lsh_bucket_col().alias("bucket")
+    )
+    queries = sig.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        F.col("v").alias("qv"),
+    )
+    cos = F.round(cosine_expr(F.col("qv"), F.col("v")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sig.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
 @register("knn_ivf", sql=_IVF_SQL)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings").select(
