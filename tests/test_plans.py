@@ -1,0 +1,81 @@
+"""Physical-plan regression guards.
+
+Correctness tests pin WHAT the queries compute; these pin HOW — the
+plan properties that make them scale (SCALE.md). A refactor that
+silently drops a broadcast hint, breaks filter pushdown, or introduces
+a cartesian product fails here, not in a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from codex_data_products_spark import registry
+
+registry.load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # projection pruning: the scan must not read the join keys
+    scan = plan[plan.index("FileScan") :]
+    assert "l_orderkey" not in scan.split("PushedFilters")[0]
+    assert "partial_sum" in plan  # map-side combine
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_region_revenue"])
+def test_join_queries_broadcast_dims(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_k_plans_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_k_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_simhash", "dedup_minhash_lsh", "knn_lsh", "knn_ivf"],
+)
+def test_lsh_family_has_no_cartesian_product(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_brute_force_broadcasts_queries(spark, sf_dir):
+    # brute force IS the linear scan — but the query side must be the
+    # broadcast side, never a shuffle of the corpus against it
+    plan = _plan(spark, sf_dir, "knn_brute_force")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_simhash_is_single_stage_rowlocal(spark, sf_dir):
+    from codex_data_products_spark.queries.dedup import simhash_frame
+    from codex_data_products_spark.tables import table as T
+
+    plan = (
+        simhash_frame(T(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # signatures must not shuffle (one round-robin repartition from
+    # spread() is the only exchange) and must not explode tokens
+    assert "Generate" not in plan  # no explode
+    assert "HashAggregate" not in plan
+
+
+def test_range_join_broadcasts_band_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_range")
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi over tiny dim
+    assert "SortMergeJoin" not in plan
