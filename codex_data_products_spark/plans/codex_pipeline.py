@@ -338,3 +338,54 @@ def write_product(product: CodexProduct, out_dir: str) -> dict:
     with open(f"{out_dir}/{product.uns['uuid']}.json", "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
+
+
+def wide_matrix(product: CodexProduct, layer: str = "total") -> DataFrame:
+    """P3 export path: the long expression relation pivoted wide — one
+    double column per surviving channel, one row per cell (the
+    AnnData.X orientation, bin/concatenate.py:266).
+
+    The channel list is plan-time metadata (≤ hundreds), so the pivot
+    gets an explicit value list — no extra distinct-scan job, stable
+    column order. Missing (cell, channel) pairs materialize as NULL,
+    matching the reference's outer-concat NaN semantics (SURVEY U1).
+    """
+    channels = [r["channel"] for r in product.var.select("channel").collect()]
+    channels.sort()
+    return (
+        product.x_long.groupBy("dataset", "cell_id")
+        .pivot("channel", channels)
+        .agg(F.first(layer))
+    )
+
+
+def export_h5mu(product: CodexProduct, path: str) -> None:
+    """K1 compat sink: the byte-level ``.h5mu`` container.
+
+    Driver-side by design (SURVEY §4: real products are single-machine
+    sized — the reference itself materializes them in RAM). Requires
+    ``anndata``/``mudata``, which this environment does not ship, so the
+    hook is import-gated; the parquet layout written by
+    ``write_product`` is the primary, scale-safe product format.
+    """
+    try:
+        import anndata  # noqa: F401
+        import mudata  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "h5mu export requires anndata+mudata; install them or consume "
+            "the parquet product layout written by write_product()"
+        ) from e
+    import numpy as np  # pragma: no cover - environment-dependent
+
+    wide = wide_matrix(product).toPandas()  # pragma: no cover
+    obs = product.obs.toPandas().set_index("cell_id")  # pragma: no cover
+    var = product.var.toPandas().set_index("channel")  # pragma: no cover
+    wide = wide.set_index("cell_id").loc[obs.index]  # pragma: no cover
+    adata = anndata.AnnData(  # pragma: no cover
+        X=wide[var.index].to_numpy(dtype=np.float64), obs=obs, var=var
+    )
+    mdata = mudata.MuData(  # pragma: no cover
+        {f"{product.uns['uuid']}_raw": adata}
+    )
+    mdata.write(path)  # pragma: no cover

@@ -214,3 +214,26 @@ def test_write_product_and_manifest(product, tmp_path, spark):
     with open(f"{out}/uns.json") as f:
         uns = json.load(f)
     assert uns["epic_type"] == "analyses"
+
+
+def test_wide_matrix_export(product):
+    from codex_data_products_spark.plans.codex_pipeline import wide_matrix
+
+    wide = wide_matrix(product)
+    assert wide.columns == ["dataset", "cell_id", "CD4", "CD8", "eCAD"]
+    rows = {r["cell_id"]: r for r in wide.collect()}
+    assert len(rows) == 5
+    a1, b1 = rows[f"{DS_A}-1"], rows[f"{DS_B}-1"]
+    assert (a1["eCAD"], a1["CD4"]) == (1.0, 2.0)
+    assert a1["CD8"] is None  # dataset-private channel → NULL (U1 outer)
+    assert (b1["eCAD"], b1["CD8"]) == (7.0, 8.0)
+    assert b1["CD4"] is None
+
+
+def test_h5mu_export_is_import_gated(product, tmp_path):
+    import pytest as _pytest
+
+    from codex_data_products_spark.plans.codex_pipeline import export_h5mu
+
+    with _pytest.raises(NotImplementedError):
+        export_h5mu(product, str(tmp_path / "x.h5mu"))
