@@ -39,6 +39,10 @@ def read_matrix_market(
         "source_file",
         F.element_at("f", 1).cast("long").alias("i"),
         F.element_at("f", 2).cast("long").alias("j"),
-        F.coalesce(F.element_at("f", 3).cast("double"), F.lit(1.0)).alias("weight"),
+        # pattern matrices have no weight column: try_element_at (not
+        # element_at, which throws under ANSI mode) → default 1.0
+        F.coalesce(
+            F.try_element_at("f", F.lit(3)).cast("double"), F.lit(1.0)
+        ).alias("weight"),
     )
     return out if with_source_file else out.drop("source_file")
