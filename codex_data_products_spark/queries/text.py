@@ -55,6 +55,42 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_pretokenize — BPE-style pre-tokenization accounting: word pieces
+# (\w+) and punctuation pieces ([^\w\s]) counted separately, the way a
+# GPT-ish tokenizer splits before merges. The piece count is the
+# standard cheap token-budget estimator for corpus mixture planning.
+# ---------------------------------------------------------------------------
+
+_PRETOK_SQL = r"""
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)      AS n_word_pieces,
+  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT)  AS n_punct_pieces,
+  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_pieces,
+  round(CAST(length(text) AS DOUBLE)
+        / len(regexp_extract_all(text, '\w+|[^\w\s]')), 6)  AS chars_per_piece
+FROM documents
+"""
+
+
+@register("text_pretokenize", sql=_PRETOK_SQL)
+def text_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit(r"\w+"), 0)
+    punct = F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0)
+    pieces = F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_word_pieces"),
+        F.size(punct).cast("long").alias("n_punct_pieces"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.round(
+            F.length("text").cast("double") / F.size(pieces), 6
+        ).alias("chars_per_piece"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_quality — heuristic quality scores: stopword ratio, type-token
 # ratio, length bucket. Set-based array expressions, no UDF.
 # ---------------------------------------------------------------------------
