@@ -88,3 +88,70 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_gapfill — dense hourly series per event_type with zero-filled
+# empty buckets: the time-series completeness operator (a tumbling agg
+# alone silently drops empty windows). The bucket spine is generated
+# from the observed min/max — sequence + explode, one cross of
+# (event_type × hours) against the sparse aggregate via left join.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT
+    time_bucket(INTERVAL '1 hour', min(ts)) AS t0,
+    time_bucket(INTERVAL '1 hour', max(ts)) AS t1
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS h
+    FROM bounds
+  ) g
+),
+agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+         count(*) AS n
+  FROM events GROUP BY h, event_type
+)
+SELECT
+  strftime(s.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+  s.event_type,
+  coalesce(a.n, 0) AS n_events
+FROM spine s LEFT JOIN agg a ON a.h = s.h AND a.event_type = s.event_type
+"""
+
+
+@register("events_gapfill", sql=_GAPFILL_SQL)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = T(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    agg = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(agg, ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )

@@ -288,3 +288,41 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# window_distribution — the analytic distribution family: ntile,
+# percent_rank, cume_dist over a deterministic (value, key) ordering.
+# Absent from the reference (SURVEY §2.9 "ranking/analytic windows"),
+# required for harness breadth.
+# ---------------------------------------------------------------------------
+
+_DIST_SQL = """
+SELECT
+  o_orderkey,
+  o_custkey,
+  CAST(ntile(4) OVER w AS BIGINT)       AS price_quartile,
+  round(percent_rank() OVER w, 6)       AS pct_rank,
+  round(cume_dist() OVER w, 6)          AS cume,
+  CAST(row_number() OVER w AS BIGINT)   AS rn
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+)
+"""
+
+
+@register("window_distribution", sql=_DIST_SQL)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
