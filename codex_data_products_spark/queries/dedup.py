@@ -340,9 +340,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return F.md5(F.concat_ws(",", *cols))
 
+    # One signature row per doc (tiny): persist so the band self-join's
+    # two branches don't each re-run the md5-heavy aggregation.
     bands = sig.select(
         "doc_id", band_val(0).alias("b0"), band_val(1).alias("b1")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bands.alias("a"), bands.alias("b")
     lt = F.col("a.doc_id") < F.col("b.doc_id")
     pair = [F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")]
