@@ -28,6 +28,8 @@ HEADLINE = [
     "window_range_frame",
     "sessionize",
     "events_tumbling_window",
+    "events_gapfill",
+    "window_distribution",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -35,7 +37,9 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "knn_brute_force",
     "knn_ivf",
+    "knn_lsh",
     "text_quality",
+    "text_pretokenize",
     "text_fingerprint",
     "multimodal_image_stats",
     "multimodal_frame_sample",

@@ -231,8 +231,14 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 
 @register("dedup_ngram_jaccard", sql=_NGRAM_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = T(spark, sf_dir, "documents")
-    sh = _frequent_shingles_removed(shingle_table(docs))
+    # referenced 4x (self-join sides + both size lookups): persist so
+    # the shingle explode + df-cap window run once
+    sh = _frequent_shingles_removed(shingle_table(docs)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
