@@ -1,0 +1,147 @@
+"""Command-line entry points — the operational surface reference users
+invoke (CWL wraps ``concatenate.py`` / ``make_uuids_tsv.py`` as CLIs;
+steps/concatenate.cwl:5-8). Subcommands:
+
+  product   — build + write the CODEX data product
+              (reference: bin/concatenate.py main())
+  catalog   — build the uuids catalog TSV from recorded search hits
+              (reference: make_uuids_tsv.py main())
+  curate    — run the training-data curation pipeline over a corpus
+  query     — run any registered query and write/show the result
+  bench     — alias of bench.py for installed contexts
+
+Every subcommand builds one SparkSession via the engine factory, so
+cluster configuration comes from the usual spark-submit/env knobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from codex_data_products_spark.session import get_spark
+
+
+def _cmd_product(args: argparse.Namespace) -> int:
+    from codex_data_products_spark.plans.codex_pipeline import (
+        build_product,
+        write_product,
+    )
+
+    spark = get_spark(app_name="codex-product")
+    product = build_product(
+        spark,
+        args.data_dir,
+        args.uuids_tsv,
+        tissue=args.tissue,
+        product_uuid=args.product_uuid,
+        creation_time=args.creation_time,
+    )
+    manifest = write_product(product, args.out)
+    json.dump(manifest, sys.stdout, indent=2)
+    print()
+    return 0
+
+
+def _cmd_catalog(args: argparse.Namespace) -> int:
+    from codex_data_products_spark.plans.catalog import (
+        build_catalog,
+        write_catalog_tsv,
+    )
+    from codex_data_products_spark.sources.organ_yaml import load_organ_map
+
+    spark = get_spark(app_name="codex-catalog")
+    with open(args.hits_json) as f:
+        hits = json.load(f)
+    organ_map = load_organ_map(args.organ_yaml) if args.organ_yaml else None
+    catalog = build_catalog(
+        spark,
+        [json.dumps(h) for h in hits],
+        organ_map=organ_map,
+        organ=args.organ,
+    )
+    write_catalog_tsv(catalog, args.out)
+    print(f"wrote catalog ({catalog.count()} datasets) to {args.out}")
+    return 0
+
+
+def _cmd_curate(args: argparse.Namespace) -> int:
+    from codex_data_products_spark.plans.training_pipeline import (
+        CurationConfig,
+        write_curated,
+    )
+
+    spark = get_spark(app_name="corpus-curate")
+    docs = spark.read.parquet(args.input)
+    cfg = CurationConfig(
+        min_tokens=args.min_tokens,
+        keep_langs=tuple(args.langs.split(",")),
+    )
+    manifest = write_curated(docs, args.out, cfg)
+    json.dump(manifest, sys.stdout, indent=2)
+    print()
+    return 0
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    from codex_data_products_spark import registry
+
+    registry.load_all()
+    if args.name not in registry.QUERIES:
+        print(
+            f"unknown query {args.name!r}; available: "
+            + ", ".join(sorted(registry.QUERIES)),
+            file=sys.stderr,
+        )
+        return 2
+    spark = get_spark(app_name=f"query-{args.name}")
+    df = registry.QUERIES[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="codex-data-products-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("product", help="build the CODEX data product")
+    pp.add_argument("--data-dir", required=True)
+    pp.add_argument("--uuids-tsv", required=True)
+    pp.add_argument("--tissue", default=None)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--product-uuid", default=None)
+    pp.add_argument("--creation-time", default=None)
+    pp.set_defaults(fn=_cmd_product)
+
+    pc = sub.add_parser("catalog", help="build the uuids catalog TSV")
+    pc.add_argument("--hits-json", required=True, help="recorded search hits (JSON list)")
+    pc.add_argument("--organ-yaml", default=None)
+    pc.add_argument("--organ", default=None)
+    pc.add_argument("--out", required=True)
+    pc.set_defaults(fn=_cmd_catalog)
+
+    pu = sub.add_parser("curate", help="curate a document corpus")
+    pu.add_argument("--input", required=True, help="parquet with doc_id,text")
+    pu.add_argument("--out", required=True)
+    pu.add_argument("--min-tokens", type=int, default=10)
+    pu.add_argument("--langs", default="en")
+    pu.set_defaults(fn=_cmd_curate)
+
+    pq = sub.add_parser("query", help="run a registered query")
+    pq.add_argument("name")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pq.add_argument("--out", default=None)
+    pq.add_argument("--limit", type=int, default=20)
+    pq.set_defaults(fn=_cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

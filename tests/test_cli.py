@@ -1,0 +1,69 @@
+"""CLI surface: each subcommand drives its plan end-to-end."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from codex_data_products_spark.cli import main
+
+
+def test_cli_query_writes_parquet(spark, tmp_path):
+    out = str(tmp_path / "q")
+    rc = main(
+        [
+            "query",
+            "agg_distinct",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_query_unknown_name_fails_cleanly():
+    assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_catalog(tmp_path):
+    hits = [
+        {
+            "_source": {
+                "uuid": "u1",
+                "hubmap_id": "HBM-u1",
+                "dataset_type": "CODEX",
+                "data_access_level": "public",
+                "next_revision_uuid": None,
+                "origin_samples_unique_mapped_organs": ["Spleen"],
+                "immediate_ancestor_ids": ["anc"],
+                "immediate_descendant_ids": [],
+                "donor": {"metadata": {"organ_donor_data": None,
+                                       "living_donor_data": None}},
+            }
+        }
+    ]
+    hits_path = tmp_path / "hits.json"
+    hits_path.write_text(json.dumps(hits))
+    out = str(tmp_path / "cat.tsv")
+    assert main(["catalog", "--hits-json", str(hits_path), "--out", out]) == 0
+    (part,) = glob.glob(f"{out}/part-*.csv")
+    body = open(part).read()
+    assert "u1" in body and "row_id" in body
+
+
+def test_cli_curate(spark, tmp_path):
+    corpus = str(tmp_path / "corpus_in")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog and runs to "
+                "the forest while the hunters watch a bird of prey"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    out = str(tmp_path / "curated")
+    assert main(["curate", "--input", corpus, "--out", out]) == 0
+    manifest = json.load(open(f"{out}/manifest.json"))
+    assert manifest["kept_docs"] == 1
