@@ -237,3 +237,13 @@ def test_h5mu_export_is_import_gated(product, tmp_path):
 
     with _pytest.raises(NotImplementedError):
         export_h5mu(product, str(tmp_path / "x.h5mu"))
+
+
+def test_product_partition_pruning(product, tmp_path, spark):
+    out = str(tmp_path / "pruned")
+    write_product(product, out)
+    read = spark.read.parquet(f"{out}/x_long").filter(f"dataset = '{DS_A}'")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    # the dataset predicate must prune partitions at the scan, not filter rows
+    assert "PartitionFilters: [isnotnull(dataset" in plan
+    assert read.count() == 6
