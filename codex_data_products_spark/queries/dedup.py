@@ -541,3 +541,115 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_connected_components — near-dup CLUSTERS: connected components
+# over the simhash pair graph, component id = min doc_id in the
+# component (the canonical keeper). Spark side is iterative min-label
+# propagation — the standard large-scale connected-components pattern
+# (O(graph diameter) join+agg rounds, each a bulk-parallel shuffle);
+# the oracle is a recursive CTE, so even this iterative algorithm is
+# value-hash-checked.
+# ---------------------------------------------------------------------------
+
+_CC_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct({_SQL_TOKENS}),
+           tok -> CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+         ) AS hs,
+         len(list_distinct({_SQL_TOKENS})) AS n
+  FROM documents
+),
+sim AS (
+  SELECT doc_id, {_sql_simhash()} AS simhash FROM t
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sim a JOIN sim b
+    ON a.simhash // 65536 = b.simhash // 65536 AND a.doc_id < b.doc_id
+   AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM sim a JOIN sim b
+    ON a.simhash % 65536 = b.simhash % 65536
+   AND a.simhash // 65536 <> b.simhash // 65536
+   AND a.doc_id < b.doc_id
+   AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT
+  node AS doc_id,
+  min(lbl) AS component_id
+FROM reach
+GROUP BY node
+"""
+
+
+@register("dedup_connected_components", sql=_CC_SQL)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup_simhash(spark, sf_dir)
+    # localCheckpoint (not persist): iterative algorithms must TRUNCATE
+    # lineage each round, or the logical plan grows with the iteration
+    # count and planning itself OOMs the driver long before the data
+    # does. Eager checkpoint = materialize now, forget the plan.
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    comp = docs.select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    ).localCheckpoint()
+
+    # Min-label propagation to fixpoint. Each round: every node takes
+    # the min of its own label and its neighbors' labels. Converges in
+    # O(component diameter) rounds; each round is one shuffle join +
+    # one hash agg — the bulk-synchronous CC pattern that scales to
+    # billions of edges (vs. a driver-side union-find, which doesn't).
+    for _ in range(50):
+        neighbor_min = (
+            edges.join(
+                comp.select(
+                    F.col("doc_id").alias("a"),
+                    F.col("component_id").alias("nbr_comp"),
+                ),
+                "a",
+            )
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("nbr_comp").alias("nbr_min"))
+        )
+        new_comp = (
+            comp.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component_id", F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
