@@ -155,3 +155,60 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly — z-score outliers per event_type. Mean and variance
+# from exact decimal sums (sum x, sum x²) so the statistics — and hence
+# the flagged set — are identical across engines; the z computation
+# itself is plain double math on those exact inputs.
+# ---------------------------------------------------------------------------
+
+_ANOMALY_SQL = """
+WITH stats AS (
+  SELECT
+    event_type,
+    count(*) AS n,
+    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+         AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+scored AS (
+  SELECT
+    e.event_id,
+    e.event_type,
+    e.value,
+    (e.value - s.s1 / s.n)
+      / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS z
+  FROM events e JOIN stats s ON e.event_type = s.event_type
+)
+SELECT event_id, event_type, value, round(z, 6) AS zscore
+FROM scored
+WHERE abs(z) > 2.5
+"""
+
+
+@register("events_anomaly", sql=_ANOMALY_SQL)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = T(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(12,2)")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(
+        F.col("s2") / F.col("n") - mean * mean
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 2.5)
+    )

@@ -237,3 +237,48 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroids — per-cell centroid vectors (the IVF training
+# step: at write time each vector is assigned argmin-distance to these).
+# posexplode → (label, dim) decimal-sum aggregate: component sums are
+# exact (order-free) so the centroid is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_CENTROID_SQL = """
+WITH e AS (
+  SELECT label, g.i - 1 AS dim,
+         CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(12,8)) AS c
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(i)
+)
+SELECT
+  label,
+  CAST(dim AS BIGINT) AS dim,
+  CAST(round(sum(c), 8) AS DOUBLE) / count(*) AS centroid,
+  count(*) AS n_vectors
+FROM e
+GROUP BY label, dim
+"""
+
+
+@register("embedding_centroids", sql=_CENTROID_SQL)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "c")
+    )
+    return (
+        emb.select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            F.col("c").cast("double").cast("decimal(12,8)").alias("c"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.round(F.sum("c"), 8).cast("double") / F.count(F.lit(1))
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
