@@ -282,3 +282,96 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_assign — the write-time half of IVF: assign every vector to
+# its nearest centroid (squared L2 via the same sequential-fold dot
+# products both engines compute identically; deterministic label
+# tie-break). Composes with embedding_centroids (training) and knn_ivf
+# (probing) into the full IVF lifecycle.
+# ---------------------------------------------------------------------------
+
+_ASSIGN_SQL = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent_long AS (
+  SELECT label, g.i - 1 AS dim,
+         CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(12,8)) AS c
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         CAST(round(sum(c), 8) AS DOUBLE) / count(*) AS cv
+  FROM cent_long GROUP BY label, dim
+),
+cent_vec AS (
+  SELECT c_label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY c_label
+),
+dists AS (
+  SELECT
+    e.vec_id,
+    e.label AS true_label,
+    c.c_label,
+    round(list_dot_product(e.v, e.v)
+          - 2 * list_dot_product(e.v, c.cvec)
+          + list_dot_product(c.cvec, c.cvec), 6) AS d2
+  FROM e CROSS JOIN cent_vec c
+)
+SELECT vec_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(c_label AS BIGINT) AS assigned_label, d2 AS min_d2
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY d2, c_label
+  ) AS rn
+  FROM dists
+) WHERE rn = 1
+"""
+
+
+@register("knn_ivf_assign", sql=_ASSIGN_SQL)
+def knn_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent_vec = (
+        embedding_centroids(spark, sf_dir)
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "centroid"))
+            ).alias("pairs")
+        )
+        .select(
+            "c_label",
+            F.transform("pairs", lambda p: p["centroid"]).alias("cvec"),
+        )
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    d2 = F.round(
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("cvec"))
+        + dot(F.col("cvec"), F.col("cvec")),
+        6,
+    )
+    scored = spread(emb, "vec_id").crossJoin(F.broadcast(cent_vec)).select(
+        "vec_id", "true_label", "c_label", d2.alias("d2")
+    )
+    return scored.groupBy(
+        "vec_id", F.col("true_label").cast("long").alias("true_label")
+    ).agg(
+        F.min_by(F.col("c_label").cast("long"), F.struct("d2", "c_label")).alias(
+            "assigned_label"
+        ),
+        F.min("d2").alias("min_d2"),
+    )
