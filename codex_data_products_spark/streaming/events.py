@@ -218,3 +218,80 @@ def run_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+ANOMALY_OUTPUT_SCHEMA = (
+    "event_id long, event_type string, value double, zscore double"
+)
+# exact integer state: value cents and squared-cents sums never lose
+# precision, so a single-batch drain reproduces the batch query's
+# decimal-sum statistics bit-for-bit
+ANOMALY_STATE_SCHEMA = "n long, s1_cents long, s2_cents2 long"
+
+ANOMALY_Z = 2.5
+
+
+def _anomaly_group(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type running statistics + z-score flagging.
+
+    State accumulates exact (n, Σcents, Σcents²); each batch updates the
+    state first, then flags its own rows against the updated statistics —
+    so on an availableNow backfill (one batch) the output equals the
+    batch events_anomaly query exactly.
+    """
+    (event_type,) = key
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+
+    n, s1, s2 = state.get if state.exists else (0, 0, 0)
+    frames = []
+    for pdf in batches:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        n += int(len(pdf))
+        s1 += int(cents.sum())
+        s2 += int((cents * cents).sum())
+        frames.append(pdf)
+    state.update((n, s1, s2))
+    if n < 2:
+        return
+
+    import math
+
+    s1d = (s1 / 100.0)
+    s2d = (s2 / 10000.0)
+    mean = s1d / n
+    var = s2d / n - mean * mean
+    if var <= 0:
+        return
+    sd = math.sqrt(var)
+    for pdf in frames:
+        z = ((pdf["value"] - mean) / sd).round(6)
+        hit = z.abs() > ANOMALY_Z
+        if hit.any():
+            out = pdf.loc[hit, ["event_id", "value"]].copy()
+            out["event_type"] = event_type
+            out["zscore"] = z[hit]
+            yield out[["event_id", "event_type", "value", "zscore"]]
+
+
+def anomaly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator #2: streaming z-score anomaly flagging
+    with exact running moments per event_type (batch twin:
+    queries/events.events_anomaly)."""
+    return (
+        events.select("event_id", "event_type", "value", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _anomaly_group,
+            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

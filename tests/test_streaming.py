@@ -48,3 +48,21 @@ def test_sessionize_stream_closes_sessions(spark, sf_dir):
         assert batch[key] == val
     n_users = len({u for u, _ in batch})
     assert len(got) >= len(batch) - n_users
+
+
+def test_anomaly_stream_single_batch_matches_batch(spark, sf_dir):
+    from codex_data_products_spark.queries.events import events_anomaly
+    from codex_data_products_spark.streaming.events import anomaly_stream
+
+    stream = anomaly_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "anomaly_test", output_mode="append")
+    got = {
+        r["event_id"]: (r["event_type"], r["value"], r["zscore"])
+        for r in spark.sql("SELECT * FROM anomaly_test").collect()
+    }
+    want = {
+        r["event_id"]: (r["event_type"], r["value"], r["zscore"])
+        for r in events_anomaly(spark, sf_dir).collect()
+    }
+    assert len(got) > 0
+    assert got == want
