@@ -1,0 +1,92 @@
+"""Degenerate-input hardening for the library surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.plans.training_pipeline import (
+    CurationConfig,
+    curate,
+    exact_dedup_keepers,
+    neardup_losers,
+)
+from codex_data_products_spark.queries.dedup import (
+    shingle_table,
+    simhash_frame,
+)
+from codex_data_products_spark.sources.labels import remap_edges_to_cell_ids
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_empty_corpus_flows_through_curation(spark):
+    empty = _docs(spark, [])
+    assert exact_dedup_keepers(empty).count() == 0
+    assert neardup_losers(empty, 3).count() == 0
+    assert curate(empty, CurationConfig()).count() == 0
+
+
+def test_single_doc_corpus(spark):
+    one = _docs(
+        spark,
+        [(1, "the quick brown fox jumps over a lazy dog and runs to the "
+             "woods while the hunters watch a bird of prey circle")],
+    )
+    out = curate(one, CurationConfig(min_tokens=5))
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_short_docs_produce_no_shingles(spark):
+    docs = _docs(spark, [(1, "one two three"), (2, "a b c d e")])
+    # k=5: doc 1 has 3 tokens (none), doc 2 exactly 5 (one shingle)
+    got = [(r["doc_id"], r["shingle"]) for r in shingle_table(docs).collect()]
+    assert got == [(2, "a b c d e")]
+
+
+def test_simhash_of_identical_texts_is_equal(spark):
+    docs = _docs(spark, [(1, "same text here"), (2, "same text here")])
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_frame(docs).collect()}
+    assert sims[1] == sims[2]
+
+
+def test_edge_remap_with_empty_edges(spark):
+    labels = spark.createDataFrame(
+        [(1, "c1"), (2, "c2")], "pos int, cell_id string"
+    )
+    edges = spark.createDataFrame([], "i int, j int, weight double")
+    assert remap_edges_to_cell_ids(edges, labels).count() == 0
+
+
+def test_text_ops_handle_empty_string(spark):
+    from codex_data_products_spark.operators import text as ot
+
+    df = spark.createDataFrame([(1, ""), (2, "  ")], "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        ot.token_count().alias("n"),
+        ot.fingerprint().alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # split of "" yields [""] → 1 empty token; the point is no crash and
+    # deterministic output
+    assert by_id[1]["n"] == 1 and by_id[1]["fp"] is not None
+
+
+def test_curation_is_idempotent(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over a lazy dog and runs to the "
+                "woods while the hunters watch a bird of prey circle"),
+            (2, "the quick brown fox jumps over a lazy dog and runs to the "
+                "woods while the hunters watch a bird of prey circle"),
+        ],
+    )
+    cfg = CurationConfig(min_tokens=5)
+    once = curate(docs, cfg).select("doc_id", "text")
+    twice = curate(once, cfg).select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
