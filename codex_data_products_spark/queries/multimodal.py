@@ -156,3 +156,55 @@ FROM documents
 @register("multimodal_av_features", sql=_AV_SQL)
 def multimodal_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return av_metadata(_payloads(spark, sf_dir))
+
+
+PATCH = 32  # ViT-style square patch size
+
+
+_PATCH_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS asset_id, {_IMG_W} AS w, {_IMG_H} AS h FROM documents
+)
+SELECT
+  asset_id,
+  CAST(px AS BIGINT) AS patch_x,
+  CAST(py AS BIGINT) AS patch_y,
+  CAST((h // {PATCH}) * (w // {PATCH}) AS BIGINT) AS n_patches
+FROM m,
+     unnest(generate_series(0, w - {PATCH}, {PATCH})) AS gx(px),
+     unnest(generate_series(0, h - {PATCH}, {PATCH})) AS gy(py)
+WHERE w >= {PATCH} AND h >= {PATCH}
+"""
+
+
+@register("multimodal_patch_grid", sql=_PATCH_SQL)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style non-overlapping patch coordinates per image. The decode
+    runs once in Python (image_metadata); the quadratic patch fan-out is
+    sequence × sequence explode, entirely JVM-side — the same
+    decode-once / fan-out-in-Spark split as frame sampling."""
+    meta = image_metadata(_payloads(spark, sf_dir))
+    wide = meta.filter(
+        (F.col("width") >= PATCH) & (F.col("height") >= PATCH)
+    ).select(
+        "asset_id",
+        "width",
+        "height",
+        ((F.col("height") / PATCH).cast("long")
+         * (F.col("width") / PATCH).cast("long")).alias("n_patches"),
+    )
+    return wide.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("width") - PATCH, F.lit(PATCH))
+        ).alias("patch_x"),
+        "height",
+        "n_patches",
+    ).select(
+        "asset_id",
+        "patch_x",
+        F.explode(
+            F.sequence(F.lit(0), F.col("height") - PATCH, F.lit(PATCH))
+        ).alias("patch_y"),
+        "n_patches",
+    ).select("asset_id", "patch_x", "patch_y", "n_patches")
