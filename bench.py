@@ -65,6 +65,9 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # queries that persist intermediates (dedup family) would
+        # otherwise accumulate cache across the run
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
