@@ -67,18 +67,22 @@ def shingle_table(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
     """Drop stop-shingles above the document-frequency cap (both engines).
 
-    A count-over-window needs one shuffle and one pass; the equivalent
-    groupBy + semi-join would shuffle twice and recompute the md5-heavy
-    shingle explode.
+    Strategy: hash-aggregate the document frequency (map-side partial
+    combine shrinks the shuffle to distinct shingles), keep only the
+    *violators* (a tiny set by construction — few shingles exceed the
+    cap), and broadcast-anti-join them away. The shingle table itself
+    never shuffles: at 100 TB the alternative count-over-window would
+    shuffle and sort the full (doc, shingle) relation. ``sh`` should be
+    persisted by the caller — it is scanned by both the agg and the
+    anti-join.
     """
-    from pyspark.sql import Window
-
-    df = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    return (
-        sh.withColumn("df", df)
-        .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .drop("df")
+    frequent = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
     )
+    return sh.join(F.broadcast(frequent), "shingle", "left_anti")
 
 
 _SQL_SHINGLES = f"""
@@ -234,11 +238,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = T(spark, sf_dir, "documents")
-    # referenced 4x (self-join sides + both size lookups): persist so
-    # the shingle explode + df-cap window run once
-    sh = _frequent_shingles_removed(shingle_table(docs)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the raw shingles feed the df-cap aggregate plus 4 downstream
+    # references (self-join sides + both size lookups): persist so the
+    # md5-heavy explode runs once
+    raw = shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _frequent_shingles_removed(raw)
     return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -329,12 +333,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = T(spark, sf_dir, "documents")
-    # The shingle table feeds signature building AND candidate
-    # verification; persist it (disk-spillable) instead of recomputing
-    # the md5-heavy explode three times.
-    sh = _frequent_shingles_removed(shingle_table(docs)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # The shingle table feeds the df-cap aggregate, signature building,
+    # AND candidate verification; persist it (disk-spillable) instead of
+    # recomputing the md5-heavy explode each time.
+    raw = shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _frequent_shingles_removed(raw)
     sig = _with_salted_md5(sh).groupBy("doc_id").agg(
         *[_minhash_expr(i) for i in range(NUM_MINHASHES)]
     )
