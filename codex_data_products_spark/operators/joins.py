@@ -74,3 +74,65 @@ def salted_join(
     salted_small = small.select("*", salts)
     out = salted_big.join(salted_small, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Generic as-of join: for every left row, the most recent right row
+    with ``right_ts < left_ts`` (``<=`` when ``strict=False``) sharing
+    the ``on`` key.
+
+    Implemented with the union + last(ignorenulls) window pattern — one
+    shuffle on the key, cost O((|L|+|R|) log) per key partition, no
+    range-join row explosion. The library face of the registered
+    ``asof_join`` query (queries/windows.py).
+    """
+    from pyspark.sql import Window
+
+    right_value_cols = right_value_cols or []
+    l_cols = [c for c in left.columns]
+
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_t"),
+        F.struct(
+            F.col(right_ts).alias("_asof_ts"),
+            *[F.col(c) for c in right_value_cols],
+        ).alias("_rv"),
+        F.lit(True).alias("_is_right"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != on],
+    )
+    lhs = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_t"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        F.lit(False).alias("_is_right"),
+        *[F.col(c) for c in l_cols if c != on],
+    )
+    unioned = lhs.unionByName(r)
+    # at identical timestamps: strict ⇒ the right row must NOT be
+    # visible to the co-timed left row ⇒ order right rows after left
+    # ones (desc on _is_right=False first); non-strict ⇒ before
+    order = [F.col("_t"), F.col("_is_right").asc() if strict else F.col("_is_right").desc()]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = unioned.withColumn(
+        "_last_rv", F.last("_rv", ignorenulls=True).over(w)
+    )
+    out = carried.filter(~F.col("_is_right")).select(
+        on,
+        *[c for c in l_cols if c != on],
+        F.col("_last_rv._asof_ts").alias("asof_ts"),
+        *[F.col(f"_last_rv.{c}").alias(f"asof_{c}") for c in right_value_cols],
+    )
+    return out

@@ -86,3 +86,34 @@ def test_salted_left_join_keeps_unmatched(spark):
         for r in salted_join(big, small, "k", n_salts=4, how="left").collect()
     }
     assert out == {1: "A", 2: None, 3: None}
+
+
+def test_generic_asof_join(spark):
+    import datetime as dt
+
+    from codex_data_products_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)  # noqa: E731
+    quotes = spark.createDataFrame(
+        [("A", t(0), 10.0), ("A", t(5), 11.0), ("B", t(2), 99.0)],
+        "sym string, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", t(3), 1), ("A", t(5), 2), ("A", t(7), 3), ("B", t(1), 4)],
+        "sym string, ts timestamp, trade_id int",
+    )
+    strict = {
+        r["trade_id"]: r["asof_px"]
+        for r in asof_join(
+            trades, quotes, "sym", right_value_cols=["px"]
+        ).collect()
+    }
+    # trade 2 at 12:05 must NOT see the co-timed 12:05 quote (strict <)
+    assert strict == {1: 10.0, 2: 10.0, 3: 11.0, 4: None}
+    inclusive = {
+        r["trade_id"]: r["asof_px"]
+        for r in asof_join(
+            trades, quotes, "sym", right_value_cols=["px"], strict=False
+        ).collect()
+    }
+    assert inclusive == {1: 10.0, 2: 11.0, 3: 11.0, 4: None}
