@@ -5,5 +5,8 @@ Modules:
   * ``multimodal`` — binary-payload (image/audio/video) decode /
     resize / frame-sample plumbing over ``mapInPandas``;
   * ``dedup`` — shingling, simhash, cosine, exact/near-dup cores;
-  * ``text`` — tokenization, quality ratios, fingerprint, lang scores.
+  * ``text`` — tokenization, quality ratios, fingerprint, lang scores;
+  * ``joins`` — bucketed co-located joins, salted skew joins, generic
+    as-of join;
+  * ``timeseries`` — resampling with gap fill.
 """
