@@ -171,3 +171,48 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_variance — population variance/stddev from exact decimal moments
+# (sum, sum of squares): order-free, so both engines agree bit-for-bit —
+# the same exactness rule the streaming anomaly operator uses.
+# ---------------------------------------------------------------------------
+
+_VARIANCE_SQL = """
+WITH m AS (
+  SELECT
+    l_returnflag,
+    count(*) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag,
+  n,
+  round(s2 / n - (s1 / n) * (s1 / n), 6)       AS var_pop,
+  round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS stddev_pop
+FROM m
+"""
+
+
+@register("agg_variance", sql=_VARIANCE_SQL)
+def agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    dec = F.col("l_quantity").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    var = F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (
+        F.col("s1") / F.col("n")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 6).alias("var_pop"),
+        F.round(F.sqrt(var), 6).alias("stddev_pop"),
+    )

@@ -347,3 +347,81 @@ def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# q6_forecast_revenue — TPC-H Q6: the pure scan-filter-agg query (no
+# join); at 100 TB this is the bandwidth benchmark — every predicate
+# must reach the parquet reader (verified: PushedFilters carries all
+# three ranges).
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = f"""
+SELECT
+  {sql_dsum(f"({sql_money('l_extendedprice')} * {sql_rate('l_discount')})")}
+    AS revenue,
+  count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", sql=_Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(money("l_extendedprice") * rate("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# string_functions — the wider string scalar family (lpad/rpad,
+# translate, split_part, left/right, repeat, reverse, position).
+# ---------------------------------------------------------------------------
+
+_STRING_SQL = """
+SELECT
+  s_suppkey,
+  lpad(CAST(s_suppkey AS VARCHAR), 8, '0')        AS padded_key,
+  rpad(s_name, 20, '.')                           AS padded_name,
+  translate(s_name, '#', '-')                     AS translated,
+  split_part(s_name, '#', 2)                      AS name_id,
+  left(s_name, 8)                                 AS name_left,
+  right(s_name, 2)                                AS name_right,
+  reverse(s_name)                                 AS name_rev,
+  repeat('ab', 3)                                 AS repeated,
+  CAST(strpos(s_name, '#') AS BIGINT)             AS hash_pos
+FROM supplier
+"""
+
+
+@register("string_functions", sql=_STRING_SQL)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = T(spark, sf_dir, "supplier")
+    return sup.select(
+        "s_suppkey",
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded_key"),
+        F.rpad("s_name", 20, ".").alias("padded_name"),
+        F.translate("s_name", "#", "-").alias("translated"),
+        F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("name_id"),
+        F.substring("s_name", 1, 8).alias("name_left"),
+        F.substring(F.col("s_name"), -2, 2).alias("name_right"),
+        F.reverse(F.col("s_name").cast("string")).alias("name_rev"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.instr("s_name", "#").cast("long").alias("hash_pos"),
+    )
