@@ -79,3 +79,12 @@ def test_range_join_broadcasts_band_dim(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_range")
     assert "BroadcastNestedLoopJoin" in plan  # non-equi over tiny dim
     assert "SortMergeJoin" not in plan
+
+
+def test_q6_pushes_every_predicate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "IsNotNull(l_discount)" in plan and "IsNotNull(l_quantity)" in plan
+    assert "partial_sum" in plan  # map-side combine before the single exchange
+    scan = plan[plan.index("FileScan") :]
+    assert "l_orderkey" not in scan.split("PushedFilters")[0]  # pruned
