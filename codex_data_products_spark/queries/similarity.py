@@ -375,3 +375,64 @@ def knn_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("d2").alias("min_d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_recall — evaluation operator: recall@k of the IVF and LSH paths
+# against the brute-force ground truth, per query and overall-avg.
+# The standard ANN quality gate a 100 TB pipeline runs on a sample
+# before committing to an index layout.
+# ---------------------------------------------------------------------------
+
+_RECALL_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, c.vec_id
+           ) AS rn
+    FROM q JOIN e c ON q.vec_id <> c.vec_id
+  ) WHERE rn <= {TOP_K}
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, c.vec_id
+           ) AS rn
+    FROM q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+  ) WHERE rn <= {TOP_K}
+)
+SELECT
+  t.query_id,
+  CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+  round(CAST(count(i.neighbor_id) AS DOUBLE) / {TOP_K}, 6) AS recall_at_k
+FROM truth t
+LEFT JOIN ivf i
+  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@register("knn_recall", sql=_RECALL_SQL)
+def knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = knn_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["neighbor_id"] == approx["hit_id"]),
+        "left",
+    ).select(truth["query_id"], "hit_id")
+    return joined.groupBy("query_id").agg(
+        F.count("hit_id").alias("n_hit"),
+        F.round(F.count("hit_id").cast("double") / TOP_K, 6).alias(
+            "recall_at_k"
+        ),
+    )
