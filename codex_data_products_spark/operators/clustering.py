@@ -1,0 +1,168 @@
+"""Clustering operators: distributed Lloyd's k-means over an embedding
+column.
+
+The iterative-ML counterpart of the connected-components loop (see
+queries/dedup.py): each round is one broadcast assignment pass plus one
+decimal-exact centroid aggregate, with ``localCheckpoint`` truncating
+lineage so the plan does not grow with the iteration count. Used to
+*train* the IVF cells that ``knn_ivf`` probes — the knn_recall
+operator showed the synthetic ``label`` column is not a cosine
+clustering, which is exactly the situation where you re-train cells.
+
+Determinism: initialization is farthest-point (the vector with the
+minimum id seeds cluster 0; each next seed is the vector farthest from
+all chosen seeds, ties on the lower id) — no RNG, and unlike modulo or
+random init it cannot collapse symmetric blobs into one cell.
+Assignment ties break on the lower cluster id and centroid sums
+aggregate in DECIMAL, so the same run twice is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _centroids_of(assigned: DataFrame, cluster_col: str) -> DataFrame:
+    """(cluster, cvec): decimal-exact per-dimension means."""
+    longf = assigned.select(
+        F.col(cluster_col).alias("cluster"),
+        F.posexplode("v").alias("dim", "c"),
+    ).select(
+        "cluster", "dim", F.col("c").cast("decimal(20,10)").alias("c")
+    )
+    cent = longf.groupBy("cluster", "dim").agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("cv")
+    )
+    return (
+        cent.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("p"))
+        .select(
+            "cluster", F.transform("p", lambda s: s["cv"]).alias("cvec")
+        )
+    )
+
+
+def kmeans(
+    vectors: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means → (assignments, centroids).
+
+    assignments: (vec_id, cluster); centroids: (cluster, cvec).
+    Stops early when no vector changes cluster. Each iteration is one
+    broadcast nested-loop over k centroids (k is small by definition)
+    plus one hash aggregate — no corpus self-join anywhere.
+    """
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).localCheckpoint()
+
+    # farthest-point init: k driver-side argmax rounds (k is small)
+    first = base.orderBy("vec_id").limit(1).collect()[0]
+    seeds = [(0, list(first["v"]))]
+    for i in range(1, k):
+        seed_df = F.broadcast(
+            base.sparkSession.createDataFrame(
+                seeds, "c_id int, cvec array<double>"
+            )
+        )
+        d2 = (
+            _dot(F.col("v"), F.col("v"))
+            - 2 * _dot(F.col("v"), F.col("cvec"))
+            + _dot(F.col("cvec"), F.col("cvec"))
+        )
+        farthest = (
+            base.crossJoin(seed_df)
+            .select("vec_id", "v", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("dmin"), F.first("v").alias("v"))
+            .orderBy(F.col("dmin").desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append((i, list(farthest["v"])))
+    seed_df = F.broadcast(
+        base.sparkSession.createDataFrame(seeds, "c_id int, cvec array<double>")
+    )
+    d2_init = (
+        _dot(F.col("v"), F.col("v"))
+        - 2 * _dot(F.col("v"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
+    )
+    assigned = (
+        base.crossJoin(seed_df)
+        .select("vec_id", "v", "c_id", d2_init.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.col("c_id"), F.struct("d2", "c_id")).alias("cluster"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", F.col("cluster").cast("int").alias("cluster"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        cents = F.broadcast(
+            _centroids_of(assigned, "cluster").withColumnRenamed(
+                "cluster", "c_id"
+            )
+        )
+        d2 = (
+            _dot(F.col("v"), F.col("v"))
+            - 2 * _dot(F.col("v"), F.col("cvec"))
+            + _dot(F.col("cvec"), F.col("cvec"))
+        )
+        best = (
+            base.crossJoin(cents)
+            .select("vec_id", "v", "c_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.col("c_id"), F.struct("d2", "c_id")
+                ).alias("cluster"),
+                F.first("v").alias("_drop"),
+            )
+            .drop("_drop")
+            .join(base, "vec_id")
+            .select("vec_id", "v", F.col("cluster").cast("int").alias("cluster"))
+            .localCheckpoint()
+        )
+        moved = (
+            best.alias("n")
+            .join(assigned.alias("o"), "vec_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        assigned = best
+        if moved == 0:
+            break
+
+    return (
+        assigned.select("vec_id", "cluster"),
+        _centroids_of(assigned, "cluster"),
+    )
+
+
+def within_cluster_ss(assigned_vectors: DataFrame, centroids: DataFrame) -> float:
+    """Total within-cluster sum of squared distances (the k-means
+    objective) — for convergence tests and elbow diagnostics."""
+    joined = assigned_vectors.join(centroids, "cluster")
+    d2 = (
+        _dot(F.col("v"), F.col("v"))
+        - 2 * _dot(F.col("v"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
+    )
+    row = joined.agg(F.sum(d2).alias("ss")).collect()[0]
+    return float(row["ss"])

@@ -1,0 +1,54 @@
+"""Distributed k-means: correctness on separable data, determinism,
+objective monotonicity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.operators.clustering import (
+    kmeans,
+    within_cluster_ss,
+)
+
+
+def _separable(spark):
+    # two tight blobs far apart: k-means must separate them exactly
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 5) * 0.01, 10.0]))
+    for i in range(20, 40):
+        rows.append((i, [-10.0, -10.0 - (i % 5) * 0.01]))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_kmeans_separates_blobs(spark):
+    vecs = _separable(spark)
+    assigned, centroids = kmeans(vecs, k=2, max_iter=10)
+    by_cluster = {}
+    for r in assigned.collect():
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    groups = sorted(by_cluster.values(), key=len)
+    assert len(groups) == 2
+    assert set(range(20)) in groups and set(range(20, 40)) in groups
+    cents = {r["cluster"]: r["cvec"] for r in centroids.collect()}
+    signs = sorted(round(c[0] / abs(c[0])) for c in cents.values())
+    assert signs == [-1, 1]  # one centroid per blob
+
+
+def test_kmeans_is_deterministic(spark):
+    vecs = _separable(spark)
+    a1, _ = kmeans(vecs, k=3, max_iter=5)
+    a2, _ = kmeans(vecs, k=3, max_iter=5)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_kmeans_objective_not_worse_than_init(spark):
+    vecs = _separable(spark)
+    # init = vec_id % k (interleaves the blobs: bad clustering)
+    init = vecs.withColumn("cluster", (F.col("vec_id") % 2).cast("int"))
+    from codex_data_products_spark.operators.clustering import _centroids_of
+
+    ss_init = within_cluster_ss(init, _centroids_of(init, "cluster"))
+    assigned, centroids = kmeans(vecs, k=2, max_iter=10)
+    ss_final = within_cluster_ss(assigned.join(vecs, "vec_id"), centroids)
+    assert ss_final < ss_init
