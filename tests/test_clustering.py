@@ -52,3 +52,49 @@ def test_kmeans_objective_not_worse_than_init(spark):
     assigned, centroids = kmeans(vecs, k=2, max_iter=10)
     ss_final = within_cluster_ss(assigned.join(vecs, "vec_id"), centroids)
     assert ss_final < ss_init
+
+
+def test_kmeans_cells_beat_label_cells_for_ivf_recall(spark, sf_dir):
+    """Integration: retraining IVF cells with k-means on the real
+    embeddings table must improve recall@k over the synthetic label
+    column (which knn_recall showed is not a cosine clustering)."""
+    from codex_data_products_spark.queries.similarity import (
+        TOP_K,
+        knn_brute_force,
+    )
+    from codex_data_products_spark.tables import table as T
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    assigned, _ = kmeans(emb, k=8, max_iter=5)
+    truth = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+
+    def recall(cells):  # cells: (vec_id, cell)
+        e = emb.join(cells, "vec_id")
+        q = e.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell").alias("qcell"),
+        )
+        cand = e.join(
+            q,
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select("query_id", F.col("vec_id").alias("hit_id"))
+        hits = truth.join(
+            cand,
+            (truth["query_id"] == cand["query_id"])
+            & (truth["neighbor_id"] == cand["hit_id"]),
+            "left_semi",
+        ).count()
+        return hits / truth.count()
+
+    label_cells = emb.select("vec_id", F.col("label").alias("cell"))
+    kmeans_cells = assigned.select("vec_id", F.col("cluster").alias("cell"))
+    r_label = recall(label_cells)
+    r_kmeans = recall(kmeans_cells)
+    # the retrained cells must contain strictly more of the true top-k
+    assert r_kmeans > r_label
+    assert r_kmeans >= 0.3  # and be a usable index, not a lottery
