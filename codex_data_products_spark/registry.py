@@ -50,5 +50,6 @@ def load_all() -> None:
         setops,
         similarity,
         text,
+        tpch_extra,
         windows,
     )
