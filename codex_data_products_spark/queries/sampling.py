@@ -1,0 +1,182 @@
+"""Deterministic sampling / splitting / packing for training-data curation.
+
+Green-field LLM-pipeline surface (no reference counterpart — the
+reference is a batch CODEX ETL, SURVEY.md §2.10): a 100 TB corpus engine
+needs reproducible train/test splits, stratified samples, context-window
+sequence packing, and mixture rebalancing. All four are expressed as
+pure column arithmetic + window functions so the same rows are selected
+on any cluster size and by the DuckDB oracle.
+
+Determinism: no ``rand()`` anywhere — pseudo-randomness comes from a
+Knuth multiplicative hash of the stable ``doc_id``
+(``(doc_id * 2654435761) mod 2^32``), which both engines evaluate
+identically in 64-bit integer arithmetic. At scale each op is one
+shuffle (hash-agg or window partition); packing partitions by ``source``
+so window state never concentrates on one executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+# Knuth multiplicative hash of doc_id — identical BIGINT math in both
+# engines (doc_id < 2^22, so the product stays far below 2^63).
+_SQL_HASH = "((doc_id * 2654435761) % 4294967296)"
+
+
+def _doc_hash() -> F.Column:
+    return (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+
+
+def _sql_tokens() -> str:
+    return r"len(regexp_split_to_array(lower(trim(text)), '\s+'))"
+
+
+def _n_tokens() -> F.Column:
+    return F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+
+
+# ---------------------------------------------------------------------------
+# split_train_test — 90/10 hash split. Reproducible on any partitioning:
+# membership depends only on doc_id, never on row order or task layout.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = f"""
+SELECT
+  CASE WHEN {_SQL_HASH} % 100 < 90 THEN 'train' ELSE 'test' END AS split,
+  count(*)                                   AS n_docs,
+  CAST(sum({_sql_tokens()}) AS BIGINT)       AS n_tokens,
+  CAST(sum(n_chars) AS BIGINT)               AS total_chars
+FROM documents
+GROUP BY split
+"""
+
+
+@register("split_train_test", sql=_SPLIT_SQL)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    split = F.when(_doc_hash() % 100 < 90, "train").otherwise("test")
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(_n_tokens()).cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — fixed-capacity context-window packing: docs in stable
+# doc_id order fill 2048-token bins per source (prefix-sum assignment —
+# the streaming-friendly variant of greedy first-fit). One window
+# partition per source; at 100 TB, sources are further range-bucketed so
+# no single partition exceeds executor memory.
+# ---------------------------------------------------------------------------
+
+_PACK_SQL = f"""
+SELECT source, pack_id,
+       count(*)                        AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)   AS pack_tokens
+FROM (
+  SELECT source, n_tokens,
+         CAST(floor(CAST(sum(n_tokens) OVER w - n_tokens AS DOUBLE) / 2048)
+              AS BIGINT) AS pack_id
+  FROM (SELECT source, doc_id, {_sql_tokens()} AS n_tokens FROM documents)
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+GROUP BY source, pack_id
+"""
+
+
+@register("pack_sequences", sql=_PACK_SQL)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select(
+        "source", "doc_id", _n_tokens().alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = docs.withColumn(
+        "pack_id", F.floor(start.cast("double") / 2048).cast("long")
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified — deterministic k-per-stratum sample: rank docs
+# inside each language by hashed id and keep the first 40. Same rows on
+# every run/cluster; the window shuffles once on lang.
+# ---------------------------------------------------------------------------
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY {_SQL_HASH}, doc_id) <= 40
+"""
+
+
+@register("sample_stratified", sql=_STRATIFIED_SQL)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_doc_hash(), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture_weights — rebalancing factors toward a uniform source mixture:
+# weight_s = target_share / observed_share. The agg output is tiny
+# (|sources| rows), so the share/weight windows run post-AQE-coalesce on
+# a single task — no extra shuffle of the fact table.
+# ---------------------------------------------------------------------------
+
+_MIXTURE_SQL = f"""
+SELECT source, n_docs, share, tokens_share, weight
+FROM (
+  SELECT source, n_docs,
+         round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6)     AS share,
+         round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS tokens_share,
+         round((1.0 / count(*) OVER ())
+               / (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()), 6) AS weight
+  FROM (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum({_sql_tokens()}) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+  )
+)
+"""
+
+
+@register("mixture_weights", sql=_MIXTURE_SQL)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_n_tokens()).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(w)
+    tokens_share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("share"),
+        F.round(tokens_share, 6).alias("tokens_share"),
+        F.round(target / share, 6).alias("weight"),
+    )

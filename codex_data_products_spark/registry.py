@@ -47,6 +47,7 @@ def load_all() -> None:
         multimodal,
         relational,
         reshape,
+        sampling,
         setops,
         similarity,
         text,
