@@ -22,6 +22,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q8_market_share",
+    "q18_large_volume",
+    "q21_waiting_supplier",
+    "pack_sequences",
     "join_range",
     "window_rank",
     "window_running_sum",

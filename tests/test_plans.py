@@ -88,3 +88,53 @@ def test_q6_pushes_every_predicate(spark, sf_dir):
     assert "partial_sum" in plan  # map-side combine before the single exchange
     scan = plan[plan.index("FileScan") :]
     assert "l_orderkey" not in scan.split("PushedFilters")[0]  # pruned
+
+
+def test_q4_exists_plans_left_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_plans_semi_and_anti_self_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the supplier dim stays broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q22_global_sales")
+    assert "LeftAnti" in plan
+    # the 1-row global-average subquery must broadcast, not shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q17_decorrelated_avg_broadcasts_back(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q17_small_quantity")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_pushes_quantity_envelope_to_lineitem_scan(spark, sf_dir):
+    # the OR-of-ANDs keeps the equi-join; brand/size reach the part scan
+    plan = _plan(spark, sf_dir, "q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    scan = plan[plan.index("FileScan parquet") :]
+    assert "PushedFilters" in scan
+
+
+def test_pack_sequences_single_window_partition_by_source(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    # one window over source → exactly one hashpartitioning on source
+    assert plan.count("Window") >= 1
+    assert "hashpartitioning(source" in plan
+
+
+def test_split_train_test_is_single_agg_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "split_train_test")
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+    assert plan.count("Exchange") <= 2  # partial→final agg only
