@@ -212,3 +212,50 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("zscore")) > 2.5)
     )
+
+
+_ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+"""
+
+
+@register("events_attribution", sql=_ATTRIBUTION_SQL)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution: every view by the same user in the 30
+    minutes before a purchase. Batch twin of
+    ``streaming/events.attribution_stream`` (stream-stream interval
+    join); the lag is exact integer microseconds so both engines (and
+    the streaming run) agree bit-for-bit. The join is an equi-join on
+    user_id with the interval as a post-condition — one shuffle, no
+    theta-join blowup."""
+    events = T(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "purchase_id",
+            "view_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        )
+    )

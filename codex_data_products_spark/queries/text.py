@@ -216,3 +216,74 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fingerprint"),
         F.md5(F.col("text")).alias("exact_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_repetition — Gopher-style repetition filters: fraction of the doc
+# covered by its most frequent token and most frequent bigram. Entirely
+# row-local array math (no explode → no per-token shuffle): the token
+# list is ~1e2 per doc, so the O(distinct × n) in-row count is cheap and
+# the whole query is one codegen stage + final projection.
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = r"""
+SELECT doc_id, n_tokens,
+       round(CAST(top_tok AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+       round(CAST(top_bg AS DOUBLE) / (n_tokens - 1), 6) AS top_bigram_frac,
+       (CAST(top_tok AS DOUBLE) / n_tokens > 0.20
+        OR CAST(top_bg AS DOUBLE) / (n_tokens - 1) > 0.15) AS repetitive
+FROM (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         list_max(list_transform(list_distinct(toks),
+                  x -> len(list_filter(toks, y -> y = x)))) AS top_tok,
+         list_max(list_transform(list_distinct(bgs),
+                  x -> len(list_filter(bgs, y -> y = x)))) AS top_bg
+  FROM (
+    SELECT doc_id, toks,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+    FROM (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    )
+  )
+)
+WHERE n_tokens > 1
+"""
+
+
+@register("text_repetition", sql=_REPETITION_SQL)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    toks = _tokens()
+    bgs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+    def top_count(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda x: F.size(F.filter(arr, lambda y: y == x)),
+            )
+        )
+
+    staged = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        top_count(toks).alias("top_tok"),
+        top_count(bgs).alias("top_bg"),
+    ).filter(F.col("n_tokens") > 1)
+    top_token_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
+    top_bigram_frac = F.col("top_bg").cast("double") / (F.col("n_tokens") - 1)
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_token_frac, 6).alias("top_token_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        ((top_token_frac > 0.20) | (top_bigram_frac > 0.15)).alias("repetitive"),
+    )

@@ -295,3 +295,44 @@ def anomaly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def attribution_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: views→purchases within 30 minutes.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions, so Spark derives a state-retention horizon for
+    each side (a view is held only until the watermark passes its ts +
+    30 min; purchases need no buffered future rows). Without the range
+    bound the join state would grow without limit on an unbounded
+    stream. Batch twin: ``queries/events.events_attribution``.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )

@@ -66,3 +66,20 @@ def test_anomaly_stream_single_batch_matches_batch(spark, sf_dir):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_attribution_stream_stream_join_matches_batch(spark, sf_dir):
+    from codex_data_products_spark.queries.events import events_attribution
+    from codex_data_products_spark.streaming.events import attribution_stream
+
+    stream = attribution_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "attribution_test", output_mode="append")
+    got = {
+        (r["purchase_id"], r["view_id"], r["user_id"], r["lag_us"])
+        for r in spark.sql("SELECT * FROM attribution_test").collect()
+    }
+    want = {
+        (r["purchase_id"], r["view_id"], r["user_id"], r["lag_us"])
+        for r in events_attribution(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
