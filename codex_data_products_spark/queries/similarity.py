@@ -436,3 +436,84 @@ def knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize — int8 scalar quantization (the storage-scale path
+# for 100 TB of vectors: 4× smaller than float32, distance error bounded
+# by scale²/12 per dim). Row-local lambda math, no shuffle; q_sum is an
+# exact-integer checksum proving both engines quantize identically, and
+# the reconstruction MSE is rounded once at the end.
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = """
+SELECT vec_id,
+       CAST(len(v) AS BIGINT) AS dim,
+       round(scale, 6) AS scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       round(list_sum(
+         list_transform(generate_series(1, len(v)),
+           i -> pow(v[i] - (vmin + q[i] * scale), 2))) / len(v), 10) AS mse
+FROM (
+  SELECT vec_id, v, vmin, scale,
+         list_transform(v, x -> least(255.0,
+             greatest(0.0, floor((x - vmin) / scale + 0.5)))) AS q
+  FROM (
+    SELECT vec_id, v, list_min(v) AS vmin,
+           CASE WHEN list_max(v) = list_min(v) THEN 1.0
+                ELSE (list_max(v) - list_min(v)) / 255 END AS scale
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+  )
+)
+"""
+
+
+@register("embedding_quantize", sql=_QUANT_SQL)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    vmin = F.array_min("v")
+    vmax = F.array_max("v")
+    staged = emb.select(
+        "vec_id",
+        "v",
+        vmin.alias("vmin"),
+        F.when(vmax == vmin, F.lit(1.0)).otherwise((vmax - vmin) / 255).alias("scale"),
+    ).withColumn(
+        "q",
+        F.transform(
+            "v",
+            lambda x: F.least(
+                F.lit(255.0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.floor((x - F.col("vmin")) / F.col("scale") + 0.5).cast("double"),
+                ),
+            ),
+        ),
+    )
+    dq_err_sq = F.zip_with(
+        "v",
+        "q",
+        lambda x, qi: F.pow(x - (F.col("vmin") + qi * F.col("scale")), F.lit(2.0)),
+    )
+    # NB: round(scale) must happen in a separate projection — aliasing the
+    # rounded value as "scale" in the same select would shadow the raw
+    # column for the mse expression via Spark's lateral column aliases.
+    raw = staged.select(
+        "vec_id",
+        F.size("v").cast("long").alias("dim"),
+        F.col("scale").alias("scale_raw"),
+        F.aggregate("q", F.lit(0.0), lambda a, x: a + x).cast("long").alias("q_sum"),
+        (F.aggregate(dq_err_sq, F.lit(0.0), lambda a, x: a + x) / F.size("v")).alias(
+            "mse_raw"
+        ),
+    )
+    return raw.select(
+        "vec_id",
+        "dim",
+        F.round("scale_raw", 6).alias("scale"),
+        "q_sum",
+        F.round("mse_raw", 10).alias("mse"),
+    )
