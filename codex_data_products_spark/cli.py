@@ -105,6 +105,19 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_explain(args: argparse.Namespace) -> int:
+    from codex_data_products_spark import registry
+
+    registry.load_all()
+    if args.name not in registry.QUERIES:
+        print(f"unknown query {args.name!r}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"explain-{args.name}")
+    df = registry.QUERIES[args.name](spark, args.sf_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="codex-data-products-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -138,6 +151,18 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--out", default=None)
     pq.add_argument("--limit", type=int, default=20)
     pq.set_defaults(fn=_cmd_query)
+
+    pe = sub.add_parser(
+        "explain", help="print the physical plan of a registered query"
+    )
+    pe.add_argument("name")
+    pe.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pe.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
+    pe.set_defaults(fn=_cmd_explain)
 
     args = p.parse_args(argv)
     return args.fn(args)

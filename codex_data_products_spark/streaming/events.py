@@ -336,3 +336,41 @@ def attribution_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
         "user_id",
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
+
+
+def enrich_stream(
+    events: DataFrame, user_profile: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static join: enrich live events with a batch-computed user
+    profile (historical mean spend per user).
+
+    Stream-static joins keep NO state — each micro-batch hash-joins
+    against the static side, which Spark re-plans per batch (so a
+    refreshed profile table is picked up automatically). On a cluster
+    the static side is broadcast when small; profiles at user-dimension
+    scale stay a shuffle-free broadcast. Output: events whose value
+    exceeds 2× the user's historical mean — a cheap per-user spike
+    detector that composes with `anomaly_stream`'s exact z-scores.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(user_profile), "user_id")
+        .filter(F.col("value") > 2 * F.col("mean_value"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            "mean_value",
+        )
+    )
+
+
+def user_profile_frame(events_batch: DataFrame) -> DataFrame:
+    """Static side for enrich_stream: exact-decimal per-user mean."""
+    dec = F.col("value").cast("decimal(12,2)")
+    return events_batch.groupBy("user_id").agg(
+        F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_value"
+        )
+    )

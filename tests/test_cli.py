@@ -67,3 +67,9 @@ def test_cli_curate(spark, tmp_path):
     assert main(["curate", "--input", corpus, "--out", out]) == 0
     manifest = json.load(open(f"{out}/manifest.json"))
     assert manifest["kept_docs"] == 1
+
+
+def test_cli_explain_prints_physical_plan(spark, sf_dir, capsys):
+    assert main(["explain", "q6_forecast_revenue", "--sf-dir", sf_dir]) == 0
+    plan = capsys.readouterr().out
+    assert "Physical Plan" in plan and "PushedFilters" in plan

@@ -83,3 +83,29 @@ def test_attribution_stream_stream_join_matches_batch(spark, sf_dir):
         for r in events_attribution(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_enrich_stream_static_join_matches_batch(spark, sf_dir):
+    from codex_data_products_spark.streaming.events import (
+        enrich_stream,
+        user_profile_frame,
+    )
+    from codex_data_products_spark.tables import table as T
+
+    batch_events = T(spark, sf_dir, "events")
+    profile = user_profile_frame(batch_events)
+    stream = enrich_stream(read_events_stream(spark, sf_dir), profile)
+    run_to_memory(stream, "enrich_test", output_mode="append")
+    got = {
+        (r["event_id"], r["user_id"], r["value"], r["mean_value"])
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        (r["event_id"], r["user_id"], r["value"], r["mean_value"])
+        for r in batch_events.join(profile, "user_id")
+        .filter(F.col("value") > 2 * F.col("mean_value"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
