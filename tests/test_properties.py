@@ -179,3 +179,59 @@ def test_pivot_roundtrip_property(spark, cells):
         if r[ch] is not None
     }
     assert back == {(rid, ch): float(v) for (rid, ch), v in cells.items()}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 500)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_assignment_invariants(spark, docs):
+    """Prefix-sum packing: pack ids are contiguous from 0, every doc
+    lands in exactly one pack, and a pack only overflows its capacity
+    via its final (boundary-straddling) document."""
+    from pyspark.sql import Window
+
+    cap = 512
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = df.withColumn(
+        "pack_id", F.floor(start.cast("double") / cap).cast("long")
+    ).collect()
+    assert len(packed) == len(docs)
+    ids = sorted({r["pack_id"] for r in packed})
+    assert ids == list(range(len(ids)))  # contiguous from 0
+    # each pack's *starting* offsets all lie inside its capacity window
+    by_pack: dict[int, int] = {}
+    total = 0
+    for r in sorted(packed, key=lambda r: r["doc_id"]):
+        assert r["pack_id"] == total // cap
+        total += r["n_tokens"]
+        by_pack[r["pack_id"]] = by_pack.get(r["pack_id"], 0) + 1
+    assert sum(by_pack.values()) == len(docs)
+
+
+@given(st.lists(st.integers(0, 5_000_000), min_size=1, max_size=200, unique=True))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hash_split_is_stable_and_partitions(spark, ids):
+    """The doc_id hash split is a partition (every id in exactly one
+    side) and membership is independent of row order/partitioning."""
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    split = F.when(
+        (F.col("doc_id") * F.lit(2654435761)) % 4294967296 % 100 < 90, "train"
+    ).otherwise("test")
+    one = {r["doc_id"]: r["s"] for r in df.select("doc_id", split.alias("s")).collect()}
+    two = {
+        r["doc_id"]: r["s"]
+        for r in df.repartition(7).select("doc_id", split.alias("s")).collect()
+    }
+    assert one == two
+    assert set(one) == set(ids)
