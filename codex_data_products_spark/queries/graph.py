@@ -1,0 +1,144 @@
+"""Graph analytics beyond connected components: fixed-iteration PageRank.
+
+The reference's only graph structure is the cell-adjacency matrix it
+block-diagonalizes (bin/concatenate.py:313-336, SURVEY U3/W1); rank-style
+propagation is green-field. Graph here: directed nation→nation trade
+flows (supplier nation ships to customer nation), weights = line counts.
+
+Spark shape: the power iteration is a *loop building one lazy plan* —
+per round one broadcast join (ranks are |nodes|-sized) + one hash-agg on
+dst. On a billion-edge graph the same loop shuffles edges once per round
+on dst and `localCheckpoint`s each iteration to stop logical-plan growth
+(see operators/iterative.py pattern used by connected components).
+
+Determinism: ranks are re-rounded to 9 decimals after every iteration,
+so double sum-order noise (~1e-16) can't accumulate or cross the final
+rounding boundary; weights/out-degrees are exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+DAMPING = 0.85
+N_ITER = 3
+
+_EDGES_SQL = """
+  SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE n1.n_nationkey <> n2.n_nationkey
+  GROUP BY src, dst
+"""
+
+_PAGERANK_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+n AS (SELECT count(*) AS n_nodes FROM nodes),
+outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, round(1.0 / n_nodes, 9) AS rank FROM nodes CROSS JOIN n
+),
+r1 AS (
+  SELECT nodes.node,
+         round((1 - {DAMPING}) / any_value(n.n_nodes) + {DAMPING} * coalesce(
+           sum(r0.rank * e.w / outw.out_w), 0), 9) AS rank
+  FROM nodes CROSS JOIN n
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN r0 ON r0.node = e.src
+  LEFT JOIN outw ON outw.src = e.src
+  GROUP BY nodes.node
+),
+r2 AS (
+  SELECT nodes.node,
+         round((1 - {DAMPING}) / any_value(n.n_nodes) + {DAMPING} * coalesce(
+           sum(r1.rank * e.w / outw.out_w), 0), 9) AS rank
+  FROM nodes CROSS JOIN n
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN r1 ON r1.node = e.src
+  LEFT JOIN outw ON outw.src = e.src
+  GROUP BY nodes.node
+),
+r3 AS (
+  SELECT nodes.node,
+         round((1 - {DAMPING}) / any_value(n.n_nodes) + {DAMPING} * coalesce(
+           sum(r2.rank * e.w / outw.out_w), 0), 9) AS rank
+  FROM nodes CROSS JOIN n
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN r2 ON r2.node = e.src
+  LEFT JOIN outw ON outw.src = e.src
+  GROUP BY nodes.node
+)
+SELECT node, rank FROM r3
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    supp = T(spark, sf_dir, "supplier")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("src")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("dst")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+@register("graph_pagerank", sql=_PAGERANK_SQL)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trade_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # |nations| — a scalar, fine on the driver
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    contrib_edges = edges.join(outw, "src").select(
+        F.col("src"),
+        F.col("dst"),
+        (F.col("w").cast("double") / F.col("out_w")).alias("share"),
+    )
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 9).alias("rank"))
+    for _ in range(N_ITER):
+        incoming = (
+            contrib_edges.join(
+                F.broadcast(ranks), contrib_edges.src == F.col("node")
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(
+                F.broadcast(incoming), nodes.node == incoming.dst, "left"
+            )
+            .select(
+                "node",
+                F.round(
+                    F.lit((1 - DAMPING) / n_nodes)
+                    + DAMPING * F.coalesce(F.col("mass"), F.lit(0.0)),
+                    9,
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -43,6 +43,7 @@ def load_all() -> None:
         aggregates,
         dedup,
         events,
+        graph,
         joins,
         multimodal,
         relational,
