@@ -58,9 +58,27 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="codex-data-products-bench")
     # Warm up the JVM, codegen, and parquet reader paths once so the
-    # first timed query doesn't absorb session start-up costs.
+    # first timed query doesn't absorb session start-up costs. The
+    # warm-up exercises the *machinery* (whole-stage codegen, hash agg,
+    # broadcast exchange, window, sort) on synthetic data — never the
+    # measured tables.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.range(1).count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    warm = spark.range(100_000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    dim = spark.range(7).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    (
+        warm.join(F.broadcast(dim), "k")
+        .groupBy("k", "tag")
+        .agg(F.sum(F.col("v").cast("decimal(12,2)")).alias("s"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("tag").orderBy("s")))
+        .orderBy("rn")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
