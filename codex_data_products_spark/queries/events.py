@@ -259,3 +259,52 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
         )
     )
+
+
+_SESSION_WINDOW_SQL = """
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S.%f')          AS window_end,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+"""
+
+
+@register("events_session_window", sql=_SESSION_WINDOW_SQL)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` operator (30-min gap): Spark merges
+    per-key events whose gaps stay under the timeout into one window —
+    the built-in equivalent of the gaps-and-islands sessionization in
+    ``queries/windows.sessionize`` (which the oracle replicates with
+    lag + running sum). The native form is the one that also runs
+    incrementally under Structured Streaming with watermark-bounded
+    state; ``window.end`` is last event + gap by definition."""
+    events = T(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(
+                F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_start"),
+            F.date_format(
+                F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("window_end"),
+            "n_events",
+        )
+    )
