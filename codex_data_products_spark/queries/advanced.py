@@ -229,3 +229,53 @@ def conditional_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(q).alias("qty_sqrt"),
         (q * q).alias("qty_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# array_functions — the array scalar family (construct, sort, distinct,
+# set-ops, slice, search, fold) as row-local operations on tokenized
+# part names. No shuffle at all: one codegen stage over the scan.
+# ---------------------------------------------------------------------------
+
+_ARRAY_SQL = r"""
+SELECT p_partkey,
+       words,
+       list_sort(words)                                   AS words_sorted,
+       list_sort(list_distinct(words))                    AS words_distinct,
+       CAST(len(words) AS BIGINT)                         AS n_words,
+       list_contains(words, 'red')                        AS has_red,
+       words[1:2]                                         AS first_two,
+       list_sort(list_intersect(words, ['red', 'blue', 'small'])) AS color_hits,
+       CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT)
+                                                          AS total_chars,
+       array_to_string(list_sort(words), '|')             AS joined
+FROM (
+  SELECT p_partkey, string_split(p_name, ' ') AS words FROM part
+)
+"""
+
+
+@register("array_functions", sql=_ARRAY_SQL)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = T(spark, sf_dir, "part").select(
+        "p_partkey", F.split("p_name", " ").alias("words")
+    )
+    return part.select(
+        "p_partkey",
+        "words",
+        F.sort_array("words").alias("words_sorted"),
+        # sorted: DuckDB's list_distinct does not preserve element order
+        F.sort_array(F.array_distinct("words")).alias("words_distinct"),
+        F.size("words").cast("long").alias("n_words"),
+        F.array_contains("words", "red").alias("has_red"),
+        F.slice("words", 1, 2).alias("first_two"),
+        F.sort_array(
+            F.array_intersect("words", F.array(F.lit("red"), F.lit("blue"), F.lit("small")))
+        ).alias("color_hits"),
+        F.aggregate(
+            F.transform("words", F.length), F.lit(0), lambda a, x: a + x
+        )
+        .cast("long")
+        .alias("total_chars"),
+        F.array_join(F.sort_array("words"), "|").alias("joined"),
+    )
