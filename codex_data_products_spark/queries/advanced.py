@@ -279,3 +279,44 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_chars"),
         F.array_join(F.sort_array("words"), "|").alias("joined"),
     )
+
+
+# ---------------------------------------------------------------------------
+# map_functions — the map scalar family (construct, extract, keys,
+# cardinality, null-safe miss) used for E11-style code→description
+# lookups when the dim is tiny enough to inline as a literal map.
+# Row-local; maps never reach the output schema (cross-engine map
+# comparison is ill-defined — extract to scalars instead).
+# ---------------------------------------------------------------------------
+
+_MAP_SQL = """
+SELECT p_partkey,
+       m['brand'][1]                      AS brand_val,
+       m['type'][1]                       AS type_val,
+       list_sort(map_keys(m))             AS keys_sorted,
+       CAST(cardinality(m) AS BIGINT)     AS n_keys,
+       coalesce(m['missing'][1], 'none')  AS miss
+FROM (
+  SELECT p_partkey, MAP {'brand': p_brand, 'type': p_type} AS m FROM part
+)
+"""
+
+
+@register("map_functions", sql=_MAP_SQL)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.create_map(
+            F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+        ).alias("m"),
+    )
+    return part.select(
+        "p_partkey",
+        F.try_element_at("m", F.lit("brand")).alias("brand_val"),
+        F.try_element_at("m", F.lit("type")).alias("type_val"),
+        F.sort_array(F.map_keys("m")).alias("keys_sorted"),
+        F.size("m").cast("long").alias("n_keys"),
+        F.coalesce(F.try_element_at("m", F.lit("missing")), F.lit("none")).alias(
+            "miss"
+        ),
+    )
