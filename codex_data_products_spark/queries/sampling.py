@@ -180,3 +180,57 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tokens_share, 6).alias("tokens_share"),
         F.round(target / share, 6).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_summary — the composed curation funnel as ONE declarative
+# plan: quality gate → exact dedup (min doc_id per content hash) →
+# deterministic split → per-(split, lang) accounting. Shows the
+# pipeline stages fuse: Catalyst plans a single job with two shuffles
+# (dedup window on the content hash, final agg), not four passes over
+# the corpus like a sequential tool chain would.
+# ---------------------------------------------------------------------------
+
+_CURATION_SQL = f"""
+SELECT split, lang,
+       count(*)                             AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)        AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT)         AS n_chars
+FROM (
+  SELECT lang, n_chars, n_tokens,
+         CASE WHEN {_SQL_HASH} % 100 < 90 THEN 'train' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, lang, n_chars, n_tokens,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM (
+      SELECT doc_id, lang, n_chars, text, {_sql_tokens()} AS n_tokens
+      FROM documents
+    )
+    WHERE n_tokens >= 10
+  )
+  WHERE rn = 1
+)
+GROUP BY split, lang
+"""
+
+
+@register("curation_summary", sql=_CURATION_SQL)
+def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", "n_chars", "text", _n_tokens().alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 10)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = staged.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    split = F.when(_doc_hash() % 100 < 90, "train").otherwise("test")
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
