@@ -26,6 +26,8 @@ HEADLINE = [
     "q18_large_volume",
     "q21_waiting_supplier",
     "pack_sequences",
+    "curation_summary",
+    "graph_pagerank",
     "join_range",
     "window_rank",
     "window_running_sum",

@@ -106,21 +106,31 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("graph_pagerank", sql=_PAGERANK_SQL)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _trade_edges(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # The aggregated edge list feeds node discovery, out-degree, and all
+    # three iterations — persist it so the 5-way source join runs ONCE
+    # (on a cluster this is the materialized edge table).
+    edges = _trade_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_nodes = nodes.count()  # |nations| — a scalar, fine on the driver
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    contrib_edges = edges.join(outw, "src").select(
-        F.col("src"),
-        F.col("dst"),
-        (F.col("w").cast("double") / F.col("out_w")).alias("share"),
+    contrib_edges = (
+        edges.join(outw, "src")
+        .select(
+            F.col("src"),
+            F.col("dst"),
+            (F.col("w").cast("double") / F.col("out_w")).alias("share"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 9).alias("rank"))
-    for _ in range(N_ITER):
+    for it in range(N_ITER):
         incoming = (
             contrib_edges.join(
                 F.broadcast(ranks), contrib_edges.src == F.col("node")
@@ -141,4 +151,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
+        if it < N_ITER - 1:
+            # truncate lineage between iterations (tiny |nodes|-row
+            # frame) so the final plan stays one join deep — the same
+            # rule that keeps connected components from OOMing the
+            # driver at high iteration counts (SCALE.md)
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
