@@ -1,0 +1,80 @@
+"""Generic graph propagation operators over edge-list DataFrames.
+
+The engine's graph representation is an edge list keyed by globally
+unique ids (SURVEY §1.1: the reference's scipy block-diagonal adjacency,
+bin/concatenate.py:313-336, becomes `(src, dst, weight)` rows). On that
+representation, iterative propagation is a loop that *builds one lazy
+plan per round*: join state to edges, aggregate to the destination,
+checkpoint. Connected components (operators used by
+queries/dedup.dedup_connected_components) and PageRank share the shape.
+
+Scale rules baked in here (see SCALE.md "iterative"):
+  * persist the edge/contribution table once — every round reuses it;
+  * truncate lineage each round with ``localCheckpoint`` (logical-plan
+    growth otherwise OOMs the driver at high iteration counts);
+  * keep per-round state at one row per node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    round_scale: int = 9,
+) -> DataFrame:
+    """Weighted PageRank over ``edges(src, dst, w)`` → ``(node, rank)``.
+
+    Ranks are re-rounded to ``round_scale`` decimals after every
+    iteration so floating-point sum-order noise cannot accumulate —
+    results are identical on any partitioning (and match a SQL oracle).
+    Dangling nodes (no out-edges) contribute nothing; nodes with no
+    in-edges settle at the damping base, matching the unrolled-CTE
+    reference semantics in queries/graph.py.
+    """
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    contrib = (
+        edges.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("out_w")).alias("share"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n_nodes), round_scale).alias("rank")
+    )
+    for it in range(n_iter):
+        incoming = (
+            contrib.join(F.broadcast(ranks), contrib.src == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("mass"))
+        )
+        ranks = nodes.join(
+            F.broadcast(incoming), nodes.node == incoming.dst, "left"
+        ).select(
+            "node",
+            F.round(
+                F.lit((1 - damping) / n_nodes)
+                + damping * F.coalesce(F.col("mass"), F.lit(0.0)),
+                round_scale,
+            ).alias("rank"),
+        )
+        if it < n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

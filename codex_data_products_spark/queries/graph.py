@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from codex_data_products_spark.operators.graphs import pagerank as op_pagerank
 from codex_data_products_spark.registry import register
 from codex_data_products_spark.tables import table as T
 
@@ -106,55 +107,4 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("graph_pagerank", sql=_PAGERANK_SQL)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
-    # The aggregated edge list feeds node discovery, out-degree, and all
-    # three iterations — persist it so the 5-way source join runs ONCE
-    # (on a cluster this is the materialized edge table).
-    edges = _trade_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select("dst"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_nodes = nodes.count()  # |nations| — a scalar, fine on the driver
-    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    contrib_edges = (
-        edges.join(outw, "src")
-        .select(
-            F.col("src"),
-            F.col("dst"),
-            (F.col("w").cast("double") / F.col("out_w")).alias("share"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    ranks = nodes.select("node", F.round(F.lit(1.0 / n_nodes), 9).alias("rank"))
-    for it in range(N_ITER):
-        incoming = (
-            contrib_edges.join(
-                F.broadcast(ranks), contrib_edges.src == F.col("node")
-            )
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("share")).alias("mass"))
-        )
-        ranks = (
-            nodes.join(
-                F.broadcast(incoming), nodes.node == incoming.dst, "left"
-            )
-            .select(
-                "node",
-                F.round(
-                    F.lit((1 - DAMPING) / n_nodes)
-                    + DAMPING * F.coalesce(F.col("mass"), F.lit(0.0)),
-                    9,
-                ).alias("rank"),
-            )
-        )
-        if it < N_ITER - 1:
-            # truncate lineage between iterations (tiny |nodes|-row
-            # frame) so the final plan stays one join deep — the same
-            # rule that keeps connected components from OOMing the
-            # driver at high iteration counts (SCALE.md)
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return op_pagerank(_trade_edges(spark, sf_dir), n_iter=N_ITER, damping=DAMPING)

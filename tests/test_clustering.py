@@ -98,3 +98,33 @@ def test_kmeans_cells_beat_label_cells_for_ivf_recall(spark, sf_dir):
     # the retrained cells must contain strictly more of the true top-k
     assert r_kmeans > r_label
     assert r_kmeans >= 0.3  # and be a usable index, not a lottery
+
+
+def test_pagerank_operator_hand_checked(spark):
+    """3-node cycle with one chord: ranks computable by hand.
+
+    Graph: a->b (1), b->c (1), c->a (1), a->c (1). a splits its mass
+    between b and c; after enough iterations c must outrank b (two
+    in-edges vs one), and every iteration preserves total mass ≈ 1.
+    """
+    from codex_data_products_spark.operators.graphs import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0), ("a", "c", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got["c"] > got["b"]  # two in-edges beat one
+    # python reference implementation, same rounding discipline
+    ranks = {n: round(1 / 3, 9) for n in "abc"}
+    out = {"a": [("b", 0.5), ("c", 0.5)], "b": [("c", 1.0)], "c": [("a", 1.0)]}
+    for _ in range(5):
+        mass = {n: 0.0 for n in "abc"}
+        for src, outs in out.items():
+            for dst, share in outs:
+                mass[dst] += ranks[src] * share
+        ranks = {n: round(0.15 / 3 + 0.85 * mass[n], 9) for n in "abc"}
+    for n in "abc":
+        assert abs(got[n] - ranks[n]) < 1e-9
