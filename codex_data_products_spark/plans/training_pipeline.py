@@ -49,6 +49,9 @@ class CurationConfig:
     max_stopword_ratio: float = 0.6
     min_type_token_ratio: float = 0.2
     keep_langs: tuple[str, ...] = ("en",)
+    # Gopher-style repetition gate: fraction of the doc covered by its
+    # most frequent bigram (row-local, see queries/text.text_repetition)
+    max_top_bigram_frac: float = 0.5
     # 4 bands over the 32-bit simhash guarantee (pigeonhole) a candidate
     # for every pair within hamming 3
     max_hamming: int = 3
@@ -56,6 +59,27 @@ class CurationConfig:
 
 def _toks():
     return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def _top_bigram_frac(toks) -> F.Column:
+    """Fraction of bigram slots taken by the most frequent bigram —
+    row-local array math (no explode), same shape as
+    queries/text.text_repetition."""
+    bgs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bgs),
+            lambda x: F.size(F.filter(bgs, lambda y: y == x)),
+        )
+    )
+    return F.when(
+        F.size(toks) > 1,
+        F.round(top.cast("double") / (F.size(toks) - 1), 6),
+    ).otherwise(F.lit(0.0))
 
 
 def exact_dedup_keepers(docs: DataFrame) -> DataFrame:
@@ -129,6 +153,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6).alias(
             "type_token_ratio"
         ),
+        _top_bigram_frac(toks).alias("top_bigram_frac"),
     )
 
     def lang_score(lang: str):
@@ -153,6 +178,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         & (F.col("n_tokens") <= cfg.max_tokens)
         & (F.col("stopword_ratio") <= cfg.max_stopword_ratio)
         & (F.col("type_token_ratio") >= cfg.min_type_token_ratio)
+        & (F.col("top_bigram_frac") <= cfg.max_top_bigram_frac)
         & F.col("lang_predicted").isin(*cfg.keep_langs)
     )
 
