@@ -699,3 +699,71 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(money("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q2_min_cost_supplier — TPC-H Q2 essence without partsupp: derive the
+# supplier catalog from lineitem history (avg unit price per part ×
+# supplier), then pick each part's cheapest EUROPE supplier
+# (argmin-per-group via rank-1 window, suppkey tie-break). The derived
+# catalog aggregates once on (part, supplier); the window partitions by
+# part — both shuffles are on the same key family, and AQE coalesces
+# the tiny post-filter output.
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = f"""
+SELECT p_partkey, p_brand, s_suppkey, s_name, unit_cost
+FROM (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, unit_cost,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY unit_cost, s_suppkey) AS rn
+  FROM (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           round(CAST(sum({sql_money('l_extendedprice')}) AS DOUBLE)
+                 / CAST(sum({sql_money('l_quantity')}) AS DOUBLE), 6)
+             AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+  ) ps
+  JOIN part     ON p_partkey = ps_partkey
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE' AND p_size < 15
+)
+WHERE rn = 1
+ORDER BY unit_cost, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", sql=_Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.round(
+            F.sum(money("l_extendedprice")).cast("double")
+            / F.sum(money("l_quantity")).cast("double"),
+            6,
+        ).alias("unit_cost")
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "s_suppkey")
+    return (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("ps_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_cost")
+        .orderBy("unit_cost", "p_partkey")
+        .limit(100)
+    )
