@@ -767,3 +767,43 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("unit_cost", "p_partkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q11_important_parts — TPC-H Q11 shape without partsupp: parts whose
+# revenue exceeds a fraction of GLOBAL revenue. The global total is a
+# scalar subquery over the SAME aggregate — Spark computes the per-part
+# agg once, derives the 1-row total from it, and broadcasts it back;
+# the fact table is scanned once, not twice.
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, {sql_dsum(_REV)} AS part_rev
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_rev
+FROM per_part
+WHERE part_rev > (SELECT sum(part_rev) * 0.0008 FROM per_part)
+"""
+
+
+@register("q11_important_parts", sql=_Q11_SQL)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    li = T(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(dsum(_rev()).alias("part_rev"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    threshold = per_part.agg(
+        (F.sum("part_rev") * 0.0008).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_rev") > F.col("threshold"))
+        .select("l_partkey", "part_rev")
+    )
