@@ -425,3 +425,56 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("ab"), 3).alias("repeated"),
         F.instr("s_name", "#").cast("long").alias("hash_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# null_semantics — the null-handling contract: NULL forms its own group,
+# count(col) skips nulls while count(*) doesn't, null-safe equality
+# (<=> / IS NOT DISTINCT FROM) matches nulls, and coalesce rewrites the
+# null group label. The testdata has no null columns, so the nullable
+# key is derived with nullif — the semantics under test are the same.
+# ---------------------------------------------------------------------------
+
+_NULL_SQL = """
+SELECT coalesce(seg, '<null>')          AS seg_label,
+       count(*)                         AS n_rows,
+       count(seg)                       AS n_nonnull,
+       CAST(sum(CASE WHEN seg IS NOT DISTINCT FROM 'MACHINERY'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nullsafe_machinery,
+       CAST(sum(CASE WHEN seg = 'MACHINERY'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS eq_machinery,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM (SELECT nullif(c_mktsegment, 'BUILDING') AS seg, c_nationkey FROM customer)
+GROUP BY seg
+"""
+
+
+@register("null_semantics", sql=_NULL_SQL)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    staged = cust.select(seg.alias("seg"), "c_nationkey")
+    return (
+        staged.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("seg").alias("n_nonnull"),
+            F.sum(
+                F.when(F.col("seg").eqNullSafe(F.lit("MACHINERY")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("nullsafe_machinery"),
+            F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0))
+            .cast("long")
+            .alias("eq_machinery"),
+            F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+        )
+        .select(
+            F.coalesce(F.col("seg"), F.lit("<null>")).alias("seg_label"),
+            "n_rows",
+            "n_nonnull",
+            "nullsafe_machinery",
+            "eq_machinery",
+            "n_nations",
+        )
+    )
