@@ -287,3 +287,48 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
         ((top_token_frac > 0.20) | (top_bigram_frac > 0.15)).alias("repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# explode_positions — the generator/UDTF family: posexplode of token
+# arrays (1 row per token with its position). The explode is the
+# deliberate scale-out: rows × avg_tokens output, aggregated back down
+# in the same stage pipeline. (Internal pipelines explode shingles the
+# same way, queries/dedup.shingle_table.)
+# ---------------------------------------------------------------------------
+
+_EXPLODE_SQL = r"""
+SELECT token,
+       count(*)                   AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(pos) AS BIGINT)   AS min_pos
+FROM (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS token
+  FROM (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+    FROM documents
+  ), unnest(generate_series(1, len(toks))) AS u(i)
+)
+WHERE length(token) > 4
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+"""
+
+
+@register("explode_positions", sql=_EXPLODE_SQL)
+def explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "token")
+    ).filter(F.length("token") > 4)
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("pos").cast("long").alias("min_pos"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(50)
+    )
