@@ -308,3 +308,79 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_RETENTION_SQL = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+),
+joined AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, a.active_week) // 7 AS BIGINT)
+           AS week_offset,
+         a.user_id
+  FROM cohorts c JOIN activity a ON a.user_id = c.user_id
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY cohort_week
+)
+SELECT strftime(j.cohort_week, '%Y-%m-%d') AS cohort_week,
+       j.week_offset,
+       CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+       CAST(any_value(s.cohort_size) AS BIGINT)  AS cohort_size,
+       round(CAST(count(DISTINCT j.user_id) AS DOUBLE)
+             / any_value(s.cohort_size), 6)      AS retention
+FROM joined j JOIN sizes s ON s.cohort_week = j.cohort_week
+GROUP BY j.cohort_week, j.week_offset
+"""
+
+
+@register("events_retention", sql=_RETENTION_SQL)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week;
+    each later active week contributes to that cohort's offset bucket.
+    Both engines truncate weeks to Monday, and the offset is exact
+    integer day-arithmetic (week-truncated stamps differ by multiples
+    of 7 days), so no calendar ambiguity. Plan shape: two aggs on
+    user_id (one exchange, reused), broadcast of the tiny cohort-size
+    dim, final agg on (cohort, offset)."""
+    events = T(spark, sf_dir, "events")
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    joined = activity.join(cohorts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (F.datediff("active_week", "cohort_week") / 7)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_active"),
+            F.first("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.countDistinct("user_id").cast("double") / F.first("cohort_size"),
+                6,
+            ).alias("retention"),
+        )
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            "retention",
+        )
+    )
