@@ -138,3 +138,34 @@ def test_split_train_test_is_single_agg_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "split_train_test")
     assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
     assert plan.count("Exchange") <= 2  # partial→final agg only
+
+
+def test_q2_argmin_broadcasts_dims_and_single_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window [") == 1
+    # rank<=1 is pushed below the window as a partial+final group limit,
+    # so each partition keeps one candidate row before the final sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_q11_scans_lineitem_once(spark, sf_dir):
+    # the per-part agg is persisted and reused for the global total —
+    # the fact table must appear in exactly one scan
+    plan = _plan(spark, sf_dir, "q11_important_parts")
+    assert plan.count("FileScan parquet") <= 1 or "InMemoryTableScan" in plan
+
+
+def test_curation_summary_two_exchanges(spark, sf_dir):
+    # quality gate fuses into the scan; dedup window + final agg are the
+    # only shuffles
+    plan = _plan(spark, sf_dir, "curation_summary")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Window" in plan
+
+
+def test_events_retention_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_retention")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
