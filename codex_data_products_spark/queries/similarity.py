@@ -517,3 +517,115 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_sum",
         F.round("mse_raw", 10).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_multiprobe — IVF with nprobe=2: each query ranks the trained
+# cell centroids by cosine and scans its TWO nearest cells, the standard
+# recall knob when the true neighbor falls just across a cell boundary.
+# Plan shape: centroids are a |cells|-row broadcast; probing adds a
+# second partition to each query's pruned scan — at 100 TB with the
+# corpus partitioned by cell this is reading 2/n_cells of the data
+# instead of 1/n_cells, still never a full scan.
+# ---------------------------------------------------------------------------
+
+N_PROBES = 2
+
+_MULTIPROBE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent_long AS (
+  SELECT label, g.i AS i,
+         CAST(round(sum(CAST(CAST(embedding[g.i] AS DOUBLE)
+                              AS DECIMAL(12,8))), 8) AS DOUBLE)
+           / count(*) AS m
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+  GROUP BY label, g.i
+),
+cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cent_long GROUP BY label),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+probes AS (
+  SELECT q.vec_id AS query_id, cent.label,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_dot_product(q.v, cent.cv)
+                    / sqrt(list_dot_product(q.v, q.v)
+                           * list_dot_product(cent.cv, cent.cv)), 6) DESC,
+                    cent.label
+         ) AS cell_rank
+  FROM q CROSS JOIN cent
+),
+probed AS (SELECT query_id, label FROM probes WHERE cell_rank <= {N_PROBES}),
+scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    c.vec_id AS neighbor_id,
+    {_SQL_COS} AS cosine,
+    row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY {_SQL_COS} DESC, c.vec_id
+    ) AS rn
+  FROM q
+  JOIN probed p ON p.query_id = q.vec_id
+  JOIN e c ON c.label = p.label AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM scored WHERE rn <= {TOP_K}
+"""
+
+
+@register("knn_ivf_multiprobe", sql=_MULTIPROBE_SQL)
+def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(T(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # trained centroids as ordered arrays (exact decimal component means)
+    cent = (
+        T(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "c"))
+        .select(
+            "label", "dim", F.col("c").cast("double").cast("decimal(12,8)").alias("c")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (F.round(F.sum("c"), 8).cast("double") / F.count(F.lit(1))).alias("m")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
+            ).alias("cv")
+        )
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cell_cos = F.round(cosine_expr(F.col("qv"), F.col("cv")), 6)
+    w_cells = Window.partitionBy("query_id").orderBy(
+        cell_cos.desc(), F.col("label")
+    )
+    probed = (
+        q.join(F.broadcast(cent))
+        .withColumn("cell_rank", F.row_number().over(w_cells))
+        .filter(F.col("cell_rank") <= N_PROBES)
+        .select("query_id", "qv", "label")
+    )
+    cand = probed.join(F.broadcast(emb), "label").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(cosine_expr(F.col("qv"), F.col("v")), 6)
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
