@@ -7,7 +7,7 @@ Streaming jobs — pytest asserts streaming output equals these results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codex_data_products_spark.registry import register
@@ -383,4 +383,94 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_size",
             "retention",
         )
+    )
+
+
+_LATEST_SQL = """
+SELECT user_id,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       value      AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+@register("events_latest_per_key", sql=_LATEST_SQL)
+def events_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: the most recent event per key (rank-1
+    window, event_id tie-break). Spark plans WindowGroupLimit — each
+    partition keeps one row before the final window, so state is
+    O(keys), not O(events). This is the batch shape of streaming
+    `dropDuplicates` with a last-write-wins policy."""
+    events = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END)  AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN ts END)    AS t_first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  count(*) AS n_users,
+  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_signed_up,
+  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_first_view > t_signup
+                THEN 1 ELSE 0 END) AS BIGINT)  AS n_viewed_after_signup,
+  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_first_view > t_signup
+                AND t_first_purchase > t_first_view
+                THEN 1 ELSE 0 END) AS BIGINT)  AS n_full_funnel
+FROM stages
+"""
+
+
+@register("events_funnel", sql=_FUNNEL_SQL)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (signup → later first view → later
+    first purchase): one conditional-min aggregate per stage, then
+    ordering predicates — a single shuffle on user_id, no self-joins.
+    NULL stage timestamps (user never reached the stage) fail the >
+    comparisons in both engines, so missing stages drop out without
+    explicit null guards."""
+    events = T(spark, sf_dir, "events")
+    stages = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_first_purchase"
+        ),
+    )
+    signed = F.col("t_signup").isNotNull()
+    viewed = signed & (F.col("t_first_view") > F.col("t_signup"))
+    full = viewed & (F.col("t_first_purchase") > F.col("t_first_view"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(signed, 1).otherwise(0)).cast("long").alias("n_signed_up"),
+        F.sum(F.when(viewed, 1).otherwise(0))
+        .cast("long")
+        .alias("n_viewed_after_signup"),
+        F.sum(F.when(full, 1).otherwise(0)).cast("long").alias("n_full_funnel"),
     )
