@@ -478,3 +478,42 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nations",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# try_arithmetic — ANSI-mode safety functions: Spark 4 runs ANSI SQL
+# (division by zero THROWS), so production pipelines use try_divide /
+# try_* to get null-on-error semantics without disabling ANSI. The
+# oracle emulates with explicit CASE guards — same contract. Null
+# ratios are summed as exact decimals (order-free) for determinism.
+# ---------------------------------------------------------------------------
+
+_TRY_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_by_zero,
+       CAST(round(sum(CASE WHEN l_quantity <> 25
+                     THEN CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+                               / (l_quantity - 25), 6) AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END), 6) AS DOUBLE)
+         AS sum_safe_ratio
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("try_arithmetic", sql=_TRY_SQL)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(money("l_extendedprice"), F.col("l_quantity") - 25)
+    safe = F.coalesce(
+        F.round(ratio, 6).cast("decimal(18,6)"), F.lit(0).cast("decimal(18,6)")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(ratio.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_div_by_zero"),
+        F.round(F.sum(safe), 6).cast("double").alias("sum_safe_ratio"),
+    )
