@@ -28,6 +28,8 @@ HEADLINE = [
     "pack_sequences",
     "curation_summary",
     "graph_pagerank",
+    "events_retention",
+    "knn_ivf_multiprobe",
     "join_range",
     "window_rank",
     "window_running_sum",
