@@ -326,3 +326,42 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.row_number().over(w).cast("long").alias("rn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window_first_last — value-position analytics: first/last/nth order
+# price per customer over the full partition frame. The frame must be
+# explicit (ROWS UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING): the
+# default frame stops at CURRENT ROW, which silently turns last_value
+# into "current value" — a classic window-function bug both engines
+# reproduce identically if you let them.
+# ---------------------------------------------------------------------------
+
+_FIRST_LAST_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+       CAST(last_value(o_totalprice)  OVER w AS DOUBLE) AS last_price,
+       CAST(nth_value(o_totalprice, 2) OVER w AS DOUBLE) AS second_price,
+       CAST(count(*) OVER w AS BIGINT) AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_first_last", sql=_FIRST_LAST_SQL)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+        F.last("o_totalprice").over(w).cast("double").alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).cast("double").alias("second_price"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders"),
+    )
