@@ -200,3 +200,68 @@ def join_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(lookup[F.col("r_name")], F.lit("UNKNOWN")).alias("region_desc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_semi_join — sketch-accelerated semi join: a hand-built Bloom
+# filter (k=3 multiplicative hashes into an m=1024-bit space, aggregated
+# to a broadcast position set) prefilters the fact scan before the exact
+# semi join removes the sketch's false positives. The oracle is the
+# PLAIN semi join — result equality is the point: the sketch changes the
+# plan, never the answer. At 100 TB this is what Spark's runtime row-
+# group filtering does internally; building it from primitives shows the
+# mechanics (and works where the built-in runtime filter can't reach,
+# e.g. pre-shuffle pruning of a custom source).
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1024
+_BLOOM_HASHES = ((2654435761, 7), (40503, 131), (2246822519, 1031))
+
+_BLOOM_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 4500)
+GROUP BY o_orderstatus
+"""
+
+
+def _bloom_pos(key, mult: int, add: int) -> F.Column:
+    return (key * mult + add) % _BLOOM_M
+
+
+@register("bloom_semi_join", sql=_BLOOM_SQL)
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 4500)
+    orders = T(spark, sf_dir, "orders")
+    # build: every hash position of every build-side key, as ONE array
+    positions = cust.select(
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col("c_custkey"), m, a)
+                    for m, a in _BLOOM_HASHES
+                ]
+            )
+        ).alias("pos")
+    ).agg(F.collect_set("pos").alias("bset"))
+    # probe: candidate iff ALL k positions are set (Bloom contract)
+    candidate = orders.join(F.broadcast(positions))
+    for m, a in _BLOOM_HASHES:
+        candidate = candidate.filter(
+            F.array_contains("bset", _bloom_pos(F.col("o_custkey"), m, a))
+        )
+    # exact semi join clears false positives — sketch never changes results
+    exact = candidate.join(
+        cust.select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    return exact.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
