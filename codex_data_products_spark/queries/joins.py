@@ -228,31 +228,19 @@ GROUP BY o_orderstatus
 """
 
 
-def _bloom_pos(key, mult: int, add: int) -> F.Column:
-    return (key * mult + add) % _BLOOM_M
-
-
 @register("bloom_semi_join", sql=_BLOOM_SQL)
 def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
     cust = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 4500)
     orders = T(spark, sf_dir, "orders")
-    # build: every hash position of every build-side key, as ONE array
-    positions = cust.select(
-        F.explode(
-            F.array(
-                *[
-                    _bloom_pos(F.col("c_custkey"), m, a)
-                    for m, a in _BLOOM_HASHES
-                ]
-            )
-        ).alias("pos")
-    ).agg(F.collect_set("pos").alias("bset"))
-    # probe: candidate iff ALL k positions are set (Bloom contract)
-    candidate = orders.join(F.broadcast(positions))
-    for m, a in _BLOOM_HASHES:
-        candidate = candidate.filter(
-            F.array_contains("bset", _bloom_pos(F.col("o_custkey"), m, a))
-        )
+    bloom = bloom_build(cust, "c_custkey", m=_BLOOM_M, hashes=_BLOOM_HASHES)
+    candidate = bloom_probe(
+        orders, bloom, "o_custkey", m=_BLOOM_M, hashes=_BLOOM_HASHES
+    )
     # exact semi join clears false positives — sketch never changes results
     exact = candidate.join(
         cust.select("c_custkey"),

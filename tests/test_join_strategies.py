@@ -117,3 +117,29 @@ def test_generic_asof_join(spark):
         ).collect()
     }
     assert inclusive == {1: 10.0, 2: 11.0, 3: 11.0, 4: None}
+
+
+def test_bloom_sketch_no_false_negatives(spark):
+    """Bloom contract: every build key survives the probe; false
+    positives are possible but bounded, and an exact join clears them."""
+    from codex_data_products_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    build = spark.range(0, 200, 3).select(F.col("id").alias("k"))  # 67 keys
+    probe = spark.range(0, 600).select(F.col("id").alias("k"))
+    bloom = bloom_build(build, "k")
+    kept = {r["k"] for r in bloom_probe(probe, bloom, "k").collect()}
+    truth = {r["k"] for r in build.collect()}
+    assert truth <= kept  # no false negatives
+    # false-positive rate stays modest for 67 keys in 1024 bits, k=3
+    assert len(kept) < 3 * len(truth)
+    exact = {
+        r["k"]
+        for r in bloom_probe(probe, bloom, "k")
+        .join(build.withColumnRenamed("k", "bk"), F.col("k") == F.col("bk"), "left_semi")
+        .collect()
+    }
+    assert exact == truth
