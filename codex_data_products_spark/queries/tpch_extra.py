@@ -807,3 +807,126 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_rev") > F.col("threshold"))
         .select("l_partkey", "part_rev")
     )
+
+
+# ---------------------------------------------------------------------------
+# q16_supplier_part_count — TPC-H Q16 shape without partsupp: the
+# supplier↔part relation is recovered as DISTINCT (l_partkey, l_suppkey)
+# pairs from lineitem; "complaint" suppliers are adapted to negative
+# account balance (the reference schema has no comment column). NOT IN →
+# left-anti join against a tiny broadcast exclusion list; the part
+# predicates (brand/type/size) all push into the parquet scan. At scale
+# the distinct pair extraction is the only lineitem shuffle and it
+# map-side combines; part and the exclusion list broadcast.
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT sp.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+JOIN part ON p_partkey = sp.l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND sp.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_part_count", sql=_Q16_SQL)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    complaints = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        sp.join(
+            F.broadcast(complaints),
+            sp.l_suppkey == complaints.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), sp.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20_excess_stock — TPC-H Q20 shape without partsupp: suppliers in two
+# nations whose shipped quantity of 'small%' parts is dominated by old
+# stock (total > 2× recent). The nested IN chain becomes two left-semi
+# joins; Q20's correlated availqty subquery collapses into one grouped
+# aggregate with two conditional sums over the SAME scan — no second
+# lineitem pass. Part list and nation dim broadcast; the only shuffle
+# is the (suppkey, partkey) groupBy.
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_7')
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) >
+           2 * sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                        THEN l_quantity ELSE 0 END)
+  )
+"""
+
+
+@register("q20_excess_stock", sql=_Q20_SQL)
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    small_parts = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    qualified = (
+        li.join(
+            F.broadcast(small_parts),
+            li.l_partkey == small_parts.p_partkey,
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    >= F.lit("1998-01-01").cast("timestamp"),
+                    F.col("l_quantity"),
+                ).otherwise(F.lit(0.0))
+            ).alias("recent_qty"),
+        )
+        .filter(F.col("total_qty") > 2 * F.col("recent_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nations = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    supp = T(spark, sf_dir, "supplier")
+    return (
+        supp.join(
+            F.broadcast(nations),
+            supp.s_nationkey == nations.n_nationkey,
+            "left_semi",
+        )
+        .join(qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
