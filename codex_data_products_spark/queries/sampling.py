@@ -234,3 +234,87 @@ def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# split_contamination — train/test leakage audit: which test documents
+# share 8-gram shingles with ANY train document (the standard benchmark-
+# contamination check run before an eval set ships). One shingle
+# explosion, one distinct per side, one join keyed on the shingle — at
+# 100 TB the join key becomes xxhash64(shingle) (8 bytes instead of a
+# ~50-byte string; collisions only over-flag, never under-flag) and the
+# train side is written bucketed by that hash so nightly eval audits
+# reuse the layout with no re-shuffle. The string key is kept here for
+# bit-exact cross-engine oracle parity.
+# ---------------------------------------------------------------------------
+
+_CONTAM_SQL = f"""
+WITH labeled AS (
+  SELECT doc_id,
+         CASE WHEN {_SQL_HASH} % 100 < 90 THEN 'train' ELSE 'test' END AS split,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, split,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS shingle
+  FROM labeled, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS t(i)
+),
+train_sh AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+test_sh  AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE split = 'test')
+SELECT t.doc_id,
+       count(*)                            AS n_shingles,
+       CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT)                     AS n_contaminated,
+       round(CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS contamination_ratio
+FROM test_sh t
+LEFT JOIN train_sh tr USING (shingle)
+GROUP BY t.doc_id
+"""
+
+
+@register("split_contamination", sql=_CONTAM_SQL)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, 8), " "),
+    )
+    labeled = docs.select(
+        "doc_id",
+        F.when(_doc_hash() % 100 < 90, "train").otherwise("test").alias("split"),
+        F.explode(shingles).alias("shingle"),
+    )
+    train_sh = (
+        labeled.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    test_sh = (
+        labeled.filter(F.col("split") == "test")
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    return (
+        test_sh.join(
+            train_sh.withColumnRenamed("shingle", "tr_shingle"),
+            test_sh.shingle == F.col("tr_shingle"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("tr_shingle").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_contaminated"),
+            F.round(
+                F.sum(
+                    F.when(F.col("tr_shingle").isNotNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("contamination_ratio"),
+        )
+    )

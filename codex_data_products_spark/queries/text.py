@@ -332,3 +332,62 @@ def explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("token"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# vocab_top_terms — vocabulary induction: top-5 terms per language by
+# term frequency, with corpus-wide document frequency attached. The
+# (tf DESC, df ASC, term) rank is integer-only, so it is deterministic
+# across engines — a float tf-idf would rank identically here but ties
+# could flip on last-ulp ln() differences. At 100 TB: the per-(lang,
+# term) agg map-side combines; the df table keyed by term is the only
+# re-shuffle, and the top-5 filter is a WindowGroupLimit pushed below
+# the final sort, so no executor materializes a full vocabulary.
+# ---------------------------------------------------------------------------
+
+_VOCAB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT lang, term, count(*) AS tf
+  FROM tok WHERE length(term) > 3
+  GROUP BY lang, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM tok WHERE length(term) > 3
+  GROUP BY term
+)
+SELECT lang, term, tf, df, rank FROM (
+  SELECT tf.lang, tf.term, tf.tf, df.df,
+         CAST(row_number() OVER (PARTITION BY tf.lang
+                                 ORDER BY tf.tf DESC, df.df ASC, tf.term)
+              AS BIGINT) AS rank
+  FROM tf JOIN df USING (term)
+)
+WHERE rank <= 5
+"""
+
+
+@register("vocab_top_terms", sql=_VOCAB_SQL)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("term")
+    ).filter(F.length("term") > 3)
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "term", "tf", "df", "rank")
+    )
