@@ -53,6 +53,10 @@ HEADLINE = [
     "multimodal_frame_sample",
     "pivot_event_values",
     "asof_join",
+    "q16_supplier_part_count",
+    "q20_excess_stock",
+    "split_contamination",
+    "vocab_top_terms",
 ]
 
 

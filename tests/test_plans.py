@@ -169,3 +169,35 @@ def test_events_retention_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_retention")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q16_excludes_suppliers_with_broadcast_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_part_count")
+    # tiny exclusion list and part dim both broadcast; pair-extraction
+    # distinct is the only lineitem shuffle
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_join_chain_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q20_excess_stock")
+    # part list, nation dim, and the qualified-supplier set all
+    # broadcast; the (suppkey, partkey) groupBy is the only fact shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_top5_pushes_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "vocab_top_terms")
+    # rank <= 5 over row_number must become a partial+final
+    # WindowGroupLimit so no task materializes a full vocabulary
+    assert plan.count("WindowGroupLimit") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_join_is_keyed_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "split_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
