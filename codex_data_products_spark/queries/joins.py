@@ -253,3 +253,67 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join_symdel — similarity self-join at edit distance <= 1 via the
+# SymSpell deletion-neighborhood trick: each name emits itself plus every
+# single-character deletion as blocking keys; any two strings within one
+# edit share a key, so a plain equi-join on the exploded keys finds every
+# candidate pair and a final levenshtein() check kills false positives
+# (e.g. transpositions, which share keys but are distance 2). The oracle
+# is the brute-force quadratic join — same rows, different plan. At
+# 100 TB the candidate join hash-partitions on the 8-byte xxhash of the
+# key; the quadratic oracle plan would be O(n²) and is exactly what this
+# operator replaces. Candidate blow-up is (len+1)× the name count, and
+# map-side combine dedups pairs that share several keys.
+# ---------------------------------------------------------------------------
+
+_FUZZY_SQL = """
+WITH names AS (SELECT DISTINCT s_name AS name FROM supplier)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+def _deletion_keys(col: F.Column) -> F.Column:
+    """The string itself plus every single-character deletion."""
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - F.lit(1)),
+            col.substr(i + F.lit(1), F.length(col) - i),
+        ),
+    )
+    return F.array_union(F.array(col), deletions)
+
+
+@register("fuzzy_join_symdel", sql=_FUZZY_SQL)
+def fuzzy_join_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        T(spark, sf_dir, "supplier")
+        .select(F.col("s_name").alias("name"))
+        .distinct()
+    )
+    keyed = names.select(
+        "name", F.explode(_deletion_keys(F.col("name"))).alias("key")
+    )
+    right = keyed.select(
+        F.col("name").alias("name_b"), F.col("key").alias("key_b")
+    )
+    return (
+        keyed.join(
+            right,
+            (F.col("key") == F.col("key_b"))
+            & (F.col("name") < F.col("name_b")),
+        )
+        .select(F.col("name").alias("name_a"), "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .withColumn(
+            "edit_distance",
+            F.levenshtein("name_a", "name_b").cast("long"),
+        )
+    )

@@ -201,3 +201,11 @@ def test_contamination_join_is_keyed_not_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "split_contamination")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_symdel_is_equi_join_not_quadratic(spark, sf_dir):
+    # the whole point of the deletion-neighborhood keys: an equi hash
+    # join on the blocking key, never a quadratic similarity join
+    plan = _plan(spark, sf_dir, "fuzzy_join_symdel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
