@@ -391,3 +391,49 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("lang", "term", "tf", "df", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_cms — frequent-token mining with a Count-Min prefilter:
+# pass 1 folds the token stream into a 3×1024-cell sketch (map-side
+# combine; the shuffle is <= 3072 rows per task no matter how many
+# distinct tokens exist), pass 2 streams tokens again, keeps only
+# occurrences whose sketch estimate clears the threshold (broadcast
+# map-side lookups, no shuffle), and recounts the survivors exactly.
+# CMS only over-counts, so no true heavy hitter is lost, and the exact
+# recount kills false positives — the oracle is the plain exact
+# GROUP BY ... HAVING, which is exactly the full-shuffle plan the
+# sketch path replaces at 100 TB.
+# ---------------------------------------------------------------------------
+
+_HH_THRESHOLD = 200
+
+_HH_SQL = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+GROUP BY token
+HAVING count(*) >= {_HH_THRESHOLD}
+"""
+
+
+@register("heavy_hitters_cms", sql=_HH_SQL)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    toks = T(spark, sf_dir, "documents").select(
+        F.explode(_tokens()).alias("token")
+    )
+    sketch = cms_build(toks, "token")
+    survivors = (
+        cms_estimate(toks, sketch, "token")
+        .filter(F.col("cms_est") >= _HH_THRESHOLD)
+        .drop("cms_est")
+    )
+    return (
+        survivors.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= _HH_THRESHOLD)
+    )

@@ -143,3 +143,42 @@ def test_bloom_sketch_no_false_negatives(spark):
         .collect()
     }
     assert exact == truth
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """CMS contract: the min-cell estimate upper-bounds every item's
+    true frequency, so threshold prefilters keep all true heavy
+    hitters; the exact recount clears false positives."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    # skewed stream: item i appears (i % 7 + 1) * 3 times
+    items = (
+        spark.range(0, 50)
+        .select(
+            F.explode(
+                F.array_repeat(
+                    F.concat(F.lit("item_"), F.col("id")),
+                    ((F.col("id") % 7) + 1).cast("int") * 3,
+                )
+            ).alias("item")
+        )
+    )
+    truth = {
+        r["item"]: r["cnt"]
+        for r in items.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+    }
+    sketch = cms_build(items, "item")
+    est = {
+        r["item"]: r["cms_est"]
+        for r in cms_estimate(
+            items.distinct(), sketch, "item"
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    for item, true_cnt in truth.items():
+        assert est[item] >= true_cnt
