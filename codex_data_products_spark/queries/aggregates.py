@@ -216,3 +216,63 @@ def agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_pop"),
         F.round(F.sqrt(var), 6).alias("stddev_pop"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_correlation — Pearson correlation from the five exact decimal
+# moments (n, Σx, Σy, Σx², Σy², Σxy): the sums are order-free DECIMAL,
+# so any partitioning produces identical moments, and the one float
+# expression at the end is evaluated with the same IEEE ops in both
+# engines. The built-in corr() is a float running aggregate whose
+# result depends on row order — unusable for a cross-engine gate.
+# ---------------------------------------------------------------------------
+
+_CORR_SQL = """
+WITH m AS (
+  SELECT
+    l_returnflag,
+    count(*) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)       AS sx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)  AS sy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)     AS sxx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag, n,
+  round((n * sxy - sx * sy)
+        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+  round((n * sxy - sx * sy) / (n * CAST(n AS DOUBLE)), 6)     AS covar_pop
+FROM m
+"""
+
+
+@register("agg_correlation", sql=_CORR_SQL)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    covar = (n * sxy - sx * sy) / (n * n.cast("double"))
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(covar, 6).alias("covar_pop"),
+    )

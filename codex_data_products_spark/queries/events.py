@@ -474,3 +474,39 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_viewed_after_signup"),
         F.sum(F.when(full, 1).otherwise(0)).cast("long").alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_histogram — fixed-bin value histogram per event type. Spark
+# uses the built-in width_bucket; the oracle spells out the identical
+# floor((v - min) / width) + 1 arithmetic (DuckDB has no width_bucket).
+# All values lie strictly inside [0, 500), so the two formulations
+# agree bit-for-bit. One map-side-combined aggregate — the canonical
+# "histogram of a 100 TB column in one pass" shape.
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(floor(value / 20.0) + 1 AS BIGINT) AS bucket,
+       count(*)                                AS n_events,
+       round(CAST(min(value) AS DOUBLE), 2)    AS lo,
+       round(CAST(max(value) AS DOUBLE), 2)    AS hi
+FROM events
+GROUP BY event_type, bucket
+"""
+
+
+@register("events_histogram", sql=_HISTOGRAM_SQL)
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    bucket = F.width_bucket(
+        F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(25)
+    ).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
