@@ -1,0 +1,83 @@
+"""Data-layout management for parquet products: clustered writes and
+small-file compaction.
+
+The reference writes one monolithic HDF5 artifact per run
+(bin/concatenate.py:454-456) — layout management doesn't exist there.
+At 100 TB the layout IS the query plan: a table range-clustered on its
+dominant filter column lets every engine (Spark, DuckDB, Trino) skip
+whole files on the parquet footer min/max stats, and keeping file sizes
+near the scan split size stops both the small-file metadata storm and
+the giant-file straggler task.
+
+Both operations are expressed as plain DataFrame writes so they run
+distributed:
+
+* ``cluster_write`` — ``repartitionByRange(n, cols)`` gives disjoint
+  per-file key ranges (sampled range boundaries → near-equal file
+  sizes even on skewed keys), and ``sortWithinPartitions`` tightens
+  per-rowgroup min/max so page-level skipping works too.
+* ``compact`` — bin-packs existing fragments back to ``target_files``
+  outputs. ``coalesce`` (no shuffle) when shrinking; hash
+  ``repartition`` only when growing.
+
+Neither changes row content — tests assert bytes-identical datasets —
+so they compose with any downstream query unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def cluster_write(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int,
+) -> None:
+    """Write ``df`` as ``num_files`` parquet files range-clustered on
+    ``cluster_cols``: disjoint per-file key ranges, sorted inside each
+    file for rowgroup/page-level stats pruning."""
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_files: int,
+) -> None:
+    """Rewrite a fragmented parquet dataset into ``target_files``
+    files. Shrinking uses ``coalesce`` — a shuffle-free merge of
+    existing fragments; growing falls back to a hash repartition."""
+    df = spark.read.parquet(src_path)
+    n_current = df.rdd.getNumPartitions()
+    if target_files <= n_current:
+        out = df.coalesce(target_files)
+    else:
+        out = df.repartition(target_files)
+    out.write.mode("overwrite").parquet(dst_path)
+
+
+def file_stats(spark: SparkSession, path: str, col: str) -> list[dict]:
+    """Per-file row count and min/max of ``col`` — the footer stats a
+    scan planner uses for file skipping. Computed distributed via
+    input_file_name, not by reading footers on the driver."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    rows = (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(col).alias("min_val"),
+            F.max(col).alias("max_val"),
+        )
+        .collect()
+    )
+    return [r.asDict() for r in rows]

@@ -209,3 +209,47 @@ def test_fuzzy_symdel_is_equi_join_not_quadratic(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fuzzy_join_symdel")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.plans.layout import cluster_write, file_stats
+    from codex_data_products_spark.tables import table as T
+
+    docs = T(spark, sf_dir, "documents")
+    out = str(tmp_path / "clustered")
+    cluster_write(docs, out, ["doc_id"], 4)
+    stats = file_stats(spark, out, "doc_id")
+    assert len(stats) == 4
+    # disjoint, non-overlapping doc_id ranges → footer-stats skipping works
+    ranges = sorted((s["min_val"], s["max_val"]) for s in stats)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # content unchanged
+    assert (
+        spark.read.parquet(out).orderBy("doc_id").select("doc_id", "text").collect()
+        == docs.orderBy("doc_id").select("doc_id", "text").collect()
+    )
+
+
+def test_compact_merges_fragments_without_changing_rows(spark, sf_dir, tmp_path):
+    from codex_data_products_spark.plans.layout import compact
+    from codex_data_products_spark.tables import table as T
+
+    docs = T(spark, sf_dir, "documents")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(16).write.parquet(frag)
+    out = str(tmp_path / "compacted")
+    compact(spark, frag, out, 2)
+    import glob
+
+    assert len(glob.glob(out + "/part-*.parquet")) == 2
+    assert (
+        spark.read.parquet(out).orderBy("doc_id").collect()
+        == docs.orderBy("doc_id").collect()
+    )
+    # coalesce path: the compaction plan must not contain a shuffle
+    sdf = spark.read.parquet(frag).coalesce(2)
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
