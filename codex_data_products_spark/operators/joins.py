@@ -136,3 +136,63 @@ def asof_join(
         *[F.col(f"_last_rv.{c}").alias(f"asof_{c}") for c in right_value_cols],
     )
     return out
+
+
+def merge_into(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    change_key: str,
+    op_col: str = "op",
+    set_cols: dict[str, str] | None = None,
+    insert_defaults: dict[str, Column] | None = None,
+    action_col: str | None = None,
+) -> DataFrame:
+    """MERGE semantics (upsert + delete) as one full-outer join — the
+    batch CDC-apply primitive the reference cannot express (its pandas
+    concat only appends; bin/concatenate.py:393-400).
+
+    ``changes`` rows carry ``op_col`` in {'U','I','D'}: matched 'U'
+    rows have ``set_cols`` (base col -> changes col) applied, matched
+    'D' rows are dropped, unmatched 'I' rows are inserted with
+    ``insert_defaults`` filling base columns absent from ``set_cols``.
+    Unmatched base rows pass through. At 100 TB both sides
+    hash-partition on the key (one shuffle each); with a bucketed base
+    table the join is shuffle-free on the base side, which is the
+    layout `plans.layout.cluster_write` produces.
+    """
+    set_cols = set_cols or {}
+    insert_defaults = insert_defaults or {}
+    joined = base.join(
+        changes, base[key] == changes[change_key], "full_outer"
+    )
+    matched = base[key].isNotNull()
+    # 'D' drops the matched base row; an unmatched 'D' is a no-op (the
+    # full-outer row has no base side to keep, so it drops entirely)
+    out = joined.filter(
+        ~F.coalesce(F.col(op_col) == "D", F.lit(False))
+    )
+    cols = []
+    for c in base.columns:
+        if c == key:
+            col = F.coalesce(base[key], changes[change_key]).alias(c)
+        elif c in set_cols:
+            upd = (F.col(op_col).isin("U", "I")) & F.col(
+                set_cols[c]
+            ).isNotNull()
+            col = F.when(upd, F.col(set_cols[c])).otherwise(base[c]).alias(c)
+        elif c in insert_defaults:
+            col = F.when(matched, base[c]).otherwise(
+                insert_defaults[c]
+            ).alias(c)
+        else:
+            col = base[c]
+        cols.append(col)
+    if action_col:
+        cols.append(
+            F.when(F.col(op_col).isNull(), "kept")
+            .when(F.col(op_col) == "U", "updated")
+            .otherwise("inserted")
+            .alias(action_col)
+        )
+    return out.select(*cols)

@@ -317,3 +317,87 @@ def fuzzy_join_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert — MERGE INTO (CDC apply) over the customer dimension: a
+# deterministic change feed derived from 1997H2+ orders updates account
+# balances, every 97th customer is deleted, and every 211th spawns a
+# new inserted key. Implemented via operators.joins.merge_into (one
+# full-outer join); the oracle spells the same semantics in SQL. At
+# 100 TB the base table is bucketed on the key (plans/layout), making
+# the base side of the join shuffle-free — the changes feed is the only
+# side that moves.
+# ---------------------------------------------------------------------------
+
+_MERGE_SQL = """
+WITH changes AS (
+  SELECT o_custkey AS key,
+         CASE WHEN o_custkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+           AS new_bal
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+  GROUP BY o_custkey
+  UNION ALL
+  SELECT c_custkey + 100000 AS key, 'I' AS op, 0.0 AS new_bal
+  FROM customer WHERE c_custkey % 211 = 0
+)
+SELECT coalesce(b.c_custkey, c.key)            AS c_custkey,
+       coalesce(b.c_name, 'Customer#new')      AS c_name,
+       CASE WHEN c.op IN ('U', 'I') AND c.new_bal IS NOT NULL
+            THEN c.new_bal ELSE b.c_acctbal END AS c_acctbal,
+       CASE WHEN c.op IS NULL THEN 'kept'
+            WHEN c.op = 'U' THEN 'updated'
+            ELSE 'inserted' END                 AS merge_action
+FROM customer b
+FULL OUTER JOIN changes c ON b.c_custkey = c.key
+WHERE c.op IS NULL OR c.op <> 'D'
+"""
+
+
+@register("merge_upsert", sql=_MERGE_SQL)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.joins import merge_into
+
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("new_bal")
+        )
+        .select(
+            "key",
+            F.when(F.col("key") % 97 == 0, "D").otherwise("U").alias("op"),
+            "new_bal",
+        )
+    )
+    inserts = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 211 == 0)
+        .select(
+            (F.col("c_custkey") + 100000).alias("key"),
+            F.lit("I").alias("op"),
+            F.lit(0.0).alias("new_bal"),
+        )
+    )
+    changes = updates.unionByName(inserts)
+    return merge_into(
+        cust,
+        changes,
+        key="c_custkey",
+        change_key="key",
+        op_col="op",
+        set_cols={"c_acctbal": "new_bal"},
+        insert_defaults={"c_name": F.lit("Customer#new")},
+        action_col="merge_action",
+    )

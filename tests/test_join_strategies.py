@@ -182,3 +182,43 @@ def test_cms_estimate_never_undercounts(spark):
     assert set(est) == set(truth)
     for item, true_cnt in truth.items():
         assert est[item] >= true_cnt
+
+
+def test_merge_into_applies_update_insert_delete(spark):
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.operators.joins import merge_into
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", 99.0),   # update
+            (3, "D", None),   # delete matched
+            (9, "I", 5.0),    # insert new key
+            (8, "D", None),   # delete unmatched: no-op
+            (1, "U", None),   # update with NULL value: keeps base value
+        ],
+        "ck long, op string, new_bal double",
+    )
+    out = {
+        r["k"]: (r["name"], r["bal"], r["act"])
+        for r in merge_into(
+            base,
+            changes,
+            key="k",
+            change_key="ck",
+            op_col="op",
+            set_cols={"bal": "new_bal"},
+            insert_defaults={"name": F.lit("new")},
+            action_col="act",
+        ).collect()
+    }
+    assert out == {
+        1: ("a", 10.0, "updated"),
+        2: ("b", 99.0, "updated"),
+        4: ("d", 40.0, "kept"),
+        9: ("new", 5.0, "inserted"),
+    }
