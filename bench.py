@@ -57,6 +57,10 @@ HEADLINE = [
     "q20_excess_stock",
     "split_contamination",
     "vocab_top_terms",
+    "heavy_hitters_cms",
+    "fuzzy_join_symdel",
+    "merge_upsert",
+    "agg_correlation",
 ]
 
 
