@@ -82,3 +82,70 @@ def test_incremental_ingestion_dedups_across_batches(spark, tmp_path):
         d.startswith("lang_predicted=") for d in os.listdir(out)
         if not d.startswith("_")
     )
+
+
+def test_cdc_apply_maintains_dimension_across_drains(spark, tmp_path):
+    """Streaming MERGE: snapshots advance per micro-batch, last change
+    per key wins within a batch, and the final state equals the batch
+    merge_into of the compacted change log."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_table,
+        read_table,
+        run_cdc_apply,
+        table_versions,
+    )
+
+    table, src, ckpt = (
+        str(tmp_path / "dim"),
+        str(tmp_path / "changes"),
+        str(tmp_path / "ckpt"),
+    )
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    bootstrap_table(base, table)
+
+    ch_schema = "ck long, op string, new_bal double, seq long"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(ch_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_cdc_apply(
+            stream,
+            table,
+            ckpt,
+            key="k",
+            change_key="ck",
+            seq_col="seq",
+            set_cols={"bal": "new_bal"},
+            insert_defaults={"name": F.lit("new")},
+        )
+
+    # batch 1: two changes to the same key (seq 2 wins), one delete
+    spark.createDataFrame(
+        [(1, "U", 11.0, 1), (1, "U", 12.0, 2), (3, "D", None, 1)],
+        ch_schema,
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    drain()
+    state1 = {r["k"]: r["bal"] for r in read_table(spark, table).collect()}
+    assert state1 == {1: 12.0, 2: 20.0}
+
+    # batch 2: re-insert key 3, update key 2
+    spark.createDataFrame(
+        [(3, "I", 33.0, 3), (2, "U", 22.0, 3)], ch_schema
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    drain()
+    state2 = {
+        r["k"]: (r["name"], r["bal"])
+        for r in read_table(spark, table).collect()
+    }
+    assert state2 == {1: ("a", 12.0), 2: ("b", 22.0), 3: ("new", 33.0)}
+    # snapshot history: v=0 bootstrap plus one version per micro-batch
+    assert table_versions(spark, table)[0] == 0
+    assert len(table_versions(spark, table)) >= 3
