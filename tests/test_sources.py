@@ -96,3 +96,34 @@ def test_hdf5_real_decoder_is_gated():
 
     with pytest.raises((NotImplementedError, Exception)):
         h5py_decoder(b"not-hdf5", "x/out.hdf5")
+
+
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
+def test_interchange_format_roundtrip(spark, sf_dir, fmt, tmp_path):
+    """The engine's products must survive every mainstream interchange
+    format, not just parquet: ORC (columnar peers), JSON lines
+    (downstream tooling), CSV with header (the reference's own TSV
+    world). Typed columns re-read losslessly; CSV re-applies the schema
+    on read since it is untyped on disk."""
+    from codex_data_products_spark.tables import table as T
+
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    out = str(tmp_path / f"orders_{fmt}")
+    writer = src.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(out)
+        back = (
+            spark.read.schema(src.schema).option("header", True).csv(out)
+        )
+    elif fmt == "json":
+        writer.json(out)
+        back = spark.read.schema(src.schema).json(out)
+    else:
+        writer.orc(out)
+        back = spark.read.orc(out)
+    assert back.schema == src.schema
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
