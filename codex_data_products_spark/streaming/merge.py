@@ -41,12 +41,22 @@ def table_versions(spark: SparkSession, table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Latest snapshot of the maintained table."""
+def read_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot of the maintained table — latest by default, or any
+    retained historical version (time travel: every batch's snapshot
+    stays addressable until GC'd)."""
     versions = table_versions(spark, table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshots under {table_dir}")
-    return spark.read.parquet(f"{table_dir}/v={versions[-1]}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not in {versions} under {table_dir}"
+        )
+    return spark.read.parquet(f"{table_dir}/v={version}")
 
 
 def bootstrap_table(base: DataFrame, table_dir: str) -> None:

@@ -149,3 +149,6 @@ def test_cdc_apply_maintains_dimension_across_drains(spark, tmp_path):
     # snapshot history: v=0 bootstrap plus one version per micro-batch
     assert table_versions(spark, table)[0] == 0
     assert len(table_versions(spark, table)) >= 3
+    # time travel: the bootstrap snapshot is still addressable
+    v0 = {r["k"]: r["bal"] for r in read_table(spark, table, version=0).collect()}
+    assert v0 == {1: 10.0, 2: 20.0, 3: 30.0}
