@@ -253,3 +253,39 @@ def test_compact_merges_fragments_without_changing_rows(spark, sf_dir, tmp_path)
     sdf = spark.read.parquet(frag).coalesce(2)
     plan = sdf._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_clustered_layout_confines_range_filters_to_one_file(spark, sf_dir, tmp_path):
+    """Range clustering = locality: all rows for a key range live in
+    one file (readers with footer-stats skipping — DuckDB, Trino,
+    Spark's rowgroup pruning — touch only it). The same filter on a
+    hash-fragmented copy draws rows from every file."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.plans.layout import cluster_write
+    from codex_data_products_spark.tables import table as T
+
+    docs = T(spark, sf_dir, "documents")
+    lo, hi = 10, 60  # narrow doc_id band
+
+    clustered = str(tmp_path / "clustered")
+    cluster_write(docs, clustered, ["doc_id"], 8)
+    n_files_hit = (
+        spark.read.parquet(clustered)
+        .filter(F.col("doc_id").between(lo, hi))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert n_files_hit == 1
+
+    fragmented = str(tmp_path / "fragmented")
+    docs.repartition(8).write.parquet(fragmented)
+    n_files_hit_frag = (
+        spark.read.parquet(fragmented)
+        .filter(F.col("doc_id").between(lo, hi))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert n_files_hit_frag > 1
