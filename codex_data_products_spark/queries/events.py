@@ -510,3 +510,51 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ewma — exponential moving average per user, the recursive
+# aggregate SQL can't do with plain window frames. Both engines fold
+# the SAME totally-ordered value list left-to-right with the SAME
+# double ops (Spark higher-order aggregate() vs DuckDB list_reduce),
+# so the float result is bit-identical. Row-local after one grouped
+# collect: at 100 TB this is one shuffle on user_id, and per-user
+# history length is bounded by the session horizon — the unbounded
+# variant is the streaming anomaly operator's running state.
+# ---------------------------------------------------------------------------
+
+_EWMA_SQL = """
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       round(list_reduce(vals, (acc, v) -> 0.3 * v + 0.7 * acc), 6)
+         AS ewma_value
+FROM (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events
+  GROUP BY user_id
+)
+"""
+
+
+@register("events_ewma", sql=_EWMA_SQL)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ),
+        lambda s: s["value"].cast("double"),
+    )
+    grouped = ev.groupBy("user_id").agg(ordered.alias("vals"))
+    vals = F.col("vals")
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, v: F.lit(0.3) * v + F.lit(0.7) * acc,
+    )
+    return grouped.select(
+        "user_id",
+        F.size(vals).cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )
