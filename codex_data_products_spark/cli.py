@@ -118,6 +118,23 @@ def _cmd_explain(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_verify(args: argparse.Namespace) -> int:
+    from codex_data_products_spark.oracle import verify_queries
+
+    spark = get_spark(app_name="verify")
+    names = args.names or None
+    results = verify_queries(spark, args.sf_dir, names)
+    n_bad = 0
+    for name, problems in sorted(results.items()):
+        if problems:
+            n_bad += 1
+            print(f"MISMATCH {name}: " + " | ".join(problems))
+        elif args.verbose:
+            print(f"MATCH    {name}")
+    print(f"{len(results)} verified, {n_bad} mismatched")
+    return 1 if n_bad else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="codex-data-products-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -163,6 +180,15 @@ def main(argv: list[str] | None = None) -> int:
         choices=["simple", "extended", "codegen", "cost", "formatted"],
     )
     pe.set_defaults(fn=_cmd_explain)
+
+    pv = sub.add_parser(
+        "verify",
+        help="audit registered queries against the DuckDB oracle",
+    )
+    pv.add_argument("names", nargs="*", help="query names (default: all)")
+    pv.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pv.add_argument("--verbose", action="store_true")
+    pv.set_defaults(fn=_cmd_verify)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -73,3 +73,21 @@ def test_cli_explain_prints_physical_plan(spark, sf_dir, capsys):
     assert main(["explain", "q6_forecast_revenue", "--sf-dir", sf_dir]) == 0
     plan = capsys.readouterr().out
     assert "Physical Plan" in plan and "PushedFilters" in plan
+
+
+def test_cli_verify_reports_match_and_exit_code(capsys):
+    from codex_data_products_spark.cli import main
+
+    rc = main(
+        [
+            "verify",
+            "join_semi",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--verbose",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "MATCH    join_semi" in out
+    assert "1 verified, 0 mismatched" in out
