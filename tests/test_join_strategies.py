@@ -222,3 +222,42 @@ def test_merge_into_applies_update_insert_delete(spark):
         4: ("d", 40.0, "kept"),
         9: ("new", 5.0, "inserted"),
     }
+
+
+def test_symdel_keys_cover_every_distance_one_pair(spark):
+    """Deletion-neighborhood completeness on adversarial cases: equal
+    strings, single-char, prefix insertion, substitution at each end,
+    and a transposition (distance 2 — keys may collide but the
+    levenshtein verify must reject it)."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.joins import _deletion_keys
+
+    rows = [
+        ("ab",), ("b",), ("a",), ("xab",), ("zb",), ("az",), ("ba",), ("",),
+    ]
+    df = spark.createDataFrame(rows, "s string").select(
+        "s", _deletion_keys(F.col("s")).alias("keys")
+    )
+    keys = {r["s"]: set(r["keys"]) for r in df.collect()}
+    # '' emits itself only
+    assert keys[""] == {""}
+    # every levenshtein<=1 pair shares a key
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    for s1, s2 in itertools.combinations(keys, 2):
+        if lev(s1, s2) <= 1:
+            assert keys[s1] & keys[s2], (s1, s2)
