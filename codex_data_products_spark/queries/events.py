@@ -478,16 +478,20 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # events_histogram — fixed-bin value histogram per event type. Spark
-# uses the built-in width_bucket; the oracle spells out the identical
-# floor((v - min) / width) + 1 arithmetic (DuckDB has no width_bucket).
-# All values lie strictly inside [0, 500), so the two formulations
-# agree bit-for-bit. One map-side-combined aggregate — the canonical
+# uses the built-in width_bucket; the oracle spells out the same
+# arithmetic INCLUDING the clamp semantics (DuckDB has no
+# width_bucket): v < min → bucket 0, v >= max → bucket n+1. The sf0.1
+# data has values past the 500 cap, so the overflow branch is live —
+# an unclamped floor formula diverges there (caught by the sf0.1
+# oracle sweep). One map-side-combined aggregate — the canonical
 # "histogram of a 100 TB column in one pass" shape.
 # ---------------------------------------------------------------------------
 
 _HISTOGRAM_SQL = """
 SELECT event_type,
-       CAST(floor(value / 20.0) + 1 AS BIGINT) AS bucket,
+       CAST(CASE WHEN value < 0 THEN 0
+                 WHEN value >= 500 THEN 26
+                 ELSE floor(value / 20.0) + 1 END AS BIGINT) AS bucket,
        count(*)                                AS n_events,
        round(CAST(min(value) AS DOUBLE), 2)    AS lo,
        round(CAST(max(value) AS DOUBLE), 2)    AS hi
