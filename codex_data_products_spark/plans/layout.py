@@ -81,3 +81,19 @@ def file_stats(spark: SparkSession, path: str, col: str) -> list[dict]:
         .collect()
     )
     return [r.asDict() for r in rows]
+
+
+def zorder_key(x_col: str, y_col: str, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` of two
+    non-negative integer columns. Range-clustering on this key gives
+    file-level locality on BOTH dimensions at once — the multi-column
+    layout trick single-column range clustering can't provide (its
+    second column has no locality). Pure integer bit expressions,
+    JVM-side, no UDF."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
+        f"acc + (CAST((({x_col} >> i) & 1) AS BIGINT) << (2 * i))"
+        f"    + (CAST((({y_col} >> i) & 1) AS BIGINT) << (2 * i + 1)))"
+    )

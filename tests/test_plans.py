@@ -289,3 +289,46 @@ def test_clustered_layout_confines_range_filters_to_one_file(spark, sf_dir, tmp_
         .count()
     )
     assert n_files_hit_frag > 1
+
+
+def test_zorder_clustering_gives_two_dimensional_locality(spark, sf_dir, tmp_path):
+    """Morton-key clustering: a filter selective in BOTH dimensions
+    touches a small fraction of files; single-column clustering has no
+    locality for the second dimension."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.plans.layout import cluster_write, zorder_key
+    from codex_data_products_spark.tables import table as T
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .withColumn("ubucket", (F.col("user_id") % 16).cast("int"))
+        .withColumn("vbucket", (F.col("value") / 8).cast("int"))
+    )
+    zed = ev.withColumn("z", zorder_key("ubucket", "vbucket", bits=8))
+    out = str(tmp_path / "zorder")
+    cluster_write(zed, out, ["z"], 8)
+
+    # x<4 AND y<4 ⟺ z < 16: a contiguous Morton range → one file
+    both_dims = (F.col("ubucket") < 4) & (F.col("vbucket") < 4)
+    n_hit = (
+        spark.read.parquet(out)
+        .filter(both_dims)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert n_hit == 1
+
+    # contrast: cluster on ubucket only — the vbucket filter has no
+    # locality, so the same predicate touches strictly more files
+    flat = str(tmp_path / "single")
+    cluster_write(ev, flat, ["ubucket"], 8)
+    n_hit_single = (
+        spark.read.parquet(flat)
+        .filter(both_dims)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert n_hit < n_hit_single
