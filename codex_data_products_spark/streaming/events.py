@@ -374,3 +374,27 @@ def user_profile_frame(events_batch: DataFrame) -> DataFrame:
             "mean_value"
         )
     )
+
+
+def cms_stream(items: DataFrame, item_col: str) -> DataFrame:
+    """Continuously-maintained Count-Min sketch: the same d×w cell
+    aggregation as the batch ``operators.sketches.cms_build``, kept
+    incrementally by Structured Streaming (update/complete mode). The
+    sketch state is bounded at d·w rows FOREVER — the streaming
+    frequency tracker whose memory does not grow with the item stream,
+    which is the whole reason to sketch. Probing a snapshot uses the
+    batch ``cms_estimate`` unchanged."""
+    from codex_data_products_spark.operators.sketches import (
+        CMS_SEEDS,
+        CMS_W,
+        _cms_cell,
+    )
+
+    cells = items.select(
+        F.posexplode(
+            F.array(
+                *[_cms_cell(F.col(item_col), s, CMS_W) for s in CMS_SEEDS]
+            )
+        ).alias("d", "cell")
+    )
+    return cells.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("cnt"))

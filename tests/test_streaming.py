@@ -109,3 +109,33 @@ def test_enrich_stream_static_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_cms_equals_batch_sketch(spark, sf_dir):
+    """The incrementally-maintained sketch must be cell-for-cell equal
+    to the batch-built one over the same files — sketch maintenance is
+    a running aggregation, so streaming it is exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.operators.sketches import cms_build
+    from codex_data_products_spark.streaming.events import cms_stream
+    from codex_data_products_spark.tables import table as T
+
+    stream_items = read_events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("item")
+    )
+    run_to_memory(
+        cms_stream(stream_items, "item"), "cms_test", output_mode="complete"
+    )
+    got = {
+        (r["d"], r["cell"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_test").collect()
+    }
+    batch_items = T(spark, sf_dir, "events").select(
+        F.col("event_type").alias("item")
+    )
+    want = {
+        (r["d"], r["cell"]): r["cnt"]
+        for r in cms_build(batch_items, "item").collect()
+    }
+    assert got == want and len(got) > 0
