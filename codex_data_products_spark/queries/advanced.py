@@ -320,3 +320,43 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "miss"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_mad — median absolute deviation: the robust dispersion measure
+# needs TWO dependent passes (median, then median of |x - median|),
+# the canonical "aggregate of an aggregate" shape. The per-group
+# medians are a |groups|-row table broadcast back onto the fact scan —
+# same decorrelation pattern as Q17 — so at 100 TB the cost is two
+# scans and two sort-aggs, never a correlated per-row subquery.
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       round(any_value(m.med), 6) AS median_qty,
+       round(quantile_cont(abs(l.l_quantity - m.med), 0.5), 6) AS mad_qty
+FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
+@register("agg_mad", sql=_MAD_SQL)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("med"), 6).alias("median_qty"),
+            F.round(
+                F.expr("percentile(abs(l_quantity - med), 0.5)"), 6
+            ).alias("mad_qty"),
+        )
+    )
