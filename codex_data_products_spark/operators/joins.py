@@ -180,7 +180,15 @@ def merge_into(
             upd = (F.col(op_col).isin("U", "I")) & F.col(
                 set_cols[c]
             ).isNotNull()
-            col = F.when(upd, F.col(set_cols[c])).otherwise(base[c]).alias(c)
+            # NULL change value: keep the base value when matched, else
+            # fall back to the insert default (a NULL change must never
+            # insert a NULL over a declared default)
+            fallback = (
+                F.when(matched, base[c]).otherwise(insert_defaults[c])
+                if c in insert_defaults
+                else base[c]
+            )
+            col = F.when(upd, F.col(set_cols[c])).otherwise(fallback).alias(c)
         elif c in insert_defaults:
             col = F.when(matched, base[c]).otherwise(
                 insert_defaults[c]

@@ -235,3 +235,63 @@ def test_hash_split_is_stable_and_partitions(spark, ids):
     }
     assert one == two
     assert set(one) == set(ids)
+
+
+# --- MERGE semantics (operators.joins.merge_into) -------------------------
+
+_base_rows = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.floats(min_value=0, max_value=100, allow_nan=False),
+    min_size=1,
+    max_size=6,
+)
+_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.sampled_from(["U", "I", "D"]),
+        st.one_of(
+            st.none(),
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+        ),
+    ),
+    max_size=6,
+    unique_by=lambda t: t[0],  # one change row per key (merge contract)
+)
+
+
+@given(_base_rows, _changes)
+@settings(**SPARK_SETTINGS)
+def test_merge_into_matches_reference_model(spark, base_rows, changes):
+    """merge_into == the dict-semantics reference model: D removes,
+    U/I with a value upserts, U/I with NULL keeps the existing value
+    (or inserts the default)."""
+    from codex_data_products_spark.operators.joins import merge_into
+
+    base = spark.createDataFrame(
+        [(k, v) for k, v in base_rows.items()], "k long, bal double"
+    )
+    ch = spark.createDataFrame(changes, "ck long, op string, nb double")
+
+    model = dict(base_rows)
+    for k, op, nb in changes:
+        if op == "D":
+            model.pop(k, None)
+        elif k in model:
+            if nb is not None:
+                model[k] = nb
+        else:  # insert path (matched 'I' above; unmatched here)
+            model[k] = nb if nb is not None else -1.0
+
+    got = {
+        r["k"]: r["bal"]
+        for r in merge_into(
+            base,
+            ch,
+            key="k",
+            change_key="ck",
+            op_col="op",
+            set_cols={"bal": "nb"},
+            insert_defaults={"bal": F.lit(-1.0)},
+        ).collect()
+    }
+    assert got == model
