@@ -204,3 +204,39 @@ def merge_into(
             .alias(action_col)
         )
     return out.select(*cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots of a keyed table: one full-outer join emitting
+    (key, diff_action ∈ added|removed|changed, per-column old/new) —
+    the dataset regression test every pipeline migration runs (and the
+    inverse of ``merge_into``: diff(old, merge_into(old, ch)) recovers
+    the effective change feed). Unchanged rows are dropped as early as
+    possible so at 100 TB the output is change-sized, not table-sized;
+    with both snapshots clustered on the key the join is co-located."""
+    compare_cols = compare_cols or [c for c in old.columns if c != key]
+    o = old.select(key, *compare_cols).alias("o")
+    n = new.select(key, *compare_cols).alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    o_key, n_key = F.col(f"o.{key}"), F.col(f"n.{key}")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & (F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")))
+    action = (
+        F.when(o_key.isNull(), "added")
+        .when(n_key.isNull(), "removed")
+        .when(~same, "changed")
+    )
+    out_cols = [
+        F.coalesce(o_key, n_key).alias(key),
+        action.alias("diff_action"),
+    ]
+    for c in compare_cols:
+        out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return joined.filter(action.isNotNull()).select(*out_cols)

@@ -276,3 +276,41 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corr, 6).alias("corr_qty_price"),
         F.round(covar, 6).alias("covar_pop"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_listagg — ordered string aggregation (LISTAGG / string_agg): the
+# report-formatting aggregate. Determinism rule: ALWAYS sort before
+# joining — collect_list order is partition-dependent, so the unsorted
+# variant is nondeterministic on ANY parallel engine. Spark builds it
+# as array_join(array_sort(collect_set(...))) — one hash agg, no extra
+# shuffle over the plain distinct-agg.
+# ---------------------------------------------------------------------------
+
+_LISTAGG_SQL = """
+SELECT n_name,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+         AS segments,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+@register("agg_listagg", sql=_LISTAGG_SQL)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+            F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+        )
+    )

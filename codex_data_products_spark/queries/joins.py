@@ -401,3 +401,39 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         insert_defaults={"c_name": F.lit("Customer#new")},
         action_col="merge_action",
     )
+
+
+# ---------------------------------------------------------------------------
+# table_diff — dataset regression diff: which rows the CDC merge
+# actually changed, via operators.joins.snapshot_diff between the
+# customer base and the merged output. Diffing a table against
+# merge_into(table, feed) recovers the effective change feed — the
+# closure property that makes diff the universal pipeline-migration
+# check. Output is change-sized; unchanged rows never leave the join.
+# ---------------------------------------------------------------------------
+
+_DIFF_SQL = f"""
+WITH merged AS ({_MERGE_SQL}),
+o AS (SELECT c_custkey AS k, c_acctbal FROM customer),
+n AS (SELECT c_custkey AS k, c_acctbal FROM merged)
+SELECT c_custkey, diff_action, old_c_acctbal, new_c_acctbal FROM (
+  SELECT coalesce(o.k, n.k) AS c_custkey,
+         CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'changed'
+         END AS diff_action,
+         o.c_acctbal AS old_c_acctbal,
+         n.c_acctbal AS new_c_acctbal
+  FROM o FULL OUTER JOIN n ON o.k = n.k
+)
+WHERE diff_action IS NOT NULL
+"""
+
+
+@register("table_diff", sql=_DIFF_SQL)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.joins import snapshot_diff
+
+    old = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    new = merge_upsert(spark, sf_dir).select("c_custkey", "c_acctbal")
+    return snapshot_diff(old, new, key="c_custkey")
