@@ -332,3 +332,24 @@ def test_zorder_clustering_gives_two_dimensional_locality(spark, sf_dir, tmp_pat
         .count()
     )
     assert n_hit < n_hit_single
+
+
+def test_merge_and_diff_have_no_cartesian_and_one_join(spark, sf_dir):
+    for name in ("merge_upsert", "table_diff"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_broadcasts_group_medians_back(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_mad")
+    # |groups|-row median table must broadcast, not shuffle the fact side
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_concurrency_is_union_window_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_concurrency")
+    # sweep-line: union + one partitioned window; no self-join at all
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
