@@ -61,6 +61,10 @@ HEADLINE = [
     "fuzzy_join_symdel",
     "merge_upsert",
     "agg_correlation",
+    "events_concurrency",
+    "events_ewma",
+    "agg_mad",
+    "table_diff",
 ]
 
 
