@@ -360,3 +360,33 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lateral_topk — correlated LATERAL subquery through the raw SQL
+# surface: top-2 suppliers per nation, written as spark.sql() over
+# temp views instead of the DataFrame API (every other query here is
+# DataFrame-first; this one proves the engine's SQL entry point is the
+# same Catalyst plan). Spark decorrelates the LATERAL into a ranked
+# window + filter — identical physical shape to the argmin pattern in
+# q2 — so nothing is executed per-outer-row.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.s_name, t.s_acctbal, t.rnk
+FROM nation n,
+LATERAL (
+  SELECT s_name, s_acctbal,
+         CAST(row_number() OVER (ORDER BY s_acctbal DESC, s_name)
+              AS BIGINT) AS rnk
+  FROM supplier s WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s_acctbal DESC, s_name LIMIT 2
+) t
+"""
+
+
+@register("lateral_topk", sql=_LATERAL_SQL)
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "nation"):
+        T(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
