@@ -314,3 +314,75 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_time_rollup — the BI time-hierarchy rollup (year → quarter →
+# month) with grouping_id distinguishing subtotal levels. One pass,
+# partial+final agg per grouping set; at 100 TB a date-partitioned
+# fact table prunes to the requested years before the rollup runs.
+# ---------------------------------------------------------------------------
+
+_TIME_ROLLUP_SQL = f"""
+SELECT
+  CAST(year(o_orderdate) AS BIGINT)    AS o_year,
+  CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+  CAST(month(o_orderdate) AS BIGINT)   AS o_month,
+  CAST(grouping(o_year) * 4
+     + grouping(o_quarter) * 2
+     + grouping(o_month) AS BIGINT) AS gid,
+  count(*) AS n_orders,
+  {sql_dsum(sql_money('o_totalprice'))} AS revenue
+FROM orders
+GROUP BY ROLLUP (o_year, o_quarter, o_month)
+"""
+
+
+@register("orders_time_rollup", sql=_TIME_ROLLUP_SQL)
+def orders_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    y = F.year("o_orderdate").cast("long").alias("o_year")
+    q = F.quarter("o_orderdate").cast("long").alias("o_quarter")
+    m = F.month("o_orderdate").cast("long").alias("o_month")
+    return (
+        orders.rollup(y, q, m)
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot_multi_agg — pivot with TWO aggregates per cell (count + exact
+# decimal revenue): Spark's pivot produces the {value}_{agg} column
+# grid natively; the oracle spells each cell as a conditional
+# aggregate. Same single-shuffle plan as a plain groupBy — pivot is
+# projection sugar, not an extra pass.
+# ---------------------------------------------------------------------------
+
+_PIVOT_MULTI_SQL = f"""
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS F_n,
+       {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN " + sql_money('o_totalprice') + " ELSE 0 END")} AS F_rev,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS O_n,
+       {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN " + sql_money('o_totalprice') + " ELSE 0 END")} AS O_rev,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS P_n,
+       {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN " + sql_money('o_totalprice') + " ELSE 0 END")} AS P_rev
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("pivot_multi_agg", sql=_PIVOT_MULTI_SQL)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(money("o_totalprice")).alias("rev"),
+        )
+    )
