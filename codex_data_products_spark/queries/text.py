@@ -437,3 +437,34 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= _HH_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_normalize — canonical text cleanup before hashing/dedup:
+# collapse whitespace runs, trim, casefold. Emitting the cleaned text
+# plus before/after lengths makes the operator self-auditing (the
+# length delta is the cheap "how dirty was this corpus" metric).
+# Row-local string expressions — whole-stage codegen, no shuffle at
+# all; at 100 TB this runs fused into whatever scan feeds it.
+# ---------------------------------------------------------------------------
+
+_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean_text,
+       CAST(length(text) AS BIGINT)  AS n_chars_raw,
+       CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+            AS BIGINT)               AS n_chars_clean
+FROM documents
+"""
+
+
+@register("text_normalize", sql=_NORMALIZE_SQL)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    clean = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )
