@@ -26,6 +26,7 @@ def pagerank(
     n_iter: int = 3,
     damping: float = 0.85,
     round_scale: int = 9,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Weighted PageRank over ``edges(src, dst, w)`` → ``(node, rank)``.
 
@@ -75,6 +76,10 @@ def pagerank(
                 round_scale,
             ).alias("rank"),
         )
-        if it < n_iter - 1:
+        # truncate lineage periodically, not every round: each eager
+        # checkpoint is a full materialization + driver round-trip, and
+        # a plan only a couple of rounds deep executes once anyway —
+        # checkpoint_every bounds plan depth without paying per-round
+        if it < n_iter - 1 and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
