@@ -11,6 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from codex_data_products_spark.functions.compat import (
+    dsum,
+    money,
+    sql_dsum,
+    sql_money,
+)
 from codex_data_products_spark.registry import register
 from codex_data_products_spark.tables import table as T
 
@@ -437,3 +443,43 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     new = merge_upsert(spark, sf_dir).select("c_custkey", "c_acctbal")
     return snapshot_diff(old, new, key="c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# salted_join_orders — the skew-resistant equi-join as a registered,
+# oracle-checked query: orders scatter across 16 salt sub-keys, the
+# customer dim replicates to all of them, so one hot customer key
+# spreads over 16 reducers instead of stalling one straggler task.
+# Like the sketch queries, salting changes the PLAN, never the ANSWER —
+# the oracle is the plain join. Use when the skewed side is too big to
+# broadcast and AQE skew splitting can't see the key (e.g. pre-shuffle
+# stages); cost is n_salts copies of the dim.
+# ---------------------------------------------------------------------------
+
+_SALTED_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       {sql_dsum(sql_money('o_totalprice'))} AS revenue
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("salted_join_orders", sql=_SALTED_SQL)
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.joins import salted_join
+
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(orders, cust, "custkey", n_salts=16)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice")).alias("revenue"),
+        )
+    )
