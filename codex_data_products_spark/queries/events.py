@@ -631,3 +631,58 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("running").cast("long").alias("peak_concurrency"),
         F.count(F.lit(1)).cast("long").alias("n_endpoints"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_rolling_wau — trailing-7-day distinct users per day (rolling
+# WAU): sliding-window DISTINCT is the aggregate windows can't do
+# (collect_set over a range frame materializes per-row sets). The
+# scalable form: dedup to (day, user) grain first, explode each row
+# into the <=7 report days it influences, then one exact
+# countDistinct per day. Work is 7× the DAILY grain — not 7× the raw
+# events — and both shuffles are on small keys. Report days are
+# clamped to days that actually occur.
+# ---------------------------------------------------------------------------
+
+_WAU_SQL = """
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+expanded AS (
+  SELECT day + to_days(CAST(o.i AS INTEGER)) AS report_day, user_id
+  FROM days, unnest(generate_series(0, 6)) AS o(i)
+)
+SELECT strftime(report_day, '%Y-%m-%d') AS report_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM expanded
+WHERE report_day IN (SELECT day FROM days)
+GROUP BY report_day
+"""
+
+
+@register("events_rolling_wau", sql=_WAU_SQL)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    days = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    expanded = days.select(
+        "day",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+    ).select(F.date_add("day", F.col("i")).alias("report_day"), "user_id")
+    observed = days.select("day").distinct()
+    return (
+        expanded.join(
+            F.broadcast(observed),
+            expanded.report_day == observed.day,
+            "left_semi",
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .select(
+            F.date_format("report_day", "yyyy-MM-dd").alias("report_day"),
+            "wau",
+        )
+    )
