@@ -686,3 +686,55 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wau",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_user_gaps — the grouped-map Python surface (applyInPandas) as
+# a registered, oracle-checked query: each user's event history arrives
+# as one pandas frame (Arrow batch), is sorted deterministically, and
+# reduced to inter-event-gap statistics in integer microseconds —
+# exact math, so the Python path is hash-identical to the SQL window
+# oracle. This is the pattern for per-key logic that needs real
+# imperative code (sessionized features, sequence models) while
+# keeping one shuffle on the key and Arrow on the boundary.
+# ---------------------------------------------------------------------------
+
+_USER_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(max(gap_us) AS BIGINT)   AS max_gap_us,
+       CAST(sum(gap_us) AS BIGINT)   AS total_gap_us
+FROM g GROUP BY user_id
+"""
+
+
+@register("events_user_gaps", sql=_USER_GAPS_SQL)
+def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("int64") // 1000  # ns → µs, exact ints
+        d = us.diff().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_gaps": [len(d)],
+                "max_gap_us": [int(d.max()) if len(d) else None],
+                "total_gap_us": [int(d.sum()) if len(d) else None],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        gaps,
+        schema="user_id long, n_gaps long, max_gap_us long, total_gap_us long",
+    )

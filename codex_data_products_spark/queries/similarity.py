@@ -16,6 +16,7 @@ both engines cut identical top-k sets.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -684,4 +685,90 @@ def knn_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("hit_id").cast("double") / TOP_K, 6).alias(
             "recall_at_k"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_norms_pandas — the Arrow-vectorized Python surface as a
+# registered, oracle-checked query: a scalar @pandas_udf computes each
+# vector's L2 norm and its cosine against the corpus centroid in
+# numpy over whole Arrow batches (one Python call per ~10k rows, not
+# per row). Summation runs via cumsum — sequential order, matching
+# DuckDB's list_dot_product loop — and rounds once at the end, the
+# same determinism contract the JVM-side cosine queries use. This is
+# the pattern for math that outgrows SQL expressions (model scoring,
+# custom kernels) without giving up Arrow batching.
+# ---------------------------------------------------------------------------
+
+_NORMS_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT i, CAST(round(sum(CAST(v[i] AS DECIMAL(12,8))), 8) AS DOUBLE)
+            / count(*) AS m
+  FROM e, unnest(generate_series(1, len(v))) AS g(i)
+  GROUP BY i
+),
+cv AS (SELECT list(m ORDER BY i) AS c FROM cent)
+SELECT e.vec_id,
+       round(sqrt(list_dot_product(e.v, e.v)), 6) AS l2_norm,
+       round(list_dot_product(e.v, cv.c)
+             / sqrt(list_dot_product(e.v, e.v)
+                    * list_dot_product(cv.c, cv.c)), 6) AS centroid_cos
+FROM e CROSS JOIN cv
+"""
+
+
+@register("embedding_norms_pandas", sql=_NORMS_SQL)
+def embedding_norms_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # corpus centroid: exact-decimal per-dimension mean (same recipe as
+    # the IVF centroid oracle), collected as a tiny python list
+    dim = len(emb.select("v").first()["v"])
+    cent_rows = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            (
+                F.round(F.sum(F.col("x").cast("decimal(12,8)")), 8).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .orderBy("i")
+        .collect()
+    )
+    centroid = [r["m"] for r in cent_rows]
+    assert len(centroid) == dim
+
+    @pandas_udf("double")
+    def l2_norm(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.stack(v.to_numpy())
+        sq = np.cumsum(mat * mat, axis=1)[:, -1]  # sequential-order sum
+        return pd.Series(np.round(np.sqrt(sq), 6))
+
+    @pandas_udf("double")
+    def centroid_cos(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        c = np.asarray(centroid)
+        mat = np.stack(v.to_numpy())
+        dot = np.cumsum(mat * c, axis=1)[:, -1]
+        vv = np.cumsum(mat * mat, axis=1)[:, -1]
+        cc = np.cumsum(c * c)[-1]
+        return pd.Series(np.round(dot / np.sqrt(vv * cc), 6))
+
+    return emb.select(
+        "vec_id",
+        l2_norm("v").alias("l2_norm"),
+        centroid_cos("v").alias("centroid_cos"),
     )
