@@ -65,6 +65,9 @@ HEADLINE = [
     "events_ewma",
     "agg_mad",
     "table_diff",
+    "events_rolling_wau",
+    "embedding_norms_pandas",
+    "events_user_gaps",
 ]
 
 

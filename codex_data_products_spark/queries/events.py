@@ -696,7 +696,11 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact math, so the Python path is hash-identical to the SQL window
 # oracle. This is the pattern for per-key logic that needs real
 # imperative code (sessionized features, sequence models) while
-# keeping one shuffle on the key and Arrow on the boundary.
+# keeping one shuffle on the key and Arrow on the boundary. The bench
+# makes the Python tax visible: ~10× the equivalent JVM window plan
+# (which is exactly what the oracle runs) — the engine's
+# expression-first policy exists because of this number; reach for
+# applyInPandas only when the logic truly can't be a window/agg.
 # ---------------------------------------------------------------------------
 
 _USER_GAPS_SQL = """
