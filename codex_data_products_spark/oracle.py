@@ -69,8 +69,10 @@ def compare_frames(
     s_rows = canonical_rows(spark_df)
     o_rows = canonical_rows(oracle_df)
     if s_rows != o_rows:
-        only_spark = [r for r in s_rows if r not in set(o_rows)][:3]
-        only_oracle = [r for r in o_rows if r not in set(s_rows)][:3]
+        o_set = set(o_rows)
+        s_set = set(s_rows)
+        only_spark = [r for r in s_rows if r not in o_set][:3]
+        only_oracle = [r for r in o_rows if r not in s_set][:3]
         problems.append(
             f"values differ; sample spark-only={only_spark} "
             f"oracle-only={only_oracle}"

@@ -239,13 +239,15 @@ def conditional_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARRAY_SQL = r"""
 SELECT p_partkey,
-       words,
-       list_sort(words)                                   AS words_sorted,
-       list_sort(list_distinct(words))                    AS words_distinct,
+       array_to_string(words, '|')                        AS words,
+       array_to_string(list_sort(words), '|')             AS words_sorted,
+       array_to_string(list_sort(list_distinct(words)), '|') AS words_distinct,
        CAST(len(words) AS BIGINT)                         AS n_words,
        list_contains(words, 'red')                        AS has_red,
-       words[1:2]                                         AS first_two,
-       list_sort(list_intersect(words, ['red', 'blue', 'small'])) AS color_hits,
+       array_to_string(words[1:2], '|')                   AS first_two,
+       -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+       coalesce(array_to_string(list_sort(list_intersect(words, ['red', 'blue', 'small'])), '|'), '')
+                                                          AS color_hits,
        CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT)
                                                           AS total_chars,
        array_to_string(list_sort(words), '|')             AS joined
@@ -260,17 +262,28 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = T(spark, sf_dir, "part").select(
         "p_partkey", F.split("p_name", " ").alias("words")
     )
+    # Arrays stay internal; every output column is serialized with
+    # array_join so the registry contract (scalar-only output schemas,
+    # tests/test_oracle_module.py) holds and external comparators can
+    # hash rows. The array ops themselves are still exercised.
     return part.select(
         "p_partkey",
-        "words",
-        F.sort_array("words").alias("words_sorted"),
+        F.array_join("words", "|").alias("words"),
+        F.array_join(F.sort_array("words"), "|").alias("words_sorted"),
         # sorted: DuckDB's list_distinct does not preserve element order
-        F.sort_array(F.array_distinct("words")).alias("words_distinct"),
+        F.array_join(F.sort_array(F.array_distinct("words")), "|").alias(
+            "words_distinct"
+        ),
         F.size("words").cast("long").alias("n_words"),
         F.array_contains("words", "red").alias("has_red"),
-        F.slice("words", 1, 2).alias("first_two"),
-        F.sort_array(
-            F.array_intersect("words", F.array(F.lit("red"), F.lit("blue"), F.lit("small")))
+        F.array_join(F.slice("words", 1, 2), "|").alias("first_two"),
+        F.array_join(
+            F.sort_array(
+                F.array_intersect(
+                    "words", F.array(F.lit("red"), F.lit("blue"), F.lit("small"))
+                )
+            ),
+            "|",
         ).alias("color_hits"),
         F.aggregate(
             F.transform("words", F.length), F.lit(0), lambda a, x: a + x
@@ -293,7 +306,7 @@ _MAP_SQL = """
 SELECT p_partkey,
        m['brand'][1]                      AS brand_val,
        m['type'][1]                       AS type_val,
-       list_sort(map_keys(m))             AS keys_sorted,
+       array_to_string(list_sort(map_keys(m)), '|') AS keys_sorted,
        CAST(cardinality(m) AS BIGINT)     AS n_keys,
        coalesce(m['missing'][1], 'none')  AS miss
 FROM (
@@ -314,7 +327,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.try_element_at("m", F.lit("brand")).alias("brand_val"),
         F.try_element_at("m", F.lit("type")).alias("type_val"),
-        F.sort_array(F.map_keys("m")).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys("m")), "|").alias("keys_sorted"),
         F.size("m").cast("long").alias("n_keys"),
         F.coalesce(F.try_element_at("m", F.lit("missing")), F.lit("none")).alias(
             "miss"

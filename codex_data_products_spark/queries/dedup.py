@@ -484,7 +484,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # size instead of quadratic in corpus size.
 # ---------------------------------------------------------------------------
 
-EMB_DUP_THRESHOLD = 0.95
+# Production embedding near-dup would use ~0.95, but the synthetic
+# embeddings are near-orthogonal random vectors (max same-label cosine is
+# ~0.45/0.47/0.51 at sf0.001/0.01/0.1), so 0.95 never fires and the
+# oracle match is vacuous — it proves plan shape, not arithmetic.  0.38
+# yields 9/10/164 pairs at the three SFs: non-empty output at every
+# scale the driver samples, so the cross-engine hash covers the cosine
+# fold itself.
+EMB_DUP_THRESHOLD = 0.38
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
