@@ -689,18 +689,20 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# events_user_gaps — the grouped-map Python surface (applyInPandas) as
-# a registered, oracle-checked query: each user's event history arrives
-# as one pandas frame (Arrow batch), is sorted deterministically, and
-# reduced to inter-event-gap statistics in integer microseconds —
-# exact math, so the Python path is hash-identical to the SQL window
-# oracle. This is the pattern for per-key logic that needs real
-# imperative code (sessionized features, sequence models) while
-# keeping one shuffle on the key and Arrow on the boundary. The bench
-# makes the Python tax visible: ~10× the equivalent JVM window plan
-# (which is exactly what the oracle runs) — the engine's
-# expression-first policy exists because of this number; reach for
-# applyInPandas only when the logic truly can't be a window/agg.
+# events_user_gaps — per-user inter-event-gap statistics, production
+# form: a lag window (one shuffle on user_id) feeding a partial-agg
+# groupBy, entirely inside whole-stage codegen. Microsecond integers
+# end-to-end, so it is hash-identical to the DuckDB oracle.
+#
+# events_user_gaps_pandas is the same computation through the
+# grouped-map Python surface (applyInPandas): each user's history
+# arrives as one Arrow batch, is sorted deterministically, and reduced
+# imperatively. It exists as the registered, oracle-checked demo of
+# the per-key Python escape hatch (sessionized features, sequence
+# models) — and as the measured "UDF tax" datapoint: ~10× the window
+# plan's wall time at sf0.1. The engine's expression-first policy
+# exists because of that number; reach for applyInPandas only when
+# the logic truly can't be a window/agg.
 # ---------------------------------------------------------------------------
 
 _USER_GAPS_SQL = """
@@ -721,6 +723,22 @@ FROM g GROUP BY user_id
 
 @register("events_user_gaps", sql=_USER_GAPS_SQL)
 def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+        )
+    )
+
+
+@register("events_user_gaps_pandas", sql=_USER_GAPS_SQL)
+def events_user_gaps_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
