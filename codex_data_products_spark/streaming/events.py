@@ -30,10 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events.parquet stores ts as TIMESTAMP(NANOS) → read as long + convert,
-# mirroring tables.table("events").
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+# events.parquet has shipped ts as both TIMESTAMP(NANOS) (read as long +
+# convert) and TIMESTAMP(MICROS, ntz); probe the footer once and build
+# the matching stream schema, mirroring tables.table("events").
+_EVENTS_SCHEMA_FMT = (
+    "event_id long, ts {ts_type}, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -41,13 +42,24 @@ SESSION_GAP_SECONDS = 1800
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stored = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    )
+    nanos_as_long = isinstance(stored, LongType)
+    schema = _EVENTS_SCHEMA_FMT.format(
+        ts_type="long" if nanos_as_long else "timestamp_ntz"
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos_as_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -30,17 +30,29 @@ DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table by name.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which the Spark parquet
-    reader rejects; read nanos as long and truncate to microseconds
-    (lossless here — the generator emits microsecond precision, and
-    DuckDB reads the same column as microsecond TIMESTAMP).
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) (which the Spark
+    parquet reader rejects unless nanos are read as long) and plain
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+    TIMESTAMP_NTZ). Normalize both to session-UTC TIMESTAMP so every
+    downstream query sees one type; DuckDB reads the same column as
+    microsecond TIMESTAMP either way.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
     if name == "events":
+        from pyspark.sql.types import LongType, TimestampNTZType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):  # nanos read as long
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if isinstance(ts_type, TimestampNTZType):
+            # naive micros; session tz is pinned UTC so this is lossless
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
