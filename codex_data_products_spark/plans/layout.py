@@ -83,6 +83,38 @@ def file_stats(spark: SparkSession, path: str, col: str) -> list[dict]:
     return [r.asDict() for r in rows]
 
 
+def bucketed_write(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` as a hash-bucketed (and per-bucket sorted) table.
+
+    This is the fact-fact join layout for cluster scale: two tables
+    bucketed on their join key with the same bucket count are already
+    co-partitioned on disk, so an equi-join on that key needs NO
+    Exchange on either side — the shuffle that dominates a 100 TB
+    fact-fact join is paid once at write time and amortized over every
+    subsequent join/aggregation on the key (the bucketed twin of what
+    ``cluster_write`` does for range filters). Requires a catalog
+    entry (bucket metadata lives in the table definition, not the
+    parquet footers), hence ``saveAsTable``; pass ``path`` to keep the
+    data external to the warehouse.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def zorder_key(x_col: str, y_col: str, bits: int = 16):
     """Morton (Z-order) key: interleave the low ``bits`` of two
     non-negative integer columns. Range-clustering on this key gives

@@ -197,10 +197,12 @@ def test_vocab_top5_pushes_window_group_limit(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_contamination_join_is_keyed_not_cartesian(spark, sf_dir):
+def test_contamination_is_single_scan_no_join(spark, sf_dir):
+    # one corpus scan, one shingle-keyed agg, no join of any kind —
+    # the naive shape scans twice and joins distinct shingle sets
     plan = _plan(spark, sf_dir, "split_contamination")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
 
 
 def test_fuzzy_symdel_is_equi_join_not_quadratic(spark, sf_dir):
@@ -353,3 +355,48 @@ def test_concurrency_is_union_window_no_join(spark, sf_dir):
     # sweep-line: union + one partitioned window; no self-join at all
     assert "Join" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_bucketed_fact_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """SCALE.md's biggest cluster-scale claim, verified: two fact
+    tables bucketed on the join key with equal bucket counts join with
+    ZERO Exchange nodes — the shuffle is pre-paid at write time. The
+    same join over plain parquet (broadcast disabled) must shuffle
+    both sides, proving the bucketing (not AQE luck) removed it."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.plans.layout import bucketed_write
+    from codex_data_products_spark.tables import table as T
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bucketed_write(li, "li_bucketed", ["l_orderkey"], 8,
+                   path=str(tmp_path / "li_b"))
+    bucketed_write(orders, "orders_bucketed", ["o_orderkey"], 8,
+                   path=str(tmp_path / "o_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+
+        flat = li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in flat_plan  # the shuffle bucketing removes
+
+        # layout changes plans, never results
+        assert joined.count() == flat.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
