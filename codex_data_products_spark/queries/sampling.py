@@ -239,13 +239,17 @@ def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # split_contamination — train/test leakage audit: which test documents
 # share 8-gram shingles with ANY train document (the standard benchmark-
-# contamination check run before an eval set ships). One shingle
-# explosion, one distinct per side, one join keyed on the shingle — at
-# 100 TB the join key becomes xxhash64(shingle) (8 bytes instead of a
-# ~50-byte string; collisions only over-flag, never under-flag) and the
-# train side is written bucketed by that hash so nightly eval audits
-# reuse the layout with no re-shuffle. The string key is kept here for
-# bit-exact cross-engine oracle parity.
+# contamination check run before an eval set ships). ONE shingle
+# explosion and ONE shingle-keyed aggregation: each shingle group
+# carries a has-train flag plus the set of test docs containing it, so
+# the corpus is scanned/exploded once and there is no join at all
+# (the naive two-sided distinct-then-join shape scans the corpus twice
+# and shuffles three times). At 100 TB the group key becomes
+# xxhash64(shingle) (8 bytes instead of a ~50-byte string; collisions
+# only over-flag, never under-flag) and the train side is written
+# bucketed by that hash so nightly eval audits reuse the layout with
+# no re-shuffle. The string key is kept here for bit-exact
+# cross-engine oracle parity.
 # ---------------------------------------------------------------------------
 
 _CONTAM_SQL = f"""
@@ -276,45 +280,46 @@ GROUP BY t.doc_id
 
 @register("split_contamination", sql=_CONTAM_SQL)
 def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.tables import spread
+
     docs = T(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # Tokenize ONCE per doc behind an exchange: CollapseProject would
+    # otherwise inline the regex split into every per-shingle slice
+    # (|shingles| regex runs per doc instead of 1 — measured 6× slower)
+    # and the shuffle also spreads the explode across all cores.
+    tokenized = spread(
+        docs.select(
+            "doc_id",
+            F.when(_doc_hash() % 100 < 90, "train")
+            .otherwise("test")
+            .alias("split"),
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+    )
+    toks = F.col("toks")
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i, 8), " "),
     )
-    labeled = docs.select(
-        "doc_id",
-        F.when(_doc_hash() % 100 < 90, "train").otherwise("test").alias("split"),
-        F.explode(shingles).alias("shingle"),
+    labeled = tokenized.select(
+        "doc_id", "split", F.explode(shingles).alias("shingle")
     )
-    train_sh = (
-        labeled.filter(F.col("split") == "train").select("shingle").distinct()
+    # single shingle-keyed pass: train presence flag + distinct test
+    # docs per shingle (collect_set drops the nulls from train rows)
+    per_shingle = labeled.groupBy("shingle").agg(
+        F.max(F.col("split") == "train").alias("in_train"),
+        F.collect_set(
+            F.when(F.col("split") == "test", F.col("doc_id"))
+        ).alias("test_docs"),
     )
-    test_sh = (
-        labeled.filter(F.col("split") == "test")
-        .select("doc_id", "shingle")
-        .distinct()
+    hits = per_shingle.filter(F.size("test_docs") > 0).select(
+        F.explode("test_docs").alias("doc_id"), "in_train"
     )
-    return (
-        test_sh.join(
-            train_sh.withColumnRenamed("shingle", "tr_shingle"),
-            test_sh.shingle == F.col("tr_shingle"),
-            "left",
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("tr_shingle").isNotNull(), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_contaminated"),
-            F.round(
-                F.sum(
-                    F.when(F.col("tr_shingle").isNotNull(), 1).otherwise(0)
-                ).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("contamination_ratio"),
-        )
+    contaminated = F.sum(F.when(F.col("in_train"), 1).otherwise(0))
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        contaminated.cast("long").alias("n_contaminated"),
+        F.round(
+            contaminated.cast("double") / F.count(F.lit(1)), 6
+        ).alias("contamination_ratio"),
     )
