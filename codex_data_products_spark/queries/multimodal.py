@@ -73,9 +73,17 @@ from codex_data_products_spark.operators.multimodal import (  # noqa: E402
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("asset_id"),
-        F.encode("text", "utf-8").alias("payload"),
+    from codex_data_products_spark.tables import spread
+
+    # CPU-bound Python codec stages need the scan spread to full core
+    # width first (operators/multimodal.py scale notes) — the single
+    # parquet file otherwise feeds ONE Arrow/Python worker.
+    return spread(
+        T(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("asset_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        ),
+        "asset_id",
     )
 
 

@@ -256,12 +256,25 @@ WHERE n_tokens > 1
 
 @register("text_repetition", sql=_REPETITION_SQL)
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.tables import spread
+
     docs = T(spark, sf_dir, "documents")
     toks = _tokens()
-    bgs = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
+    # Materialize token/bigram arrays behind an exchange: the occurrence
+    # count references the array inside a per-element lambda, where
+    # loop-invariant subexpressions are re-evaluated per element — the
+    # regex split must already be a plain column there.
+    arrays = spread(
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ).alias("bgs"),
+        ),
+        "doc_id",
     )
 
     def top_count(arr):
@@ -272,11 +285,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    staged = docs.select(
+    staged = arrays.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        top_count(toks).alias("top_tok"),
-        top_count(bgs).alias("top_bg"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        top_count(F.col("toks")).alias("top_tok"),
+        top_count(F.col("bgs")).alias("top_bg"),
     ).filter(F.col("n_tokens") > 1)
     top_token_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
     top_bigram_frac = F.col("top_bg").cast("double") / (F.col("n_tokens") - 1)
