@@ -1,0 +1,132 @@
+"""REST search/entity fetch with retry + 303-redirect handling — S8/S9.
+
+The reference POSTs an Elasticsearch bool-query to the public search
+endpoint and handles three outcomes (make_uuids_tsv.py:37-59): 200 →
+parse hits; 303 → the response BODY carries a redirect URL to GET;
+anything else → empty result. This module reproduces that contract as
+a driver-side boundary with two production hardenings the reference
+lacks:
+
+  * bounded retry with deterministic exponential backoff on transient
+    failures (5xx and transport errors) — a nightly 100 TB pipeline
+    cannot fall over on one gateway hiccup;
+  * an injectable transport (callables returning (status, text)), so
+    tests drive every branch with recorded fixtures and zero network,
+    and the default transport is stdlib urllib (no extra deps).
+
+Fetch output is a list of raw hit-JSON strings — the exact input
+``plans.catalog.parse_hits`` ingests, keeping the network boundary a
+pure string producer and everything after it a Spark plan.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+# transport: (url, json_payload_or_None) -> (status_code, body_text)
+Transport = Callable[[str, dict | None], tuple[int, str]]
+
+MAX_RETRIES = 3
+RETRYABLE_MIN_STATUS = 500
+
+
+def urllib_transport(url: str, payload: dict | None) -> tuple[int, str]:
+    """Default stdlib transport: POST json when a payload is given,
+    else GET. Returns (status, text); never raises on HTTP errors."""
+    import urllib.error
+    import urllib.request
+
+    data = None
+    headers = {}
+    if payload is not None:
+        data = json.dumps(payload).encode()
+        headers["Content-Type"] = "application/json"
+    req = urllib.request.Request(url, data=data, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:  # non-2xx with a response
+        return e.code, e.read().decode()
+
+
+def fetch_json(
+    url: str,
+    payload: dict | None = None,
+    transport: Transport = urllib_transport,
+    max_retries: int = MAX_RETRIES,
+    sleeper: Callable[[float], None] | None = None,
+) -> tuple[int, str]:
+    """One logical fetch: retries transient failures (transport
+    exceptions and >=500 statuses) with 1s/2s/4s… backoff, then
+    follows at most one 303 whose BODY is the redirect URL
+    (make_uuids_tsv.py:45-55 semantics)."""
+    if sleeper is None:
+        import time
+
+        sleeper = time.sleep
+
+    def attempt_with_retry(u: str, p: dict | None) -> tuple[int, str]:
+        last: tuple[int, str] = (0, "no attempt made")
+        for i in range(max_retries):
+            try:
+                status, text = transport(u, p)
+            except Exception as e:  # transport-level failure
+                last = (0, f"transport error: {e}")
+            else:
+                if status < RETRYABLE_MIN_STATUS:
+                    return status, text
+                last = (status, text)
+            if i < max_retries - 1:
+                sleeper(float(1 << i))
+        return last
+
+    status, text = attempt_with_retry(url, payload)
+    if status == 303:
+        redirect_url = text.strip()
+        status, text = attempt_with_retry(redirect_url, None)
+    return status, text
+
+
+def search_hits(
+    url: str,
+    query_payload: dict,
+    transport: Transport = urllib_transport,
+    max_retries: int = MAX_RETRIES,
+    sleeper: Callable[[float], None] | None = None,
+) -> list[str]:
+    """POST the ES query; return raw hit JSON strings (one per
+    dataset) for ``plans.catalog.parse_hits``. Errors after retries →
+    empty list, matching the reference's empty-result contract."""
+    status, text = fetch_json(
+        url, query_payload, transport, max_retries, sleeper
+    )
+    if status != 200:
+        return []
+    data = json.loads(text)
+    return [
+        json.dumps(hit) for hit in data.get("hits", {}).get("hits", [])
+    ]
+
+
+def codex_search_payload(
+    organ_code: str | None = None, size: int = 10000
+) -> dict:
+    """The reference's bool query (make_uuids_tsv.py:15-34): public
+    CODEX datasets with no next revision, optionally organ-scoped."""
+    must = [
+        {"match": {"dataset_type": "CODEX"}},
+        {"match": {"data_access_level": "public"}},
+    ]
+    if organ_code is not None:
+        must.append({"match": {"origin_samples.organ": organ_code}})
+    return {
+        "from": 0,
+        "size": size,
+        "query": {
+            "bool": {
+                "must": must,
+                "must_not": [{"exists": {"field": "next_revision_uuid"}}],
+            }
+        },
+    }

@@ -1,0 +1,126 @@
+"""Recorded-transport tests for the REST fetch boundary (S8/S9):
+retry, 303-redirect-via-body, error-to-empty, and composition into
+the catalog hit parser — every branch, zero network."""
+
+from __future__ import annotations
+
+import json
+
+from codex_data_products_spark.sources.rest import (
+    codex_search_payload,
+    fetch_json,
+    search_hits,
+)
+
+_HITS_BODY = json.dumps(
+    {
+        "hits": {
+            "hits": [
+                {"_source": {"uuid": "u1", "hubmap_id": "HBM1"}},
+                {"_source": {"uuid": "u2", "hubmap_id": "HBM2"}},
+            ]
+        }
+    }
+)
+
+
+class RecordedTransport:
+    """Replays a scripted list of (status, text) | Exception."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = []
+
+    def __call__(self, url, payload):
+        self.calls.append((url, payload))
+        step = self.script.pop(0)
+        if isinstance(step, Exception):
+            raise step
+        return step
+
+
+def _no_sleep(s):
+    _no_sleep.slept.append(s)
+
+
+def test_fetch_ok_first_try():
+    t = RecordedTransport([(200, "body")])
+    assert fetch_json("http://x", {"q": 1}, t, sleeper=lambda s: None) == (
+        200,
+        "body",
+    )
+    assert t.calls == [("http://x", {"q": 1})]
+
+
+def test_fetch_retries_5xx_then_succeeds_with_backoff():
+    _no_sleep.slept = []
+    t = RecordedTransport([(503, "busy"), (500, "err"), (200, "ok")])
+    assert fetch_json("http://x", None, t, sleeper=_no_sleep) == (200, "ok")
+    assert len(t.calls) == 3
+    assert _no_sleep.slept == [1.0, 2.0]  # deterministic exponential
+
+
+def test_fetch_retries_transport_exceptions():
+    t = RecordedTransport([OSError("reset"), (200, "ok")])
+    assert fetch_json("http://x", None, t, sleeper=lambda s: None) == (
+        200,
+        "ok",
+    )
+
+
+def test_fetch_gives_up_after_max_retries():
+    t = RecordedTransport([(500, "a"), (500, "b"), (500, "c")])
+    status, text = fetch_json("http://x", None, t, sleeper=lambda s: None)
+    assert (status, text) == (500, "c")
+    assert t.script == []  # exactly max_retries attempts
+
+
+def test_fetch_follows_303_body_url_with_get():
+    # 303 body IS the redirect URL; the follow-up must be a GET
+    # (payload None), per make_uuids_tsv.py:45-55 semantics
+    t = RecordedTransport([(303, "http://redirected\n"), (200, "final")])
+    assert fetch_json("http://x", {"q": 1}, t, sleeper=lambda s: None) == (
+        200,
+        "final",
+    )
+    assert t.calls == [("http://x", {"q": 1}), ("http://redirected", None)]
+
+
+def test_search_hits_parses_and_serializes_each_hit():
+    t = RecordedTransport([(200, _HITS_BODY)])
+    hits = search_hits("http://x", codex_search_payload(), t)
+    assert [json.loads(h)["_source"]["uuid"] for h in hits] == ["u1", "u2"]
+
+
+def test_search_hits_error_yields_empty():
+    t = RecordedTransport([(404, "nope")])
+    assert search_hits("http://x", codex_search_payload(), t) == []
+
+
+def test_search_hits_feed_parse_hits(spark):
+    from codex_data_products_spark.plans.catalog import parse_hits
+
+    src = {
+        "uuid": "u1",
+        "hubmap_id": "HBM1",
+        "dataset_type": "CODEX",
+        "data_access_level": "public",
+    }
+    t = RecordedTransport(
+        [(303, "http://r"), (200, json.dumps({"hits": {"hits": [{"_source": src}]}}))]
+    )
+    hits = search_hits("http://x", codex_search_payload("HT"), t)
+    rows = parse_hits(spark, hits).select("uuid", "hubmap_id").collect()
+    assert [(r["uuid"], r["hubmap_id"]) for r in rows] == [("u1", "HBM1")]
+
+
+def test_codex_search_payload_shapes():
+    base = codex_search_payload()
+    assert base["query"]["bool"]["must_not"] == [
+        {"exists": {"field": "next_revision_uuid"}}
+    ]
+    assert len(base["query"]["bool"]["must"]) == 2
+    scoped = codex_search_payload("HT")
+    assert {"match": {"origin_samples.organ": "HT"}} in scoped["query"][
+        "bool"
+    ]["must"]
