@@ -760,3 +760,81 @@ def events_user_gaps_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps,
         schema="user_id long, n_gaps long, max_gap_us long, total_gap_us long",
     )
+
+
+# ---------------------------------------------------------------------------
+# events_scd2 — slowly-changing-dimension type-2 build: collapse each
+# user's event-type stream into validity intervals (valid_from,
+# valid_to, is_current), the dimension-table shape every warehouse
+# derives from a change feed. Gaps-and-islands: one shuffle on
+# user_id, then a change-flag lag window, a running-sum island id over
+# the SAME partitioning (no second exchange), a (user, island) agg,
+# and a lead window for the closing timestamp. Deterministic
+# (ts, event_id) ordering pins tie-handling across engines.
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT *, sum(chg) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS island
+  FROM marked
+),
+spans AS (
+  SELECT user_id, island, min(event_type) AS event_type,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from
+       ), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events,
+       lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from
+       ) IS NULL AS is_current
+FROM spans
+"""
+
+
+@register("events_scd2", sql=_SCD2_SQL)
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return spans.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
+        F.col("n_events").cast("long").alias("n_events"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -810,3 +810,108 @@ def embedding_norms_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm("v").alias("l2_norm"),
         centroid_cos("v").alias("centroid_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_outliers — corpus-level embedding QA: squared distance to
+# the global centroid, z-scored, flagging the far tail (z > 2) that a
+# curation pipeline quarantines before training. Plan: dim-sized
+# centroid agg broadcast back; per-vector d² is a row-local sequential
+# fold (deterministic fp order); the corpus mean/variance of d² run as
+# exact DECIMAL sums (order-free, cross-engine identical — see
+# functions/compat.py) and broadcast back as a 1-row frame. Two tiny
+# broadcasts, one corpus scan pair, no shuffle of the vectors.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_Z = 2.0
+
+_OUTLIERS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT i, CAST(round(sum(CAST(v[i] AS DECIMAL(12,8))), 8) AS DOUBLE)
+            / count(*) AS m
+  FROM e, unnest(generate_series(1, len(v))) AS g(i)
+  GROUP BY i
+),
+cv AS (SELECT list(m ORDER BY i) AS c FROM cent),
+d AS (
+  SELECT vec_id,
+         round(list_dot_product(v, v) - 2 * list_dot_product(v, cv.c)
+               + list_dot_product(cv.c, cv.c), 8) AS d2
+  FROM e CROSS JOIN cv
+),
+stats AS (
+  SELECT CAST(sum(CAST(d2 AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS mean_d2,
+         CAST(sum(CAST(d2 AS DECIMAL(20,8)) * CAST(d2 AS DECIMAL(20,8)))
+              AS DOUBLE) / count(*) AS mean_sq
+  FROM d
+)
+SELECT vec_id,
+       round(d2, 6) AS dist2,
+       round((d2 - mean_d2) / sqrt(mean_sq - mean_d2 * mean_d2), 6) AS zscore
+FROM d CROSS JOIN stats
+WHERE round((d2 - mean_d2) / sqrt(mean_sq - mean_d2 * mean_d2), 6)
+      > {_OUTLIER_Z}
+"""
+
+
+@register("embedding_outliers", sql=_OUTLIERS_SQL)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent_vec = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("x").cast("decimal(12,8)")), 8
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s.m,
+            ).alias("c")
+        )
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    d2 = F.round(
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("c"))
+        + dot(F.col("c"), F.col("c")),
+        8,
+    )
+    dists = spread(emb, "vec_id").crossJoin(F.broadcast(cent_vec)).select(
+        "vec_id", d2.alias("d2")
+    )
+    dec = F.col("d2").cast("decimal(20,8)")
+    stats = dists.agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("mean_d2"),
+        (F.sum(dec * dec).cast("double") / F.count(F.lit(1))).alias(
+            "mean_sq"
+        ),
+    )
+    z = F.round(
+        (F.col("d2") - F.col("mean_d2"))
+        / F.sqrt(F.col("mean_sq") - F.col("mean_d2") * F.col("mean_d2")),
+        6,
+    )
+    return (
+        dists.crossJoin(F.broadcast(stats))
+        .select("vec_id", F.round("d2", 6).alias("dist2"), z.alias("zscore"))
+        .filter(F.col("zscore") > _OUTLIER_Z)
+    )

@@ -481,3 +481,139 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_raw"),
         F.length(clean).cast("long").alias("n_chars_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_tfidf_top_terms — per-document top-3 terms by tf-idf (plain
+# ln(N/df), no smoothing). The workhorse relevance feature of corpus
+# curation. Plan shape at scale: one explode + one (doc, term) hash agg
+# for tf; the df table aggregates to |vocab| rows and BROADCASTS back;
+# N is a broadcast scalar; the per-doc top-3 is a WindowGroupLimit
+# (per-partition top-k, no global sort). Ranking is over the ROUNDED
+# score with a term tie-break so both engines cut identical sets.
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, tfidf
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rnk
+  FROM scored WHERE tfidf > 0
+) WHERE rnk <= 3
+"""
+
+
+@register("text_tfidf_top_terms", sql=_TFIDF_SQL)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from codex_data_products_spark.tables import spread
+
+    docs = T(spark, sf_dir, "documents")
+    toks = spread(
+        docs.select("doc_id", _tokens().alias("toks")), "doc_id"
+    ).select("doc_id", F.explode("toks").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+        .filter(F.col("tfidf") > 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "rnk", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf — least-squares fit of log(freq) against log(rank) over the
+# top-100 terms: the Zipf-law diagnostic a corpus health check runs
+# (natural text ≈ -1 slope; synthetic/templated text is flatter). The
+# explode/agg shrinks to |vocab| rows before the single-partition rank
+# window — the window input is vocabulary-sized, never corpus-sized —
+# and the regression is one 100-row aggregate: slope = cov/var,
+# intercept from the means, r² = corr². Deterministic tie-break
+# (freq DESC, term) pins identical ranks across engines.
+# ---------------------------------------------------------------------------
+
+_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+),
+freq AS (SELECT term, count(*) AS f FROM toks GROUP BY term),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM freq
+),
+pts AS (
+  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+  FROM ranked WHERE r <= 100
+)
+SELECT
+  round(regr_slope(y, x), 6)     AS slope,
+  round(regr_intercept(y, x), 6) AS intercept,
+  round(corr(y, x) * corr(y, x), 6) AS r2,
+  CAST(count(*) AS BIGINT)       AS n_terms
+FROM pts
+"""
+
+
+@register("text_zipf", sql=_ZIPF_SQL)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from codex_data_products_spark.tables import spread
+
+    docs = T(spark, sf_dir, "documents")
+    toks = spread(
+        docs.select("doc_id", _tokens().alias("toks")), "doc_id"
+    ).select(F.explode("toks").alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("term"))
+    pts = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 100)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    slope = F.covar_pop("y", "x") / F.var_pop("x")
+    return pts.agg(
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        F.round(F.corr("y", "x") * F.corr("y", "x"), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
