@@ -250,7 +250,7 @@ SELECT p_partkey,
                                                           AS color_hits,
        CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT)
                                                           AS total_chars,
-       array_to_string(list_sort(words), '|')             AS joined
+       array_to_string(list_reverse(words), '-')          AS joined
 FROM (
   SELECT p_partkey, string_split(p_name, ' ') AS words FROM part
 )
@@ -290,7 +290,9 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("total_chars"),
-        F.array_join(F.sort_array("words"), "|").alias("joined"),
+        # reversed-order join: exercises reverse(), a distinct path from
+        # words_sorted (ADVICE r2: the two were byte-identical before)
+        F.array_join(F.reverse("words"), "-").alias("joined"),
     )
 
 

@@ -502,8 +502,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle match is vacuous — it proves plan shape, not arithmetic.  0.38
 # yields 9/10/164 pairs at the three SFs: non-empty output at every
 # scale the driver samples, so the cross-engine hash covers the cosine
-# fold itself.
-EMB_DUP_THRESHOLD = 0.38
+# fold itself. The name is deliberately harness-scoped — do NOT import
+# it as a production near-dup setting.
+_SYNTHETIC_EMB_THRESHOLD = 0.38
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
@@ -533,7 +534,7 @@ FROM e a
 JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
       / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6)
-      >= {EMB_DUP_THRESHOLD}
+      >= {_SYNTHETIC_EMB_THRESHOLD}
 """
 
 
@@ -561,7 +562,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+        .filter(F.col("cosine") >= _SYNTHETIC_EMB_THRESHOLD)
     )
 
 
