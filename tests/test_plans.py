@@ -400,3 +400,38 @@ def test_bucketed_fact_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_tfidf_broadcasts_df_and_group_limits_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_tfidf_top_terms")
+    # |vocab|-sized df and the 1-row N both broadcast; rnk <= 3 becomes
+    # a WindowGroupLimit, never a full per-doc sort spill
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("WindowGroupLimit") >= 1
+
+
+def test_zipf_window_input_is_vocab_sized(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_zipf")
+    # the single-partition rank window must sit ABOVE the term agg:
+    # its input is |vocab| rows, so exactly one agg feeds the window
+    assert plan.index("HashAggregate") < plan.index("Window") or (
+        "partial_count" in plan[: plan.index("Window")]
+    )
+    assert "Join" not in plan
+
+
+def test_scd2_single_shuffle_for_windows_and_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_scd2")
+    # the lag window, island sum, (user, island) agg, and lead window
+    # all reuse the user_id hash partitioning → exactly one exchange
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_embedding_outliers_no_vector_shuffle_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_outliers")
+    # centroid and moment frames come back as broadcasts; the corpus
+    # never sort-merge-joins or cartesians
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
