@@ -107,4 +107,14 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("graph_pagerank", sql=_PAGERANK_SQL)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return op_pagerank(_trade_edges(spark, sf_dir), n_iter=N_ITER, damping=DAMPING)
+    # checkpoint_every > n_iter: a 3-round plan executes as ONE job; the
+    # eager mid-run localCheckpoint only pays off at high iteration
+    # counts where logical-plan depth threatens the driver (operator
+    # default keeps it for such callers). Results are identical either
+    # way — checkpointing is semantics-neutral.
+    return op_pagerank(
+        _trade_edges(spark, sf_dir),
+        n_iter=N_ITER,
+        damping=DAMPING,
+        checkpoint_every=N_ITER + 1,
+    )
