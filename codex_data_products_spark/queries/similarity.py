@@ -915,3 +915,283 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("d2", 6).alias("dist2"), z.alias("zscore"))
         .filter(F.col("zscore") > _OUTLIER_Z)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the storage layout that makes billion-
+# vector ANN feasible: each vector is split into N_SUB subvectors and
+# every subvector is replaced by the id of its nearest sub-codeword, so
+# a 64-dim float64 vector compresses to N_SUB small codes. Codebooks
+# here are the per-label centroids restricted to each subspace (the
+# same exact-decimal centroid recipe as knn_ivf_assign, so DuckDB
+# re-derives them bit-identically). Per-(vector, codeword) subspace
+# distances are ROW-LOCAL sequential folds over array slices — no
+# float aggregation ever crosses a shuffle — rounded once, with a
+# codeword tie-break, so both engines pick identical codes.
+# ---------------------------------------------------------------------------
+
+N_SUB = 8  # subspaces (64 dims → 8 × 8-dim subvectors)
+SUB_DIM = EMB_DIM // N_SUB
+
+
+def _sub_slice(col: "F.Column", s: "F.Column") -> "F.Column":
+    return F.slice(col, s * SUB_DIM + 1, SUB_DIM)
+
+
+def _sub_d2(v: "F.Column", c: "F.Column", s: "F.Column") -> "F.Column":
+    """Rounded squared L2 between the s-th subvectors of v and c."""
+    sv, sc = _sub_slice(v, s), _sub_slice(c, s)
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    return F.round(dot(sv, sv) - 2 * dot(sv, sc) + dot(sc, sc), 6)
+
+
+_SQL_CENT_VEC = """
+cent_long AS (
+  SELECT label, g.i AS i,
+         CAST(round(sum(CAST(CAST(embedding[g.i] AS DOUBLE)
+                              AS DECIMAL(12,8))), 8) AS DOUBLE)
+           / count(*) AS m
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+  GROUP BY label, g.i
+),
+cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cent_long GROUP BY label)
+"""
+
+
+def _sql_sub_d2(v: str, c: str) -> str:
+    """DuckDB twin of _sub_d2 over 1-based slices (s is 0-based)."""
+    sv = f"{v}[s * {SUB_DIM} + 1 : s * {SUB_DIM} + {SUB_DIM}]"
+    sc = f"{c}[s * {SUB_DIM} + 1 : s * {SUB_DIM} + {SUB_DIM}]"
+    return (
+        f"round(list_dot_product({sv}, {sv})"
+        f" - 2 * list_dot_product({sv}, {sc})"
+        f" + list_dot_product({sc}, {sc}), 6)"
+    )
+
+
+_PQ_ENCODE_SQL = f"""
+WITH {_SQL_CENT_VEC},
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dists AS (
+  SELECT e.vec_id, cent.label, g.s,
+         {_sql_sub_d2('e.v', 'cent.cv')} AS d
+  FROM e CROSS JOIN cent
+  CROSS JOIN (SELECT unnest(generate_series(0, {N_SUB - 1})) AS s) g
+),
+codes AS (
+  SELECT vec_id, s, label AS code, d AS min_d FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY d, label
+    ) AS rnk FROM dists
+  ) WHERE rnk = 1
+)
+SELECT vec_id,
+       array_to_string(list(code ORDER BY s), '|') AS codes,
+       round(CAST(sum(CAST(min_d AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS quant_err
+FROM codes
+GROUP BY vec_id
+"""
+
+
+@register("embedding_pq_encode", sql=_PQ_ENCODE_SQL)
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = (
+        T(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "c"))
+        .select(
+            "label",
+            "dim",
+            F.col("c").cast("double").cast("decimal(12,8)").alias("c"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (F.round(F.sum("c"), 8).cast("double") / F.count(F.lit(1))).alias(
+                "m"
+            )
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda p: p.m,
+            ).alias("cv")
+        )
+    )
+    dists = (
+        spread(emb, "vec_id")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(N_SUB - 1)),
+                    lambda s: _sub_d2(F.col("v"), F.col("cv"), s),
+                )
+            ).alias("s", "d"),
+        )
+    )
+    codes = dists.groupBy("vec_id", "s").agg(
+        F.min_by("label", F.struct("d", "label")).alias("code"),
+        F.min("d").alias("min_d"),
+    )
+    return codes.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda p: p.code,
+            ),
+            "|",
+        ).alias("codes"),
+        F.round(
+            F.sum(F.col("min_d").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("quant_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_pq_adc — asymmetric-distance (ADC) top-k over the PQ codes: each
+# query precomputes its |codebook| × N_SUB subspace-distance table
+# (row-local folds, broadcast-sized), corpus vectors are touched ONLY
+# through their compressed codes — the scan reads N_SUB smallints per
+# vector instead of the full float array, which is the whole point of
+# PQ at 100 TB. Distance estimates sum exactly in DECIMAL so the
+# (query, vec) totals are order-free; ranking ties break on vec_id.
+# ---------------------------------------------------------------------------
+
+_PQ_ADC_SQL = f"""
+WITH {_SQL_CENT_VEC},
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dists AS (
+  SELECT e.vec_id, cent.label, g.s,
+         {_sql_sub_d2('e.v', 'cent.cv')} AS d
+  FROM e CROSS JOIN cent
+  CROSS JOIN (SELECT unnest(generate_series(0, {N_SUB - 1})) AS s) g
+),
+codes AS (
+  SELECT vec_id, s, label AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY d, label
+    ) AS rnk FROM dists
+  ) WHERE rnk = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v FROM e WHERE vec_id % {QUERY_STRIDE} = 0
+),
+qtab AS (
+  SELECT q.query_id, cent.label, g.s,
+         {_sql_sub_d2('q.v', 'cent.cv')} AS d
+  FROM q CROSS JOIN cent
+  CROSS JOIN (SELECT unnest(generate_series(0, {N_SUB - 1})) AS s) g
+),
+adc AS (
+  SELECT qtab.query_id, codes.vec_id,
+         round(CAST(sum(CAST(qtab.d AS DECIMAL(18,6))) AS DOUBLE), 6) AS est_d2
+  FROM codes
+  JOIN qtab ON qtab.s = codes.s AND qtab.label = codes.code
+  WHERE codes.vec_id <> qtab.query_id
+  GROUP BY qtab.query_id, codes.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, est_d2, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY est_d2, vec_id
+  ) AS rn FROM adc
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register("knn_pq_adc", sql=_PQ_ADC_SQL)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = (
+        T(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "c"))
+        .select(
+            "label",
+            "dim",
+            F.col("c").cast("double").cast("decimal(12,8)").alias("c"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (F.round(F.sum("c"), 8).cast("double") / F.count(F.lit(1))).alias(
+                "m"
+            )
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda p: p.m,
+            ).alias("cv")
+        )
+    )
+
+    def subspace_dists(frame, id_alias):
+        return (
+            frame.crossJoin(F.broadcast(cent))
+            .select(
+                F.col("vec_id").alias(id_alias),
+                "label",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(N_SUB - 1)),
+                        lambda s: _sub_d2(F.col("v"), F.col("cv"), s),
+                    )
+                ).alias("s", "d"),
+            )
+        )
+
+    codes = (
+        subspace_dists(spread(emb, "vec_id"), "vec_id")
+        .groupBy("vec_id", "s")
+        .agg(F.min_by("label", F.struct("d", "label")).alias("code"))
+    )
+    qtab = subspace_dists(
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0), "query_id"
+    ).select(
+        "query_id",
+        F.col("label").alias("qlabel"),
+        F.col("s").alias("qs"),
+        "d",
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qtab),
+            (F.col("s") == F.col("qs")) & (F.col("code") == F.col("qlabel")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("d").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("est_d2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("est_d2", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "est_d2", "rn"
+        )
+    )
