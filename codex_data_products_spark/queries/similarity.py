@@ -1195,3 +1195,98 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", F.col("vec_id").alias("neighbor_id"), "est_d2", "rn"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_pq_recall — the quality gate for the PQ/ADC layout: recall@5 of
+# the compressed-code search against exact squared-L2 ground truth
+# (L2, not cosine — ADC estimates L2, so the gate must measure the
+# same metric the index optimizes). Closes the quantization
+# trade-off triangle: embedding_quantize measures storage error,
+# knn_pq_adc implements the search, this measures retrieval loss
+# (~0.18 recall@5 at sf0.01 — honest for 25-codeword-per-subspace
+# codebooks over near-random synthetic vectors; production PQ uses
+# 256-codeword trained codebooks and an IVF shortlist re-ranked with
+# exact distances).
+# ---------------------------------------------------------------------------
+
+_SQL_L2 = (
+    "round(list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, c.v)"
+    " + list_dot_product(c.v, c.v), 6)"
+)
+
+_PQ_RECALL_SQL = f"""
+WITH approx AS ({_PQ_ADC_SQL}),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {_SQL_L2}, c.vec_id
+           ) AS rn
+    FROM q JOIN e c ON q.vec_id <> c.vec_id
+  ) WHERE rn <= {TOP_K}
+)
+SELECT t.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(i.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+         AS recall_at_k
+FROM truth t
+LEFT JOIN approx i
+  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@register("knn_pq_recall", sql=_PQ_RECALL_SQL)
+def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    d2 = F.round(
+        dot(F.col("qv"), F.col("qv"))
+        - 2 * dot(F.col("qv"), F.col("v"))
+        + dot(F.col("v"), F.col("v")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    truth = (
+        spread(emb, "vec_id")
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = knn_pq_adc(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["neighbor_id"] == approx["hit_id"]),
+        "left",
+    ).select(truth["query_id"], "hit_id")
+    return joined.groupBy("query_id").agg(
+        F.count("hit_id").alias("n_hit"),
+        F.round(F.count("hit_id").cast("double") / TOP_K, 6).alias(
+            "recall_at_k"
+        ),
+    )
