@@ -410,3 +410,83 @@ def cms_stream(items: DataFrame, item_col: str) -> DataFrame:
         ).alias("d", "cell")
     )
     return cells.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# scd2_stream — continuous SCD type-2 maintenance: per-user state holds
+# the OPEN validity interval (current event_type, valid_from, count);
+# each observed type change closes it and appends the finished row.
+# The batch twin is queries/events.events_scd2 — a single availableNow
+# drain reproduces exactly its closed (NOT is_current) intervals, while
+# the open interval lives in state awaiting the next change. State is
+# one fixed-width row per user.
+# ---------------------------------------------------------------------------
+
+SCD2_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, valid_from string, "
+    "valid_to string, n_events long"
+)
+SCD2_STATE_SCHEMA = "cur_type string, from_us long, n long"
+
+_SCD2_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _scd2_group(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    rows: list[tuple[int, int, str]] = []
+    for pdf in batches:
+        rows.extend(
+            (int(t.value // 1000), int(eid), str(et))
+            for t, eid, et in zip(pdf["ts"], pdf["event_id"], pdf["event_type"])
+        )
+    rows.sort()
+
+    cur_type, from_us, n = (
+        state.get if state.exists else (None, -1, 0)
+    )
+    closed: list[pd.DataFrame] = []
+    for ts_us, _eid, etype in rows:
+        if cur_type is None:
+            cur_type, from_us, n = etype, ts_us, 1
+        elif etype != cur_type:
+            closed.append(
+                pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "event_type": [cur_type],
+                        "valid_from": [
+                            pd.Timestamp(from_us * 1000).strftime(_SCD2_FMT)
+                        ],
+                        "valid_to": [
+                            pd.Timestamp(ts_us * 1000).strftime(_SCD2_FMT)
+                        ],
+                        "n_events": [n],
+                    }
+                )
+            )
+            cur_type, from_us, n = etype, ts_us, 1
+        else:
+            n += 1
+    state.update((cur_type, from_us, n))
+    yield from closed
+
+
+def scd2_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: continuous SCD type-2 interval builds
+    per user (applyInPandasWithState; batch twin queries/events.events_scd2)."""
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_group,
+            outputStructType=SCD2_OUTPUT_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -139,3 +139,30 @@ def test_streaming_cms_equals_batch_sketch(spark, sf_dir):
         for r in cms_build(batch_items, "item").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_scd2_stream_matches_batch_closed_intervals(spark, sf_dir):
+    from codex_data_products_spark.queries.events import events_scd2
+    from codex_data_products_spark.streaming.events import scd2_stream
+
+    stream = scd2_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "scd2_test", output_mode="append")
+    got = {
+        (r["user_id"], r["valid_from"]): (
+            r["event_type"],
+            r["valid_to"],
+            r["n_events"],
+        )
+        for r in spark.sql("SELECT * FROM scd2_test").collect()
+    }
+    # the stream appends exactly the CLOSED intervals; the open tail per
+    # user stays in state (batch marks it is_current)
+    batch = {
+        (r["user_id"], r["valid_from"]): (
+            r["event_type"],
+            r["valid_to"],
+            r["n_events"],
+        )
+        for r in events_scd2(spark, sf_dir).filter("NOT is_current").collect()
+    }
+    assert got == batch
