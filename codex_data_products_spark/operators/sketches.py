@@ -121,3 +121,76 @@ def cms_estimate(
     return out.withColumn("cms_est", est).drop(
         *[f"_cnt_{i}" for i in range(len(seeds))]
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (portable, cross-engine deterministic)
+#
+# Register math is kept exactly integer so Spark and a SQL oracle build
+# bit-identical sketches: the 63-bit item hash comes from md5 (stable
+# everywhere), the register rank derives from the LENGTH OF THE BINARY
+# REPRESENTATION of the low bits (no floating log2), and the harmonic
+# sum Σ 2^-rank is computed as an exact integer numerator over the
+# common denominator 2^62 before ONE double division — the estimate is
+# the same IEEE double on any partitioning and any engine. At 100 TB
+# the register table is m rows per group — the mergeable,
+# constant-size answer to COUNT(DISTINCT) over repeated slices.
+# ---------------------------------------------------------------------------
+
+HLL_B = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_B
+HLL_ALPHA = 0.709  # standard alpha for m = 64
+HLL_LOW_BITS = 63 - HLL_B  # 57 suffix bits carry the rank
+_HLL_RMAX = 62  # common denominator exponent for the harmonic sum
+
+
+def hll_hash64(item: Column) -> Column:
+    """First 16 md5 hex chars → uniform 63-bit int (top hex digit
+    masked to 0-7 keeps the value inside BIGINT on both engines)."""
+    top = F.conv(F.substring(F.md5(item), 1, 1), 16, 10).cast("bigint") % 8
+    low = F.conv(F.substring(F.md5(item), 2, 15), 16, 10).cast("bigint")
+    return top * F.lit(1 << 60).cast("bigint") + low
+
+
+def hll_register_rows(items, item_col: str, group_cols: list[str]):
+    """(group_cols..., bucket, rank): max rank per (group, bucket).
+
+    rank = leading-zero count of the HLL_LOW_BITS-bit suffix + 1 =
+    HLL_LOW_BITS - bitlength(w) + 1 via binary-string length — exact
+    integer arithmetic only (w = 0 → rank HLL_LOW_BITS + 1).
+    """
+    h = hll_hash64(F.col(item_col))
+    bucket = (h % HLL_M).cast("int")
+    w = F.floor(h / HLL_M).cast("bigint")
+    bitlen = F.when(w > 0, F.length(F.conv(w, 10, 2))).otherwise(F.lit(0))
+    rank = (F.lit(HLL_LOW_BITS) - bitlen + 1).cast("int")
+    return (
+        items.select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_estimate(registers, group_cols: list[str]):
+    """Raw HLL estimate per group from (bucket, rank) register rows.
+
+    Missing buckets contribute rank 0. numerator = Σ 2^(RMAX - rank)
+    summed as exact DECIMAL(38,0) (powers of two are exact doubles, so
+    the cast loses nothing); estimate = α·m²·2^RMAX / numerator in one
+    double division, rounded once.
+    """
+    term = F.pow(F.lit(2.0), F.lit(_HLL_RMAX) - F.col("rank")).cast(
+        "decimal(38,0)"
+    )
+    missing = (F.lit(HLL_M) - F.count(F.lit(1))).cast("decimal(38,0)")
+    num = F.sum(term) + missing * F.lit(float(1 << _HLL_RMAX)).cast(
+        "decimal(38,0)"
+    )
+    return registers.groupBy(*group_cols).agg(
+        F.round(
+            F.lit(HLL_ALPHA * HLL_M * HLL_M)
+            * F.lit(float(1 << _HLL_RMAX))
+            / num.cast("double"),
+            4,
+        ).alias("hll_estimate")
+    )

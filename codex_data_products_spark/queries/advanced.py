@@ -405,3 +405,84 @@ def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("supplier", "nation"):
         T(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# agg_distinct_hll — COUNT(DISTINCT) vs a portable HyperLogLog sketch
+# (operators/sketches.py): md5-derived 63-bit hashes, integer-only
+# register ranks, and an exact-integer harmonic sum make the estimate
+# the same IEEE double on both engines — so even the approximate path
+# is hash-checkable. At 100 TB the register table (64 rows per group)
+# is mergeable across partitions/days, which exact distinct is not;
+# the query reports both plus the realized relative error.
+# ---------------------------------------------------------------------------
+
+from codex_data_products_spark.operators.sketches import (  # noqa: E402
+    HLL_ALPHA,
+    HLL_LOW_BITS,
+    HLL_M,
+    _HLL_RMAX,
+    hll_estimate,
+    hll_register_rows,
+)
+
+_HLL_SQL = f"""
+WITH items AS (
+  SELECT o_orderstatus AS g, CAST(o_custkey AS VARCHAR) AS item FROM orders
+),
+h AS (
+  SELECT g,
+         (CAST(concat('0x', substring(md5(item), 1, 1)) AS BIGINT) % 8)
+           * (CAST(1 AS BIGINT) << 60)
+         + CAST(concat('0x', substring(md5(item), 2, 15)) AS BIGINT) AS hv
+  FROM items
+),
+reg AS (
+  SELECT g, hv % {HLL_M} AS bucket,
+         max(CASE WHEN hv // {HLL_M} > 0
+                  THEN {HLL_LOW_BITS} - length(format('{{:b}}', hv // {HLL_M})) + 1
+                  ELSE {HLL_LOW_BITS + 1} END) AS rank
+  FROM h GROUP BY g, hv % {HLL_M}
+),
+est AS (
+  SELECT g,
+         round({HLL_ALPHA} * {HLL_M * HLL_M} * pow(2.0, {_HLL_RMAX})
+               / CAST(sum(CAST(pow(2.0, {_HLL_RMAX} - rank) AS DECIMAL(38,0)))
+                      + CAST({HLL_M} - count(*) AS DECIMAL(38,0))
+                        * CAST(pow(2.0, {_HLL_RMAX}) AS DECIMAL(38,0))
+                      AS DOUBLE), 4) AS hll_estimate
+  FROM reg GROUP BY g
+),
+ex AS (
+  SELECT g, count(DISTINCT item) AS exact_distinct FROM items GROUP BY g
+)
+SELECT ex.g AS o_orderstatus,
+       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+       est.hll_estimate,
+       round(abs(est.hll_estimate - ex.exact_distinct)
+             / ex.exact_distinct, 4) AS rel_err
+FROM ex JOIN est ON est.g = ex.g
+"""
+
+
+@register("agg_distinct_hll", sql=_HLL_SQL)
+def agg_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = T(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        F.col("o_custkey").cast("string").alias("item"),
+    )
+    registers = hll_register_rows(items, "item", ["g"])
+    est = hll_estimate(registers, ["g"])
+    exact = items.groupBy("g").agg(
+        F.count_distinct("item").alias("exact_distinct")
+    )
+    return exact.join(est, "g").select(
+        F.col("g").alias("o_orderstatus"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
