@@ -98,6 +98,19 @@ def main() -> None:
         .orderBy("rn")
         .write.format("noop").mode("overwrite").save()
     )
+    # ... and the Arrow/Python worker pool (one worker per core forks on
+    # first use; without this the first pandas-UDF query absorbs it)
+    def _noop_batches(batches):
+        yield from batches
+
+    (
+        spark.range(1_000)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .mapInPandas(_noop_batches, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
