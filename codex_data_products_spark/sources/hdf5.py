@@ -46,13 +46,21 @@ DECODED_SCHEMA = (
 )
 
 
-def _matrices_to_long(total, mean) -> pd.DataFrame:
-    """(n_cells × n_channels) total/mean matrices → long rows, cell ids
-    being row positions as strings (bin/concatenate.py:249-251)."""
+def _matrices_to_long(total, mean, index=None) -> pd.DataFrame:
+    """(n_cells × n_channels) total/mean matrices → long rows.
+
+    ``original_obs_id`` comes from the stored DataFrame index when the
+    file carries one (pandas-HDFStore layout — the reference reads the
+    matrix through HDFStore and takes ``adata.obs.index`` from it,
+    bin/concatenate.py:264-269), else falls back to row positions for
+    plain 2-D matrix files."""
     import numpy as np
 
     n_cells, n_channels = total.shape
-    ids = np.repeat(np.arange(n_cells).astype(str), n_channels)
+    raw_ids = (
+        np.asarray(index) if index is not None else np.arange(n_cells)
+    )
+    ids = np.repeat(np.asarray(raw_ids).astype(str), n_channels)
     ch = np.tile(np.arange(n_channels), n_cells)
     return pd.DataFrame(
         {
@@ -80,7 +88,15 @@ def h5py_decoder(payload: bytes, path: str) -> pd.DataFrame:
 
         reader = minihdf5.Reader(bytes(payload))
         for tk, mk in zip(TOTAL_KEYS, MEAN_KEYS):
-            if tk in reader:
+            # pandas-HDFStore 'fixed' layout: the key is a group with
+            # axis1 (the DataFrame index = cell ids) + block0_values
+            if f"{tk}/block0_values" in reader:
+                return _matrices_to_long(
+                    reader.dataset(f"{tk}/block0_values"),
+                    reader.dataset(f"{mk}/block0_values"),
+                    index=reader.dataset(f"{tk}/axis1"),
+                )
+            if tk in reader:  # plain 2-D matrix → positional ids
                 return _matrices_to_long(
                     reader.dataset(tk), reader.dataset(mk)
                 )
@@ -91,6 +107,12 @@ def h5py_decoder(payload: bytes, path: str) -> pd.DataFrame:
 
     with h5py.File(io.BytesIO(payload), "r") as f:  # pragma: no cover
         for tk, mk in zip(TOTAL_KEYS, MEAN_KEYS):
+            if f"{tk}/block0_values" in f:
+                return _matrices_to_long(
+                    np.asarray(f[f"{tk}/block0_values"]),
+                    np.asarray(f[f"{mk}/block0_values"]),
+                    index=np.asarray(f[f"{tk}/axis1"]),
+                )
             if tk in f:
                 return _matrices_to_long(np.asarray(f[tk]), np.asarray(f[mk]))
     raise ValueError(f"no known matrix key in {path}")  # pragma: no cover

@@ -75,18 +75,28 @@ def _object_header(messages: list[tuple[int, bytes]]) -> bytes:
 
 
 def _write_dataset(buf: _Buf, arr: np.ndarray) -> int:
-    data = np.ascontiguousarray(arr, dtype="<f8").tobytes()
+    is_int = np.issubdtype(arr.dtype, np.integer)
+    wire = "<i8" if is_int else "<f8"
+    data = np.ascontiguousarray(arr, dtype=wire).tobytes()
     data_addr = buf.append(data)
     dspace = struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
         struct.pack("<Q", d) for d in arr.shape
     )
-    # IEEE f64le: class 1 v1, LE, mantissa-normalized (msb implied),
-    # sign bit 63, exp at 52 (11 bits, bias 1023), mantissa at 0 (52)
-    dtype = (
-        bytes([0x11, 0x20, 63, 0x00])
-        + struct.pack("<I", 8)
-        + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
-    )
+    if is_int:
+        # I64LE: class 0 v1, LE, signed (bitfield bit 3), 64-bit
+        dtype = (
+            bytes([0x10, 0x08, 0x00, 0x00])
+            + struct.pack("<I", 8)
+            + struct.pack("<HH", 0, 64)
+        )
+    else:
+        # IEEE f64le: class 1 v1, LE, mantissa-normalized (msb implied),
+        # sign bit 63, exp at 52 (11 bits, bias 1023), mantissa at 0 (52)
+        dtype = (
+            bytes([0x11, 0x20, 63, 0x00])
+            + struct.pack("<I", 8)
+            + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        )
     layout = struct.pack("<BBQQ", 3, 1, data_addr, len(data))  # v3 contiguous
     oh = _object_header(
         [(_MSG_DATASPACE, dspace), (_MSG_DATATYPE, dtype), (_MSG_LAYOUT, layout)]
@@ -127,8 +137,8 @@ def _write_group(buf: _Buf, children: dict[str, int]) -> int:
 
 
 def write(datasets: dict[str, np.ndarray]) -> bytes:
-    """Serialize ``{"/a/b/mat": 2-D array, ...}`` as classic-format
-    HDF5 bytes (contiguous f64le datasets under nested groups)."""
+    """Serialize ``{"/a/b/mat": array, ...}`` as classic-format HDF5
+    bytes (contiguous f64le / i64le datasets under nested groups)."""
     tree: dict = {}
     for path, arr in datasets.items():
         parts = [p for p in path.split("/") if p]
@@ -139,7 +149,10 @@ def write(datasets: dict[str, np.ndarray]) -> bytes:
             node = node.setdefault(p, {})
             if not isinstance(node, dict):
                 raise ValueError(f"{path!r} conflicts with a dataset")
-        node[parts[-1]] = np.asarray(arr, dtype="<f8")
+        arr = np.asarray(arr)
+        node[parts[-1]] = arr.astype(
+            "<i8" if np.issubdtype(arr.dtype, np.integer) else "<f8"
+        )
 
     buf = _Buf()
     buf.alloc(96)  # superblock placeholder at address 0
@@ -268,14 +281,16 @@ class Reader:
             raise ValueError(f"unsupported dataspace v{version}")
         shape = struct.unpack_from(f"<{rank}Q", dspace, 8)
         dt = msgs[_MSG_DATATYPE]
-        if dt[0] != 0x11 or struct.unpack_from("<I", dt, 4)[0] != 8:
-            raise ValueError("only f64le datasets are in the subset")
+        dt_class = dt[0] & 0x0F
+        if struct.unpack_from("<I", dt, 4)[0] != 8 or dt_class not in (0, 1):
+            raise ValueError("only f64le/i64le datasets are in the subset")
+        wire = "<i8" if dt_class == 0 else "<f8"
         lv, lclass, addr, size = struct.unpack_from("<BBQQ", msgs[_MSG_LAYOUT], 0)
         if lv != 3 or lclass != 1:
             raise ValueError("only v3 contiguous layout is in the subset")
         n = int(np.prod(shape)) if shape else 1
         if size != 8 * n:
             raise ValueError("layout size does not match dataspace")
-        return np.frombuffer(self.b, dtype="<f8", count=n, offset=addr).reshape(
+        return np.frombuffer(self.b, dtype=wire, count=n, offset=addr).reshape(
             shape
         )
