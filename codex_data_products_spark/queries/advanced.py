@@ -486,3 +486,73 @@ def agg_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# profile_orders — one-pass data profiling (the ANALYZE/data-quality
+# sweep a pipeline runs before trusting a new drop): per column the
+# row/null/distinct counts and min/max, computed as ONE wide aggregate
+# over a single scan and unpivoted to long form JVM-side. At 100 TB
+# this is the shape that matters: 6 columns profiled for the price of
+# one pass, no per-column jobs. min/max stringify via exact decimal /
+# date formatting so both engines render identical text.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)"),
+    ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d')"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({name}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+       {expr.replace(name, f'min({name})')} AS min_value,
+       {expr.replace(name, f'max({name})')} AS max_value
+FROM orders"""
+    for name, expr in _PROFILE_COLS
+)
+
+
+@register("profile_orders", sql=_PROFILE_SQL)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+
+    def s(col: "F.Column", name: str) -> "F.Column":
+        # min/max run on the NATIVE type (numeric/date ordering), then
+        # stringify with exact decimal / date formatting
+        if name == "o_totalprice":
+            return col.cast("decimal(12,2)").cast("string")
+        if name == "o_orderdate":
+            return F.date_format(col, "yyyy-MM-dd")
+        return col.cast("string")
+
+    aggs = []
+    for name, _ in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{name}__rows"),
+            (F.count(F.lit(1)) - F.count(name)).alias(f"{name}__null"),
+            F.count_distinct(name).alias(f"{name}__distinct"),
+            s(F.min(name), name).alias(f"{name}__min"),
+            s(F.max(name), name).alias(f"{name}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col(f"{name}__rows").cast("long").alias("n_rows"),
+                F.col(f"{name}__null").cast("long").alias("n_null"),
+                F.col(f"{name}__distinct").cast("long").alias("n_distinct"),
+                F.col(f"{name}__min").alias("min_value"),
+                F.col(f"{name}__max").alias("max_value"),
+            )
+            for name, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
