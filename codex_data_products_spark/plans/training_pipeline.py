@@ -61,15 +61,13 @@ def _toks():
     return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
 
-def _top_bigram_frac(toks) -> F.Column:
+def _top_bigram_frac(toks, bgs) -> F.Column:
     """Fraction of bigram slots taken by the most frequent bigram —
     row-local array math (no explode), same shape as
-    queries/text.text_repetition."""
-    bgs = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
-        lambda x, y: F.concat_ws(" ", x, y),
-    )
+    queries/text.text_repetition. ``toks``/``bgs`` must be MATERIALIZED
+    columns (not expressions): the occurrence count references ``bgs``
+    inside a per-element lambda, where loop-invariant subexpressions
+    are re-evaluated per element."""
     top = F.array_max(
         F.transform(
             F.array_distinct(bgs),
@@ -137,7 +135,23 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         neardup_losers(surviving, cfg.max_hamming), "doc_id", "left_anti"
     )
 
-    toks = _toks()
+    # Materialize token/bigram arrays behind an exchange so the
+    # per-element lambdas below read plain columns instead of
+    # re-running the regex split per element (CollapseProject would
+    # otherwise inline the expressions straight back into the lambdas).
+    from codex_data_products_spark.tables import spread
+
+    toks0 = _toks()
+    bgs0 = F.zip_with(
+        F.slice(toks0, 1, F.size(toks0) - 1),
+        F.slice(toks0, 2, F.size(toks0) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    surviving = spread(
+        surviving.select("*", toks0.alias("_toks"), bgs0.alias("_bgs")),
+        "doc_id",
+    )
+    toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n = F.size(toks)
     scored = surviving.select(
@@ -153,7 +167,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6).alias(
             "type_token_ratio"
         ),
-        _top_bigram_frac(toks).alias("top_bigram_frac"),
+        _top_bigram_frac(toks, F.col("_bgs")).alias("top_bigram_frac"),
     )
 
     def lang_score(lang: str):
@@ -180,7 +194,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         & (F.col("type_token_ratio") >= cfg.min_type_token_ratio)
         & (F.col("top_bigram_frac") <= cfg.max_top_bigram_frac)
         & F.col("lang_predicted").isin(*cfg.keep_langs)
-    )
+    ).drop("_toks", "_bgs")
 
 
 def write_curated(
