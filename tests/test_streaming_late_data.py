@@ -122,3 +122,37 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     )
     counts = {r["event_id"]: r["n"] for r in got}
     assert counts == {1: 1, 2: 1, 3: 1}
+
+
+def test_scd2_stream_closes_intervals_across_incremental_runs(spark, tmp_path):
+    from codex_data_products_spark.streaming.events import scd2_stream
+
+    src, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    # run 1: user 1 is in 'view' state (two events) — nothing closes
+    _write_batch(
+        spark,
+        src,
+        [_ev(1, 0, "view"), _ev(2, 10, "view")],
+        1,
+    )
+    _run(scd2_stream(_stream(spark, src)), out, ckpt)
+    assert spark.read.schema(
+        "user_id long, event_type string, valid_from string, "
+        "valid_to string, n_events long"
+    ).parquet(out).count() == 0
+
+    # run 2: a 'purchase' arrives → the open 'view' interval closes with
+    # valid_to = the change timestamp, carried ACROSS the restart via
+    # checkpointed state
+    _write_batch(spark, src, [_ev(3, 25, "purchase")], 2)
+    _run(scd2_stream(_stream(spark, src)), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["event_type"], r["n_events"]) == (1, "view", 2)
+    assert r["valid_from"].startswith("2026-01-01 10:00:00")
+    assert r["valid_to"].startswith("2026-01-01 10:25:00")
