@@ -166,3 +166,78 @@ def test_scd2_stream_matches_batch_closed_intervals(spark, sf_dir):
         for r in events_scd2(spark, sf_dir).filter("NOT is_current").collect()
     }
     assert got == batch
+
+
+def test_incremental_agg_maintenance_equals_recompute(spark, tmp_path):
+    """IVM invariant: bootstrap + K delta folds == from-scratch
+    aggregate of base ∪ all changes (deletes included), bit-identical
+    because all sums are exact decimals."""
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_agg_state,
+        combine_agg_state,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 1.0)],
+        "k string, v double",
+    )
+    state = bootstrap_agg_state(base, ["k"], ["v"])
+
+    # delta 1: insert into a, delete one c (its only row → group drops)
+    d1 = spark.createDataFrame(
+        [("a", 7.0, 1), ("c", 1.0, -1)], "k string, v double, op int"
+    )
+    # delta 2: update b 5.0 → 9.0 (delete+insert), new group d
+    d2 = spark.createDataFrame(
+        [("b", 5.0, -1), ("b", 9.0, 1), ("d", 2.0, 1)],
+        "k string, v double, op int",
+    )
+    state = combine_agg_state(state, d1, ["k"], ["v"])
+    state = combine_agg_state(state, d2, ["k"], ["v"])
+
+    final_rows = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 7.0), ("b", 9.0), ("d", 2.0)],
+        "k string, v double",
+    )
+    expect = {
+        (r["k"]): (r["n"], r["sum_v"])
+        for r in bootstrap_agg_state(final_rows, ["k"], ["v"]).collect()
+    }
+    got = {(r["k"]): (r["n"], r["sum_v"]) for r in state.collect()}
+    assert got == expect
+    assert "c" not in got  # zero-count group dropped
+
+
+def test_run_agg_maintenance_versions_snapshots(spark, tmp_path):
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_agg_state,
+        read_table,
+        run_agg_maintenance,
+        table_versions,
+    )
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "agg_table")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [("a", 10.0), ("b", 5.0)], "k string, v double"
+    )
+    bootstrap_agg_state(base, ["k"], ["v"]).write.parquet(f"{table}/v=0")
+
+    spark.createDataFrame(
+        [("a", 2.5, 1), ("b", 5.0, -1)], "k string, v double, op int"
+    ).coalesce(1).write.parquet(f"{src}/d1")
+    changes = spark.readStream.schema("k string, v double, op int").option(
+        "recursiveFileLookup", "true"
+    ).parquet(src)
+    run_agg_maintenance(changes, table, ["k"], ["v"], ckpt)
+
+    assert table_versions(spark, table) == [0, 1]
+    latest = {
+        r["k"]: (r["n"], float(r["sum_v"]))
+        for r in read_table(spark, table).collect()
+    }
+    assert latest == {"a": (2, 12.5)}  # b dropped to zero
+    # time travel: v=0 still addressable
+    v0 = {r["k"]: r["n"] for r in read_table(spark, table, 0).collect()}
+    assert v0 == {"a": 1, "b": 1}
