@@ -435,3 +435,19 @@ def test_embedding_outliers_no_vector_shuffle_join(spark, sf_dir):
     # never sort-merge-joins or cartesians
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["embedding_pq_encode", "knn_pq_adc"])
+def test_pq_family_broadcasts_codebooks_no_smj(spark, sf_dir, name):
+    # the |codebook|-row centroid frame (and the query distance table)
+    # must broadcast against the corpus; the corpus never sort-merges
+    plan = _plan(spark, sf_dir, name)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_code_join_is_broadcast_hash(spark, sf_dir):
+    # the (s, code) equi join against the compressed codes must be a
+    # broadcast hash join — the per-query distance table is tiny
+    plan = _plan(spark, sf_dir, "knn_pq_adc")
+    assert "BroadcastHashJoin" in plan
