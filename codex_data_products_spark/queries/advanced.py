@@ -556,3 +556,86 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# market_basket_pairs — association mining over order baskets: which
+# part pairs co-occur more than chance (the a-priori first pass every
+# recommender bootstrap runs). The pair generator is an equi self-join
+# ON THE ORDER KEY (co-partitioned, pairs per order are C(n,2) of a
+# small n — never a corpus cartesian); item frequencies aggregate to
+# |parts| rows and broadcast back for the lift denominator. Exact
+# integer counts; one rounded division at the end.
+# ---------------------------------------------------------------------------
+
+_BASKET_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+),
+n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+freq AS (SELECT pkey, count(*) AS item_n FROM items GROUP BY pkey),
+pairs AS (
+  SELECT a.pkey AS part_a, b.pkey AS part_b, count(*) AS pair_n
+  FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
+  GROUP BY a.pkey, b.pkey
+)
+SELECT part_a, part_b, CAST(pair_n AS BIGINT) AS pair_n,
+       round(CAST(pair_n AS DOUBLE) * n.n_orders
+             / (fa.item_n * fb.item_n), 6) AS lift
+FROM pairs
+JOIN freq fa ON fa.pkey = part_a
+JOIN freq fb ON fb.pkey = part_b
+CROSS JOIN n
+WHERE pair_n >= 2
+"""
+
+
+@register("market_basket_pairs", sql=_BASKET_SQL)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+        )
+        .distinct()
+    )
+    n_orders = items.agg(F.count_distinct("okey").alias("n_orders"))
+    freq = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("item_n"))
+    a = items.alias("a")
+    b = items.select(
+        F.col("okey").alias("okey_b"), F.col("pkey").alias("pkey_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("okey") == F.col("okey_b"))
+            & (F.col("pkey") < F.col("pkey_b")),
+        )
+        .groupBy(
+            F.col("pkey").alias("part_a"), F.col("pkey_b").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    fa = freq.select(
+        F.col("pkey").alias("part_a"), F.col("item_n").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("pkey").alias("part_b"), F.col("item_n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_n").cast("long").alias("pair_n"),
+            F.round(
+                F.col("pair_n").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
