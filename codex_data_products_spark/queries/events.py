@@ -838,3 +838,61 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_rolling_median — trailing-7-day median of daily revenue per
+# event type: a HOLISTIC aggregate over a bounded window frame, the
+# shape Spark has no native window function for. The daily pre-agg
+# shrinks the window input to days×types rows (never event-grain), the
+# frame collects ≤7 exact-decimal values per row, and the median is
+# row-local array math with the standard half-sum interpolation for
+# even counts — bit-identical to DuckDB's windowed median.
+# ---------------------------------------------------------------------------
+
+_ROLLING_MEDIAN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       round(median(rev) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 3) AS rolling_median_rev
+FROM daily
+"""
+
+
+@register("events_rolling_median", sql=_ROLLING_MEDIAN_SQL)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    vals = F.array_sort(F.collect_list("rev").over(w))
+    n = F.size(vals)
+    lo = F.element_at(vals, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(vals, F.ceil((n + 1) / 2).cast("int"))
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        # round at 3dp, not 2: the half-sum of two 2dp values is EXACT
+        # at 3 decimals, so no cross-engine half-way boundary exists;
+        # rounding to 2 would sit on .xx5 ties where Spark (decimal
+        # HALF_UP) and DuckDB (scaled-binary) disagree — see compat.py
+        F.round((lo + hi) / 2, 3).alias("rolling_median_rev"),
+    )
