@@ -639,3 +639,88 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_pareto — revenue concentration (the 80/20 audit): customers
+# ranked by exact-decimal revenue, folded into deciles, each decile
+# reporting its revenue share and the running cumulative share. The
+# window input is the |customers|-sized pre-aggregate, never the
+# order-grain table; the grand total joins back as a broadcast scalar.
+# All shares derive from ONE division of exact decimal sums.
+# ---------------------------------------------------------------------------
+
+_PARETO_SQL = """
+WITH cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, rev,
+         ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+  FROM cust
+),
+tot AS (SELECT sum(rev) AS total_rev FROM cust),
+deciles AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         sum(rev) AS decile_rev
+  FROM ranked GROUP BY decile
+)
+SELECT decile,
+       n_customers,
+       CAST(decile_rev AS DOUBLE) AS decile_rev,
+       round(CAST(decile_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+         AS revenue_share,
+       round(CAST(sum(decile_rev) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(total_rev AS DOUBLE), 6) AS cumulative_share
+FROM deciles CROSS JOIN tot
+"""
+
+
+@register("orders_pareto", sql=_PARETO_SQL)
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    ranked = cust.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+        ),
+    )
+    deciles = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev").alias("decile_rev"),
+    )
+    total = cust.agg(F.sum("rev").alias("total_rev"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        deciles.join(F.broadcast(total))
+        .withColumn(
+            "cum_rev", F.sum("decile_rev").over(w)
+        )
+        .select(
+            "decile",
+            "n_customers",
+            F.col("decile_rev").cast("double").alias("decile_rev"),
+            F.round(
+                F.col("decile_rev").cast("double")
+                / F.col("total_rev").cast("double"),
+                6,
+            ).alias("revenue_share"),
+            F.round(
+                F.col("cum_rev").cast("double")
+                / F.col("total_rev").cast("double"),
+                6,
+            ).alias("cumulative_share"),
+        )
+    )
