@@ -896,3 +896,96 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         # HALF_UP) and DuckDB (scaled-binary) disagree — see compat.py
         F.round((lo + hi) / 2, 3).alias("rolling_median_rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_changepoint — CUSUM changepoint detection per event type: the
+# day where the cumulative deviation from the series mean peaks (the
+# standard "when did behavior shift" monitor). Kept EXACTLY integer:
+# with daily counts x_i, CUSUM_t·n = S_t·n − t·total is an integer, so
+# the argmax needs no float comparisons at all and both engines pick
+# the identical day (earliest-day tie-break). One daily pre-agg, one
+# window partition per type over days-sized input, one final argmax.
+# ---------------------------------------------------------------------------
+
+_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS x
+  FROM events GROUP BY event_type, day
+),
+cum AS (
+  SELECT event_type, day, x,
+         sum(x) OVER w AS s_t,
+         row_number() OVER w AS t,
+         sum(x) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+),
+dev AS (
+  SELECT event_type, day, n_days,
+         abs(s_t * n_days - t * total) AS dev_n
+  FROM cum
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS changepoint_day,
+       round(CAST(dev_n AS DOUBLE) / n_days, 4) AS cusum_peak,
+       CAST(n_days AS BIGINT) AS n_days
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY dev_n DESC, day
+  ) AS rnk FROM dev
+) WHERE rnk = 1
+"""
+
+
+@register("events_changepoint", sql=_CHANGEPOINT_SQL)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(w).alias("s_t"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")
+        ).alias("t"),
+        F.sum("x").over(full).alias("total"),
+        F.count(F.lit(1)).over(full).alias("n_days"),
+    )
+    dev = cum.select(
+        "event_type",
+        "day",
+        "n_days",
+        F.abs(
+            F.col("s_t") * F.col("n_days") - F.col("t") * F.col("total")
+        ).alias("dev_n"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("dev_n").desc(), F.col("day")
+    )
+    return (
+        dev.withColumn("rnk", F.row_number().over(pick))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            F.round(
+                F.col("dev_n").cast("double") / F.col("n_days"), 4
+            ).alias("cusum_peak"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+    )
