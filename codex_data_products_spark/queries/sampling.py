@@ -240,16 +240,19 @@ def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split_contamination — train/test leakage audit: which test documents
 # share 8-gram shingles with ANY train document (the standard benchmark-
 # contamination check run before an eval set ships). ONE shingle
-# explosion and ONE shingle-keyed aggregation: each shingle group
-# carries a has-train flag plus the set of test docs containing it, so
-# the corpus is scanned/exploded once and there is no join at all
-# (the naive two-sided distinct-then-join shape scans the corpus twice
-# and shuffles three times). At 100 TB the group key becomes
-# xxhash64(shingle) (8 bytes instead of a ~50-byte string; collisions
-# only over-flag, never under-flag) and the train side is written
-# bucketed by that hash so nightly eval audits reuse the layout with
-# no re-shuffle. The string key is kept here for bit-exact
-# cross-engine oracle parity.
+# explosion, then distinct (shingle, doc_id, split) pairs; the train
+# side collapses to ≤1 flag row per shingle, which the test pairs
+# probe with a left join. Deliberately NOT a per-shingle
+# collect_set-of-test-docs single-pass: a boilerplate 8-gram shared by
+# a large fraction of the test set would concentrate an unbounded
+# array in one task — the pair-distinct's composite key spreads the
+# hot shingle instead, and the join's build side has one row per
+# shingle, so no key can multiply rows (AQE skew-join splits the probe
+# side if needed). At 100 TB the key becomes xxhash64(shingle)
+# (8 bytes instead of a ~50-byte string; collisions only over-flag,
+# never under-flag) and the train side is written bucketed by that
+# hash so nightly eval audits reuse the layout with no re-shuffle. The
+# string key is kept here for bit-exact cross-engine oracle parity.
 # ---------------------------------------------------------------------------
 
 _CONTAM_SQL = f"""
@@ -304,16 +307,26 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = tokenized.select(
         "doc_id", "split", F.explode(shingles).alias("shingle")
     )
-    # single shingle-keyed pass: train presence flag + distinct test
-    # docs per shingle (collect_set drops the nulls from train rows)
-    per_shingle = labeled.groupBy("shingle").agg(
-        F.max(F.col("split") == "train").alias("in_train"),
-        F.collect_set(
-            F.when(F.col("split") == "test", F.col("doc_id"))
-        ).alias("test_docs"),
+    # Skew-safe shape: dedupe (shingle, doc_id, split) pairs first —
+    # the composite key SPREADS a boilerplate shingle shared by many
+    # docs across tasks (map-side combine collapses per-doc repeats
+    # before the shuffle) instead of concentrating all its doc_ids in
+    # one unbounded collect_set array/task. The per-shingle train flag
+    # then reduces to ≤1 row per shingle, so the probe join below never
+    # multiplies rows on a hot key and AQE skew-join can split the
+    # probe side. At 100 TB this is the shape that survives a corpus
+    # where one header 8-gram appears in half the test set.
+    pairs = labeled.distinct()
+    train_sh = (
+        pairs.filter(F.col("split") == "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("in_train", F.lit(True))
     )
-    hits = per_shingle.filter(F.size("test_docs") > 0).select(
-        F.explode("test_docs").alias("doc_id"), "in_train"
+    hits = (
+        pairs.filter(F.col("split") == "test")
+        .select("doc_id", "shingle")
+        .join(train_sh, "shingle", "left")
     )
     contaminated = F.sum(F.when(F.col("in_train"), 1).otherwise(0))
     return hits.groupBy("doc_id").agg(

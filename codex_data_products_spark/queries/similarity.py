@@ -843,8 +843,11 @@ d AS (
   FROM e CROSS JOIN cv
 ),
 stats AS (
-  SELECT CAST(sum(CAST(d2 AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS mean_d2,
-         CAST(sum(CAST(d2 AS DECIMAL(20,8)) * CAST(d2 AS DECIMAL(20,8)))
+  -- DECIMAL(18,8): square fits the 38-digit cap exactly on both
+  -- engines (a (20,8) square overflows to engine-specific behavior)
+  SELECT CAST(sum(CAST(d2 AS DECIMAL(18,8))) AS DOUBLE)
+           / count(*) AS mean_d2,
+         CAST(sum(CAST(d2 AS DECIMAL(18,8)) * CAST(d2 AS DECIMAL(18,8)))
               AS DOUBLE) / count(*) AS mean_sq
   FROM d
 )
@@ -898,7 +901,13 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dists = spread(emb, "vec_id").crossJoin(F.broadcast(cent_vec)).select(
         "vec_id", d2.alias("d2")
     )
-    dec = F.col("d2").cast("decimal(20,8)")
+    # DECIMAL(18,8), not (20,8): the square is then DECIMAL(37,16),
+    # inside the 38-digit cap on BOTH engines — a (20,8) square has
+    # precision 41, which Spark silently truncates to (38,13) while
+    # DuckDB promotes, diverging in low-order digits. The cast itself
+    # recovers the 8-dp value of the pre-rounded double identically on
+    # both engines (same as the proven mean_d2 path).
+    dec = F.col("d2").cast("decimal(18,8)")
     stats = dists.agg(
         (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("mean_d2"),
         (F.sum(dec * dec).cast("double") / F.count(F.lit(1))).alias(

@@ -420,6 +420,18 @@ def cms_stream(items: DataFrame, item_col: str) -> DataFrame:
 # drain reproduces exactly its closed (NOT is_current) intervals, while
 # the open interval lives in state awaiting the next change. State is
 # one fixed-width row per user.
+#
+# ORDERED-ARRIVAL ASSUMPTION: rows are sorted by (ts, event_id) WITHIN
+# each micro-batch only. An in-watermark event that arrives in a LATER
+# batch with ts earlier than the open interval's valid_from is folded
+# as if it occurred after it (intervals can disagree with the batch
+# twin, even valid_to < valid_from). Batch-equivalence therefore holds
+# for a single ordered availableNow drain — the mode the parity test
+# exercises — not for arbitrarily interleaved late arrivals. The
+# watermark-honoring fix is to buffer rows newer than
+# state.getCurrentWatermarkMs() in state and fold only rows older than
+# the watermark each batch; kept out of this operator to keep state
+# one fixed-width row per user.
 # ---------------------------------------------------------------------------
 
 SCD2_OUTPUT_SCHEMA = (
@@ -477,7 +489,9 @@ def _scd2_group(
 
 def scd2_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Custom stateful operator: continuous SCD type-2 interval builds
-    per user (applyInPandasWithState; batch twin queries/events.events_scd2)."""
+    per user (applyInPandasWithState; batch twin
+    queries/events.events_scd2). Assumes in-order arrival across
+    batches — see the ORDERED-ARRIVAL ASSUMPTION note above."""
     return (
         events.select("user_id", "event_id", "ts", "event_type")
         .withWatermark("ts", watermark)

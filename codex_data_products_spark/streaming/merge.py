@@ -3,10 +3,11 @@ onto a parquet-materialized base via ``foreachBatch`` + the batch
 ``merge_into`` operator — the streaming twin of ``merge_upsert``.
 
 Versioned-snapshot storage (``table_dir/v=<batch_id>``): each
-micro-batch reads the latest snapshot, merges, and writes the next
-version keyed by ``batch_id``, so a foreachBatch retry overwrites the
-same version instead of double-applying (idempotent under Spark's
-batch-replay contract). Readers pick the max version — the poor-man's
+micro-batch reads its own PRE-batch snapshot (``v=batch_id``), merges,
+and writes ``v=batch_id + 1`` — so a foreachBatch retry re-derives the
+same output from the same base and overwrites the same version instead
+of double-applying (idempotent under Spark's batch-replay contract
+even for non-idempotent additive folds). Readers pick the max version — the poor-man's
 pointer swap every table format (Delta/Iceberg/Hudi) formalizes.
 
 At 100 TB the base side stays partition-pruned and (with a bucketed or
@@ -91,7 +92,11 @@ def run_cdc_apply(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        base = read_table(spark, table_dir)
+        # Pre-batch snapshot (v=batch_id), not latest: merge_into is
+        # idempotent so latest would usually survive a replay, but
+        # anchoring to the batch's own base version makes the replay
+        # contract unconditional (same input -> same output snapshot).
+        base = read_table(spark, table_dir, version=batch_id)
         merged = merge_into(
             base,
             latest,
@@ -198,13 +203,20 @@ def run_agg_maintenance(
     checkpoint_dir: str,
 ) -> None:
     """foreachBatch twin of run_cdc_apply for aggregates: each
-    micro-batch folds into the latest snapshot and writes the next
-    version (idempotent per batch_id — a replay overwrites the same
-    ``v=`` dir instead of double-applying)."""
+    micro-batch folds into its pre-batch snapshot (``v=batch_id``) and
+    writes ``v=batch_id + 1`` (idempotent per batch_id — a replay folds
+    into the same base and overwrites the same ``v=`` dir instead of
+    double-applying the delta)."""
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        state = read_table(spark, table_dir)
+        # Read the PRE-batch snapshot explicitly (v=batch_id), never the
+        # latest: additive folds are not idempotent, so if the previous
+        # attempt crashed after writing v=batch_id+1 but before the
+        # checkpoint commit, a replay reading "latest" would fold the
+        # delta twice. Anchoring the base to batch_id makes the
+        # overwrite of v=batch_id+1 truly replay-safe.
+        state = read_table(spark, table_dir, version=batch_id)
         new_state = combine_agg_state(state, batch, keys, sum_cols)
         new_state.write.mode("overwrite").parquet(
             f"{table_dir}/v={batch_id + 1}"

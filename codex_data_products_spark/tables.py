@@ -62,13 +62,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def spread(df: DataFrame, *keys: str) -> DataFrame:
-    """Repartition to full core parallelism before CPU-heavy expressions.
+    """Repartition to full core parallelism before CPU-heavy expressions
+    — but ONLY when the input is actually under-split.
 
     Small single-file parquet inputs arrive as one task; per-row work like
     per-shingle md5 then serializes on one core. One cheap round-robin/hash
     shuffle of the (tiny) input buys full-width execution of the expensive
-    stage. On a real cluster the scan would already be split; this is still
-    the right call after a selective filter collapses partition counts.
+    stage. On a real cluster the scan is already split into many tasks, so
+    the repartition is gated on a genuine partition deficit (< half the
+    default parallelism): an already-wide scan passes through untouched and
+    no avoidable full shuffle of a large fact is ever introduced. After a
+    selective filter collapses partition counts the gate re-opens, which is
+    exactly when the shuffle pays for itself. See SCALE.md (local-mode
+    artifacts) for the rationale.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, n // 2):
+        return df
     return df.repartition(n, *keys) if keys else df.repartition(n)

@@ -451,3 +451,72 @@ def test_pq_adc_code_join_is_broadcast_hash(spark, sf_dir):
     # broadcast hash join — the per-query distance table is tiny
     plan = _plan(spark, sf_dir, "knn_pq_adc")
     assert "BroadcastHashJoin" in plan
+
+
+def test_spread_is_identity_on_already_split_input(spark, sf_dir):
+    # spread() is gated on a genuine partition deficit: an input that is
+    # already at (or above) half the default parallelism passes through
+    # with NO added Exchange — the helper can never introduce an
+    # avoidable full shuffle of an already-split scan (SCALE.md,
+    # local-mode artifacts).
+    from codex_data_products_spark.tables import spread
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(n)
+    assert spread(wide) is wide
+    assert spread(wide, "id") is wide
+    # under-split input still gets widened to full parallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() == n
+
+
+def test_aqe_splits_deliberately_skewed_join_partition(spark):
+    # SCALE.md claims AQE skew-join splitting handles hot keys without
+    # manual salting. Demonstrate it: one key carries ~100x the rows of
+    # every other; with test-scale thresholds AQE must mark the
+    # sort-merge join as skew-handled (skew=true) in the final adaptive
+    # plan, i.e. the hot partition was split across multiple tasks.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # fact: key 0 is hot (50k rows), keys 1..63 have 100 each
+        hot = spark.range(50_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        )
+        cold = spark.range(6_400).select(
+            (F.col("id") % 63 + 1).alias("k"), F.col("id").alias("payload")
+        )
+        fact = hot.unionAll(cold)
+        dim = spark.range(64).select(
+            F.col("id").alias("k"), F.lit("d").alias("attr")
+        )
+        # downstream agg keys on attr, NOT the join key: reusing the
+        # join's hash partitioning downstream makes AQE decline the
+        # split (it would add a shuffle) — the realistic case is the
+        # join output being consumed by a differently-keyed stage
+        joined = fact.join(dim, "k").groupBy("attr").agg(
+            F.sum("payload").alias("s")
+        )
+        joined.collect()  # AQE finalizes the plan at runtime
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

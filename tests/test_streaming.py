@@ -241,3 +241,45 @@ def test_run_agg_maintenance_versions_snapshots(spark, tmp_path):
     # time travel: v=0 still addressable
     v0 = {r["k"]: r["n"] for r in read_table(spark, table, 0).collect()}
     assert v0 == {"a": 1, "b": 1}
+
+
+def test_run_agg_maintenance_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: if batch 0 already wrote v=1 but the
+    checkpoint commit was lost, re-running batch 0 must fold the delta
+    into the PRE-batch snapshot (v=0) — not the latest (v=1), which
+    would double-apply the additive delta. Simulated with a fresh
+    checkpoint dir over the same source, which replays batch_id=0
+    against a table where v=1 already exists."""
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_agg_state,
+        read_table,
+        run_agg_maintenance,
+        table_versions,
+    )
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "agg_table")
+    base = spark.createDataFrame([("a", 10.0)], "k string, v double")
+    bootstrap_agg_state(base, ["k"], ["v"]).write.parquet(f"{table}/v=0")
+    spark.createDataFrame(
+        [("a", 2.5, 1)], "k string, v double, op int"
+    ).coalesce(1).write.parquet(f"{src}/d1")
+
+    def drain(ckpt: str) -> None:
+        changes = (
+            spark.readStream.schema("k string, v double, op int")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_agg_maintenance(changes, table, ["k"], ["v"], ckpt)
+
+    drain(str(tmp_path / "ckpt_attempt1"))  # writes v=1, "commit lost"
+    drain(str(tmp_path / "ckpt_attempt2"))  # replay of batch_id=0
+
+    assert table_versions(spark, table) == [0, 1]
+    latest = {
+        r["k"]: (r["n"], float(r["sum_v"]))
+        for r in read_table(spark, table).collect()
+    }
+    # single fold: 10.0 + 2.5, n=2 — NOT 15.0/n=3 (the double-fold bug)
+    assert latest == {"a": (2, 12.5)}
