@@ -360,32 +360,55 @@ def wide_matrix(product: CodexProduct, layer: str = "total") -> DataFrame:
 
 
 def export_h5mu(product: CodexProduct, path: str) -> None:
-    """K1 compat sink: the byte-level ``.h5mu`` container.
+    """K1 compat sink: the byte-level ``.h5mu`` container
+    (reference behavior: bin/concatenate.py:454-456).
 
     Driver-side by design (SURVEY §4: real products are single-machine
-    sized — the reference itself materializes them in RAM). Requires
-    ``anndata``/``mudata``, which this environment does not ship, so the
-    hook is import-gated; the parquet layout written by
-    ``write_product`` is the primary, scale-safe product format.
+    sized — the reference itself materializes them in RAM). With
+    ``anndata``/``mudata`` installed, writes a full-fidelity h5mu;
+    without them, falls back to the from-scratch HDF5 codec
+    (``sources/minihdf5``), emitting real spec-layout bytes in the
+    mudata group convention — ``/mod/<uuid>_raw/X`` plus ``obs``/
+    ``var`` groups with an ``_index`` dataset and one dataset per
+    column (numeric as f64/i64, everything else as fixed-length
+    strings). ``uns`` metadata stays in the parquet layout's
+    ``uns.json``; the parquet product written by ``write_product`` is
+    the primary, scale-safe format either way.
     """
-    try:
-        import anndata  # noqa: F401
-        import mudata  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "h5mu export requires anndata+mudata; install them or consume "
-            "the parquet product layout written by write_product()"
-        ) from e
-    import numpy as np  # pragma: no cover - environment-dependent
+    import numpy as np
 
-    wide = wide_matrix(product).toPandas()  # pragma: no cover
-    obs = product.obs.toPandas().set_index("cell_id")  # pragma: no cover
-    var = product.var.toPandas().set_index("channel")  # pragma: no cover
-    wide = wide.set_index("cell_id").loc[obs.index]  # pragma: no cover
-    adata = anndata.AnnData(  # pragma: no cover
-        X=wide[var.index].to_numpy(dtype=np.float64), obs=obs, var=var
-    )
-    mdata = mudata.MuData(  # pragma: no cover
-        {f"{product.uns['uuid']}_raw": adata}
-    )
+    wide = wide_matrix(product).toPandas()
+    obs = product.obs.toPandas().set_index("cell_id")
+    var = product.var.toPandas().set_index("channel")
+    wide = wide.set_index("cell_id").loc[obs.index]
+    mod = f"{product.uns['uuid']}_raw"
+    x = wide[var.index].to_numpy(dtype=np.float64)
+
+    try:
+        import anndata
+        import mudata
+    except ImportError:
+        from codex_data_products_spark.sources import minihdf5
+
+        def frame_datasets(prefix: str, pdf) -> dict:
+            out = {f"{prefix}/_index": np.array([str(i) for i in pdf.index])}
+            for col in pdf.columns:
+                vals = pdf[col]
+                if np.issubdtype(vals.dtype, np.number):
+                    out[f"{prefix}/{col}"] = vals.to_numpy()
+                else:
+                    out[f"{prefix}/{col}"] = np.array(
+                        [str(v) for v in vals]
+                    )
+            return out
+
+        datasets = {f"/mod/{mod}/X": x}
+        datasets.update(frame_datasets(f"/mod/{mod}/obs", obs))
+        datasets.update(frame_datasets(f"/mod/{mod}/var", var))
+        with open(path, "wb") as f:
+            f.write(minihdf5.write(datasets))
+        return
+
+    adata = anndata.AnnData(X=x, obs=obs, var=var)  # pragma: no cover
+    mdata = mudata.MuData({mod: adata})  # pragma: no cover
     mdata.write(path)  # pragma: no cover

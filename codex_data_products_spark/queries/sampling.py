@@ -240,19 +240,20 @@ def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split_contamination — train/test leakage audit: which test documents
 # share 8-gram shingles with ANY train document (the standard benchmark-
 # contamination check run before an eval set ships). ONE shingle
-# explosion, then distinct (shingle, doc_id, split) pairs; the train
-# side collapses to ≤1 flag row per shingle, which the test pairs
-# probe with a left join. Deliberately NOT a per-shingle
-# collect_set-of-test-docs single-pass: a boilerplate 8-gram shared by
+# explosion, then distinct (shingle, doc_id, split) pairs, then a
+# per-shingle window max flags shingles any train doc shares — still a
+# single corpus scan and no join. Deliberately NOT a per-shingle
+# collect_set-of-test-docs aggregation: a boilerplate 8-gram shared by
 # a large fraction of the test set would concentrate an unbounded
-# array in one task — the pair-distinct's composite key spreads the
-# hot shingle instead, and the join's build side has one row per
-# shingle, so no key can multiply rows (AQE skew-join splits the probe
-# side if needed). At 100 TB the key becomes xxhash64(shingle)
-# (8 bytes instead of a ~50-byte string; collisions only over-flag,
-# never under-flag) and the train side is written bucketed by that
-# hash so nightly eval audits reuse the layout with no re-shuffle. The
-# string key is kept here for bit-exact cross-engine oracle parity.
+# in-memory array in one task, where the window's sort-based runner
+# spills to disk instead — and the pair-distinct's composite key
+# spreads the hot shingle's dedup work across tasks first. At 100 TB
+# the key becomes xxhash64(shingle) (8 bytes instead of a ~50-byte
+# string; collisions only over-flag, never under-flag), and a shingle
+# whose document frequency exceeds a cap (say 10% of the test set) can
+# be pre-flagged as boilerplate and dropped from the window input
+# entirely. The string key is kept here for bit-exact cross-engine
+# oracle parity.
 # ---------------------------------------------------------------------------
 
 _CONTAM_SQL = f"""
@@ -317,17 +318,10 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe side. At 100 TB this is the shape that survives a corpus
     # where one header 8-gram appears in half the test set.
     pairs = labeled.distinct()
-    train_sh = (
-        pairs.filter(F.col("split") == "train")
-        .select("shingle")
-        .distinct()
-        .withColumn("in_train", F.lit(True))
-    )
-    hits = (
-        pairs.filter(F.col("split") == "test")
-        .select("doc_id", "shingle")
-        .join(train_sh, "shingle", "left")
-    )
+    w_sh = Window.partitionBy("shingle")
+    hits = pairs.withColumn(
+        "in_train", F.max(F.col("split") == "train").over(w_sh)
+    ).filter(F.col("split") == "test")
     contaminated = F.sum(F.when(F.col("in_train"), 1).otherwise(0))
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),

@@ -16,9 +16,14 @@ datasets) so that:
     bytes (and from any classic-format file restricted to the same
     subset: uncompressed, unchunked, f64le).
 
+Round 4 adds fixed-length null-terminated strings (datatype class 3,
+spec IV.A.2.d) so the ``.h5mu`` compat export (plans/codex_pipeline.
+export_h5mu) can serialize obs/var index columns without h5py.
+
 Scope is deliberately narrow — no chunking, no filters, no attribute
-messages, no v2+ headers. Files outside the subset raise ValueError
-so callers can fall back to a full h5py decode where available.
+messages, no v2+ headers, no variable-length strings. Files outside
+the subset raise ValueError so callers can fall back to a full h5py
+decode where available.
 """
 
 from __future__ import annotations
@@ -75,13 +80,30 @@ def _object_header(messages: list[tuple[int, bytes]]) -> bytes:
 
 
 def _write_dataset(buf: _Buf, arr: np.ndarray) -> int:
+    dspace = struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
+        struct.pack("<Q", d) for d in arr.shape
+    )
+    if np.issubdtype(arr.dtype, np.str_):
+        # fixed-length null-terminated UTF-8 strings (class 3 v1)
+        encoded = [s.encode() for s in arr.ravel()]
+        size = max((len(e) for e in encoded), default=0) + 1
+        data = b"".join(e + b"\x00" * (size - len(e)) for e in encoded)
+        data_addr = buf.append(data)
+        dtype = bytes([0x13, 0x00, 0x00, 0x00]) + struct.pack("<I", size)
+        layout = struct.pack("<BBQQ", 3, 1, data_addr, len(data))
+        return buf.append(
+            _object_header(
+                [
+                    (_MSG_DATASPACE, dspace),
+                    (_MSG_DATATYPE, dtype),
+                    (_MSG_LAYOUT, layout),
+                ]
+            )
+        )
     is_int = np.issubdtype(arr.dtype, np.integer)
     wire = "<i8" if is_int else "<f8"
     data = np.ascontiguousarray(arr, dtype=wire).tobytes()
     data_addr = buf.append(data)
-    dspace = struct.pack("<BBB5x", 1, arr.ndim, 0) + b"".join(
-        struct.pack("<Q", d) for d in arr.shape
-    )
     if is_int:
         # I64LE: class 0 v1, LE, signed (bitfield bit 3), 64-bit
         dtype = (
@@ -150,9 +172,12 @@ def write(datasets: dict[str, np.ndarray]) -> bytes:
             if not isinstance(node, dict):
                 raise ValueError(f"{path!r} conflicts with a dataset")
         arr = np.asarray(arr)
-        node[parts[-1]] = arr.astype(
-            "<i8" if np.issubdtype(arr.dtype, np.integer) else "<f8"
-        )
+        if np.issubdtype(arr.dtype, np.str_) or arr.dtype == object:
+            node[parts[-1]] = arr.astype(np.str_)
+        else:
+            node[parts[-1]] = arr.astype(
+                "<i8" if np.issubdtype(arr.dtype, np.integer) else "<f8"
+            )
 
     buf = _Buf()
     buf.alloc(96)  # superblock placeholder at address 0
@@ -282,15 +307,25 @@ class Reader:
         shape = struct.unpack_from(f"<{rank}Q", dspace, 8)
         dt = msgs[_MSG_DATATYPE]
         dt_class = dt[0] & 0x0F
-        if struct.unpack_from("<I", dt, 4)[0] != 8 or dt_class not in (0, 1):
-            raise ValueError("only f64le/i64le datasets are in the subset")
-        wire = "<i8" if dt_class == 0 else "<f8"
+        elem = struct.unpack_from("<I", dt, 4)[0]
         lv, lclass, addr, size = struct.unpack_from("<BBQQ", msgs[_MSG_LAYOUT], 0)
         if lv != 3 or lclass != 1:
             raise ValueError("only v3 contiguous layout is in the subset")
         n = int(np.prod(shape)) if shape else 1
-        if size != 8 * n:
+        if size != elem * n:
             raise ValueError("layout size does not match dataspace")
+        if dt_class == 3:  # fixed-length null-terminated strings
+            raw = self.b[addr : addr + size]
+            vals = [
+                raw[i * elem : (i + 1) * elem].split(b"\x00", 1)[0].decode()
+                for i in range(n)
+            ]
+            return np.array(vals, dtype=np.str_).reshape(shape)
+        if elem != 8 or dt_class not in (0, 1):
+            raise ValueError(
+                "only f64le/i64le/fixed-string datasets are in the subset"
+            )
+        wire = "<i8" if dt_class == 0 else "<f8"
         return np.frombuffer(self.b, dtype=wire, count=n, offset=addr).reshape(
             shape
         )

@@ -197,12 +197,17 @@ def test_vocab_top5_pushes_window_group_limit(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_contamination_is_single_scan_no_join(spark, sf_dir):
-    # one corpus scan, one shingle-keyed agg, no join of any kind —
-    # the naive shape scans twice and joins distinct shingle sets
+def test_contamination_is_single_scan_skew_safe(spark, sf_dir):
+    # one corpus scan/explode feeding distinct (shingle, doc_id, split)
+    # pairs, then a per-shingle window max — no join, and no unbounded
+    # per-shingle collect_set array (the old single-pass shape
+    # concentrated hot boilerplate shingles in one in-memory array; the
+    # window's sort-based runner spills instead)
     plan = _plan(spark, sf_dir, "split_contamination")
-    assert "Join" not in plan
     assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "collect_set" not in plan  # no unbounded array agg
+    assert "Window" in plan  # the per-shingle train flag
 
 
 def test_fuzzy_symdel_is_equi_join_not_quadratic(spark, sf_dir):
@@ -520,3 +525,31 @@ def test_aqe_splits_deliberately_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_pq_query_path_never_scans_vectors_wide(spark, sf_dir):
+    # IVF-PQ composition: candidate pruning is an equi join on the cell
+    # id, ADC scoring joins the code table against a broadcast per-query
+    # distance table — no sort-merge of the corpus, no cartesian, and
+    # the only full-vector reads are the index-build stages (assignment
+    # + encoding), which at scale run at ingest time.
+    plan = _plan(spark, sf_dir, "knn_ivf_pq")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_train_codebook_is_iteratively_materialized(spark, sf_dir):
+    # the trained codebook reaching downstream queries is the
+    # checkpointed 128-row artifact, not a re-derivation from labels:
+    # the train query's plan must be scan-free (pure localCheckpoint)
+    from codex_data_products_spark.queries.similarity import (
+        N_SUB,
+        PQ_K,
+        _pq_codebook,
+    )
+
+    cb = _pq_codebook(spark, sf_dir)
+    assert cb.count() == N_SUB * PQ_K
+    plan = cb._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan  # trained once, reused as an artifact
