@@ -181,3 +181,91 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_communities — synchronous label propagation (LPA) over the
+# undirected trade graph: every node starts as its own community and
+# each round adopts the label carrying the maximum incident edge
+# weight among its neighbors (ties → lexicographically smallest
+# label), for a FIXED number of rounds so the oracle can replay the
+# iteration exactly. Deterministic end to end: weights are integer
+# line counts, sums are exact, and the argmax tie-break is total.
+# Spark shape mirrors graph_pagerank: per round one join of the
+# neighbor list against the |nodes|-sized label frame (broadcast) plus
+# one hash-agg — on a billion-edge graph the edge list shuffles once
+# per round on nbr and the label frame stays the small side.
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+
+def _lpa_round_sql(it: int) -> str:
+    return f"""l{it} AS (
+  SELECT node, label FROM (
+    SELECT n.node, l.label, sum(n.w) AS tw,
+           row_number() OVER (
+             PARTITION BY n.node ORDER BY sum(n.w) DESC, l.label
+           ) AS rn
+    FROM neigh n JOIN l{it - 1} l ON l.node = n.nbr
+    GROUP BY n.node, l.label
+  ) WHERE rn = 1
+)"""
+
+
+_COMMUNITIES_SQL = (
+    f"""
+WITH directed AS ({_EDGES_SQL}),
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, sum(w) AS w
+  FROM directed GROUP BY a, b
+),
+neigh AS (
+  SELECT a AS node, b AS nbr, w FROM und
+  UNION ALL
+  SELECT b AS node, a AS nbr, w FROM und
+),
+l0 AS (SELECT DISTINCT node, node AS label FROM neigh),
+"""
+    + ",\n".join(_lpa_round_sql(i) for i in range(1, LPA_ITERS + 1))
+    + f"""
+SELECT node, label AS community FROM l{LPA_ITERS}
+"""
+)
+
+
+@register("graph_communities", sql=_COMMUNITIES_SQL)
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    directed = _trade_edges(spark, sf_dir)
+    und = (
+        directed.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    neigh = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr"), "w"
+    ).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
+    )
+    labels = neigh.select("node").distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(LPA_ITERS):
+        labels = (
+            neigh.join(
+                F.broadcast(labels.withColumnRenamed("node", "nbr")), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("tw"))
+            .groupBy("node")
+            .agg(
+                F.min_by(
+                    "label", F.struct((-F.col("tw")).alias("neg"), "label")
+                ).alias("label")
+            )
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -229,3 +229,62 @@ def run_agg_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Incremental HLL maintenance: approximate distinct-to-date per group,
+# kept current by max-merging register rows. HLL registers are the
+# textbook mergeable sketch — max per (group, bucket) is associative,
+# commutative AND idempotent, so the maintained state is bit-identical
+# to recomputing the sketch over all items ever seen, at O(|delta| +
+# m·|groups|) per refresh. Unlike the additive aggregate fold above,
+# a replayed delta cannot even in principle corrupt the state (max is
+# idempotent); the pre-batch snapshot anchoring is still used so the
+# version chain stays deterministic.
+# ---------------------------------------------------------------------------
+
+
+def combine_hll_state(
+    state: DataFrame, delta_registers: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Max-merge register rows: both sides are (keys..., bucket, rank)."""
+    return (
+        state.unionByName(delta_registers)
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def run_hll_maintenance(
+    items: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    item_col: str,
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch maintenance of per-group HLL registers: each
+    micro-batch sketches its items and max-merges into the pre-batch
+    snapshot (v=batch_id → v=batch_id+1, same replay contract as
+    run_agg_maintenance). Estimates come from the batch
+    ``operators.sketches.hll_estimate`` over any snapshot — identical
+    to sketching the full history in one pass."""
+    from codex_data_products_spark.operators.sketches import (
+        hll_register_rows,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = hll_register_rows(batch, item_col, keys)
+        state = read_table(spark, table_dir, version=batch_id)
+        new_state = combine_hll_state(state, delta, keys)
+        new_state.write.mode("overwrite").parquet(
+            f"{table_dir}/v={batch_id + 1}"
+        )
+
+    (
+        items.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -283,3 +283,63 @@ def test_run_agg_maintenance_replay_is_idempotent(spark, tmp_path):
     }
     # single fold: 10.0 + 2.5, n=2 — NOT 15.0/n=3 (the double-fold bug)
     assert latest == {"a": (2, 12.5)}
+
+
+def test_hll_maintenance_matches_batch_sketch(spark, tmp_path):
+    """Streaming max-merge of HLL registers == sketching the full
+    history in one batch pass: registers are bit-identical, so the
+    estimates are the same IEEE double. Includes a restart: the second
+    drain resumes from the checkpoint and folds only the new file."""
+    from codex_data_products_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_rows,
+    )
+    from codex_data_products_spark.streaming.merge import (
+        read_table,
+        run_hll_maintenance,
+        table_versions,
+    )
+
+    src = str(tmp_path / "items")
+    table = str(tmp_path / "hll_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(40)] + [("b", "u1"), ("b", "u2")],
+        "g string, item string",
+    )
+    batch1 = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(30, 70)] + [("b", "u3")],
+        "g string, item string",
+    )
+    batch2 = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(60, 90)] + [("c", "u9")],
+        "g string, item string",
+    )
+    hll_register_rows(base, "item", ["g"]).write.parquet(f"{table}/v=0")
+
+    def drain() -> None:
+        items = spark.readStream.schema("g string, item string").option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        run_hll_maintenance(items, table, ["g"], "item", ckpt)
+
+    batch1.coalesce(1).write.parquet(f"{src}/d1")
+    drain()
+    batch2.coalesce(1).write.parquet(f"{src}/d2")
+    drain()  # restart: same checkpoint, resumes at batch_id=1
+
+    assert table_versions(spark, table) == [0, 1, 2]
+    maintained = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate(read_table(spark, table), ["g"]).collect()
+    }
+    full = base.unionByName(batch1).unionByName(batch2)
+    recomputed = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate(
+            hll_register_rows(full, "item", ["g"]), ["g"]
+        ).collect()
+    }
+    assert maintained == recomputed  # exact double equality
+    assert set(maintained) == {"a", "b", "c"}
