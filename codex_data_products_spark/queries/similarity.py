@@ -1559,3 +1559,82 @@ def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_pq_recall — recall@5 of the COMPOSED IVF-PQ index against
+# exact squared-L2 ground truth: measures the joint loss of cell
+# pruning (a true neighbor outside the probed cells can never be
+# found) and code quantization (ADC mis-ranks within the candidates).
+# Together with knn_pq_recall (quantization-only) and
+# knn_recall_multiprobe (pruning-only, cosine) this completes the
+# ablation an index owner reads before picking nprobe / codebook size.
+# ---------------------------------------------------------------------------
+
+_IVF_PQ_RECALL_SQL = f"""
+WITH approx AS ({_IVF_PQ_SQL}),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {_SQL_L2}, c.vec_id
+           ) AS rn
+    FROM q JOIN e c ON q.vec_id <> c.vec_id
+  ) WHERE rn <= {TOP_K}
+)
+SELECT t.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(i.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+         AS recall_at_k
+FROM truth t
+LEFT JOIN approx i
+  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@register("knn_ivf_pq_recall", sql=_IVF_PQ_RECALL_SQL)
+def knn_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.round(
+        _dot(F.col("qv"), F.col("qv"))
+        - 2 * _dot(F.col("qv"), F.col("v"))
+        + _dot(F.col("v"), F.col("v")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    truth = (
+        spread(emb, "vec_id")
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = knn_ivf_pq(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["neighbor_id"] == approx["hit_id"]),
+        "left",
+    ).select(truth["query_id"], "hit_id")
+    return joined.groupBy("query_id").agg(
+        F.count("hit_id").alias("n_hit"),
+        F.round(F.count("hit_id").cast("double") / TOP_K, 6).alias(
+            "recall_at_k"
+        ),
+    )

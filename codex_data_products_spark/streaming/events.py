@@ -428,10 +428,11 @@ def cms_stream(items: DataFrame, item_col: str) -> DataFrame:
 # twin, even valid_to < valid_from). Batch-equivalence therefore holds
 # for a single ordered availableNow drain — the mode the parity test
 # exercises — not for arbitrarily interleaved late arrivals. The
-# watermark-honoring fix is to buffer rows newer than
-# state.getCurrentWatermarkMs() in state and fold only rows older than
-# the watermark each batch; kept out of this operator to keep state
-# one fixed-width row per user.
+# watermark-honoring variant is ``scd2_stream_buffered`` below, which
+# buffers rows newer than the watermark in state and folds only
+# matured rows — correct for any in-watermark interleaving at the cost
+# of a variable-width per-user buffer; this fixed-width-state operator
+# stays for strictly ordered feeds.
 # ---------------------------------------------------------------------------
 
 SCD2_OUTPUT_SCHEMA = (
@@ -502,5 +503,114 @@ def scd2_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             stateStructType=SCD2_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scd2_stream_buffered — the watermark-honoring SCD-2 variant: rows
+# newer than the current watermark are BUFFERED in state and only rows
+# at or below the watermark are folded into intervals, in global
+# (ts, event_id) order. This removes scd2_stream's ordered-arrival
+# assumption: an in-watermark late event that lands in a later
+# micro-batch is slotted into its true timeline position before any
+# interval spanning it is closed — the batch twin's output is
+# reproduced for ANY arrival interleaving, at the cost of a variable-
+# width buffer per user (bounded by the user's event rate × watermark
+# delay, the same bound every watermarked stateful operator carries).
+# ---------------------------------------------------------------------------
+
+SCD2B_STATE_SCHEMA = (
+    "cur_type string, from_us long, n long, "
+    "buf_ts array<long>, buf_id array<long>, buf_type array<string>"
+)
+
+
+def _scd2_buffered_group(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    rows: list[tuple[int, int, str]] = []
+    for pdf in batches:
+        rows.extend(
+            (int(t.value // 1000), int(eid), str(et))
+            for t, eid, et in zip(pdf["ts"], pdf["event_id"], pdf["event_type"])
+        )
+    if state.exists:
+        cur_type, from_us, n, b_ts, b_id, b_type = state.get
+        rows.extend(
+            (int(t), int(i), str(e))
+            for t, i, e in zip(b_ts or [], b_id or [], b_type or [])
+        )
+    else:
+        cur_type, from_us, n = None, -1, 0
+    rows.sort()
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    mature = [r for r in rows if r[0] <= wm_us]
+    pending = [r for r in rows if r[0] > wm_us]
+
+    closed: list[pd.DataFrame] = []
+    for ts_us, _eid, etype in mature:
+        if cur_type is None:
+            cur_type, from_us, n = etype, ts_us, 1
+        elif etype != cur_type:
+            closed.append(
+                pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "event_type": [cur_type],
+                        "valid_from": [
+                            pd.Timestamp(from_us * 1000).strftime(_SCD2_FMT)
+                        ],
+                        "valid_to": [
+                            pd.Timestamp(ts_us * 1000).strftime(_SCD2_FMT)
+                        ],
+                        "n_events": [n],
+                    }
+                )
+            )
+            cur_type, from_us, n = etype, ts_us, 1
+        else:
+            n += 1
+    state.update(
+        (
+            cur_type,
+            from_us,
+            n,
+            [t for t, _, _ in pending],
+            [i for _, i, _ in pending],
+            [e for _, _, e in pending],
+        )
+    )
+    if pending:
+        # re-invoke this group (even with no new rows) once the
+        # watermark reaches the earliest buffered event, so buffered
+        # rows mature on watermark progress alone; the timestamp must
+        # exceed the current watermark, hence the max()
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(pending[0][0] // 1000, wm_ms + 1))
+    yield from closed
+
+
+def scd2_stream_buffered(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """SCD-2 maintenance that is correct under out-of-order arrival up
+    to the watermark delay (see the buffered-variant note above).
+    Event-time timeouts re-invoke a group when the watermark passes its
+    earliest buffered row, so maturation does not depend on new data
+    arriving for that key."""
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_buffered_group,
+            outputStructType=SCD2_OUTPUT_SCHEMA,
+            stateStructType=SCD2B_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -343,3 +343,78 @@ def test_hll_maintenance_matches_batch_sketch(spark, tmp_path):
     }
     assert maintained == recomputed  # exact double equality
     assert set(maintained) == {"a", "b", "c"}
+
+
+def test_join_view_maintenance_equals_recompute(spark, tmp_path):
+    """Delta-join IVM: V = A join B maintained under two-sided
+    inserts/deletes equals the from-scratch join of the final sides —
+    including a restart between batches and a key whose B side is
+    deleted then re-added with a different payload."""
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_join_state,
+        read_table,
+        run_join_maintenance,
+        table_versions,
+    )
+
+    root = str(tmp_path / "jv")
+    src = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+
+    a0 = spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (2, "a3")], "k int, a_val string"
+    )
+    b0 = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (3, "b3")], "k int, b_val string"
+    )
+    bootstrap_join_state(a0, b0, root, "k")
+
+    schema = "side string, k int, a_val string, b_val string, op int"
+    batch1 = spark.createDataFrame(
+        [
+            ("A", 3, "a4", None, 1),   # new A row joins existing b3
+            ("B", 2, None, "b2", -1),  # kills the (2, a3, b2) pair
+            ("B", 1, None, "b9", 1),   # fans out to a1 AND a2
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            ("A", 1, "a1", None, -1),  # delete one A row
+            ("B", 2, None, "b7", 1),   # re-add B side of key 2
+            ("A", 2, "a5", None, 1),   # same-batch ΔA ⋈ ΔB on key 2
+        ],
+        schema,
+    )
+
+    def drain() -> None:
+        changes = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        run_join_maintenance(changes, root, "k", ckpt)
+
+    batch1.coalesce(1).write.parquet(f"{src}/d1")
+    drain()
+    batch2.coalesce(1).write.parquet(f"{src}/d2")
+    drain()  # restart from checkpoint → batch_id=1
+
+    assert table_versions(spark, f"{root}/V") == [0, 1, 2]
+    a_final = read_table(spark, f"{root}/A")
+    b_final = read_table(spark, f"{root}/B")
+    v_final = {
+        (r["k"], r["a_val"], r["b_val"]): r["n"]
+        for r in read_table(spark, f"{root}/V").collect()
+    }
+    recomputed = {
+        (r["k"], r["a_val"], r["b_val"]): r["n"]
+        for r in a_final.alias("a")
+        .join(b_final.alias("b"), "k")
+        .selectExpr("k", "a_val", "b_val", "a.n * b.n AS n")
+        .collect()
+    }
+    assert v_final == recomputed and len(v_final) > 0
+    # spot semantics: key 2 now pairs (a3,b7) and (a5,b7), not b2
+    assert (2, "a3", "b7") in v_final and (2, "a5", "b7") in v_final
+    assert not any(k == 2 and b == "b2" for k, _, b in v_final)
+    assert (3, "a4", "b3") in v_final
+    assert not any(a == "a1" for _, a, _b in v_final)

@@ -156,3 +156,92 @@ def test_scd2_stream_closes_intervals_across_incremental_runs(spark, tmp_path):
     assert (r["user_id"], r["event_type"], r["n_events"]) == (1, "view", 2)
     assert r["valid_from"].startswith("2026-01-01 10:00:00")
     assert r["valid_to"].startswith("2026-01-01 10:25:00")
+
+
+def test_scd2_buffered_reorders_late_cross_batch_event(spark, tmp_path):
+    """The buffered SCD-2 slots an in-watermark event that arrives in a
+    LATER micro-batch into its true timeline position: user 7's type-C
+    event at 10:45 arrives after the 11:00 type-B event was already
+    seen, yet the closed intervals come out in true ts order —
+    exactly what the unbuffered scd2_stream cannot guarantee (its
+    documented ordered-arrival assumption)."""
+    from datetime import datetime
+
+    from codex_data_products_spark.streaming.events import (
+        scd2_stream_buffered,
+    )
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        (
+            scd2_stream_buffered(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # drain 1 — in-order prefix for user 7 plus a sentinel user 99
+    # event whose time drives the watermark to 10:30 for the next batch
+    write_file(
+        "f1",
+        [
+            (1, t("10:00:00"), 7, "A"),
+            (2, t("10:30:00"), 7, "A"),
+            (3, t("11:00:00"), 7, "B"),
+            (90, t("12:30:00"), 99, "Z"),
+        ],
+    )
+    drain()
+    # drain 2 — the LATE event: ts 10:45, one whole batch AFTER the
+    # 11:00 row, but still inside the 2h watermark delay (wm = 10:30);
+    # the sentinel pushes the next watermark to 11:30
+    write_file(
+        "f2",
+        [(4, t("10:45:00"), 7, "C"), (91, t("13:30:00"), 99, "Z")],
+    )
+    drain()
+    # drain 3 — no new user-7 data: the event-time timeout re-invokes
+    # the group once wm (11:30) passes its buffered rows, maturing C@10:45
+    # and B@11:00 in true ts order
+    write_file("f3", [(92, t("13:31:00"), 99, "Z")])
+    drain()
+    got = {
+        (r["user_id"], r["valid_from"]): (
+            r["event_type"],
+            r["valid_to"],
+            r["n_events"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    # true timeline for user 7: A@10:00, A@10:30, C@10:45, B@11:00
+    want = {
+        (7, "2024-01-01 10:00:00.000000"): (
+            "A",
+            "2024-01-01 10:45:00.000000",
+            2,
+        ),
+        (7, "2024-01-01 10:45:00.000000"): (
+            "C",
+            "2024-01-01 11:00:00.000000",
+            1,
+        ),
+    }
+    assert got == want  # B stays open in state; sentinel user 99 too
