@@ -83,3 +83,47 @@ def pagerank(
         if it < n_iter - 1 and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def bfs(
+    edges: DataFrame,
+    source: DataFrame,
+    max_hops: int = 6,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Minimum-hop distances from ``source(node)`` over ``edges(src, dst)``.
+
+    Frontier-expansion BFS → ``(node, dist)``: each round expands ONLY
+    the nodes discovered last round (an anti-join drops already-settled
+    nodes), so total work is O(|reachable edges|) across the whole run —
+    not O(rounds × |edges|) as a naive re-expand-everything loop would
+    be. Because layers settle in discovery order, ``dist`` is exactly
+    the recursive-CTE ``min(dist)`` a SQL engine computes; the fixed
+    ``max_hops`` bound lets an oracle replay the iteration verbatim.
+
+    Scale shape: ``edges`` is persisted once and probed per round with
+    the frontier as the broadcast side (frontiers are at most one
+    "layer" of the graph; on a graph whose layers outgrow a broadcast,
+    drop the hint and AQE falls back to a shuffle join keyed on src).
+    Lineage is truncated every ``checkpoint_every`` rounds like the
+    other iterative operators here.
+    """
+    from pyspark import StorageLevel
+
+    edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    dist = source.select("node", F.lit(0).cast("long").alias("dist"))
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        discovered = (
+            edges.join(F.broadcast(frontier), edges.src == F.col("node"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(hop).cast("long").alias("dist"))
+        )
+        dist = dist.unionAll(discovered)
+        frontier = discovered
+        if hop < max_hops and hop % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    return dist

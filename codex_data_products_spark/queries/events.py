@@ -989,3 +989,101 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_days").cast("long").alias("n_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_autocorr — calendar-lag autocorrelation of the daily event
+# count per type, lags 1..7 days: the periodicity diagnostic behind
+# seasonality detection (a weekly cycle shows up as a lag-7 peak).
+# Exactness recipe (same as agg_correlation): the series values are
+# INTEGER daily counts, so the five moments are exact BIGINT sums —
+# order-free under any partitioning — and the single float Pearson
+# expression at the end is evaluated with identical IEEE ops in both
+# engines, then rounded. Shape: one hash-agg to the daily grain
+# (days×types rows — tiny at any corpus scale), a 7-way lag fan-out on
+# that GRAIN (never on raw events), one equi self-join per (type,
+# day+k), one moment agg. No window over raw data, no range self-join.
+# ---------------------------------------------------------------------------
+
+AUTOCORR_MAX_LAG = 7
+
+_AUTOCORR_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY event_type, day
+),
+lags AS (SELECT unnest(generate_series(1, {AUTOCORR_MAX_LAG})) AS k),
+pairs AS (
+  SELECT a.event_type, l.k, a.c AS x, b.c AS y
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.k
+),
+m AS (
+  SELECT event_type, k, count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+         CAST(sum(x*y) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY event_type, k
+)
+SELECT event_type, CAST(k AS BIGINT) AS lag_days, n,
+       round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+         AS autocorr
+FROM m
+WHERE (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+"""
+
+
+@register("events_autocorr", sql=_AUTOCORR_SQL)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.alias("a")
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("day").alias("bday"),
+        F.col("c").alias("y"),
+    )
+    pairs = (
+        a.withColumn(
+            "k", F.explode(F.sequence(F.lit(1), F.lit(AUTOCORR_MAX_LAG)))
+        )
+        .join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bday") == F.col("day") + F.col("k").cast("long")),
+        )
+        .select("event_type", "k", F.col("c").alias("x"), "y")
+    )
+    x, y = F.col("x"), F.col("y")
+    m = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return (
+        m.filter((vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("lag_days"),
+            "n",
+            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6).alias(
+                "autocorr"
+            ),
+        )
+    )

@@ -269,3 +269,57 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs — minimum-hop distances over the SPARSIFIED trade graph:
+# each nation keeps only its top-2 outgoing trade lanes (by line count,
+# ties → smaller dst name), and BFS runs from the lexicographically
+# first source nation for a fixed 6 hops. Sparsification matters twice:
+# it is what real trade/citation/link graphs look like after edge
+# pruning, and it keeps multi-hop structure visible (the dense graph is
+# diameter-1, which would make any traversal vacuous). The oracle is a
+# bounded recursive CTE — DuckDB replays the exact layered expansion
+# because min-hop distance is iteration-order-free.
+# ---------------------------------------------------------------------------
+
+BFS_TOP_EDGES = 2
+BFS_MAX_HOPS = 6
+
+_BFS_SQL = f"""
+WITH RECURSIVE e AS ({_EDGES_SQL}),
+sparse AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+    FROM e
+  ) WHERE rn <= {BFS_TOP_EDGES}
+),
+root AS (SELECT min(src) AS node FROM sparse),
+reach(node, dist) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM root
+  UNION ALL
+  SELECT s.dst, r.dist + 1
+  FROM reach r JOIN sparse s ON s.src = r.node
+  WHERE r.dist < {BFS_MAX_HOPS}
+)
+SELECT node, min(dist) AS dist FROM reach GROUP BY node
+"""
+
+
+@register("graph_bfs", sql=_BFS_SQL)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from codex_data_products_spark.operators.graphs import bfs as op_bfs
+
+    directed = _trade_edges(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    sparse = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BFS_TOP_EDGES)
+        .select("src", "dst")
+    )
+    # root stays in-plan (1-row agg, no driver collect)
+    root = sparse.agg(F.min("src").alias("node"))
+    return op_bfs(sparse, root, max_hops=BFS_MAX_HOPS)

@@ -1,0 +1,176 @@
+"""Data-quality expectation scan (Deequ/Great-Expectations-shaped).
+
+Green-field surface: the reference validates its inputs implicitly
+(dropna on uuid, leaf-dataset filters — SURVEY F2/F3); a production
+pipeline at 100 TB runs an explicit rule scan and gates downstream jobs
+on the violation counts. ``dq_violations`` evaluates a fixed rule suite
+over ``lineitem``/``orders``/``customer`` and returns one row per rule:
+``(rule, n_checked, n_violations)``.
+
+Scale shape — the whole suite is ONE pass over each fact:
+
+* lineitem rules fold into a per-order partial aggregate (map-side
+  combine collapses 4-7 lines per order before the shuffle), which is
+  then FULL-OUTER-joined once against orders — that single join yields
+  the referential rules in both directions (orphan lineitems, empty
+  orders) AND the order-total reconciliation, with no second scan of
+  either fact.
+* the customer side is one more equi join on the same frame.
+* every count is an integer and the reconciliation is exact DECIMAL
+  arithmetic kept under precision 38 on both engines (the gross sum is
+  re-quantized to DECIMAL(18,4) before comparing), so the oracle matches
+  bit-for-bit — no float tolerance anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+# reconciliation tolerance: |o_totalprice - sum(gross)| <= 1% of total
+_TOL = "0.01"
+
+_DQ_SQL = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(*) AS n_lines,
+         sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS v_qty,
+         sum(CASE WHEN l_discount NOT BETWEEN 0 AND 0.5 THEN 1 ELSE 0 END) AS v_disc,
+         sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_shipnull,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * CAST(1 - l_discount AS DECIMAL(6,4))
+                  * CAST(1 + l_tax AS DECIMAL(6,4))) AS DECIMAL(18,4)) AS gross
+  FROM lineitem GROUP BY l_orderkey
+),
+fo AS (
+  SELECT p.*, o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+         c.c_custkey
+  FROM per_order p
+  FULL OUTER JOIN orders o ON o.o_orderkey = p.l_orderkey
+  LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+),
+m AS (
+  SELECT
+    CAST(sum(coalesce(n_lines, 0)) AS BIGINT)    AS n_li,
+    CAST(sum(coalesce(v_qty, 0)) AS BIGINT)      AS v_qty,
+    CAST(sum(coalesce(v_disc, 0)) AS BIGINT)     AS v_disc,
+    CAST(sum(coalesce(v_price, 0)) AS BIGINT)    AS v_price,
+    CAST(sum(coalesce(v_shipnull, 0)) AS BIGINT) AS v_shipnull,
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN n_lines ELSE 0 END) AS BIGINT)
+      AS v_orphan_li,
+    CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_ord,
+    CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND o_orderdate IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_odate,
+    CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND o_totalprice <= 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_ototal,
+    CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND c_custkey IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_orphan_ord,
+    CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_empty_ord,
+    CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_recon,
+    CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+                  AND abs(CAST(o_totalprice AS DECIMAL(16,2)) - gross)
+                      > CAST(o_totalprice AS DECIMAL(16,2))
+                        * CAST({_TOL} AS DECIMAL(4,2))
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_recon
+  FROM fo
+)
+SELECT r.rule, r.n_checked, r.n_violations
+FROM m, LATERAL (VALUES
+  ('lineitem_quantity_in_1_50',     m.n_li,    m.v_qty),
+  ('lineitem_discount_in_0_0.5',    m.n_li,    m.v_disc),
+  ('lineitem_positive_price',       m.n_li,    m.v_price),
+  ('lineitem_shipdate_not_null',    m.n_li,    m.v_shipnull),
+  ('lineitem_has_order',            m.n_li,    m.v_orphan_li),
+  ('orders_orderdate_not_null',     m.n_ord,   m.v_odate),
+  ('orders_positive_totalprice',    m.n_ord,   m.v_ototal),
+  ('orders_has_customer',           m.n_ord,   m.v_orphan_ord),
+  ('orders_has_lineitems',          m.n_ord,   m.v_empty_ord),
+  ('orders_totalprice_reconciles',  m.n_recon, m.v_recon)
+) AS r(rule, n_checked, n_violations)
+"""
+
+
+@register("dq_violations", sql=_DQ_SQL)
+def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+
+    def _viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _viol(~F.col("l_quantity").between(1, 50)).alias("v_qty"),
+        _viol(~F.col("l_discount").between(0, 0.5)).alias("v_disc"),
+        _viol(F.col("l_extendedprice") <= 0).alias("v_price"),
+        _viol(F.col("l_shipdate").isNull()).alias("v_shipnull"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(14,2)")
+            * (1 - F.col("l_discount")).cast("decimal(6,4)")
+            * (1 + F.col("l_tax")).cast("decimal(6,4)")
+        )
+        .cast("decimal(18,4)")
+        .alias("gross"),
+    )
+    fo = per_order.join(
+        orders, per_order.l_orderkey == orders.o_orderkey, "full_outer"
+    ).join(
+        cust.select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    o_present = F.col("o_orderkey").isNotNull()
+    li_present = F.col("l_orderkey").isNotNull()
+    total_dec = F.col("o_totalprice").cast("decimal(16,2)")
+    recon_bad = F.abs(total_dec - F.col("gross")) > total_dec * F.lit(
+        _TOL
+    ).cast("decimal(4,2)")
+    b = lambda c: c.cast("long")  # noqa: E731
+    m = fo.agg(
+        b(F.sum(F.coalesce("n_lines", F.lit(0)))).alias("n_li"),
+        b(F.sum(F.coalesce("v_qty", F.lit(0)))).alias("v_qty"),
+        b(F.sum(F.coalesce("v_disc", F.lit(0)))).alias("v_disc"),
+        b(F.sum(F.coalesce("v_price", F.lit(0)))).alias("v_price"),
+        b(F.sum(F.coalesce("v_shipnull", F.lit(0)))).alias("v_shipnull"),
+        b(
+            F.sum(F.when(~o_present, F.col("n_lines")).otherwise(0))
+        ).alias("v_orphan_li"),
+        b(_viol(o_present)).alias("n_ord"),
+        b(_viol(o_present & F.col("o_orderdate").isNull())).alias("v_odate"),
+        b(_viol(o_present & (F.col("o_totalprice") <= 0))).alias("v_ototal"),
+        b(_viol(o_present & F.col("c_custkey").isNull())).alias(
+            "v_orphan_ord"
+        ),
+        b(_viol(o_present & ~li_present)).alias("v_empty_ord"),
+        b(_viol(o_present & li_present)).alias("n_recon"),
+        b(_viol(o_present & li_present & recon_bad)).alias("v_recon"),
+    )
+    rules = [
+        ("lineitem_quantity_in_1_50", "n_li", "v_qty"),
+        ("lineitem_discount_in_0_0.5", "n_li", "v_disc"),
+        ("lineitem_positive_price", "n_li", "v_price"),
+        ("lineitem_shipdate_not_null", "n_li", "v_shipnull"),
+        ("lineitem_has_order", "n_li", "v_orphan_li"),
+        ("orders_orderdate_not_null", "n_ord", "v_odate"),
+        ("orders_positive_totalprice", "n_ord", "v_ototal"),
+        ("orders_has_customer", "n_ord", "v_orphan_ord"),
+        ("orders_has_lineitems", "n_ord", "v_empty_ord"),
+        ("orders_totalprice_reconciles", "n_recon", "v_recon"),
+    ]
+    stack_args = ", ".join(
+        f"'{name}', {nc}, {nv}" for name, nc, nv in rules
+    )
+    return m.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_args})"
+            " AS (rule, n_checked, n_violations)"
+        )
+    )

@@ -617,3 +617,125 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("y", "x") * F.corr("y", "x"), 6).alias("r2"),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_pairs — the counting step of BPE-style tokenizer training:
+# frequency of every ADJACENT token pair across the corpus, top 50.
+# This is the statistic a merge rule is picked from on each BPE round
+# (the actual loop re-counts after each merge; one round is the
+# representative distributed kernel). JVM-only: the pair list is built
+# with transform+element_at over the token array (no posexplode
+# self-join — the classic shape that shuffles the corpus twice), then
+# one explode → hash-agg → TakeOrdered. At 100 TB the agg key space is
+# |vocab|², but map-side combine collapses per-partition repeats and
+# the top-k never materializes a global sort.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 50
+
+_BPE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT {_SQL_TOKENS} AS t FROM documents
+),
+pairs AS (
+  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+  FROM toks WHERE len(t) >= 2
+)
+SELECT p[1] AS left_tok, p[2] AS right_tok, CAST(count(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY left_tok, right_tok
+ORDER BY n DESC, left_tok, right_tok
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+@register("text_bpe_pairs", sql=_BPE_PAIRS_SQL)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    pairs = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda x, i: F.struct(
+            x.alias("left_tok"),
+            F.element_at(toks, i + 2).alias("right_tok"),
+        ),
+    )
+    return (
+        docs.select(_tokens().alias("toks"))
+        .filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.left_tok", "p.right_tok")
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "left_tok", "right_tok")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate — cross-document boilerplate detection: 4-grams whose
+# DOCUMENT frequency crosses a threshold (headers, footers, license
+# blurbs — the spans an LLM-data pipeline strips before training).
+# Same skew-safe shape as split_contamination: (gram, doc_id) pairs are
+# deduped with a composite key FIRST, so a gram shared by half the
+# corpus spreads across tasks via map-side combine instead of
+# concentrating in one collect_set array. Document frequency is then a
+# plain count per gram — no arrays, no hot single task.
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_NGRAM = 4
+BOILERPLATE_MIN_DF = 3
+
+_BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + {BOILERPLATE_NGRAM - 1}), ' ') AS gram
+  FROM toks,
+       unnest(generate_series(1, greatest(len(t) - {BOILERPLATE_NGRAM - 1}, 0))) AS u(i)
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
+SELECT gram,
+       CAST(count(*) AS BIGINT) AS df,
+       round(CAST(count(*) AS DOUBLE) / any_value(n_docs), 6) AS doc_share
+FROM sh CROSS JOIN n
+GROUP BY gram
+HAVING count(*) >= {BOILERPLATE_MIN_DF}
+"""
+
+
+@register("text_boilerplate", sql=_BOILERPLATE_SQL)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.tables import spread
+
+    docs = T(spark, sf_dir, "documents")
+    # tokenize once behind an exchange (CollapseProject would re-run the
+    # regex split per slice otherwise — same fix as split_contamination)
+    tokenized = spread(docs.select("doc_id", _tokens().alias("toks")))
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - (BOILERPLATE_NGRAM - 1), F.lit(0))
+        ),
+        lambda i: F.array_join(F.slice(toks, i, BOILERPLATE_NGRAM), " "),
+    )
+    pairs = (
+        tokenized.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        pairs.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DF)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "gram",
+            "df",
+            F.round(
+                F.col("df").cast("double") / F.col("n_docs"), 6
+            ).alias("doc_share"),
+        )
+    )

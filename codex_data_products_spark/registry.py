@@ -46,6 +46,7 @@ def load_all() -> None:
         graph,
         joins,
         multimodal,
+        quality,
         relational,
         reshape,
         sampling,
