@@ -1038,13 +1038,21 @@ WHERE (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
 
 @register("events_autocorr", sql=_AUTOCORR_SQL)
 def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     ev = T(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
-        .cast("long")
-        .alias("day"),
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # persist the daily grain: both self-join sides read it, and at scale
+    # one scan of the raw events (the only big input) must not run twice
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = daily.alias("a")
     b = daily.select(
         F.col("event_type").alias("bt"),

@@ -553,3 +553,57 @@ def test_pq_train_codebook_is_iteratively_materialized(spark, sf_dir):
     assert cb.count() == N_SUB * PQ_K
     plan = cb._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan  # trained once, reused as an artifact
+
+
+def test_bpe_pairs_rowlocal_expansion_single_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_bpe_pairs")
+    # pair expansion is transform+element_at over the token array —
+    # row-local, so the only shuffle is the pair count's hash agg and
+    # the top-k is TakeOrdered (never a global sort of |vocab|² keys)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_boilerplate_dedups_with_composite_key_no_arrays(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_boilerplate")
+    # the skew-safe shape: (gram, doc_id) HashAggregate dedup, then a
+    # plain count — never a collect_set/collect_list array per gram
+    assert "collect_set" not in plan and "collect_list" not in plan
+    # the 1-row n_docs frame arrives as a broadcast (BNLJ over one row),
+    # never a shuffle join of the gram table
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bfs_broadcasts_frontier_anti_joins_settled(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_bfs")
+    # every round probes the persisted edge list with the frontier as
+    # the broadcast side, and drops settled nodes with an anti join —
+    # no shuffle of the edge table per round, no cartesian anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_suite_is_one_pass_per_fact(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dq_violations")
+    # the whole 10-rule suite folds into ONE scan of each fact: rules
+    # pre-aggregate per order (map-side combine), referential checks in
+    # both directions ride the single full-outer join
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("customer.parquet") == 1
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_autocorr_lags_fan_out_on_daily_grain(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_autocorr")
+    # raw events are scanned once into the persisted daily grain; both
+    # self-join sides read the cache (the single parquet scan printed in
+    # the plan lives inside the shared InMemoryRelation), and the tiny
+    # lagged side broadcasts
+    assert plan.count("InMemoryTableScan") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
