@@ -350,6 +350,52 @@ def attribution_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
     )
 
 
+def attribution_outer_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every purchase, with its
+    attributed view when one exists within 30 minutes, else NULL.
+
+    The outer semantics are the hard part of streaming joins: a
+    null-match row can only be emitted once the view-side watermark has
+    passed the purchase's ts (no earlier view can still arrive), so
+    unmatched purchases surface with watermark latency while matches
+    stream out immediately. State retention is identical to the inner
+    form — the range bound gives both sides an eviction horizon.
+
+    Batch parity (pinned by the test): an availableNow drain emits
+    exactly the batch left-join restricted to purchases older than the
+    final watermark (max ts − delay) for null rows; purchases newer
+    than that are still held in state when the query terminates, which
+    is the semantically-correct answer, not a loss.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("purchase_id", "view_id", "user_id")
+
+
 def enrich_stream(
     events: DataFrame, user_profile: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

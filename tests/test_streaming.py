@@ -85,6 +85,59 @@ def test_attribution_stream_stream_join_matches_batch(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_attribution_outer_join_emits_null_matches(spark, sf_dir):
+    """Left-outer stream-stream join parity: matched pairs are identical
+    to the batch twin; null-match purchases equal the batch left join
+    restricted to purchases older than the final watermark (max ts - 2h)
+    — newer ones are correctly still buffered when the drain ends."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.events import (
+        attribution_outer_stream,
+    )
+    from codex_data_products_spark.tables import table as T
+
+    stream = attribution_outer_stream(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "attr_outer_test", output_mode="append")
+    got = {
+        (r["purchase_id"], r["view_id"], r["user_id"])
+        for r in spark.sql("SELECT * FROM attr_outer_test").collect()
+    }
+
+    b = T(spark, sf_dir, "events")
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    bv = b.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    bj = bp.join(
+        bv,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    final_wm = b.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(
+        hours=2
+    )
+    want = {
+        (r["purchase_id"], r["view_id"], r["user_id"])
+        for r in bj.filter(
+            F.col("view_id").isNotNull() | (F.col("p_ts") < F.lit(final_wm))
+        ).collect()
+    }
+    assert got == want
+    # the outer semantics actually fired: some purchases have no view
+    assert any(v is None for _, v, _ in got)
+
+
 def test_enrich_stream_static_join_matches_batch(spark, sf_dir):
     from codex_data_products_spark.streaming.events import (
         enrich_stream,
