@@ -1,0 +1,103 @@
+"""Python DataSource wrappers: registered formats match the plain readers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from codex_data_products_spark.sources import minihdf5
+from codex_data_products_spark.sources.matrix_market import read_matrix_market
+from codex_data_products_spark.sources.spark_datasource import register_all
+
+
+@pytest.fixture()
+def registered(spark):
+    register_all(spark)
+    return spark
+
+
+def test_matrixmarket_format_matches_plain_reader(registered, tmp_path):
+    (tmp_path / "a.mtx").write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "% comment\n"
+        "3 3 3\n"
+        "1 2 5.0\n"
+        "2 1 7.5\n"
+        "3 3 1.25\n"
+    )
+    (tmp_path / "b.mtx").write_text("%%h\n2 2 1\n2 1 7.0\n")
+    got = {
+        (r["source_file"], r["i"], r["j"], r["weight"])
+        for r in registered.read.format("matrixmarket")
+        .load(str(tmp_path / "*.mtx"))
+        .collect()
+    }
+    # the line-based reader carries full file URIs; the DataSource
+    # yields basenames — compare on basename
+    want = {
+        (r["source_file"].rsplit("/", 1)[-1], r["i"], r["j"], r["weight"])
+        for r in read_matrix_market(
+            registered, str(tmp_path / "*.mtx"), with_source_file=True
+        ).collect()
+    }
+    assert got == want and len(got) == 4
+
+
+def test_matrixmarket_pattern_matrix_defaults_weight(registered, tmp_path):
+    (tmp_path / "p.mtx").write_text("%%pattern\n2 2 2\n1 1\n2 2\n")
+    rows = (
+        registered.read.format("matrixmarket")
+        .load(str(tmp_path / "p.mtx"))
+        .collect()
+    )
+    assert {(r["i"], r["j"], r["weight"]) for r in rows} == {
+        (1, 1, 1.0),
+        (2, 2, 1.0),
+    }
+
+
+def test_matrixmarket_is_one_partition_per_file(registered, tmp_path):
+    for k in range(3):
+        (tmp_path / f"f{k}.mtx").write_text("%%h\n1 1 1\n1 1 2.0\n")
+    df = registered.read.format("matrixmarket").load(str(tmp_path / "*.mtx"))
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_minihdf5_format_reads_2d_and_1d(registered, tmp_path):
+    x = np.arange(6, dtype=np.float64).reshape(2, 3)
+    mean = np.array([10.0, 20.0])
+    payload = minihdf5.write({"/X": x, "/obs/mean": mean})
+    (tmp_path / "d.h5").write_bytes(payload)
+
+    got_x = (
+        registered.read.format("minihdf5")
+        .load(str(tmp_path / "d.h5"))
+        .collect()
+    )
+    assert {(r["row"], r["col"], r["value"]) for r in got_x} == {
+        (r, c, float(x[r, c])) for r in range(2) for c in range(3)
+    }
+
+    got_mean = (
+        registered.read.format("minihdf5")
+        .option("dataset", "/obs/mean")
+        .load(str(tmp_path / "d.h5"))
+        .collect()
+    )
+    assert {(r["row"], r["col"], r["value"]) for r in got_mean} == {
+        (0, 0, 10.0),
+        (1, 0, 20.0),
+    }
+
+
+def test_minihdf5_filter_composes_above_scan(registered, tmp_path):
+    x = np.arange(4, dtype=np.float64).reshape(2, 2)
+    (tmp_path / "e.h5").write_bytes(minihdf5.write({"/X": x}))
+    df = (
+        registered.read.format("minihdf5")
+        .load(str(tmp_path / "e.h5"))
+        .filter("value > 1.5")
+        .groupBy("row")
+        .count()
+    )
+    assert {(r["row"], r["count"]) for r in df.collect()} == {(1, 2)}
