@@ -230,3 +230,54 @@ def write_curated(
     with open(f"{out_dir}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
+
+
+def write_training_shards(
+    docs: DataFrame, out_dir: str, n_shards: int = 16
+) -> dict:
+    """Export a corpus as N hash-balanced shards + a shard manifest —
+    the last step of training-data prep (downstream loaders stripe one
+    worker per shard directory).
+
+    Shard membership uses the same deterministic Knuth hash as
+    split_train_test / the ``shard_plan`` query, so assignment is
+    stable across runs, engines, and re-shards of supersets. The write
+    repartitions BY THE SHARD COLUMN first, so each output directory
+    is produced by the tasks owning that shard (no 1-file-per-task ×
+    N-dirs fragmentation), then ``partitionBy`` lays out
+    ``shard=K/part-*.parquet``. The manifest is an N-row aggregate —
+    nothing per-doc ever reaches the driver.
+    """
+    from codex_data_products_spark.queries.sampling import _doc_hash
+
+    sharded = docs.withColumn(
+        "shard", (_doc_hash() % n_shards).cast("long")
+    )
+    sharded.repartition(n_shards, "shard").write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(f"{out_dir}/shards")
+
+    stats = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "shards": [
+            {
+                "shard": r["shard"],
+                "n_docs": r["n_docs"],
+                "n_chars": r["n_chars"],
+            }
+            for r in stats
+        ],
+        "total_docs": int(sum(r["n_docs"] for r in stats)),
+    }
+    with open(f"{out_dir}/shard_manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest

@@ -330,3 +330,37 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             contaminated.cast("double") / F.count(F.lit(1)), 6
         ).alias("contamination_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shard_plan — the export layout step of a training-data pipeline:
+# docs are assigned to N fixed shards by the deterministic Knuth hash
+# (same recipe as split_train_test, so shard membership is stable
+# across runs and engines) and the per-shard doc/token totals expose
+# the balance the writer will achieve. At 100 TB this IS the write
+# plan: `write_training_shards` partitions by this column, so reading
+# the plan is reading the future output layout. One hash-agg, N rows.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+_SHARD_SQL = f"""
+SELECT
+  CAST({_SQL_HASH} % {N_SHARDS} AS BIGINT)   AS shard,
+  count(*)                                   AS n_docs,
+  CAST(sum({_sql_tokens()}) AS BIGINT)       AS n_tokens
+FROM documents
+GROUP BY shard
+"""
+
+
+@register("shard_plan", sql=_SHARD_SQL)
+def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.groupBy((_doc_hash() % N_SHARDS).cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(_n_tokens()).cast("long").alias("n_tokens"),
+        )
+    )

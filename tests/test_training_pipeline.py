@@ -61,3 +61,26 @@ def test_write_curated_layout_and_manifest(spark, tmp_path):
     # product is readable and carries the curation columns
     back = spark.read.parquet(f"{out}/corpus")
     assert {"n_tokens", "stopword_ratio", "lang_predicted"} <= set(back.columns)
+
+
+def test_write_training_shards_balanced_deterministic(spark, sf_dir, tmp_path):
+    from codex_data_products_spark.plans.training_pipeline import (
+        write_training_shards,
+    )
+    from codex_data_products_spark.tables import table as T
+
+    docs = T(spark, sf_dir, "documents")
+    m1 = write_training_shards(docs, str(tmp_path / "a"), n_shards=8)
+    m2 = write_training_shards(docs, str(tmp_path / "b"), n_shards=8)
+    # deterministic: identical manifests across runs
+    assert m1 == m2
+    assert len(m1["shards"]) == 8
+    counts = [s["n_docs"] for s in m1["shards"]]
+    # hash-balanced: no empty shard, worst/best within 2x at 500+ docs
+    assert min(counts) > 0 and max(counts) / min(counts) < 2
+    # round trip: layout is shard=K dirs, content equals input
+    back = spark.read.parquet(str(tmp_path / "a" / "shards"))
+    assert back.count() == m1["total_docs"] == docs.count()
+    assert sorted(back.select("shard").distinct().toPandas()["shard"]) == list(
+        range(8)
+    )
