@@ -31,7 +31,12 @@ import glob
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    DataSourceStreamReader,
+)
 
 
 class _FilePartition(InputPartition):
@@ -142,7 +147,90 @@ class MiniHDF5DataSource(DataSource):
         return MiniHDF5Reader(self.options)
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# eventgen — deterministic streaming source
+# ---------------------------------------------------------------------------
+
+_GEN_TYPES = ("view", "click", "purchase", "refund")
+_GEN_EPOCH_US = 1704067200_000_000  # 2024-01-01T00:00:00Z
+
+
+def _gen_row(i: int) -> tuple:
+    """Row i of the synthetic stream — a pure function of i (Knuth
+    multiplicative hash), so any offset range replays identically."""
+    import datetime
+
+    h = (i * 2654435761) % 4294967296
+    ts = datetime.datetime.fromtimestamp(
+        (_GEN_EPOCH_US + i * 7_000_000) / 1e6, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
+    return (i, ts, h % 50, _GEN_TYPES[h % 4], (h % 10000) / 10.0)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start, self.end = start, end
+
+
+class EventGenStreamReader(DataSourceStreamReader):
+    """Offset-tracked deterministic generator. Offsets are row
+    positions; ``latestOffset`` exposes the full bounded range, so an
+    availableNow drain plans one micro-batch whose ``partitions`` split
+    the offset range into ``batchrows`` chunks — each chunk generated
+    IN PARALLEL on executors as a pure function of its offsets. Any
+    committed range therefore replays bit-identically from the
+    checkpoint alone — the contract a real broker-backed source (Kafka)
+    provides, demonstrated with pure arithmetic."""
+
+    def __init__(self, options: dict) -> None:
+        self.total = int(options.get("rows", 1000))
+        self.batch = int(options.get("batchrows", 250))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": self.total}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["pos"], end["pos"]
+        return [
+            _RangePartition(a, min(a + self.batch, hi))
+            for a in range(lo, hi, self.batch)
+        ] or [_RangePartition(lo, lo)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        return iter(
+            [_gen_row(i) for i in range(partition.start, partition.end)]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class EventGenDataSource(DataSource):
+    """``spark.readStream.format("eventgen")`` — bounded deterministic
+    event stream for pipeline tests and backfill rehearsals."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eventgen"
+
+    def schema(self) -> str:
+        return (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+
+    def streamReader(self, schema) -> EventGenStreamReader:
+        return EventGenStreamReader(self.options)
+
+
 def register_all(spark) -> None:
     """Register every engine data source on a session."""
     spark.dataSource.register(MatrixMarketDataSource)
     spark.dataSource.register(MiniHDF5DataSource)
+    spark.dataSource.register(EventGenDataSource)

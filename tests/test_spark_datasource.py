@@ -101,3 +101,63 @@ def test_minihdf5_filter_composes_above_scan(registered, tmp_path):
         .count()
     )
     assert {(r["row"], r["count"]) for r in df.collect()} == {(1, 2)}
+
+
+def test_eventgen_stream_drains_deterministically(registered, tmp_path):
+    """The custom streaming source: an availableNow drain of the bounded
+    generator produces exactly the deterministic row set, and a second
+    run (fresh checkpoint) reproduces it bit-for-bit."""
+    from codex_data_products_spark.sources.spark_datasource import _gen_row
+
+    def drain(name: str) -> set:
+        q = (
+            registered.readStream.format("eventgen")
+            .option("rows", "1000")
+            .option("batchrows", "300")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ck_{name}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+            for r in registered.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    got = drain("eventgen_a")
+    assert len(got) == 1000
+    want = {_gen_row(i) for i in range(1000)}
+    assert got == want
+    assert drain("eventgen_b") == got
+
+
+def test_eventgen_composes_with_windowed_agg(registered, tmp_path):
+    from pyspark.sql import functions as F
+
+    stream = (
+        registered.readStream.format("eventgen")
+        .option("rows", "800")
+        .load()
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("eventgen_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = registered.sql(
+        "SELECT sum(count) AS n FROM eventgen_win"
+    ).collect()[0]["n"]
+    assert total == 800
