@@ -84,6 +84,28 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_stream(args: argparse.Namespace) -> int:
+    """One exactly-once availableNow drain of the streaming curation
+    pipeline over a document-stream directory; re-invoking with the
+    same checkpoint resumes from new files only (incremental corpus
+    ingestion as a cron-able command)."""
+    from codex_data_products_spark.streaming.curation import (
+        curate_stream,
+        run_ingestion,
+    )
+
+    spark = get_spark(app_name="corpus-stream")
+    docs = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .parquet(args.input)
+    )
+    run_ingestion(
+        curate_stream(docs), args.out, args.checkpoint
+    )
+    print(f"drained new files from {args.input} into {args.out}")
+    return 0
+
+
 def _cmd_query(args: argparse.Namespace) -> int:
     from codex_data_products_spark import registry
 
@@ -189,6 +211,15 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     pv.add_argument("--verbose", action="store_true")
     pv.set_defaults(fn=_cmd_verify)
+
+    ps = sub.add_parser(
+        "stream",
+        help="exactly-once availableNow drain of streaming corpus curation",
+    )
+    ps.add_argument("--input", required=True)
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--checkpoint", required=True)
+    ps.set_defaults(fn=_cmd_stream)
 
     args = p.parse_args(argv)
     return args.fn(args)

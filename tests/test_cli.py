@@ -91,3 +91,31 @@ def test_cli_verify_reports_match_and_exit_code(capsys):
     assert rc == 0
     assert "MATCH    join_semi" in out
     assert "1 verified, 0 mismatched" in out
+
+
+def test_cli_stream_drains_incrementally(spark, tmp_path):
+    import datetime
+
+    text = (
+        "the quick brown fox jumps over a lazy dog and runs to "
+        "the forest while the hunters watch a bird of prey"
+    )
+    src = str(tmp_path / "stream_in")
+    out = str(tmp_path / "stream_out")
+    ck = str(tmp_path / "ck")
+    t0 = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, t0, text)], "doc_id long, ts timestamp, text string"
+    ).write.mode("append").parquet(src)
+    args = ["stream", "--input", src, "--out", out, "--checkpoint", ck]
+    assert main(args) == 0
+    assert spark.read.parquet(out).count() == 1
+    # second file, same checkpoint → only the new file is ingested
+    spark.createDataFrame(
+        [(2, t0, text + " extra")],
+        "doc_id long, ts timestamp, text string",
+    ).write.mode("append").parquet(src)
+    assert main(args) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
