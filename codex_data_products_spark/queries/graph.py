@@ -83,22 +83,27 @@ SELECT node, rank FROM r3
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nation names are resolved INTO the two dims first (dim⋈dim is
+    # nation-sized work), so the fact path pays two broadcast probes
+    # per row instead of four — halves the broadcast stages and the
+    # per-row join work on the only big input
     li = T(spark, sf_dir, "lineitem")
     orders = T(spark, sf_dir, "orders")
-    cust = T(spark, sf_dir, "customer")
-    supp = T(spark, sf_dir, "supplier")
-    n1 = T(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("src")
+    nation = T(spark, sf_dir, "nation")
+    supp_dim = (
+        T(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("src"))
     )
-    n2 = T(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("dst")
+    cust_dim = (
+        T(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("dst"))
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
-        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(supp_dim), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cust_dim), orders.o_custkey == F.col("c_custkey"))
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
