@@ -1095,3 +1095,84 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_rfm — recency/frequency/monetary segmentation of purchase
+# behavior: one pass to the per-user grain (exact integer cents), then
+# three ntile(5) windows over the TINY user frame with total
+# tie-breaks (metric, user_id), so bucket edges are deterministic and
+# the oracle replays them exactly. Score 5 = best (most recent / most
+# frequent / highest spend). At any corpus scale the windows see one
+# row per user — the event scan is the only big input.
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', max(CAST(ts AS DATE)), any_value(maxd))
+           AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events CROSS JOIN anchor
+  WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT)
+         AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT)
+         AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT)
+         AS m_score
+FROM per_user
+"""
+
+
+@register("events_rfm", sql=_RFM_SQL)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("maxd", "last_d").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "user_id"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .cast("long")
+        .alias("m_score"),
+    )
