@@ -1176,3 +1176,54 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_markov — first-order journey transition matrix: P(next event
+# type | current type) across per-user event sequences. One window lag
+# over (user_id, ts, event_id) — the total tie-break makes the
+# successor well-defined on simultaneous timestamps — then a pair
+# count and a per-source normalization. Counts are exact integers and
+# the single probability division is rounded, so the matrix is
+# oracle-identical. The window partitions by user: the shuffle is the
+# per-user grain, never a self-join of the corpus.
+# ---------------------------------------------------------------------------
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT cur, nxt, count(*) AS n
+  FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+),
+totals AS (SELECT cur, sum(n) AS tot FROM pairs GROUP BY cur)
+SELECT p.cur AS from_type, p.nxt AS to_type, p.n AS n_transitions,
+       round(CAST(p.n AS DOUBLE) / t.tot, 6) AS probability
+FROM pairs p JOIN totals t ON t.cur = p.cur
+"""
+
+
+@register("events_markov", sql=_MARKOV_SQL)
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wtot = Window.partitionBy("cur")
+    return pairs.select(
+        F.col("cur").alias("from_type"),
+        F.col("nxt").alias("to_type"),
+        F.col("n").alias("n_transitions"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wtot), 6
+        ).alias("probability"),
+    )
