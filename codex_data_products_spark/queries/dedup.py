@@ -340,16 +340,13 @@ WHERE j.jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-@register("dedup_minhash_lsh", sql=_MINHASH_SQL)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
+    """Banded-minhash candidate pairs (doc_a, doc_b) for a shingle
+    table — the shared core of dedup_minhash_lsh and its recall
+    evaluation. First-match-band emission keeps the two band joins
+    disjoint (no DISTINCT over collision pairs)."""
     from pyspark import StorageLevel
 
-    docs = T(spark, sf_dir, "documents")
-    # The shingle table feeds the df-cap aggregate, signature building,
-    # AND candidate verification; persist it (disk-spillable) instead of
-    # recomputing the md5-heavy explode each time.
-    raw = shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    sh = _frequent_shingles_removed(raw)
     sig = _with_salted_md5(sh).groupBy("doc_id").agg(
         *[_minhash_expr(i) for i in range(NUM_MINHASHES)]
     )
@@ -369,8 +366,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     lt = F.col("a.doc_id") < F.col("b.doc_id")
     pair = [F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")]
-    # first-match-band: no DISTINCT over collision pairs (see _MINHASH_SQL)
-    cand = a.join(b, (F.col("a.b0") == F.col("b.b0")) & lt).select(*pair).unionByName(
+    return a.join(b, (F.col("a.b0") == F.col("b.b0")) & lt).select(*pair).unionByName(
         a.join(
             b,
             (F.col("a.b1") == F.col("b.b1"))
@@ -378,6 +374,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & lt,
         ).select(*pair)
     )
+
+
+@register("dedup_minhash_lsh", sql=_MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = T(spark, sf_dir, "documents")
+    # The shingle table feeds the df-cap aggregate, signature building,
+    # AND candidate verification; persist it (disk-spillable) instead of
+    # recomputing the md5-heavy explode each time.
+    raw = shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _frequent_shingles_removed(raw)
+    cand = _lsh_candidate_pairs(sh)
     return _jaccard_for_pairs(cand, sh).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
@@ -676,3 +685,84 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return comp
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_eval — measure, don't guess: the banding scheme's
+# recall against exact all-pairs Jaccard ground truth, plus the
+# verification yield (true dups per candidate probed). Candidates are
+# always exact-verified before deletion, so precision is 1.0 by
+# construction; the number that matters operationally is how many true
+# duplicate pairs the 2×4 banding MISSES (both band hashes disagree)
+# and how much verification work each candidate costs. One summary
+# row; the exact side is the same all-sharing-pairs oracle twin
+# dedup_ngram_jaccard runs — affordable at eval time, never in the
+# production dedup path.
+# ---------------------------------------------------------------------------
+
+_MINHASH_EVAL_SQL = f"""
+WITH {_SQL_SHINGLES},
+sig AS (
+  SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(NUM_MINHASHES))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, {_sql_band_val(0)} AS b0, {_sql_band_val(1)} AS b1 FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM bands a JOIN bands b
+    ON a.b1 = b.b1 AND a.b0 <> b.b0 AND a.doc_id < b.doc_id
+),
+{_SQL_JACCARD_TAIL},
+exact AS (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+found AS (
+  SELECT e.doc_a, e.doc_b
+  FROM exact e JOIN cand c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+)
+SELECT
+  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+  CAST((SELECT count(*) FROM cand) AS BIGINT)  AS n_candidates,
+  CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+  round(CAST((SELECT count(*) FROM found) AS DOUBLE)
+        / (SELECT count(*) FROM exact), 6)     AS recall,
+  round(CAST((SELECT count(*) FROM found) AS DOUBLE)
+        / (SELECT count(*) FROM cand), 6)      AS verify_yield
+"""
+
+
+@register("dedup_minhash_eval", sql=_MINHASH_EVAL_SQL)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = T(spark, sf_dir, "documents")
+    raw = shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _frequent_shingles_removed(raw).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _lsh_candidate_pairs(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    exact = _jaccard_pairs(sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
+    found = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_exact.crossJoin(n_cand)
+        .crossJoin(n_found)
+        .select(
+            "n_exact_pairs",
+            "n_candidates",
+            "n_found",
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_exact_pairs"), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_candidates"), 6
+            ).alias("verify_yield"),
+        )
+    )
