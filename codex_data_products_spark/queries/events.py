@@ -1227,3 +1227,92 @@ def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wtot), 6
         ).alias("probability"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_holt_forecast — Holt's linear-trend smoothing of the daily
+# event count per type, the two-state recursion (level, trend) no
+# window frame can express. Same bit-identical recipe as events_ewma,
+# extended to two-state [x, level, trend] LIST accumulators: both
+# engines fold the same totally-ordered day list left-to-right, each
+# element pre-seeded as its own initial state [x, x, 0] so the first
+# element IS the init (DuckDB list_reduce has no explicit initial
+# accumulator), and every IEEE op appears in the same order in both
+# lambdas. The accumulator is a LIST, not a STRUCT, deliberately:
+# DuckDB v1.0.0's list_reduce updates struct accumulator fields IN
+# PLACE sequentially, so a later field's expression reads the earlier
+# field's NEW value — a two-state recursion silently corrupts. List
+# construction is aliasing-safe (verified by the crossed-reference
+# probe in the test suite). One shuffle to the daily grain; the fold
+# is row-local per type.
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+_HOLT_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY event_type, day
+),
+series AS (
+  SELECT event_type,
+         list([c, c, CAST(0.0 AS DOUBLE)] ORDER BY day) AS s
+  FROM daily GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, len(s) AS n_days,
+         list_reduce(s, (acc, e) -> [
+           e[1],
+           {HOLT_ALPHA} * e[1] + {1 - HOLT_ALPHA} * (acc[2] + acc[3]),
+           {HOLT_BETA} * (({HOLT_ALPHA} * e[1]
+                 + {1 - HOLT_ALPHA} * (acc[2] + acc[3])) - acc[2])
+                + {1 - HOLT_BETA} * acc[3]
+         ]) AS st
+  FROM series
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT)        AS n_days,
+       round(st[2], 6)               AS level,
+       round(st[3], 6)               AS trend,
+       round(st[2] + st[3], 6)       AS forecast_next
+FROM folded
+"""
+
+
+@register("events_holt_forecast", sql=_HOLT_SQL)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    seeded = F.transform(
+        F.array_sort(F.collect_list(F.struct("day", "c"))),
+        lambda r: F.array(r["c"], r["c"], F.lit(0.0)),
+    )
+    series = daily.groupBy("event_type").agg(seeded.alias("s"))
+    s = F.col("s")
+    a, a1 = F.lit(HOLT_ALPHA), F.lit(1 - HOLT_ALPHA)
+    g, g1 = F.lit(HOLT_BETA), F.lit(1 - HOLT_BETA)
+
+    def step(acc, e):
+        x = F.element_at(e, 1)
+        l_old, b_old = F.element_at(acc, 2), F.element_at(acc, 3)
+        l_new = a * x + a1 * (l_old + b_old)
+        return F.array(x, l_new, g * (l_new - l_old) + g1 * b_old)
+
+    st = F.aggregate(
+        F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+        F.element_at(s, 1),
+        step,
+    )
+    return series.select(
+        "event_type",
+        F.size(s).cast("long").alias("n_days"),
+        F.round(F.element_at(st, 2), 6).alias("level"),
+        F.round(F.element_at(st, 3), 6).alias("trend"),
+        F.round(
+            F.element_at(st, 2) + F.element_at(st, 3), 6
+        ).alias("forecast_next"),
+    )

@@ -90,3 +90,33 @@ def test_curation_is_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(
         map(tuple, twice.collect())
     )
+
+
+def test_duckdb_list_reduce_struct_acc_aliases_in_place():
+    """Documents WHY events_holt_forecast folds a LIST accumulator, not
+    a STRUCT: DuckDB v1.0.0's list_reduce updates struct accumulator
+    fields in place sequentially, so a later field's expression reads
+    the earlier field's NEW value. The crossed-reference probe returns
+    the corrupted (4, 4) under struct state but the correct (4, 12)
+    under list state. If this test ever fails on the struct side, the
+    engine fixed the aliasing and the struct form becomes usable."""
+    import duckdb
+
+    con = duckdb.connect()
+    corrupted = con.execute(
+        """SELECT list_reduce(
+          [{'v': CAST(1 AS DOUBLE), 'p': CAST(1 AS DOUBLE), 'q': CAST(10 AS DOUBLE)},
+           {'v': CAST(2 AS DOUBLE), 'p': CAST(0 AS DOUBLE), 'q': CAST(0 AS DOUBLE)},
+           {'v': CAST(3 AS DOUBLE), 'p': CAST(0 AS DOUBLE), 'q': CAST(0 AS DOUBLE)}],
+          (acc, e) -> {'v': e.v, 'p': acc.q + e.v, 'q': acc.p})"""
+    ).fetchone()[0]
+    # true left fold: step1 p=12,q=1; step2 p=4,q=12
+    assert (corrupted["p"], corrupted["q"]) == (4.0, 4.0)
+    safe = con.execute(
+        """SELECT list_reduce(
+          [[CAST(1 AS DOUBLE), CAST(1 AS DOUBLE), CAST(10 AS DOUBLE)],
+           [CAST(2 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+           [CAST(3 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]],
+          (acc, e) -> [e[1], acc[3] + e[1], acc[2]])"""
+    ).fetchone()[0]
+    assert safe == [3.0, 4.0, 12.0]
