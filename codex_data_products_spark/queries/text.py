@@ -739,3 +739,75 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_entropy — character-level Shannon entropy per document, a
+# quality signal that separates natural text from key-mash and
+# base64-ish blobs. Float hazard: entropy is a SUM of per-char float
+# terms, and hash-agg order would make the low bits partition-
+# dependent — so the per-char counts (exact integers) are collected
+# into a char-SORTED list and folded left-to-right with the same IEEE
+# ops in both engines (the events_ewma recipe). The char explode is
+# O(total text) rows but purely parallel; the fold is row-local over
+# ≤|alphabet| terms per doc.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_SQL = r"""
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM chars GROUP BY doc_id, ch
+),
+packed AS (
+  SELECT doc_id,
+         list(CAST(c AS DOUBLE) ORDER BY ch) AS cs,
+         CAST(sum(c) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS distinct_chars
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_chars, distinct_chars,
+       round(list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE), cs),
+         (acc, c) -> acc + (-(c / n_chars) * ln(c / n_chars))
+       ), 6) AS entropy
+FROM packed
+"""
+
+
+@register("text_entropy", sql=_ENTROPY_SQL)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text", F.lit(r"[\s\S]"), 0)
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    packed = counts.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ch", "c"))),
+            lambda s: s["c"].cast("double"),
+        ).alias("cs"),
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+    )
+    n = F.col("n_chars")
+    entropy = F.aggregate(
+        F.col("cs"),
+        F.lit(0.0),
+        lambda acc, c: acc + (-(c / n) * F.log(c / n)),
+    )
+    return packed.select(
+        "doc_id",
+        "n_chars",
+        "distinct_chars",
+        F.round(entropy, 6).alias("entropy"),
+    )
