@@ -421,3 +421,83 @@ def run_join_maintenance(
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental top-k maintenance: the "leaderboard view" — top k rows by
+# a monotone score, kept current from an insert feed. The state is
+# BOUNDED at k rows forever: each refresh takes top-k of
+# (state ∪ batch-top-k), which equals top-k over all rows ever seen
+# because inserts can only displace, never resurrect, rows (no deletes
+# in the feed — a deletable leaderboard needs the aggregate fold
+# above, not this). Total (score DESC, tie-break) ordering makes the
+# maintained state deterministic and equal to a from-scratch recompute.
+# ---------------------------------------------------------------------------
+
+
+def combine_topk_state(
+    state: DataFrame,
+    batch: DataFrame,
+    k: int,
+    score_col: str,
+    tie_cols: list[str],
+) -> DataFrame:
+    """top-k of (state ∪ batch) under (score DESC, tie ASC) total order."""
+    from pyspark.sql import Window
+
+    merged = state.unionByName(batch.select(*state.columns))
+    w = Window.orderBy(
+        F.col(score_col).desc(), *[F.col(c) for c in tie_cols]
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def bootstrap_topk_state(
+    facts: DataFrame, k: int, score_col: str, tie_cols: list[str]
+) -> DataFrame:
+    """From-scratch top-k in the state schema (TakeOrdered-sized work)."""
+    return facts.orderBy(
+        F.col(score_col).desc(), *[F.col(c) for c in tie_cols]
+    ).limit(k)
+
+
+def run_topk_maintenance(
+    inserts: DataFrame,
+    table_dir: str,
+    k: int,
+    score_col: str,
+    tie_cols: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch maintenance of a top-k view over an insert stream.
+
+    Pre-batch snapshot anchoring (v=batch_id → v=batch_id+1) as in
+    run_agg_maintenance; here a replayed batch cannot corrupt state
+    even without it (top-k of a union is idempotent in the batch), but
+    anchoring keeps the version chain deterministic. Each refresh sorts
+    k + |batch-top-k| rows — never the history."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        state = read_table(spark, table_dir, version=batch_id)
+        # cut the batch to its own top-k FIRST (TakeOrdered, no global
+        # sort), then merge with the k-row state
+        batch_topk = bootstrap_topk_state(batch, k, score_col, tie_cols)
+        new_state = combine_topk_state(
+            state, batch_topk, k, score_col, tie_cols
+        )
+        new_state.write.mode("overwrite").parquet(
+            f"{table_dir}/v={batch_id + 1}"
+        )
+
+    q = (
+        inserts.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

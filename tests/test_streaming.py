@@ -471,3 +471,60 @@ def test_join_view_maintenance_equals_recompute(spark, tmp_path):
     assert not any(k == 2 and b == "b2" for k, _, b in v_final)
     assert (3, "a4", "b3") in v_final
     assert not any(a == "a1" for _, a, _b in v_final)
+
+
+def test_run_topk_maintenance_matches_full_recompute(spark, tmp_path):
+    """Leaderboard IVM: after two incremental drains the k-row state
+    equals a from-scratch top-k over everything ever inserted, and the
+    per-refresh work is k + batch-top-k rows, never the history."""
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_topk_state,
+        read_table,
+        run_topk_maintenance,
+        table_versions,
+    )
+
+    src = str(tmp_path / "ins")
+    table = str(tmp_path / "topk_table")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(1, 50.0), (2, 80.0), (3, 10.0), (4, 70.0)],
+        "order_id long, price double",
+    )
+    bootstrap_topk_state(base, 3, "price", ["order_id"]).write.parquet(
+        f"{table}/v=0"
+    )
+
+    b1 = [(5, 90.0), (6, 20.0)]
+    b2 = [(7, 75.0), (8, 75.0), (9, 5.0)]
+    spark.createDataFrame(b1, "order_id long, price double").coalesce(
+        1
+    ).write.parquet(f"{src}/d1")
+    inserts = (
+        spark.readStream.schema("order_id long, price double")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    run_topk_maintenance(inserts, table, 3, "price", ["order_id"], ckpt)
+    spark.createDataFrame(b2, "order_id long, price double").coalesce(
+        1
+    ).write.parquet(f"{src}/d2")
+    run_topk_maintenance(inserts, table, 3, "price", ["order_id"], ckpt)
+
+    assert table_versions(spark, table)[-1] >= 2
+    got = {
+        (r["order_id"], r["price"])
+        for r in read_table(spark, table).collect()
+    }
+    everything = base.unionByName(
+        spark.createDataFrame(
+            b1 + b2, "order_id long, price double"
+        )
+    )
+    want = {
+        (r["order_id"], r["price"])
+        for r in bootstrap_topk_state(
+            everything, 3, "price", ["order_id"]
+        ).collect()
+    }
+    assert got == want == {(5, 90.0), (2, 80.0), (7, 75.0)}
