@@ -1140,16 +1140,18 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    anchor = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    grain = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    ).localCheckpoint(eager=False)
+    # anchor = corpus max date, derived from the per-user grain so the
+    # raw events scan runs ONCE (max over users of per-user max)
+    anchor = grain.agg(F.max("last_d").alias("maxd"))
     per_user = (
-        ev.groupBy("user_id")
-        .agg(
-            F.max(F.to_date("ts")).alias("last_d"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
-                "monetary_cents"
-            ),
-        )
+        grain
         .crossJoin(F.broadcast(anchor))
         .select(
             "user_id",

@@ -607,3 +607,28 @@ def test_autocorr_lags_fan_out_on_daily_grain(spark, sf_dir):
     assert plan.count("InMemoryTableScan") == 2
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_holt_and_entropy_fold_rowlocal_no_join(spark, sf_dir):
+    # both fold a collected, totally-ordered list row-locally: the only
+    # plan shapes are scan → agg → agg; never a join or window
+    for name in ("events_holt_forecast", "text_entropy"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+
+
+def test_markov_is_window_plus_aggs_no_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_markov")
+    # transition pairs come from a per-user lead window, NOT an event
+    # self-join — the classic funnel/journey scale trap
+    assert plan.count("events.parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_rfm_windows_ride_single_partition_user_grain(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_rfm")
+    # the raw events scan runs ONCE into the checkpointed per-user
+    # grain; the anchor and the ntile windows both read that grain
+    assert plan.count("events.parquet") == 0
+    assert "ExistingRDD" in plan  # the shared checkpointed grain
