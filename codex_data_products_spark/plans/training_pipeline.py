@@ -205,19 +205,28 @@ def write_curated(
     Layout: parquet partitioned by (lang_predicted, length_bucket) for
     partition-pruned mixture sampling; manifest with per-stage counts.
     """
+    from pyspark.sql import Observation
+
     cfg = cfg or CurationConfig()
-    curated = curate(docs, cfg)
+    # Observation metrics ride the write job itself: kept-doc and token
+    # totals come from the SAME pass that writes the corpus, instead of
+    # re-running the dedup joins twice more for count() + agg(). At
+    # 100 TB that is one full pipeline execution, not three.
+    obs = Observation("curation")
+    curated = curate(docs, cfg).observe(
+        obs,
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+    )
     curated.write.mode("overwrite").partitionBy(
         "lang_predicted", "length_bucket"
     ).parquet(f"{out_dir}/corpus")
 
-    kept = curated.count()
+    metrics = obs.get
     manifest = {
         "input_docs": docs.count(),
-        "kept_docs": kept,
-        "total_tokens_kept": (
-            curated.agg(F.sum("n_tokens")).collect()[0][0] if kept else 0
-        ),
+        "kept_docs": metrics["kept_docs"],
+        "total_tokens_kept": int(metrics["total_tokens"]),
         "config": {
             "min_tokens": cfg.min_tokens,
             "max_tokens": cfg.max_tokens,
