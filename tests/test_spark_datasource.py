@@ -161,3 +161,40 @@ def test_eventgen_composes_with_windowed_agg(registered, tmp_path):
         "SELECT sum(count) AS n FROM eventgen_win"
     ).collect()[0]["n"]
     assert total == 800
+
+
+def test_eventgen_checkpoint_resume_appends_only_new_offsets(
+    registered, tmp_path
+):
+    """Restart contract: a second drain against the SAME checkpoint with
+    a larger bound emits only offsets past the committed one — the
+    source resumes from the checkpoint, never regenerates."""
+    ck = str(tmp_path / "ck_resume")
+    out = str(tmp_path / "out")
+
+    def drain(rows: int) -> None:
+        q = (
+            registered.readStream.format("eventgen")
+            .option("rows", str(rows))
+            .option("batchrows", "250")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(600)
+    ids_a = {
+        r["event_id"] for r in registered.read.parquet(out).collect()
+    }
+    assert ids_a == set(range(600))
+    drain(1000)
+    ids_b = {
+        r["event_id"] for r in registered.read.parquet(out).collect()
+    }
+    # the resumed run appended ONLY offsets past the committed one
+    assert ids_b == set(range(1000))
