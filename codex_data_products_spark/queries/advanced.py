@@ -724,3 +724,62 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cumulative_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join_cardinality — the planner primitive: predict |lineitem ⋈ orders
+# ⋈ per-key| output sizes WITHOUT executing the join. Per join key,
+# |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k); the per-key count tables are
+# key-cardinality-sized (tiny next to the facts), so the estimate costs
+# two grouped counts + one join of the COUNT tables — this is exactly
+# the histogram-product estimator a cost-based optimizer consults
+# before picking a join strategy, and the skew diagnosis (max per-key
+# product) is what decides salting vs AQE. Reported per key column.
+# ---------------------------------------------------------------------------
+
+_JOIN_CARD_SQL = """
+WITH a AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY k),
+b AS (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY k),
+j AS (
+  SELECT a.k, a.n * b.n AS prod FROM a JOIN b ON a.k = b.k
+)
+SELECT 'l_orderkey=o_orderkey' AS join_key,
+       CAST((SELECT count(*) FROM a) AS BIGINT)  AS n_keys_left,
+       CAST((SELECT count(*) FROM b) AS BIGINT)  AS n_keys_right,
+       CAST(count(*) AS BIGINT)                  AS n_keys_matched,
+       CAST(sum(prod) AS BIGINT)                 AS predicted_rows,
+       CAST(max(prod) AS BIGINT)                 AS max_key_product
+FROM j
+"""
+
+
+@register("join_cardinality", sql=_JOIN_CARD_SQL)
+def join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    a = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    na = a.agg(F.count(F.lit(1)).alias("n_keys_left"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_keys_right"))
+    j = a.join(b, "k").select((F.col("n_a") * F.col("n_b")).alias("prod"))
+    stats = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_matched"),
+        F.sum("prod").cast("long").alias("predicted_rows"),
+        F.max("prod").cast("long").alias("max_key_product"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.lit("l_orderkey=o_orderkey").alias("join_key"),
+            F.col("n_keys_left").cast("long").alias("n_keys_left"),
+            F.col("n_keys_right").cast("long").alias("n_keys_right"),
+            "n_keys_matched",
+            "predicted_rows",
+            "max_key_product",
+        )
+    )
