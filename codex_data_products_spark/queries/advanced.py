@@ -783,3 +783,55 @@ def join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_key_product",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier_concentration — Herfindahl–Hirschman index of supplier
+# concentration per part: HHI = Σ share_i² where share_i is supplier
+# i's fraction of the part's shipped quantity. The float hazard (a sum
+# of squared ratios over an unordered set) is eliminated by algebra:
+# HHI = Σ qty_i² / (Σ qty_i)² — BOTH sums are exact integers, and the
+# single division happens once per part. Two hash-aggs, no window, no
+# join; the supply-chain-risk sweep a procurement pipeline runs.
+# ---------------------------------------------------------------------------
+
+_HHI_SQL = """
+WITH q AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(qty) AS BIGINT) AS total_qty,
+         CAST(sum(qty * qty) AS BIGINT) AS sum_sq
+  FROM q GROUP BY l_partkey
+)
+SELECT l_partkey, n_suppliers, total_qty,
+       round(CAST(sum_sq AS DOUBLE)
+             / (CAST(total_qty AS DOUBLE) * CAST(total_qty AS DOUBLE)), 6)
+         AS hhi
+FROM tot
+WHERE n_suppliers >= 2
+"""
+
+
+@register("supplier_concentration", sql=_HHI_SQL)
+def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty")
+    )
+    tot = q.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("sum_sq"),
+    )
+    t = F.col("total_qty").cast("double")
+    return tot.filter(F.col("n_suppliers") >= 2).select(
+        "l_partkey",
+        "n_suppliers",
+        "total_qty",
+        F.round(F.col("sum_sq").cast("double") / (t * t), 6).alias("hhi"),
+    )

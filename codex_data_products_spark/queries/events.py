@@ -1318,3 +1318,134 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(st, 2) + F.element_at(st, 3), 6
         ).alias("forecast_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_seasonal_anomaly — the seasonality-aware upgrade of
+# events_anomaly: each hour's event count is z-scored against the
+# baseline of the SAME (day-of-week, hour-of-day) slot, so a quiet
+# Sunday 3am is not "anomalous" merely for being quieter than Monday
+# noon. Day-of-week is epoch-day mod 7 in BOTH engines (Spark and
+# DuckDB disagree on dayofweek() numbering); moments are exact BIGINT
+# sums on the hourly grain, and the output is the top-20 hours by |z|
+# (TakeOrdered — no vacuous-threshold tuning, never an empty result).
+# ---------------------------------------------------------------------------
+
+SEASONAL_TOP = 20
+_SEASONAL_MIN_SLOT = 4  # slots with <4 observations have no baseline
+
+_SEASONAL_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+              AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         count(*) AS c
+  FROM events GROUP BY h, dow, hod
+),
+base AS (
+  SELECT dow, hod, count(*) AS n,
+         CAST(sum(c) AS DOUBLE) AS s1, CAST(sum(c*c) AS DOUBLE) AS s2
+  FROM hourly GROUP BY dow, hod
+),
+scored AS (
+  SELECT strftime(h.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+         h.dow, h.hod, h.c AS n_events,
+         (h.c - b.s1 / b.n)
+           / sqrt(b.s2 / b.n - (b.s1 / b.n) * (b.s1 / b.n)) AS z
+  FROM hourly h JOIN base b ON b.dow = h.dow AND b.hod = h.hod
+  WHERE b.n >= {_SEASONAL_MIN_SLOT}
+    AND (b.s2 * b.n - b.s1 * b.s1) > 0
+)
+SELECT window_start, dow, hod, n_events, round(z, 6) AS zscore
+FROM scored
+ORDER BY abs(z) DESC, window_start
+LIMIT {SEASONAL_TOP}
+"""
+
+
+@register("events_seasonal_anomaly", sql=_SEASONAL_SQL)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7)
+        .cast("long")
+        .alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    base = hourly.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("c") - mean) / F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    return (
+        hourly.join(F.broadcast(base), ["dow", "hod"])
+        .filter(
+            (F.col("n") >= _SEASONAL_MIN_SLOT)
+            & (F.col("s2") * F.col("n") - F.col("s1") * F.col("s1") > 0)
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "dow",
+            "hod",
+            F.col("c").alias("n_events"),
+            F.round(z, 6).alias("zscore"),
+            F.abs(z).alias("_absz"),
+        )
+        .orderBy(F.col("_absz").desc(), "window_start")
+        .limit(SEASONAL_TOP)
+        .drop("_absz")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_interarrival — per-customer order inter-arrival statistics
+# (mean/min/max days between consecutive orders): the purchase-cadence
+# input to CLV and churn models. One lag window over the per-customer
+# grain with a total (o_orderdate, o_orderkey) tie-break; day gaps are
+# exact integers so every statistic is order-free.
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         date_diff('day',
+           lag(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ),
+           CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(count(gap) AS BIGINT)      AS n_gaps,
+       CAST(min(gap) AS BIGINT)        AS min_days,
+       CAST(max(gap) AS BIGINT)        AS max_days,
+       round(CAST(sum(gap) AS DOUBLE) / count(gap), 6) AS mean_days
+FROM seq
+WHERE gap IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+@register("orders_interarrival", sql=_INTERARRIVAL_SQL)
+def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return seq.groupBy("o_custkey").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_days"),
+        F.max("gap").cast("long").alias("max_days"),
+        F.round(
+            F.sum("gap").cast("double") / F.count("gap"), 6
+        ).alias("mean_days"),
+    )
