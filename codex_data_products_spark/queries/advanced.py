@@ -835,3 +835,138 @@ def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_qty",
         F.round(F.col("sum_sq").cast("double") / (t * t), 6).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_cohort_revenue — monthly acquisition-cohort revenue retention:
+# customers are stamped with their first-order month, and every order's
+# revenue rolls up to (cohort_month, months_since_acquisition) — the
+# triangle a subscription/commerce dashboard draws. The cohort stamp is
+# a per-customer aggregate joined back (customer-dimension-sized, no
+# window over the fact), month arithmetic runs on month-TRUNCATED dates
+# so both engines see integer month deltas, and revenue is exact
+# decimal.
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH first AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+rev AS (
+  SELECT strftime(f.cohort_month, '%Y-%m') AS cohort_month,
+         CAST(date_diff('month', f.cohort_month,
+                        date_trunc('month', o.o_orderdate)) AS BIGINT)
+           AS months_since,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(16,2)))
+              AS DECIMAL(18,2)) AS revenue,
+         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_customers
+  FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT cohort_month, months_since,
+       CAST(revenue AS DOUBLE) AS revenue, active_customers
+FROM rev
+"""
+
+
+@register("orders_cohort_revenue", sql=_COHORT_SQL)
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    j = orders.join(first, "o_custkey")
+    months_since = (
+        F.months_between(
+            F.date_trunc("month", "o_orderdate"), F.col("cohort_month")
+        )
+        .cast("long")
+        .alias("months_since")
+    )
+    return (
+        j.groupBy(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort_month"),
+            months_since,
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(16,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("o_custkey").cast("long").alias(
+                "active_customers"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue_monthly_growth — month-over-month revenue growth per supplier
+# nation: exact-decimal monthly rollup, one lag window over the tiny
+# (nation × month) grain, single rounded ratio. The growth-rate lag
+# never touches the fact table — the classic trap is windowing raw
+# lineitem; here the window input is ~nations × months rows.
+# ---------------------------------------------------------------------------
+
+_GROWTH_SQL = """
+WITH m AS (
+  SELECT n_name AS nation, date_trunc('month', o_orderdate) AS month,
+         -- full-scale exact decimal: reducing scale would hit the
+         -- engines' different rounding modes (half-up vs half-even)
+         sum(CAST(l_extendedprice AS DECIMAL(14,2))
+             * CAST(1 - l_discount AS DECIMAL(6,4))) AS rev
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT nation, month, rev,
+         lag(rev) OVER (PARTITION BY nation ORDER BY month) AS prev
+  FROM m
+)
+SELECT nation, strftime(month, '%Y-%m') AS month,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+         AS mom_growth
+FROM lagged WHERE prev IS NOT NULL AND prev > 0
+"""
+
+
+@register("revenue_monthly_growth", sql=_GROWTH_SQL)
+def revenue_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    m = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (1 - F.col("l_discount")).cast("decimal(6,4)")
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    lagged = m.withColumn("prev", F.lag("rev").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("prev") > 0)
+    )
+    return lagged.select(
+        "nation",
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev") - F.col("prev")).cast("double")
+            / F.col("prev").cast("double"),
+            6,
+        ).alias("mom_growth"),
+    )
