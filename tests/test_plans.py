@@ -632,3 +632,31 @@ def test_rfm_windows_ride_single_partition_user_grain(spark, sf_dir):
     # grain; the anchor and the ntile windows both read that grain
     assert plan.count("events.parquet") == 0
     assert "ExistingRDD" in plan  # the shared checkpointed grain
+
+
+def test_growth_window_rides_rollup_not_fact(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_monthly_growth")
+    # the lag window's input is the nations×months rollup: the window
+    # sits ABOVE the aggregate, and the fact side joins via broadcasts
+    assert plan.index("Window") < plan.index("FileScan")
+    assert "CartesianProduct" not in plan
+
+
+def test_concentration_is_two_aggs_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "supplier_concentration")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_interarrival_single_user_window_then_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "orders_interarrival")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_join_cardinality_joins_count_tables_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_cardinality")
+    # the estimator joins key-cardinality-sized COUNT tables — both
+    # join inputs are aggregates, so every scan sits below a HashAggregate
+    assert plan.index("HashAggregate") < plan.index("FileScan")
+    assert "CartesianProduct" not in plan
