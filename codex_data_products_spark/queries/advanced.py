@@ -798,7 +798,7 @@ def join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HHI_SQL = """
 WITH q AS (
   SELECT l_partkey, l_suppkey,
-         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
   FROM lineitem GROUP BY l_partkey, l_suppkey
 ),
 tot AS (
@@ -820,8 +820,11 @@ WHERE n_suppliers >= 2
 @register("supplier_concentration", sql=_HHI_SQL)
 def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
+    # floor() before the integer cast on BOTH engines: Spark's
+    # decimal→long cast truncates while DuckDB's rounds to nearest, so a
+    # bare cast silently diverges on fractional quantities (ADVICE r4).
     q = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty")
+        F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("qty")
     )
     tot = q.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),

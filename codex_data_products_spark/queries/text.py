@@ -713,13 +713,21 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     # tokenize once behind an exchange (CollapseProject would re-run the
-    # regex split per slice otherwise — same fix as split_contamination)
-    tokenized = spread(docs.select("doc_id", _tokens().alias("toks")))
+    # regex split per slice otherwise — same fix as split_contamination).
+    # Docs shorter than the n-gram are filtered BEFORE gram generation:
+    # with a greatest(..., 0) clamp F.sequence(1, 0) defaults to step -1
+    # and yields [1, 0], whose i=0 element makes F.slice throw
+    # INVALID_PARAMETER_VALUE.START — the short-doc guard (same as
+    # shingle_table's) keeps the sequence bound >= 1 always, matching
+    # the oracle's generate_series(1, 0) → no grams.
+    tokenized = spread(
+        docs.select("doc_id", _tokens().alias("toks")).filter(
+            F.size("toks") >= BOILERPLATE_NGRAM
+        )
+    )
     toks = F.col("toks")
     grams = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size(toks) - (BOILERPLATE_NGRAM - 1), F.lit(0))
-        ),
+        F.sequence(F.lit(1), F.size(toks) - (BOILERPLATE_NGRAM - 1)),
         lambda i: F.array_join(F.slice(toks, i, BOILERPLATE_NGRAM), " "),
     )
     pairs = (

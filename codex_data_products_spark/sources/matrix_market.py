@@ -27,7 +27,12 @@ def read_matrix_market(
     (replaces the reference's per-file loop, bin/concatenate.py:378-394).
     """
     lines = read_lines_with_positions(spark, path)
-    data = lines.filter(~F.col("line").startswith("%"))
+    # Drop comments AND blank lines before picking the size line, so an
+    # .mtx with leading/interior blank lines parses identically to the
+    # registered format("matrixmarket") DataSource (ADVICE r4 parity).
+    data = lines.filter(
+        (~F.col("line").startswith("%")) & (F.trim("line") != "")
+    )
     # The size line is the first non-comment line of each file.
     w = Window.partitionBy("source_file").orderBy("pos")
     body = (

@@ -45,12 +45,16 @@ class _FilePartition(InputPartition):
 
 
 def _expand(path: str) -> list[str]:
-    paths = sorted(glob.glob(path)) if any(
-        ch in path for ch in "*?["
-    ) else [path]
-    if not paths:
-        raise FileNotFoundError(f"no files match {path!r}")
-    return paths
+    if any(ch in path for ch in "*?["):
+        paths = sorted(glob.glob(path))
+        if not paths:
+            raise FileNotFoundError(f"no files match {path!r}")
+        return paths
+    # Non-glob paths fail fast on the DRIVER during planning instead of
+    # surfacing as an opaque executor task failure in read() (ADVICE r4).
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"not a readable file: {path!r}")
+    return [path]
 
 
 # ---------------------------------------------------------------------------

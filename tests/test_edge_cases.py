@@ -120,3 +120,50 @@ def test_duckdb_list_reduce_struct_acc_aliases_in_place():
           (acc, e) -> [e[1], acc[3] + e[1], acc[2]])"""
     ).fetchone()[0]
     assert safe == [3.0, 4.0, 12.0]
+
+
+def _sf_dir_with_documents(tmp_path, rows):
+    """A testdata-shaped dir: sf0.001 tables symlinked, documents replaced."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    for p in glob.glob("/root/testdata/sf0.001/*.parquet"):
+        os.symlink(p, tmp_path / os.path.basename(p))
+    os.remove(tmp_path / "documents.parquet")
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_boilerplate_short_docs_no_crash(spark, tmp_path):
+    """Docs with <4 tokens (incl. empty text → ['']) crashed the gram
+    sequence before the short-doc guard (ADVICE r4: F.sequence(1, 0)
+    steps -1 and feeds slice a 0 start). Both engines must now agree."""
+    from codex_data_products_spark import registry
+    from tests.oracle_utils import compare_frames, run_oracle
+
+    registry.load_all()
+    rows = [
+        (1, "", "en", "s", 0),
+        (2, "a b c", "en", "s", 5),
+        (3, "x y z w one two", "en", "s", 15),
+        (4, "x y z w three", "en", "s", 13),
+        (5, "x y z w", "en", "s", 7),
+        (6, "   ", "en", "s", 3),
+    ]
+    d = _sf_dir_with_documents(tmp_path, rows)
+    spark_df = registry.QUERIES["text_boilerplate"](spark, d).toPandas()
+    oracle_df = run_oracle(registry.ORACLES["text_boilerplate"], d)
+    problems = compare_frames(spark_df, oracle_df)
+    assert not problems, " | ".join(problems)
+    # the gram shared by docs 3/4/5 crosses MIN_DF=3; doc_share is over
+    # ALL 6 docs (short ones included in the denominator)
+    assert list(spark_df["gram"]) == ["x y z w"]
+    assert list(spark_df["df"]) == [3]
+    assert abs(spark_df["doc_share"][0] - 0.5) < 1e-9

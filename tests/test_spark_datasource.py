@@ -198,3 +198,44 @@ def test_eventgen_checkpoint_resume_appends_only_new_offsets(
     }
     # the resumed run appended ONLY offsets past the committed one
     assert ids_b == set(range(1000))
+
+
+def test_matrixmarket_blank_lines_parity(registered, tmp_path):
+    # A leading blank line must not be mistaken for the size line by
+    # either path (ADVICE r4): both readers skip blanks, drop the real
+    # size line, and emit only the coordinate triples.
+    (tmp_path / "blanky.mtx").write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "\n"
+        "3 3 2\n"
+        "\n"
+        "1 2 5.0\n"
+        "2 1 7.5\n"
+    )
+    via_format = sorted(
+        (r["i"], r["j"], r["weight"])
+        for r in registered.read.format("matrixmarket")
+        .load(str(tmp_path / "blanky.mtx"))
+        .collect()
+    )
+    via_plain = sorted(
+        (r["i"], r["j"], r["weight"])
+        for r in read_matrix_market(
+            registered, str(tmp_path / "blanky.mtx")
+        ).collect()
+    )
+    assert via_format == via_plain == [(1, 2, 5.0), (2, 1, 7.5)]
+
+
+def test_datasource_missing_path_fails_fast(registered, tmp_path):
+    # Non-glob bad paths raise on the driver during planning, not as an
+    # opaque executor task failure (ADVICE r4).
+    df = registered.read.format("matrixmarket").load(
+        str(tmp_path / "nope.mtx")
+    )
+    with pytest.raises(Exception, match="not a readable file"):
+        df.collect()
+    with pytest.raises(Exception, match="no files match"):
+        registered.read.format("matrixmarket").load(
+            str(tmp_path / "*.nothing")
+        ).collect()
