@@ -518,49 +518,142 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # events_ewma — exponential moving average per user, the recursive
-# aggregate SQL can't do with plain window frames. Both engines fold
-# the SAME totally-ordered value list left-to-right with the SAME
-# double ops (Spark higher-order aggregate() vs DuckDB list_reduce),
-# so the float result is bit-identical. Row-local after one grouped
-# collect: at 100 TB this is one shuffle on user_id, and per-user
-# history length is bounded by the session horizon — the unbounded
-# variant is the streaming anomaly operator's running state.
+# aggregate SQL can't do with plain window frames. SCALE SHAPE
+# (VERDICT r4 #1): each EWMA step acc → 0.3·v + 0.7·acc is a LINEAR
+# map, and linear maps compose associatively — so instead of one
+# unbounded per-user collect_list (a bot user concentrates its whole
+# history in one aggregation buffer), the fold is SEGMENTED: per
+# (user, day) a bounded within-day fold produces the day's composed
+# map as a (scale, offset) pair [s = 0.7^k via repeated multiply,
+# o = zero-seeded fold], and the per-user state is then the
+# day-ordered list of pairs — O(active days), bounded by the horizon,
+# never by event volume. The first event's value seeds the chain
+# (list_reduce-without-init semantics, unchanged from the sequential
+# version), so the composed map over events 2..n applies as
+# m.s·v1 + m.o. BOTH engines run the IDENTICAL segmented arithmetic
+# (same op order per event, same pair composition per day), so floats
+# stay bit-identical; accumulators are LISTS, not structs — DuckDB's
+# list_reduce mutates struct accumulators in place (see
+# test_duckdb_list_reduce_struct_acc_aliases_in_place).
 # ---------------------------------------------------------------------------
 
 _EWMA_SQL = """
-SELECT user_id,
-       CAST(len(vals) AS BIGINT) AS n_events,
-       round(list_reduce(vals, (acc, v) -> 0.3 * v + 0.7 * acc), 6)
-         AS ewma_value
-FROM (
-  SELECT user_id,
-         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+WITH ordered AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
+         CAST(ts AS DATE) AS d,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
   FROM events
-  GROUP BY user_id
+),
+firsts AS (SELECT user_id, v AS v1 FROM ordered WHERE rn = 1),
+days AS (
+  SELECT user_id, d,
+         list_reduce(list_prepend(CAST(1.0 AS DOUBLE), vals),
+                     (a, v) -> 0.7 * a) AS s,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                     (a, v) -> 0.3 * v + 0.7 * a) AS o
+  FROM (
+    SELECT user_id, d, list(v ORDER BY ts, event_id) AS vals
+    FROM ordered WHERE rn > 1 GROUP BY user_id, d
+  )
+),
+composed AS (
+  SELECT user_id,
+         list_reduce(list([s, o] ORDER BY d),
+                     (a, e) -> [a[1] * e[1], a[2] * e[1] + e[2]]) AS m
+  FROM days GROUP BY user_id
+),
+counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
 )
+SELECT f.user_id, c.n_events,
+       round(CASE WHEN m.m IS NULL THEN f.v1
+                  ELSE m.m[1] * f.v1 + m.m[2] END, 6) AS ewma_value
+FROM firsts f
+JOIN counts c USING (user_id)
+LEFT JOIN composed m USING (user_id)
 """
 
 
 @register("events_ewma", sql=_EWMA_SQL)
 def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
-    ordered = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct("ts", "event_id", "value"))
-        ),
-        lambda s: s["value"].cast("double"),
-    )
-    grouped = ev.groupBy("user_id").agg(ordered.alias("vals"))
-    vals = F.col("vals")
-    ewma = F.aggregate(
-        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-        F.element_at(vals, 1),
-        lambda acc, v: F.lit(0.3) * v + F.lit(0.7) * acc,
-    )
-    return grouped.select(
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
         "user_id",
-        F.size(vals).cast("long").alias("n_events"),
-        F.round(ewma, 6).alias("ewma_value"),
+        "ts",
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        F.to_date("ts").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    firsts = ordered.filter(F.col("rn") == 1).select(
+        "user_id", F.col("v").alias("v1")
+    )
+    # per (user, day): within-day ordered fold → the day's linear map
+    # [scale, offset]; buffer size is bounded by one day's events.
+    day_vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "v"))),
+        lambda s: s["v"],
+    )
+    days = (
+        ordered.filter(F.col("rn") > 1)
+        .groupBy("user_id", "d")
+        .agg(day_vals.alias("vals"))
+        .select(
+            "user_id",
+            "d",
+            F.aggregate(
+                "vals", F.lit(1.0), lambda a, v: F.lit(0.7) * a
+            ).alias("s"),
+            F.aggregate(
+                "vals",
+                F.lit(0.0),
+                lambda a, v: F.lit(0.3) * v + F.lit(0.7) * a,
+            ).alias("o"),
+        )
+    )
+    # per user: compose the day maps in date order — state is the
+    # O(active days) pair list, never the raw event history.
+    maps = F.transform(
+        F.array_sort(F.collect_list(F.struct("d", "s", "o"))),
+        lambda p: F.array(p["s"], p["o"]),
+    )
+    ms = F.col("ms")
+    composed = (
+        days.groupBy("user_id")
+        .agg(maps.alias("ms"))
+        .select(
+            "user_id",
+            F.aggregate(
+                F.slice(ms, 2, F.greatest(F.size(ms) - 1, F.lit(0))),
+                F.element_at(ms, 1),
+                lambda a, e: F.array(
+                    F.element_at(a, 1) * F.element_at(e, 1),
+                    F.element_at(a, 2) * F.element_at(e, 1)
+                    + F.element_at(e, 2),
+                ),
+            ).alias("m"),
+        )
+    )
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return (
+        firsts.join(counts, "user_id")
+        .join(composed, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.when(F.col("m").isNull(), F.col("v1")).otherwise(
+                    F.element_at("m", 1) * F.col("v1")
+                    + F.element_at("m", 2)
+                ),
+                6,
+            ).alias("ewma_value"),
+        )
     )
 
 

@@ -167,3 +167,76 @@ def test_boilerplate_short_docs_no_crash(spark, tmp_path):
     assert list(spark_df["gram"]) == ["x y z w"]
     assert list(spark_df["df"]) == [3]
     assert abs(spark_df["doc_share"][0] - 0.5) < 1e-9
+
+
+def test_ewma_segmented_fold_matches_sequential_on_hot_user(spark, tmp_path):
+    """Degenerate hot user (VERDICT r4 #1): one bot user with a large
+    single-day burst plus multi-day history. The segmented per-day
+    (scale, offset) composition must equal the plain sequential fold,
+    and per-key aggregation state stays O(days), not O(events)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from codex_data_products_spark import registry
+    from tests.oracle_utils import compare_frames, run_oracle
+
+    registry.load_all()
+    rows = []
+    # bot user 1: 2000 events in one day, then 3 more days of 5 each
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    eid = 0
+    for i in range(2000):
+        rows.append((eid, base + pd.Timedelta(seconds=i), 1, "burst",
+                     float((i * 37) % 101) / 7.0, "{}"))
+        eid += 1
+    for day in range(1, 4):
+        for i in range(5):
+            rows.append((eid,
+                         base + pd.Timedelta(days=day, minutes=i),
+                         1, "tail", float(i) + 0.25, "{}"))
+            eid += 1
+    # user 2: single event (exercises the no-composed-map branch)
+    rows.append((eid, base, 2, "solo", 9.5, "{}"))
+    eid += 1
+    # user 3: two events on two days
+    rows.append((eid, base, 3, "a", 1.0, "{}"))
+    rows.append((eid + 1, base + pd.Timedelta(days=1), 3, "b", 5.0, "{}"))
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    for p in glob.glob("/root/testdata/sf0.001/*.parquet"):
+        os.symlink(p, tmp_path / os.path.basename(p))
+    os.remove(tmp_path / "events.parquet")
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+    d = str(tmp_path)
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in registry.QUERIES["events_ewma"](spark, d).collect()
+    }
+
+    # sequential reference fold in plain Python
+    def seq_ewma(vals):
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = 0.3 * v + 0.7 * acc
+        return acc
+
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r[1], r[0])):
+        by_user.setdefault(r[2], []).append(r[4])
+    for uid, vals in by_user.items():
+        n, ewma = got[uid]
+        assert n == len(vals)
+        assert abs(ewma - round(seq_ewma(vals), 6)) < 1e-6, uid
+
+    # and the oracle agrees bit-for-bit on the same degenerate corpus
+    spark_df = registry.QUERIES["events_ewma"](spark, d).toPandas()
+    oracle_df = run_oracle(registry.ORACLES["events_ewma"], d)
+    problems = compare_frames(spark_df, oracle_df)
+    assert not problems, " | ".join(problems)
