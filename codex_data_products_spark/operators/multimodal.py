@@ -45,19 +45,34 @@ Codec = Callable[[bytes], dict]
 
 
 def real_image_codec(payload: bytes) -> dict:
-    """Hook for a real decoder (Pillow/opencv). Not available here."""
+    """Real image decode. Uncompressed 24-bit BMP is handled natively by
+    the from-scratch spec codec (``operators/codecs.py`` — the minihdf5
+    approach: real public byte format, no third-party decoder); other
+    formats (PNG/JPEG) still need a Pillow/opencv-backed Codec injected
+    with the same return keys (width, height, channels)."""
+    if payload[:2] == b"BM":
+        from codex_data_products_spark.operators.codecs import decode_bmp
+
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "no image codec in this container; inject a Pillow/opencv-backed "
-        "Codec with the same return keys (width, height, channels)"
+        "no compressed-image codec in this container (BMP decodes "
+        "natively); inject a Pillow/opencv-backed Codec with the same "
+        "return keys (width, height, channels)"
     )
 
 
 def real_av_codec(payload: bytes) -> dict:
-    """Hook for a real audio/video demuxer (ffmpeg/pyav). Not available."""
+    """Real audio decode. RIFF/WAVE 16-bit PCM is handled natively by
+    the from-scratch spec codec (``operators/codecs.py``); compressed
+    audio/video still needs an ffmpeg-backed Codec injected."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from codex_data_products_spark.operators.codecs import decode_wav
+
+        return decode_wav(payload)
     raise NotImplementedError(
-        "no a/v codec in this container; inject an ffmpeg-backed Codec "
-        "with the same return keys (n_frames, fps, duration_ms, "
-        "sample_rate, rms)"
+        "no compressed-a/v codec in this container (PCM WAV decodes "
+        "natively); inject an ffmpeg-backed Codec with the same return "
+        "keys (n_frames, fps, duration_ms, sample_rate, rms)"
     )
 
 

@@ -216,3 +216,176 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("patch_y"),
         "n_patches",
     ).select("asset_id", "patch_x", "patch_y", "n_patches")
+
+
+# ---------------------------------------------------------------------------
+# Real-codec round trips (VERDICT r4 #2): encode a deterministic asset
+# per document into REAL spec-layout bytes (24-bit BI_RGB BMP / PCM16
+# RIFF WAV via operators/codecs.py), then decode it back through the
+# real_image_codec / real_av_codec default path — headers, bottom-up
+# padded rows, chunk walking and all. Dimensions and content derive
+# arithmetically from doc_id, so the DuckDB oracle predicts every
+# output column in closed form: a decoder that misreads the row
+# stride, padding, channel order or sample bytes fails the value hash.
+# Two Arrow-batched stages (encode → binary column → decode), the
+# exact production shape for codec work at 100 TB: row-local, no
+# shuffle, embarrassingly parallel.
+# ---------------------------------------------------------------------------
+
+# width 4..16, height 3..9 → strides exercise every padding remainder
+_BMP_DECODE_SQL = """
+WITH g AS (
+  SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, h,
+         ((w + 1) // 2) * ((h + 1) // 2) + (w // 2) * (h // 2) AS n_even
+  FROM g
+)
+SELECT doc_id                                            AS asset_id,
+       CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT)   AS n_bytes,
+       CAST(w AS BIGINT)                                 AS width,
+       CAST(h AS BIGINT)                                 AS height,
+       CAST(3 AS BIGINT)                                 AS channels,
+       CAST(255 * (n_even + 2 * (w * h - n_even)) AS BIGINT)
+         AS pixel_checksum
+FROM c
+"""
+
+
+@register("multimodal_bmp_decode", sql=_BMP_DECODE_SQL)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.codecs import encode_bmp
+    from codex_data_products_spark.operators.multimodal import (
+        real_image_codec,
+    )
+    from codex_data_products_spark.tables import spread
+
+    docs = spread(T(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                # checkerboard over (pixel_x + pixel_y + channel) parity
+                rows = [
+                    bytes(
+                        255 if ((b // 3) + y + (b % 3)) % 2 else 0
+                        for b in range(3 * w)
+                    )
+                    for y in range(h)
+                ]
+                payloads.append(encode_bmp(w, h, rows))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(p)
+                m = real_image_codec(p)
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "n_bytes": len(p),
+                        "width": m["width"],
+                        "height": m["height"],
+                        "channels": m["channels"],
+                        "pixel_checksum": m["pixel_checksum"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = docs.mapInPandas(
+        encode, schema="asset_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        schema=(
+            "asset_id long, n_bytes long, width long, height long, "
+            "channels long, pixel_checksum long"
+        ),
+    )
+
+
+# square wave ±A: RMS is exactly A/32768 (dyadic → bit-identical in
+# both engines with no rounding); odd sample counts leave one
+# uncancelled +A in the sum
+_WAV_DECODE_SQL = """
+WITH g AS (
+  SELECT doc_id, 80 + (doc_id % 41) AS n, 256 + (doc_id % 512) AS a
+  FROM documents
+)
+SELECT doc_id                              AS asset_id,
+       CAST(44 + 2 * n AS BIGINT)          AS n_bytes,
+       CAST(n AS BIGINT)                   AS n_frames,
+       CAST(16000 AS BIGINT)               AS sample_rate,
+       CAST((n * 1000) // 16000 AS BIGINT) AS duration_ms,
+       CAST(a AS DOUBLE) / 32768.0         AS rms,
+       CAST(CASE WHEN n % 2 = 1 THEN a ELSE 0 END AS BIGINT)
+         AS sample_sum
+FROM g
+"""
+
+
+@register("multimodal_wav_decode", sql=_WAV_DECODE_SQL)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.codecs import encode_wav
+    from codex_data_products_spark.operators.multimodal import real_av_codec
+    from codex_data_products_spark.tables import spread
+
+    docs = spread(T(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n, a = 80 + did % 41, 256 + did % 512
+                samples = [a if i % 2 == 0 else -a for i in range(n)]
+                payloads.append(encode_wav(samples, sample_rate=16000))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(p)
+                m = real_av_codec(p)
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "n_bytes": len(p),
+                        "n_frames": m["n_frames"],
+                        "sample_rate": m["sample_rate"],
+                        "duration_ms": m["duration_ms"],
+                        "rms": m["rms"],
+                        "sample_sum": m["sample_sum"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = docs.mapInPandas(
+        encode, schema="asset_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        schema=(
+            "asset_id long, n_bytes long, n_frames long, "
+            "sample_rate long, duration_ms long, rms double, "
+            "sample_sum long"
+        ),
+    )

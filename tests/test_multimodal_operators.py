@@ -23,11 +23,14 @@ def assets(spark):
     return spark.createDataFrame(rows, "asset_id long, payload binary")
 
 
-def test_real_codec_hooks_are_gated():
+def test_real_codec_hooks_gate_only_compressed_formats():
+    # formats the spec codecs can't handle (PNG/JPEG magic, mp4) still
+    # require an injected library codec...
     with pytest.raises(NotImplementedError):
-        real_image_codec(b"x")
+        real_image_codec(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError):
-        real_av_codec(b"x")
+        real_av_codec(b"\x00\x00\x00\x18ftypmp42")
+    # ...but BMP and PCM WAV decode natively (see codec tests below)
 
 
 def test_image_metadata_schema_and_determinism(spark, assets):
@@ -76,3 +79,125 @@ def test_av_metadata_matches_codec(spark, assets):
     assert rows[7]["n_frames"] == m["n_frames"]
     assert rows[7]["rms"] == m["rms"]
     assert rows[7]["duration_ms"] == m["duration_ms"]
+
+
+# --- spec codecs (operators/codecs.py) -------------------------------------
+
+
+def test_bmp_round_trip_all_padding_remainders():
+    from codex_data_products_spark.operators.codecs import (
+        bmp_row_stride,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # widths 1..8 cover every 3*w % 4 remainder (0..3 bytes of padding)
+    for w in range(1, 9):
+        h = 3
+        rows = [
+            bytes(((x * 7 + y * 13 + 5) % 256) for x in range(3 * w))
+            for y in range(h)
+        ]
+        payload = encode_bmp(w, h, rows)
+        assert payload[:2] == b"BM"
+        assert len(payload) == 54 + h * bmp_row_stride(w)
+        m = decode_bmp(payload)
+        assert (m["width"], m["height"], m["channels"]) == (w, h, 3)
+        assert m["rgb_rows"] == rows  # exact pixel recovery, row order too
+        assert m["pixel_checksum"] == sum(sum(r) for r in rows)
+
+
+def test_bmp_decode_handles_top_down_storage():
+    from codex_data_products_spark.operators.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rows = [b"\x01\x02\x03" * 2, b"\x10\x20\x30" * 2]
+    payload = bytearray(encode_bmp(2, 2, rows))
+    # flip to top-down: negative height, rows already bottom-up in the
+    # file so the decoded order must reverse
+    import struct
+
+    struct.pack_into("<i", payload, 14 + 8, -2)
+    m = decode_bmp(bytes(payload))
+    assert m["height"] == 2
+    assert m["rgb_rows"] == list(reversed(rows))
+
+
+def test_bmp_decode_rejects_unsupported_and_truncated():
+    from codex_data_products_spark.operators.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    good = encode_bmp(3, 2, [b"\x00" * 9, b"\xff" * 9])
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[:-4])
+    bad_bpp = bytearray(good)
+    import struct
+
+    struct.pack_into("<H", bad_bpp, 14 + 14, 8)  # 8-bit palette BMP
+    with pytest.raises(ValueError, match="only 24-bit"):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_wav_round_trip_and_chunk_walking():
+    from codex_data_products_spark.operators.codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 7]
+    payload = encode_wav(samples, sample_rate=8000)
+    m = decode_wav(payload)
+    assert m["n_frames"] == 6
+    assert m["sample_rate"] == 8000
+    assert m["duration_ms"] == 6 * 1000 // 8000
+    assert m["sample_sum"] == sum(samples)
+    exp_rms = (sum(s * s for s in samples) / 6) ** 0.5 / 32768.0
+    assert m["rms"] == exp_rms
+    # an extra odd-length chunk between fmt and data must be skipped
+    # (chunks are word-aligned: len 3 consumes 4 payload bytes)
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    spliced = payload[:36] + extra + payload[36:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8
+    ) + spliced[8:]
+    assert decode_wav(spliced)["sample_sum"] == sum(samples)
+
+
+def test_wav_decode_rejects_non_pcm():
+    from codex_data_products_spark.operators.codecs import (
+        decode_wav,
+        encode_wav,
+    )
+    import struct
+
+    payload = bytearray(encode_wav([1, 2, 3]))
+    struct.pack_into("<H", payload, 20, 3)  # IEEE float format tag
+    with pytest.raises(ValueError, match="only 16-bit integer PCM"):
+        decode_wav(bytes(payload))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
+
+
+def test_real_codecs_execute_in_the_pandas_stage(spark):
+    """The default real-codec path runs end-to-end inside the Arrow
+    stage on self-generated spec-layout bytes (VERDICT r4 #2)."""
+    from codex_data_products_spark.operators.codecs import encode_bmp
+
+    rows = [
+        (1, encode_bmp(5, 4, [bytes(15) for _ in range(4)])),
+        (2, encode_bmp(16, 2, [bytes(range(48)), bytes(48)])),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {
+        r["asset_id"]: (r["width"], r["height"])
+        for r in image_metadata(assets, codec=real_image_codec).collect()
+    }
+    assert out == {1: (5, 4), 2: (16, 2)}
