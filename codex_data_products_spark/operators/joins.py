@@ -16,6 +16,8 @@ Two techniques SCALE.md leans on, packaged as reusable operators:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -240,3 +242,91 @@ def snapshot_diff(
         out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
         out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
     return joined.filter(action.isNotNull()).select(*out_cols)
+
+
+# --- cost-based strategy selection -----------------------------------------
+
+
+@dataclass(frozen=True)
+class JoinEstimate:
+    """Histogram-product join statistics (queries/advanced.py
+    join_cardinality is the registered, oracle-checked face of the
+    same estimator). All fields derive from key-cardinality-sized
+    count tables — never from executing the join itself."""
+
+    left_rows: int
+    right_rows: int
+    n_keys_matched: int
+    predicted_rows: int
+    max_key_product: int
+
+    @property
+    def avg_key_product(self) -> float:
+        return self.predicted_rows / max(self.n_keys_matched, 1)
+
+
+def estimate_join(left: DataFrame, right: DataFrame, key: str) -> JoinEstimate:
+    """Compute the estimate with two grouped counts + one count-table
+    join (each job is key-cardinality-sized). At 100 TB you run this on
+    a hash-sample of keys or read it from ANALYZE TABLE statistics; the
+    algebra is identical."""
+    a = left.groupBy(F.col(key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_na")
+    )
+    b = right.groupBy(F.col(key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    stats = (
+        a.join(b, "_k")
+        .select((F.col("_na") * F.col("_nb")).alias("_p"))
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.coalesce(F.sum("_p"), F.lit(0)).alias("pr"),
+            F.coalesce(F.max("_p"), F.lit(0)).alias("mx"),
+        )
+        .first()
+    )
+    return JoinEstimate(
+        left_rows=left.count(),
+        right_rows=right.count(),
+        n_keys_matched=int(stats["m"]),
+        predicted_rows=int(stats["pr"]),
+        max_key_product=int(stats["mx"]),
+    )
+
+
+def plan_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    est: JoinEstimate,
+    how: str = "inner",
+    broadcast_row_limit: int = 1_000_000,
+    skew_factor: float = 8.0,
+    n_salts: int = 16,
+) -> tuple[DataFrame, str]:
+    """Pick the physical join strategy FROM THE ESTIMATE ALONE (no data
+    is touched here) and return ``(joined, strategy)``.
+
+    Decision ladder, mirroring what a cost-based optimizer does with
+    the same histogram product:
+
+      1. ``right_rows <= broadcast_row_limit`` → **broadcast** hash
+         join: the dim side ships to every executor, zero shuffle of
+         the fact side.
+      2. hot key (``max_key_product > skew_factor × avg_key_product``)
+         → **salted** scatter: the big side sprays across ``n_salts``
+         sub-keys so no single reducer owns the hot key. Requires the
+         right side to be replicable (dim-scale but over the broadcast
+         limit) — the same precondition as ``salted_join``.
+      3. otherwise → plain **shuffle** join; AQE re-plans at runtime
+         if actual sizes disagree with the estimate.
+    """
+    if est.right_rows <= broadcast_row_limit:
+        return left.join(F.broadcast(right), key, how), "broadcast"
+    if (
+        est.n_keys_matched > 0
+        and est.max_key_product > skew_factor * est.avg_key_product
+    ):
+        return salted_join(left, right, key, n_salts=n_salts, how=how), "salted"
+    return left.join(right, key, how), "shuffle"

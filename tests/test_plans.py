@@ -660,3 +660,107 @@ def test_join_cardinality_joins_count_tables_only(spark, sf_dir):
     # join inputs are aggregates, so every scan sits below a HashAggregate
     assert plan.index("HashAggregate") < plan.index("FileScan")
     assert "CartesianProduct" not in plan
+
+
+# --- plan_join: estimates drive the physical strategy (VERDICT r4 #3) ------
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_join_decides_from_estimates_alone(spark, sf_dir):
+    """The CBO loop closed: the SAME inputs get a different physical
+    strategy purely because the JoinEstimate changed."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.operators.joins import (
+        JoinEstimate,
+        plan_join,
+    )
+    from codex_data_products_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+
+    # estimate says the right side is dim-sized → BroadcastHashJoin
+    small = JoinEstimate(
+        left_rows=10**9,
+        right_rows=50_000,
+        n_keys_matched=50_000,
+        predicted_rows=10**9,
+        max_key_product=40,
+    )
+    joined, strategy = plan_join(li, orders, "l_orderkey", small)
+    assert strategy == "broadcast"
+    plan = _physical(joined)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    # same inputs, estimate says too big to broadcast + one hot key
+    # dominating the histogram product → salted scatter
+    skewed = JoinEstimate(
+        left_rows=10**9,
+        right_rows=10**8,
+        n_keys_matched=10**6,
+        predicted_rows=10**9,
+        max_key_product=10**8,  # 10^5 × the avg product of 10^3
+    )
+    joined, strategy = plan_join(li, orders, "l_orderkey", skewed)
+    assert strategy == "salted"
+    # the join keys physically include the salt column: no single
+    # reducer owns the hot key
+    plan = _physical(joined)
+    assert "_salt" in plan
+
+    # big-but-uniform estimate → plain shuffle join, AQE cleans up
+    uniform = JoinEstimate(
+        left_rows=10**9,
+        right_rows=10**8,
+        n_keys_matched=10**8,
+        predicted_rows=10**9,
+        max_key_product=12,
+    )
+    joined, strategy = plan_join(li, orders, "l_orderkey", uniform)
+    assert strategy == "shuffle"
+    # the shuffle branch adds NO hint and no salt — Catalyst/AQE stays
+    # free to pick broadcast when the actual (sf0.001) sizes warrant it,
+    # which is exactly the division of labor: the estimator rules out
+    # forced strategies, runtime stats refine the rest
+    assert "_salt" not in _physical(joined)
+
+
+def test_estimate_join_matches_truth_and_salted_result_is_correct(
+    spark, sf_dir
+):
+    """estimate_join's predicted_rows is EXACT for an equi-join (the
+    histogram product is not a heuristic when computed on full counts),
+    and the salted strategy returns the same rows as a plain join."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.operators.joins import (
+        estimate_join,
+        plan_join,
+    )
+    from codex_data_products_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    est = estimate_join(li, orders, "l_orderkey")
+    truth = li.join(orders, "l_orderkey").count()
+    assert est.predicted_rows == truth
+    assert est.right_rows == orders.count()
+
+    # force the salted branch on real data and check row-for-row parity
+    joined, strategy = plan_join(
+        li, orders, "l_orderkey", est, broadcast_row_limit=0, skew_factor=0.5
+    )
+    assert strategy == "salted"
+    plain = li.join(orders, "l_orderkey")
+    assert joined.count() == plain.count()
+    a = joined.groupBy("l_orderkey").count().orderBy("l_orderkey")
+    b = plain.groupBy("l_orderkey").count().orderBy("l_orderkey")
+    assert a.exceptAll(b).count() == 0
