@@ -364,3 +364,155 @@ def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_n_tokens()).cast("long").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# split_contamination_hashed — the 100 TB variant of the contamination
+# audit, registered (VERDICT r4 #7): shingle keys are 8-byte hashes
+# (here the first 16 hex chars of md5 so BOTH engines compute the
+# identical key; in production swap in xxhash64 — 8 raw bytes, no hex,
+# same plan), and a shingle whose TEST document frequency exceeds
+# CONTAM_DF_CAP_FRAC of the test set is pre-flagged as boilerplate and
+# removed from the window input entirely via a broadcast anti-join —
+# the hot header 8-gram never reaches the per-key window at all.
+# Collisions only merge shingles (over-flag, never under-flag).
+# Boilerplate shingles are reported per doc but excluded from the
+# contamination ratio's numerator (you strip boilerplate, you don't
+# call it leakage).
+# ---------------------------------------------------------------------------
+
+CONTAM_DF_CAP_FRAC = 0.10
+
+_CONTAM_HASHED_SQL = f"""
+WITH labeled AS (
+  SELECT doc_id,
+         CASE WHEN {_SQL_HASH} % 100 < 90 THEN 'train' ELSE 'test' END
+           AS split,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, split,
+         substring(md5(array_to_string(list_slice(toks, i, i + 7), ' ')),
+                   1, 16) AS key
+  FROM labeled,
+       unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS t(i)
+),
+ntest AS (
+  SELECT count(*) AS n_test FROM labeled WHERE split = 'test'
+),
+dfk AS (
+  SELECT key, count(*) AS test_df FROM sh WHERE split = 'test' GROUP BY key
+),
+capped AS (
+  SELECT key FROM dfk CROSS JOIN ntest
+  WHERE test_df > ceil({CONTAM_DF_CAP_FRAC} * n_test)
+),
+unc AS (
+  SELECT sh.doc_id, sh.split, sh.key
+  FROM sh LEFT JOIN capped USING (key)
+  WHERE capped.key IS NULL
+),
+train_keys AS (SELECT DISTINCT key FROM unc WHERE split = 'train'),
+main AS (
+  SELECT t.doc_id,
+         count(*) AS n_unc,
+         sum(CASE WHEN tr.key IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+  FROM (SELECT doc_id, key FROM unc WHERE split = 'test') t
+  LEFT JOIN train_keys tr USING (key)
+  GROUP BY t.doc_id
+),
+boiler AS (
+  SELECT doc_id, count(*) AS n_boiler
+  FROM sh JOIN capped USING (key)
+  WHERE split = 'test'
+  GROUP BY doc_id
+)
+SELECT coalesce(m.doc_id, b.doc_id)                       AS doc_id,
+       CAST(coalesce(n_unc, 0) + coalesce(n_boiler, 0) AS BIGINT)
+         AS n_shingles,
+       CAST(coalesce(n_cont, 0) AS BIGINT)                AS n_contaminated,
+       CAST(coalesce(n_boiler, 0) AS BIGINT)              AS n_boilerplate,
+       round(CAST(coalesce(n_cont, 0) AS DOUBLE)
+             / (coalesce(n_unc, 0) + coalesce(n_boiler, 0)), 6)
+         AS contamination_ratio
+FROM main m FULL JOIN boiler b ON m.doc_id = b.doc_id
+"""
+
+
+@register("split_contamination_hashed", sql=_CONTAM_HASHED_SQL)
+def split_contamination_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.tables import spread
+
+    docs = T(spark, sf_dir, "documents")
+    labeled_docs = docs.select(
+        "doc_id",
+        F.when(_doc_hash() % 100 < 90, "train").otherwise("test")
+        .alias("split"),
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    tokenized = spread(labeled_docs)
+    toks = F.col("toks")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, 8), " "),
+    )
+    # the 8-byte key: identical on both engines via md5 prefix; the
+    # production swap is F.xxhash64(shingle) (same plan, cheaper key)
+    pairs = (
+        tokenized.select(
+            "doc_id", "split", F.explode(shingles).alias("shingle")
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.substring(F.md5("shingle"), 1, 16).alias("key"),
+        )
+        .distinct()
+    )
+    test_pairs = pairs.filter(F.col("split") == "test")
+    n_test = labeled_docs.filter(F.col("split") == "test").agg(
+        F.count(F.lit(1)).alias("n_test")
+    )
+    # boilerplate pre-flag: keys whose TEST doc frequency crosses the
+    # cap — a tiny frame by construction, broadcast to prune the window
+    # input (the plan guard pins the BroadcastHashJoin LeftAnti here)
+    capped = (
+        test_pairs.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("test_df"))
+        .crossJoin(F.broadcast(n_test))
+        .filter(
+            F.col("test_df") > F.ceil(F.lit(CONTAM_DF_CAP_FRAC) * F.col("n_test"))
+        )
+        .select("key")
+    )
+    uncapped = pairs.join(F.broadcast(capped), "key", "left_anti")
+    w_k = Window.partitionBy("key")
+    hits = uncapped.withColumn(
+        "in_train", F.max(F.col("split") == "train").over(w_k)
+    ).filter(F.col("split") == "test")
+    cont = F.sum(F.when(F.col("in_train"), 1).otherwise(0))
+    main = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_unc"),
+        cont.alias("n_cont"),
+    )
+    boiler = (
+        test_pairs.join(F.broadcast(capped), "key", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    total = F.coalesce("n_unc", F.lit(0)) + F.coalesce("n_boiler", F.lit(0))
+    return (
+        main.join(boiler, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            total.cast("long").alias("n_shingles"),
+            F.coalesce("n_cont", F.lit(0)).cast("long")
+              .alias("n_contaminated"),
+            F.coalesce("n_boiler", F.lit(0)).cast("long")
+              .alias("n_boilerplate"),
+            F.round(
+                F.coalesce("n_cont", F.lit(0)).cast("double") / total, 6
+            ).alias("contamination_ratio"),
+        )
+    )

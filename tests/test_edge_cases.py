@@ -240,3 +240,45 @@ def test_ewma_segmented_fold_matches_sequential_on_hot_user(spark, tmp_path):
     oracle_df = run_oracle(registry.ORACLES["events_ewma"], d)
     problems = compare_frames(spark_df, oracle_df)
     assert not problems, " | ".join(problems)
+
+
+def test_contamination_hashed_cap_flags_boilerplate(spark, tmp_path):
+    """A shingle shared by most of the test set crosses the 10% DF cap:
+    it must be counted as boilerplate, not contamination, and the
+    engines must agree on the capped corpus."""
+    from codex_data_products_spark import registry
+    from tests.oracle_utils import compare_frames, run_oracle
+
+    registry.load_all()
+    # doc_id * 2654435761 % 4294967296 % 100 >= 90 → test split; find
+    # enough test ids so one 8-gram can cross ceil(0.1 * n_test)
+    test_ids = [i for i in range(400) if (i * 2654435761) % 4294967296 % 100 >= 90][:20]
+    train_ids = [i for i in range(400) if (i * 2654435761) % 4294967296 % 100 < 90][:10]
+    assert len(test_ids) == 20
+    boiler = "terms of use apply to all content on this site"  # 10 toks
+    rows = []
+    for k, did in enumerate(test_ids):
+        if k < 5:
+            # 5 of 20 test docs share the boilerplate 8-grams (> cap=2)
+            rows.append((did, f"unique{k} " + boiler, "en", "s", 10))
+        else:
+            rows.append((did, f"alpha{k} beta gamma delta epsilon zeta "
+                              f"eta theta iota kappa", "en", "s", 10))
+    for k, did in enumerate(train_ids):
+        rows.append((did, f"alpha{k + 5} beta gamma delta epsilon zeta "
+                          f"eta theta iota kappa", "en", "s", 10))
+    d = _sf_dir_with_documents(tmp_path, rows)
+    spark_df = registry.QUERIES["split_contamination_hashed"](
+        spark, d
+    ).toPandas()
+    oracle_df = run_oracle(
+        registry.ORACLES["split_contamination_hashed"], d
+    )
+    problems = compare_frames(spark_df, oracle_df)
+    assert not problems, " | ".join(problems)
+    by_doc = spark_df.set_index("doc_id")
+    # the 5 sharers: their shared 8-grams crossed the cap → boilerplate
+    sharers = [d_ for d_ in test_ids[:5]]
+    assert all(by_doc.loc[s, "n_boilerplate"] > 0 for s in sharers)
+    # boilerplate is excluded from the contamination numerator
+    assert all(by_doc.loc[s, "n_contaminated"] == 0 for s in sharers)

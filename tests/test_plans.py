@@ -764,3 +764,19 @@ def test_estimate_join_matches_truth_and_salted_result_is_correct(
     a = joined.groupBy("l_orderkey").count().orderBy("l_orderkey")
     b = plain.groupBy("l_orderkey").count().orderBy("l_orderkey")
     assert a.exceptAll(b).count() == 0
+
+
+def test_contamination_hashed_caps_window_input(spark, sf_dir):
+    """The 100 TB contamination variant (VERDICT r4 #7): boilerplate
+    keys are pre-flagged by test-doc-frequency and removed from the
+    window input via a BROADCAST anti-join — the hot key never reaches
+    the per-key window — and the shingle key is a fixed-width hash, not
+    the raw ~50-byte string."""
+    plan = _plan(spark, sf_dir, "split_contamination_hashed")
+    # the cap prunes the window input with a broadcast anti-join
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert "collect_set" not in plan
+    # fixed-width hashed key in the plan, raw shingle only before hashing
+    assert "md5" in plan
