@@ -3,6 +3,8 @@ same results as their batch twins on the same files."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from codex_data_products_spark.queries.events import events_tumbling_window
 from codex_data_products_spark.streaming.events import (
     read_events_stream,
@@ -528,3 +530,190 @@ def test_run_topk_maintenance_matches_full_recompute(spark, tmp_path):
         ).collect()
     }
     assert got == want == {(5, 90.0), (2, 80.0), (7, 75.0)}
+
+
+def test_run_hll_maintenance_replay_overwrites_same_version(spark, tmp_path):
+    """Crash-replay for the HLL maintainer (VERDICT r4 #6): batch 0
+    already wrote v=1 but the checkpoint commit was lost; the replay
+    must anchor to the pre-batch snapshot v=0 and overwrite v=1 with
+    BIT-IDENTICAL registers (max-merge is idempotent, so even the
+    values could not drift — the contract pinned here is the version
+    chain and the anchoring)."""
+    from codex_data_products_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_rows,
+    )
+    from codex_data_products_spark.streaming.merge import (
+        read_table,
+        run_hll_maintenance,
+        table_versions,
+    )
+
+    src = str(tmp_path / "items")
+    table = str(tmp_path / "hll_table")
+    base = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(25)], "g string, item string"
+    )
+    hll_register_rows(base, "item", ["g"]).write.parquet(f"{table}/v=0")
+    delta = [("a", f"u{i}") for i in range(20, 45)] + [("b", "x1")]
+    spark.createDataFrame(delta, "g string, item string").coalesce(
+        1
+    ).write.parquet(f"{src}/d1")
+
+    def drain(ckpt: str) -> None:
+        items = (
+            spark.readStream.schema("g string, item string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_hll_maintenance(items, table, ["g"], "item", ckpt)
+
+    drain(str(tmp_path / "ckpt1"))  # writes v=1, "commit lost"
+    drain(str(tmp_path / "ckpt2"))  # replay of batch_id=0
+
+    assert table_versions(spark, table) == [0, 1]
+    # registers equal the one-pass sketch of the full history
+    full = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(45)] + [("b", "x1")],
+        "g string, item string",
+    )
+    expect = {
+        (r["g"], r["bucket"]): r["rank"]
+        for r in hll_register_rows(full, "item", ["g"]).collect()
+    }
+    got = {
+        (r["g"], r["bucket"]): r["rank"]
+        for r in read_table(spark, table).collect()
+    }
+    assert got == expect
+    est_stream = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate(read_table(spark, table), ["g"]).collect()
+    }
+    est_batch = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate(
+            hll_register_rows(full, "item", ["g"]), ["g"]
+        ).collect()
+    }
+    assert est_stream == est_batch
+
+
+def test_run_join_maintenance_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay for the join-view maintainer: multiplicities are
+    ADDITIVE, so a replay anchored to 'latest' would double-apply the
+    delta-join. The pre-batch anchoring must make the second attempt
+    overwrite v=1 with the same counts."""
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_join_state,
+        read_table,
+        run_join_maintenance,
+        table_versions,
+    )
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "jv")
+    a = spark.createDataFrame(
+        [(1, "a1"), (1, "a1"), (2, "a2")], "k long, a_val string"
+    )
+    b = spark.createDataFrame(
+        [(1, "b1"), (2, "b2")], "k long, b_val string"
+    )
+    bootstrap_join_state(a, b, table, "k")
+    changes = [
+        ("A", 1, "a9", None, 1),   # new A row fans out to b1
+        ("B", 1, None, "b1", 1),   # second copy of b1: V(1,a1,b1) → 4
+        ("B", 2, None, "b2", -1),  # delete kills the (2, a2, b2) pair
+    ]
+    spark.createDataFrame(
+        changes, "side string, k long, a_val string, b_val string, op int"
+    ).coalesce(1).write.parquet(f"{src}/d1")
+
+    def drain(ckpt: str) -> None:
+        ch = (
+            spark.readStream.schema(
+                "side string, k long, a_val string, b_val string, op int"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_join_maintenance(ch, table, "k", ckpt)
+
+    drain(str(tmp_path / "ckpt1"))  # writes v=1, "commit lost"
+    drain(str(tmp_path / "ckpt2"))  # replay of batch_id=0
+
+    for side in ("A", "B", "V"):
+        assert table_versions(spark, f"{table}/{side}") == [0, 1]
+    v = {
+        (r["k"], r["a_val"], r["b_val"]): r["n"]
+        for r in read_table(spark, f"{table}/V").collect()
+    }
+    # single application: a1 has n=2, b1 now n=2 → 4; a9⋈b1 = 2;
+    # (2, a2, b2) gone. A double-applied replay would give a1×b1 = 6
+    # (b-side n=3) and resurrect nothing correctly.
+    assert v == {(1, "a1", "b1"): 4, (1, "a9", "b1"): 2}
+    # and V equals a from-scratch rejoin of the maintained A, B
+    a_now = read_table(spark, f"{table}/A").alias("a")
+    b_now = read_table(spark, f"{table}/B").alias("b")
+    recompute = {
+        (r["k"], r["a_val"], r["b_val"]): r["n"]
+        for r in a_now.join(b_now, "k")
+        .select(
+            "k",
+            "a_val",
+            "b_val",
+            (F.col("a.n") * F.col("b.n")).cast("long").alias("n"),
+        )
+        .collect()
+    }
+    assert v == recompute
+
+
+def test_run_topk_maintenance_replay_keeps_version_chain(spark, tmp_path):
+    """Crash-replay for the top-k maintainer: replay must overwrite
+    v=1 from the v=0 anchor (idempotent by construction — the contract
+    here is the deterministic version chain and exact equality with a
+    full recompute afterwards)."""
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_topk_state,
+        read_table,
+        run_topk_maintenance,
+        table_versions,
+    )
+
+    src = str(tmp_path / "inserts")
+    table = str(tmp_path / "topk")
+    base = spark.createDataFrame(
+        [(f"u{i}", float(i)) for i in range(10)], "uid string, score double"
+    )
+    bootstrap_topk_state(base, 3, "score", ["uid"]).write.parquet(
+        f"{table}/v=0"
+    )
+    inserts = [("u50", 50.0), ("u51", 2.0), ("u52", 8.5)]
+    spark.createDataFrame(
+        inserts, "uid string, score double"
+    ).coalesce(1).write.parquet(f"{src}/d1")
+
+    def drain(ckpt: str) -> None:
+        ins = (
+            spark.readStream.schema("uid string, score double")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_topk_maintenance(ins, table, 3, "score", ["uid"], ckpt)
+
+    drain(str(tmp_path / "ckpt1"))  # writes v=1, "commit lost"
+    drain(str(tmp_path / "ckpt2"))  # replay of batch_id=0
+
+    assert table_versions(spark, table) == [0, 1]
+    got = sorted(
+        (r["uid"], r["score"]) for r in read_table(spark, table).collect()
+    )
+    full = base.unionByName(
+        spark.createDataFrame(inserts, "uid string, score double")
+    )
+    expect = sorted(
+        (r["uid"], r["score"])
+        for r in bootstrap_topk_state(full, 3, "score", ["uid"]).collect()
+    )
+    assert got == expect == [("u50", 50.0), ("u52", 8.5), ("u9", 9.0)]
