@@ -145,14 +145,14 @@ def _cmd_verify(args: argparse.Namespace) -> int:
 
     spark = get_spark(app_name="verify")
     names = args.names or None
-    results = verify_queries(spark, args.sf_dir, names)
+    results = verify_queries(
+        spark, args.sf_dir, names, progress=args.verbose
+    )
     n_bad = 0
     for name, problems in sorted(results.items()):
         if problems:
             n_bad += 1
             print(f"MISMATCH {name}: " + " | ".join(problems))
-        elif args.verbose:
-            print(f"MATCH    {name}")
     print(f"{len(results)} verified, {n_bad} mismatched")
     return 1 if n_bad else 0
 

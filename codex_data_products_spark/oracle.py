@@ -81,10 +81,12 @@ def compare_frames(
 
 
 def verify_queries(
-    spark, sf_dir: str, names: list[str] | None = None
+    spark, sf_dir: str, names: list[str] | None = None, progress: bool = False
 ) -> dict[str, list[str]]:
     """Run each registered query and its oracle; map name → problems
-    (empty list = match; queries without an oracle are skipped)."""
+    (empty list = match; queries without an oracle are skipped).
+    ``progress`` streams one line per query as it finishes, so a long
+    sweep that dies mid-run still attributes the failure."""
     from codex_data_products_spark import registry
 
     registry.load_all()
@@ -96,4 +98,7 @@ def verify_queries(
         spark_df = registry.QUERIES[name](spark, sf_dir).toPandas()
         oracle_df = run_oracle(registry.ORACLES[name], sf_dir)
         results[name] = compare_frames(spark_df, oracle_df)
+        if progress:
+            status = "MATCH" if not results[name] else "MISMATCH"
+            print(f"{status:8s} {name}", flush=True)
     return results

@@ -16,6 +16,8 @@ both engines cut identical top-k sets.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -843,12 +845,17 @@ d AS (
   FROM e CROSS JOIN cv
 ),
 stats AS (
-  -- DECIMAL(18,8): square fits the 38-digit cap exactly on both
-  -- engines (a (20,8) square overflows to engine-specific behavior)
+  -- The second moment runs in exact FIXED-POINT integers: k = d2·1e8
+  -- (exact, d2 is pre-rounded to 8 dp) as DECIMAL(19,0), whose square
+  -- takes the 38-digit wide-int path in BOTH engines. A (18,8) square
+  -- looked safe but DuckDB clamps int64-backed products to width 18
+  -- (→ DECIMAL(18,16), two integer digits), overflowing at d2 ≥ 10 —
+  -- caught by the sf0.5 stress sweep, invisible at sf0.1.
   SELECT CAST(sum(CAST(d2 AS DECIMAL(18,8))) AS DOUBLE)
            / count(*) AS mean_d2,
-         CAST(sum(CAST(d2 AS DECIMAL(18,8)) * CAST(d2 AS DECIMAL(18,8)))
-              AS DOUBLE) / count(*) AS mean_sq
+         CAST(sum(CAST(round(d2 * 1.0e8, 0) AS DECIMAL(19,0))
+                  * CAST(round(d2 * 1.0e8, 0) AS DECIMAL(19,0)))
+              AS DOUBLE) / count(*) / 1.0e16 AS mean_sq
   FROM d
 )
 SELECT vec_id,
@@ -901,18 +908,23 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dists = spread(emb, "vec_id").crossJoin(F.broadcast(cent_vec)).select(
         "vec_id", d2.alias("d2")
     )
-    # DECIMAL(18,8), not (20,8): the square is then DECIMAL(37,16),
-    # inside the 38-digit cap on BOTH engines — a (20,8) square has
-    # precision 41, which Spark silently truncates to (38,13) while
-    # DuckDB promotes, diverging in low-order digits. The cast itself
-    # recovers the 8-dp value of the pre-rounded double identically on
-    # both engines (same as the proven mean_d2 path).
+    # First moment: exact DECIMAL(18,8) sum (no multiply — safe).
+    # Second moment: exact fixed-point integers — k = d2·1e8 as
+    # DECIMAL(19,0); the square is then computed on the 38-digit
+    # wide-int path in BOTH engines. DuckDB clamps int64-backed decimal
+    # products to width 18 (a (18,8) square becomes DECIMAL(18,16) with
+    # TWO integer digits, overflowing at d2 ≥ 10 — caught by the sf0.5
+    # stress sweep); Spark caps (19,0)² at (38,0). Both paths are exact
+    # for Σk² < 10³⁸, and /1e16 rescales once, in the same op order.
     dec = F.col("d2").cast("decimal(18,8)")
+    k = F.round(F.col("d2") * F.lit(1.0e8), 0).cast("decimal(19,0)")
     stats = dists.agg(
         (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("mean_d2"),
-        (F.sum(dec * dec).cast("double") / F.count(F.lit(1))).alias(
-            "mean_sq"
-        ),
+        (
+            F.sum(k * k).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1.0e16)
+        ).alias("mean_sq"),
     )
     z = F.round(
         (F.col("d2") - F.col("mean_d2"))
@@ -949,7 +961,13 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_SUB = 8  # subspaces (64 dims → 8 × 8-dim subvectors)
 SUB_DIM = EMB_DIM // N_SUB
-PQ_K = 16  # codewords per subspace (production: 256)
+# Codewords per subspace. 16 keeps the self-contained in-query training
+# (and its DuckDB oracle replay) cheap at test SFs; production is 256.
+# Env-overridable so the stress sweep runs the SAME queries at the
+# deployed parameters (VERDICT r4 #5) — both the Spark trainer and the
+# generated oracle CTE chain read this one constant at import, so the
+# two engines always train the same codebook size.
+PQ_K = int(os.environ.get("SPARK_GRAFT_PQ_K", "16"))
 PQ_ITERS = 3  # fixed Lloyd rounds — fixed so the oracle can replay them
 
 # label-derived full-vector centroids (the coarse quantizer shared with

@@ -39,6 +39,15 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
+    # In local mode ALL executor threads live inside the driver JVM, so
+    # the PySpark default of 1g is the whole cluster's memory — at
+    # sf0.5+ a single runtime broadcast blows past it ("Not enough
+    # memory to build and broadcast"). Size the unified heap to the
+    # machine; on a real cluster this maps to spark.executor.memory.
+    conf["spark.driver.memory"] = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", "24g"
+    )
+    conf["spark.driver.maxResultSize"] = "4g"
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions
         if shuffle_partitions is not None
