@@ -1363,7 +1363,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall points.
 # ---------------------------------------------------------------------------
 
-_IVF_PQ_SQL = f"""
+_IVF_PQ_PREFIX = f"""
 WITH {_pq_cb_sql()},
 {_PQ_CODES_SQL},
 {_PQ_QTAB_SQL},
@@ -1402,7 +1402,11 @@ adc AS (
   JOIN pq_qtab t
     ON t.query_id = c.query_id AND t.s = k.s AND t.code = k.code
   GROUP BY c.query_id, c.vec_id
-)
+)"""
+
+_IVF_PQ_SQL = (
+    _IVF_PQ_PREFIX
+    + f"""
 SELECT query_id, vec_id AS neighbor_id, est_d2, CAST(rn AS BIGINT) AS rn
 FROM (
   SELECT *, row_number() OVER (
@@ -1410,10 +1414,14 @@ FROM (
   ) AS rn FROM adc
 ) WHERE rn <= {TOP_K}
 """
+)
 
 
-@register("knn_ivf_pq", sql=_IVF_PQ_SQL)
-def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_pq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF+ADC candidate scorer: (query_id, vec_id, est_d2) for
+    every candidate that survives cell pruning — the index probe path
+    that both the raw top-k (knn_ivf_pq) and the exact-rerank variant
+    (knn_ivf_pq_rerank) truncate in their own way."""
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -1480,12 +1488,102 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_d2")
         )
     )
+    return adc
+
+
+@register("knn_ivf_pq", sql=_IVF_PQ_SQL)
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adc = _ivf_pq_adc_frame(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy("est_d2", "vec_id")
     return (
         adc.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"), "est_d2", "rn"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_pq_rerank — IVF-PQ with EXACT re-ranking, the complete
+# deployed retrieval stack: ADC orders the candidates cheaply, the top
+# RERANK_SHORTLIST per query (a |queries|×shortlist frame — tiny) are
+# re-scored against the FLOAT vectors, and exact order picks the final
+# top-k. This is the standard answer to quantization mis-ranking: the
+# measured recall curve (SCALE.md) shows raw ADC@top-5 plateaus even
+# at PQ_K=256 when true neighbors are tightly clustered, while the
+# shortlist only has to CONTAIN the true top-k, a far easier bar. The
+# expensive float read touches shortlist-many vectors per query, never
+# the corpus — at 100 TB that is the difference between a point lookup
+# join and a scan.
+# ---------------------------------------------------------------------------
+
+RERANK_SHORTLIST = 50
+
+_IVF_PQ_RERANK_SQL = (
+    _IVF_PQ_PREFIX
+    + f""",
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY est_d2, vec_id
+    ) AS arn FROM adc
+  ) WHERE arn <= {RERANK_SHORTLIST}
+),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, q.v)
+               + list_dot_product(q.v, q.v), 6) AS d2
+  FROM shortlist s
+  JOIN pq_e e ON e.vec_id = s.vec_id
+  JOIN pq_e q ON q.vec_id = s.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, d2 AS dist2, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY d2, vec_id
+  ) AS rn FROM exact
+) WHERE rn <= {TOP_K}
+"""
+)
+
+
+@register("knn_ivf_pq_rerank", sql=_IVF_PQ_RERANK_SQL)
+def knn_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adc = _ivf_pq_adc_frame(spark, sf_dir)
+    w_adc = Window.partitionBy("query_id").orderBy("est_d2", "vec_id")
+    shortlist = (
+        adc.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= RERANK_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.round(
+        _dot(F.col("v"), F.col("v"))
+        - 2 * _dot(F.col("v"), F.col("qv"))
+        + _dot(F.col("qv"), F.col("qv")),
+        6,
+    )
+    # shortlist is tiny → broadcast-probe the float vectors (point
+    # lookups), never a corpus scan on the query path
+    exact = (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.col("d2").alias("dist2"), "rn",
         )
     )
 
@@ -1642,6 +1740,82 @@ def knn_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     approx = knn_ivf_pq(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["neighbor_id"] == approx["hit_id"]),
+        "left",
+    ).select(truth["query_id"], "hit_id")
+    return joined.groupBy("query_id").agg(
+        F.count("hit_id").alias("n_hit"),
+        F.round(F.count("hit_id").cast("double") / TOP_K, 6).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_pq_rerank_recall — recall@5 of the full IVF-PQ-rerank stack.
+# With exact rerank the only remaining loss sources are cell pruning
+# and shortlist misses, so this gate isolates what PQ_K / nprobe /
+# shortlist size actually cost end-to-end (measured curves: SCALE.md).
+# ---------------------------------------------------------------------------
+
+_IVF_PQ_RERANK_RECALL_SQL = f"""
+WITH approx AS ({_IVF_PQ_RERANK_SQL}),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {_SQL_L2}, c.vec_id
+           ) AS rn
+    FROM q JOIN e c ON q.vec_id <> c.vec_id
+  ) WHERE rn <= {TOP_K}
+)
+SELECT t.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(i.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+         AS recall_at_k
+FROM truth t
+LEFT JOIN approx i
+  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@register("knn_ivf_pq_rerank_recall", sql=_IVF_PQ_RERANK_RECALL_SQL)
+def knn_ivf_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.round(
+        _dot(F.col("qv"), F.col("qv"))
+        - 2 * _dot(F.col("qv"), F.col("v"))
+        + _dot(F.col("v"), F.col("v")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    truth = (
+        spread(emb, "vec_id")
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = knn_ivf_pq_rerank(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("hit_id")
     )
     joined = truth.join(

@@ -780,3 +780,13 @@ def test_contamination_hashed_caps_window_input(spark, sf_dir):
     assert "collect_set" not in plan
     # fixed-width hashed key in the plan, raw shingle only before hashing
     assert "md5" in plan
+
+
+def test_ivf_pq_rerank_probes_with_broadcasts(spark, sf_dir):
+    """The rerank stack's float re-score must be point lookups: the
+    tiny ADC shortlist broadcast-probes the vectors (BroadcastHashJoin),
+    and the only nested-loop join is the deliberate K-row centroid-dim
+    cross join every IVF query shares. No CartesianProduct anywhere."""
+    plan = _plan(spark, sf_dir, "knn_ivf_pq_rerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # shortlist → vector point probe
