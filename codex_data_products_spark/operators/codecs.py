@@ -209,3 +209,23 @@ def decode_wav(payload: bytes) -> dict:
         "sample_sum": sum(samples),
         "channels": channels,
     }
+
+
+def resize_bmp_nearest(payload: bytes, dst_w: int, dst_h: int) -> bytes:
+    """Nearest-neighbor resize of a decoded BMP, re-encoded as BMP —
+    the full decode → transform → encode codec path on real bytes.
+    Source pixel for output (x, y) is (x·sw // dw, y·sh // dh), the
+    floor mapping every engine can reproduce in integer arithmetic."""
+    m = decode_bmp(payload)
+    sw, sh = m["width"], m["height"]
+    src = m["rgb_rows"]
+    rows = []
+    for y in range(dst_h):
+        sy = y * sh // dst_h
+        srow = src[sy]
+        row = bytearray(3 * dst_w)
+        for x in range(dst_w):
+            sx = x * sw // dst_w
+            row[3 * x : 3 * x + 3] = srow[3 * sx : 3 * sx + 3]
+        rows.append(bytes(row))
+    return encode_bmp(dst_w, dst_h, rows)

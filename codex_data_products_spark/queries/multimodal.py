@@ -389,3 +389,110 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_sum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_bmp_resize — the previously-stubbed byte re-encode now
+# executes: source checkerboard BMPs (same geometry as
+# multimodal_bmp_decode) are decoded, nearest-neighbor resized to a
+# fixed 16×12 target, RE-ENCODED as BMP, and the output bytes are
+# decoded again for verification — decode → transform → encode on real
+# spec bytes, chained through two Arrow stages. The oracle replays the
+# integer source-pixel mapping (sx = x·sw//16, sy = y·sh//12) and the
+# checkerboard parity in closed form, so a resize that misreads row
+# order, stride or the floor mapping fails the hash.
+# ---------------------------------------------------------------------------
+
+RESIZE_W, RESIZE_H = 16, 12
+
+_BMP_RESIZE_SQL = f"""
+WITH g AS (
+  SELECT doc_id, 4 + (doc_id % 13) AS sw, 3 + (doc_id % 7) AS sh
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, sw, sh,
+         ((gx.x * sw // {RESIZE_W}) + (gy.y * sh // {RESIZE_H})) % 2
+           AS odd_xy
+  FROM g,
+       unnest(generate_series(0, {RESIZE_W - 1})) AS gx(x),
+       unnest(generate_series(0, {RESIZE_H - 1})) AS gy(y)
+),
+sums AS (
+  SELECT doc_id,
+         sum(CASE WHEN odd_xy = 0 THEN 1 ELSE 2 END) AS units
+  FROM cells GROUP BY doc_id
+)
+SELECT g.doc_id                                   AS asset_id,
+       CAST(54 + {RESIZE_H} * ((3 * {RESIZE_W} + 3) // 4 * 4) AS BIGINT)
+         AS n_bytes,
+       CAST({RESIZE_W} AS BIGINT)                 AS width,
+       CAST({RESIZE_H} AS BIGINT)                 AS height,
+       CAST(255 * s.units AS BIGINT)              AS pixel_checksum
+FROM g JOIN sums s ON s.doc_id = g.doc_id
+"""
+
+
+@register("multimodal_bmp_resize", sql=_BMP_RESIZE_SQL)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.codecs import (
+        encode_bmp,
+        resize_bmp_nearest,
+    )
+    from codex_data_products_spark.operators.multimodal import (
+        real_image_codec,
+    )
+    from codex_data_products_spark.tables import spread
+
+    docs = spread(T(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                rows = [
+                    bytes(
+                        255 if ((b // 3) + y + (b % 3)) % 2 else 0
+                        for b in range(3 * w)
+                    )
+                    for y in range(h)
+                ]
+                payloads.append(encode_bmp(w, h, rows))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    def resize_and_verify(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                out = resize_bmp_nearest(bytes(p), RESIZE_W, RESIZE_H)
+                m = real_image_codec(out)
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "n_bytes": len(out),
+                        "width": m["width"],
+                        "height": m["height"],
+                        "pixel_checksum": m["pixel_checksum"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = docs.mapInPandas(
+        encode, schema="asset_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        resize_and_verify,
+        schema=(
+            "asset_id long, n_bytes long, width long, height long, "
+            "pixel_checksum long"
+        ),
+    )

@@ -201,3 +201,28 @@ def test_real_codecs_execute_in_the_pandas_stage(spark):
         for r in image_metadata(assets, codec=real_image_codec).collect()
     }
     assert out == {1: (5, 4), 2: (16, 2)}
+
+
+def test_resize_bmp_nearest_round_trip():
+    from codex_data_products_spark.operators.codecs import (
+        decode_bmp,
+        encode_bmp,
+        resize_bmp_nearest,
+    )
+
+    # 3x2 gradient; upscale 2x duplicates each pixel into a 2x2 block
+    rows = [
+        bytes((10 * (x // 3) + y) for x in range(9))
+        for y in range(2)
+    ]
+    p = encode_bmp(3, 2, rows)
+    up = decode_bmp(resize_bmp_nearest(p, 6, 4))
+    assert (up["width"], up["height"]) == (6, 4)
+    assert up["pixel_checksum"] == 4 * decode_bmp(p)["pixel_checksum"]
+    for y in range(4):
+        for x in range(6):
+            src = rows[y // 2][3 * (x // 2) : 3 * (x // 2) + 3]
+            assert up["rgb_rows"][y][3 * x : 3 * x + 3] == src
+    # downscale to 1x1 keeps the floor-mapped (0, 0) source pixel
+    down = decode_bmp(resize_bmp_nearest(p, 1, 1))
+    assert down["rgb_rows"] == [rows[0][0:3]]
