@@ -300,9 +300,15 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
         )
     )
+    # Short docs (<8 tokens, incl. empty text → ['']) must be dropped
+    # BEFORE gram generation: the clamped F.sequence(1, 0) descends to
+    # [1, 0] and slice throws on start 0 (the text_boilerplate bug from
+    # ADVICE r4 — same fix). The oracle's generate_series(1, 0) already
+    # yields no shingles, so results are unchanged on ≥8-token docs.
+    tokenized = tokenized.filter(F.size("toks") >= 8)
     toks = F.col("toks")
     shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - 7),
         lambda i: F.array_join(F.slice(toks, i, 8), " "),
     )
     labeled = tokenized.select(
@@ -451,10 +457,14 @@ def split_contamination_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
     )
-    tokenized = spread(labeled_docs)
+    # short-doc guard BEFORE gram generation (same crash class as
+    # text_boilerplate, ADVICE r4); n_test below still counts ALL test
+    # docs — only shingle generation skips the short ones, matching the
+    # oracle's empty generate_series
+    tokenized = spread(labeled_docs.filter(F.size("toks") >= 8))
     toks = F.col("toks")
     shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - 7),
         lambda i: F.array_join(F.slice(toks, i, 8), " "),
     )
     # the 8-byte key: identical on both engines via md5 prefix; the

@@ -282,3 +282,27 @@ def test_contamination_hashed_cap_flags_boilerplate(spark, tmp_path):
     assert all(by_doc.loc[s, "n_boilerplate"] > 0 for s in sharers)
     # boilerplate is excluded from the contamination numerator
     assert all(by_doc.loc[s, "n_contaminated"] == 0 for s in sharers)
+
+
+def test_contamination_queries_handle_short_docs(spark, tmp_path):
+    """Both contamination audits carried the same clamped-sequence
+    crash as text_boilerplate (slice on start 0 for docs with <8
+    tokens, including empty text). Short docs must flow through with
+    no shingles, matching the oracle, on both variants."""
+    from codex_data_products_spark import registry
+    from tests.oracle_utils import compare_frames, run_oracle
+
+    registry.load_all()
+    rows = [
+        (1, "", "en", "s", 0),
+        (2, "just seven tokens in this tiny doc", "en", "s", 34),
+        (3, "one two three four five six seven eight nine", "en", "s", 44),
+        (4, "one two three four five six seven eight nine", "en", "s", 44),
+        (5, "   ", "en", "s", 3),
+    ]
+    d = _sf_dir_with_documents(tmp_path, rows)
+    for name in ("split_contamination", "split_contamination_hashed"):
+        spark_df = registry.QUERIES[name](spark, d).toPandas()
+        oracle_df = run_oracle(registry.ORACLES[name], d)
+        problems = compare_frames(spark_df, oracle_df)
+        assert not problems, f"{name}: " + " | ".join(problems)
