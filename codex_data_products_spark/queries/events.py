@@ -538,121 +538,100 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EWMA_SQL = """
-WITH ordered AS (
-  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
-         CAST(ts AS DATE) AS d,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS rn
-  FROM events
+WITH days AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
 ),
-firsts AS (SELECT user_id, v AS v1 FROM ordered WHERE rn = 1),
-days AS (
+maps AS (
   SELECT user_id, d,
+         len(vals) AS k,
+         list_reduce(vals, (a, v) -> 0.3 * v + 0.7 * a) AS seeded,
          list_reduce(list_prepend(CAST(1.0 AS DOUBLE), vals),
                      (a, v) -> 0.7 * a) AS s,
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
                      (a, v) -> 0.3 * v + 0.7 * a) AS o
-  FROM (
-    SELECT user_id, d, list(v ORDER BY ts, event_id) AS vals
-    FROM ordered WHERE rn > 1 GROUP BY user_id, d
-  )
+  FROM days
 ),
-composed AS (
+folded AS (
   SELECT user_id,
-         list_reduce(list([s, o] ORDER BY d),
-                     (a, e) -> [a[1] * e[1], a[2] * e[1] + e[2]]) AS m
-  FROM days GROUP BY user_id
-),
-counts AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
-  FROM events GROUP BY user_id
+         list(struct_pack(k := k, seeded := seeded, s := s, o := o)
+              ORDER BY d) AS ms
+  FROM maps GROUP BY user_id
 )
-SELECT f.user_id, c.n_events,
-       round(CASE WHEN m.m IS NULL THEN f.v1
-                  ELSE m.m[1] * f.v1 + m.m[2] END, 6) AS ewma_value
-FROM firsts f
-JOIN counts c USING (user_id)
-LEFT JOIN composed m USING (user_id)
+SELECT user_id,
+       CAST(list_reduce(list_transform(ms, m -> m.k), (a, b) -> a + b)
+            AS BIGINT) AS n_events,
+       round(list_reduce(
+         list_prepend([ms[1].seeded, CAST(0.0 AS DOUBLE)],
+                      list_transform(ms[2:len(ms)], m -> [m.s, m.o])),
+         (a, e) -> [e[1] * a[1] + e[2], CAST(0.0 AS DOUBLE)]
+       )[1], 6) AS ewma_value
+FROM folded
 """
 
 
 @register("events_ewma", sql=_EWMA_SQL)
 def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ordered = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.col("value").cast("double").alias("v"),
-        F.to_date("ts").alias("d"),
-        F.row_number().over(w).alias("rn"),
-    )
-    firsts = ordered.filter(F.col("rn") == 1).select(
-        "user_id", F.col("v").alias("v1")
-    )
-    # per (user, day): within-day ordered fold → the day's linear map
-    # [scale, offset]; buffer size is bounded by one day's events.
-    day_vals = F.transform(
+    step = lambda a, v: F.lit(0.3) * v + F.lit(0.7) * a  # noqa: E731
+    day_sorted = F.transform(
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "v"))),
         lambda s: s["v"],
     )
+    vals = F.col("vals")
+    # stage 1 — per (user, day): the day's ordered values fold into
+    # (k, seeded, s, o); buffer size is bounded by one day's events.
+    # ``seeded`` is the within-day sequential EWMA (first value as
+    # init — what the chain uses when this is the user's FIRST day);
+    # (s, o) is the day's composed linear map (what later days apply).
     days = (
-        ordered.filter(F.col("rn") > 1)
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            "ts",
+            "event_id",
+            F.col("value").cast("double").alias("v"),
+        )
         .groupBy("user_id", "d")
-        .agg(day_vals.alias("vals"))
+        .agg(day_sorted.alias("vals"))
         .select(
             "user_id",
             "d",
+            F.size(vals).alias("k"),
             F.aggregate(
-                "vals", F.lit(1.0), lambda a, v: F.lit(0.7) * a
-            ).alias("s"),
-            F.aggregate(
-                "vals",
-                F.lit(0.0),
-                lambda a, v: F.lit(0.3) * v + F.lit(0.7) * a,
-            ).alias("o"),
+                F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+                F.element_at(vals, 1),
+                step,
+            ).alias("seeded"),
+            F.aggregate(vals, F.lit(1.0), lambda a, v: F.lit(0.7) * a)
+            .alias("s"),
+            F.aggregate(vals, F.lit(0.0), step).alias("o"),
         )
     )
-    # per user: compose the day maps in date order — state is the
-    # O(active days) pair list, never the raw event history.
-    maps = F.transform(
-        F.array_sort(F.collect_list(F.struct("d", "s", "o"))),
-        lambda p: F.array(p["s"], p["o"]),
-    )
+    # stage 2 — per user: compose the day-ordered pair list. State is
+    # O(active days); the first day seeds the chain, later days apply
+    # their (scale, offset) map — identical arithmetic in the oracle.
     ms = F.col("ms")
-    composed = (
-        days.groupBy("user_id")
-        .agg(maps.alias("ms"))
-        .select(
-            "user_id",
-            F.aggregate(
-                F.slice(ms, 2, F.greatest(F.size(ms) - 1, F.lit(0))),
-                F.element_at(ms, 1),
-                lambda a, e: F.array(
-                    F.element_at(a, 1) * F.element_at(e, 1),
-                    F.element_at(a, 2) * F.element_at(e, 1)
-                    + F.element_at(e, 2),
-                ),
-            ).alias("m"),
-        )
+    ewma = F.aggregate(
+        F.slice(ms, 2, F.greatest(F.size(ms) - 1, F.lit(0))),
+        F.element_at(ms, 1)["seeded"],
+        lambda a, e: e["s"] * a + e["o"],
     )
-    counts = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events")
+    n_events = F.aggregate(
+        ms, F.lit(0).cast("long"), lambda a, e: a + e["k"]
     )
     return (
-        firsts.join(counts, "user_id")
-        .join(composed, "user_id", "left")
+        days.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", "k", "seeded", "s", "o"))
+            ).alias("ms")
+        )
         .select(
             "user_id",
-            "n_events",
-            F.round(
-                F.when(F.col("m").isNull(), F.col("v1")).otherwise(
-                    F.element_at("m", 1) * F.col("v1")
-                    + F.element_at("m", 2)
-                ),
-                6,
-            ).alias("ewma_value"),
+            n_events.alias("n_events"),
+            F.round(ewma, 6).alias("ewma_value"),
         )
     )
 
