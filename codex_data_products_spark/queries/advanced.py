@@ -973,3 +973,106 @@ def revenue_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mom_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market_basket_rules — directional association rules on top of the
+# basket pair counts: for each co-occurring part pair, both rules
+# a→b and b→a with exact support counts, confidence (pair/antecedent)
+# and lift. Same scale shape as market_basket_pairs (self-join on the
+# order key only, item frequencies broadcast back); the direction
+# expansion is a row-local explode of each undirected pair into its two
+# directed rules — no extra shuffle. Green-field recommender surface.
+# ---------------------------------------------------------------------------
+
+_BASKET_RULES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+),
+n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+freq AS (SELECT pkey, count(*) AS item_n FROM items GROUP BY pkey),
+pairs AS (
+  SELECT a.pkey AS part_a, b.pkey AS part_b, count(*) AS pair_n
+  FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
+  GROUP BY a.pkey, b.pkey
+  HAVING count(*) >= 2
+),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, pair_n FROM pairs
+  UNION ALL
+  SELECT part_b AS antecedent, part_a AS consequent, pair_n FROM pairs
+)
+SELECT antecedent, consequent,
+       CAST(pair_n AS BIGINT)                                  AS pair_n,
+       round(CAST(pair_n AS DOUBLE) / fa.item_n, 6)            AS confidence,
+       round(CAST(pair_n AS DOUBLE) * n.n_orders
+             / (fa.item_n * fb.item_n), 6)                     AS lift
+FROM rules
+JOIN freq fa ON fa.pkey = antecedent
+JOIN freq fb ON fb.pkey = consequent
+CROSS JOIN n
+"""
+
+
+@register("market_basket_rules", sql=_BASKET_RULES_SQL)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+        )
+        .distinct()
+    )
+    n_orders = items.agg(F.count_distinct("okey").alias("n_orders"))
+    freq = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("item_n"))
+    b = items.select(
+        F.col("okey").alias("okey_b"), F.col("pkey").alias("pkey_b")
+    )
+    pairs = (
+        items.join(
+            b,
+            (F.col("okey") == F.col("okey_b"))
+            & (F.col("pkey") < F.col("pkey_b")),
+        )
+        .groupBy(
+            F.col("pkey").alias("part_a"), F.col("pkey_b").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "pair_n",
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "pair_n",
+        )
+    )
+    fa = freq.select(
+        F.col("pkey").alias("antecedent"), F.col("item_n").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("pkey").alias("consequent"), F.col("item_n").alias("n_b")
+    )
+    return (
+        rules.join(F.broadcast(fa), "antecedent")
+        .join(F.broadcast(fb), "consequent")
+        .join(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("pair_n").cast("long").alias("pair_n"),
+            F.round(
+                F.col("pair_n").cast("double") / F.col("n_a"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("pair_n").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

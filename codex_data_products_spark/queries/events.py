@@ -1521,3 +1521,64 @@ def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap").cast("double") / F.count("gap"), 6
         ).alias("mean_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_streaks — gaps-and-islands: the longest run of CONSECUTIVE
+# active days per user, then the corpus-wide histogram of longest-streak
+# lengths (the retention metric engagement teams chart). Plan: the
+# window input is the distinct (user, day) grain — bounded by
+# |users| x calendar days regardless of event volume, so a bot firing
+# millions of events in one day contributes ONE row. Island id is the
+# classic day_no - row_number() difference (constant within a
+# consecutive run); two hash aggregations finish it. No reference
+# counterpart (green-field analytics surface, SURVEY §2.10).
+# ---------------------------------------------------------------------------
+
+_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+isl AS (
+  SELECT user_id,
+         datediff('day', DATE '1990-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, count(*) AS run_len
+  FROM isl GROUP BY user_id, island
+),
+longest AS (
+  SELECT user_id, max(run_len) AS longest_streak FROM runs GROUP BY user_id
+)
+SELECT CAST(longest_streak AS BIGINT) AS streak_days,
+       CAST(count(*) AS BIGINT)       AS n_users
+FROM longest
+GROUP BY longest_streak
+"""
+
+
+@register("events_streaks", sql=_STREAKS_SQL)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        T(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        (
+            F.datediff("day", F.lit("1990-01-01")) - F.row_number().over(w)
+        ).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    longest = runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak")
+    )
+    return longest.groupBy(
+        F.col("longest_streak").cast("long").alias("streak_days")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))

@@ -174,3 +174,97 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (rule, n_checked, n_violations)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# skew_profile — partition-key distribution audit: for each candidate
+# shuffle key, the per-key count distribution summarized as hot-key
+# stats (max rows, top-1 share, max/avg skew ratio) plus an exact Gini
+# coefficient — the number a planner (operators/joins.plan_join) or an
+# SRE reads before picking salting / AQE skew handling.
+#
+# Scale shape — NO window ever sees the |keys| grain: Gini needs the
+# rank-weighted sum S1 = Σ rank·cnt over counts sorted ascending, and
+# keys tied on the same cnt occupy consecutive ranks, so each tie
+# group contributes cnt·(g·keys_before + g(g+1)/2) in closed form.
+# The plan is therefore: per-key hash agg (|keys| rows, map-side
+# combined) → second hash agg to the DISTINCT-count-value grain
+# (heavy-tailed integers — tiny) → one cumulative window over that
+# tiny frame → scalar fold. The fact table is scanned once per audit
+# and never shuffled at row grain; exact integers until the three
+# final divisions (Gini = (2·S1 − (n+1)·S) / (n·S)).
+# ---------------------------------------------------------------------------
+
+
+def _skew_audit_sql(label: str, table: str, key: str) -> str:
+    return f"""
+  SELECT '{label}' AS audit_key,
+         CAST(sum(g) AS BIGINT)                             AS n_keys,
+         CAST(sum(cnt * g) AS BIGINT)                       AS n_rows,
+         CAST(max(cnt) AS BIGINT)                           AS max_rows,
+         round(CAST(max(cnt) AS DOUBLE) / sum(cnt * g), 6)  AS top_share,
+         round(CAST(max(cnt) AS DOUBLE) * sum(g) / sum(cnt * g), 6)
+                                                            AS skew_ratio,
+         round((sum(cnt * (2 * g * before + g * (g + 1)))
+                - (sum(g) + 1.0) * sum(cnt * g))
+               / (CAST(sum(g) AS DOUBLE) * sum(cnt * g)), 6) AS gini
+  FROM (
+    SELECT cnt, g,
+           coalesce(sum(g) OVER (ORDER BY cnt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+    FROM (
+      SELECT cnt, count(*) AS g
+      FROM (SELECT {key} AS k, count(*) AS cnt FROM {table} GROUP BY {key})
+      GROUP BY cnt
+    )
+  )
+"""
+
+
+_SKEW_SQL = (
+    _skew_audit_sql("events.user_id", "events", "user_id")
+    + "UNION ALL"
+    + _skew_audit_sql("lineitem.l_suppkey", "lineitem", "l_suppkey")
+)
+
+
+@register("skew_profile", sql=_SKEW_SQL)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    def audit(label: str, table: str, key: str) -> DataFrame:
+        counts = (
+            T(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        tie_groups = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("g"))
+        # cumulative keys strictly below this count value — the window
+        # input is the distinct-count-value grain, NOT |keys|.
+        w = Window.orderBy("cnt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        grouped = tie_groups.select(
+            "cnt", "g", F.coalesce(F.sum("g").over(w), F.lit(0)).alias("before")
+        )
+        g, cnt, before = F.col("g"), F.col("cnt"), F.col("before")
+        n, s = F.sum(g), F.sum(cnt * g)
+        s1x2 = F.sum(cnt * (2 * g * before + g * (g + 1)))
+        return grouped.agg(
+            F.lit(label).alias("audit_key"),
+            n.cast("long").alias("n_keys"),
+            s.cast("long").alias("n_rows"),
+            F.max(cnt).cast("long").alias("max_rows"),
+            F.round(F.max(cnt).cast("double") / s, 6).alias("top_share"),
+            F.round(
+                F.max(cnt).cast("double") * n / s, 6
+            ).alias("skew_ratio"),
+            F.round(
+                (s1x2 - (n + F.lit(1.0)) * s) / (n.cast("double") * s),
+                6,
+            ).alias("gini"),
+        )
+
+    return audit("events.user_id", "events", "user_id").unionByName(
+        audit("lineitem.l_suppkey", "lineitem", "l_suppkey")
+    )

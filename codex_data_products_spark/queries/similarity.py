@@ -1830,3 +1830,64 @@ def knn_ivf_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats — per-DIMENSION corpus statistics (mean, std,
+# min, max): the whitening / normalization profile every embedding
+# pipeline computes before indexing (zero-centering for PQ residuals,
+# per-dim scaling for cosine vs dot mismatches). Plan: posexplode to
+# the (dim, value) grain — a map-side-combinable hash agg straight to
+# |dims| rows (64 here), NO shuffle of whole vectors and no window.
+# Moments are exact: first as DECIMAL(12,8) sums, second as the same
+# fixed-point wide-int path embedding_outliers uses (k = v·1e8 as
+# DECIMAL(19,0); k² stays exact under 10³⁸ on both engines), so the
+# oracle matches bit-for-bit with no float-order tolerance.
+# ---------------------------------------------------------------------------
+
+_DIM_STATS_SQL = """
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+x AS (
+  SELECT i AS dim, v[i] AS val
+  FROM e, unnest(generate_series(1, len(v))) AS g(i)
+)
+SELECT dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(round(sum(CAST(val AS DECIMAL(12,8))), 8) AS DOUBLE)
+             / count(*), 6) AS mean,
+       round(sqrt(
+         CAST(sum(CAST(round(val * 1.0e8, 0) AS DECIMAL(19,0))
+                  * CAST(round(val * 1.0e8, 0) AS DECIMAL(19,0)))
+              AS DOUBLE) / count(*) / 1.0e16
+         - pow(CAST(round(sum(CAST(val AS DECIMAL(12,8))), 8) AS DOUBLE)
+               / count(*), 2)), 6) AS std,
+       round(min(val), 6) AS min_val,
+       round(max(val), 6) AS max_val
+FROM x
+GROUP BY dim
+"""
+
+
+@register("embedding_dim_stats", sql=_DIM_STATS_SQL)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    x = emb.select(F.posexplode("v").alias("i", "val")).select(
+        (F.col("i") + 1).alias("dim"), "val"
+    )
+    n = F.count(F.lit(1))
+    mean = F.round(F.sum(F.col("val").cast("decimal(12,8)")), 8).cast(
+        "double"
+    ) / n
+    k = F.round(F.col("val") * F.lit(1.0e8), 0).cast("decimal(19,0)")
+    mean_sq = F.sum(k * k).cast("double") / n / F.lit(1.0e16)
+    return x.groupBy("dim").agg(
+        n.cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(mean_sq - F.pow(mean, 2)), 6).alias("std"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+    )

@@ -819,3 +819,129 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_chars",
         F.round(entropy, 6).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_pii_scan — PII detection sweep (emails / IPv4s / phone numbers)
+# with a BUILT-IN ground truth: a deterministic 30% of documents get a
+# synthetic PII token injected (derived from doc_id, identically in
+# both engines), so the scan reports not just per-source hit counts but
+# its own recall — missed = injected − detected must be 0, the gate a
+# redaction pipeline alarms on. The patterns are ASCII-only and
+# backreference-free so Java regex (Spark) and RE2 (DuckDB) agree.
+# Plan: one scan, all regexes evaluated row-local in codegen, one hash
+# aggregation to the |sources| grain. At 100 TB this is the cheapest
+# possible shape — no shuffle except the final tiny agg.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d-\d{3}-\d{4}"
+
+_PII_SQL = f"""
+WITH h AS (
+  SELECT source, text, ((doc_id * 2654435761) % 4294967296) % 10 AS slot,
+         doc_id
+  FROM documents
+),
+inj AS (
+  SELECT source,
+         CASE slot
+           WHEN 0 THEN text || ' contact user' || CAST(doc_id % 1000 AS VARCHAR)
+                        || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+           WHEN 1 THEN text || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST(doc_id % 254 AS VARCHAR) || '.7'
+           WHEN 2 THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE text
+         END AS text,
+         CAST(slot = 0 AS INT) AS inj_email,
+         CAST(slot = 1 AS INT) AS inj_ip,
+         CAST(slot = 2 AS INT) AS inj_phone
+  FROM h
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                            AS n_docs,
+       CAST(sum(inj_email) AS BIGINT)                      AS injected_emails,
+       CAST(sum(len(regexp_extract_all(text, '{_PII_EMAIL}'))) AS BIGINT)
+                                                           AS detected_emails,
+       CAST(sum(inj_ip) AS BIGINT)                         AS injected_ips,
+       CAST(sum(len(regexp_extract_all(text, '{_PII_IPV4}'))) AS BIGINT)
+                                                           AS detected_ips,
+       CAST(sum(inj_phone) AS BIGINT)                      AS injected_phones,
+       CAST(sum(len(regexp_extract_all(text, '{_PII_PHONE}'))) AS BIGINT)
+                                                           AS detected_phones,
+       CAST(sum(CAST(regexp_matches(text, '{_PII_EMAIL}') OR
+                     regexp_matches(text, '{_PII_IPV4}') OR
+                     regexp_matches(text, '{_PII_PHONE}') AS INT)) AS BIGINT)
+                                                           AS docs_flagged
+FROM inj
+GROUP BY source
+"""
+
+
+@register("text_pii_scan", sql=_PII_SQL)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    slot = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 10
+    did = F.col("doc_id")
+    injected = (
+        F.when(
+            slot == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                (did % 1000).cast("string"),
+                F.lit("@example"),
+                (did % 7).cast("string"),
+                F.lit(".org"),
+            ),
+        )
+        .when(
+            slot == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" host 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 254).cast("string"),
+                F.lit(".7"),
+            ),
+        )
+        .when(
+            slot == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    inj = docs.select(
+        "source",
+        injected.alias("text"),
+        (slot == 0).cast("int").alias("inj_email"),
+        (slot == 1).cast("int").alias("inj_ip"),
+        (slot == 2).cast("int").alias("inj_phone"),
+    )
+
+    def n_hits(pat: str):
+        return F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        )
+
+    flagged = (
+        F.col("text").rlike(_PII_EMAIL)
+        | F.col("text").rlike(_PII_IPV4)
+        | F.col("text").rlike(_PII_PHONE)
+    )
+    return inj.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("inj_email").cast("long").alias("injected_emails"),
+        F.sum(n_hits(_PII_EMAIL)).cast("long").alias("detected_emails"),
+        F.sum("inj_ip").cast("long").alias("injected_ips"),
+        F.sum(n_hits(_PII_IPV4)).cast("long").alias("detected_ips"),
+        F.sum("inj_phone").cast("long").alias("injected_phones"),
+        F.sum(n_hits(_PII_PHONE)).cast("long").alias("detected_phones"),
+        F.sum(flagged.cast("int")).cast("long").alias("docs_flagged"),
+    )
