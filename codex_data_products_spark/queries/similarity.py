@@ -1891,3 +1891,204 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("val"), 6).alias("min_val"),
         F.round(F.max("val"), 6).alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_power — top principal component by power iteration
+# (T=3 rounds), the dimensionality-reduction primitive a training-data
+# pipeline runs before whitening, OPQ rotation, or drift monitoring.
+#
+# Deterministic and oracle-replayable end to end: the per-dim mean uses
+# the exact DECIMAL(12,8) centroid recipe; each iteration scores every
+# vector s = x·w as a ROW-LOCAL double fold (same index order both
+# engines), rounds s to 8 dp, and folds the per-dim matvec
+# y_i = Σ round(x_i·s, 8) as exact DECIMAL(18,8) sums — so no float
+# aggregation ever crosses a shuffle unordered. The new direction
+# w = y/‖y‖ is computed on the dim-sized frame and re-rounded to 8 dp.
+# DuckDB replays the ENTIRE iteration chain from a generated CTE
+# pipeline bit-identically. Eigenvalue and total variance are single
+# global fixed-point DECIMAL(19,0)² sums (the embedding_outliers
+# wide-int path), so explained_share is exact-to-the-rounding.
+#
+# Plan at 100 TB: T+1 corpus scans (power iteration is inherently
+# iterative), each a posexplode → map-side-combined hash agg to the
+# |dims| grain; w and μ travel as 1-row broadcasts. Nothing holistic,
+# no window, no vector shuffle.
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_ITERS = 3
+
+
+def _pca_sql() -> str:
+    parts = [
+        """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT i, CAST(round(sum(CAST(v[i] AS DECIMAL(12,8))), 8) AS DOUBLE)
+            / count(*) AS m
+  FROM e, unnest(generate_series(1, len(v))) AS g(i)
+  GROUP BY i
+),
+cv AS (SELECT list(m ORDER BY i) AS c FROM cent),
+x AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(v)), i -> v[i] - cv.c[i]) AS v
+  FROM e CROSS JOIN cv
+),
+w0 AS (SELECT list_transform(generate_series(1, %d), i -> 0.125) AS w)
+"""
+        % _PCA_DIM
+    ]
+    for k in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f""",
+s{k} AS (
+  SELECT vec_id, v, round(list_dot_product(v, p.w), 8) AS s
+  FROM x CROSS JOIN w{k - 1} p
+),
+y{k} AS (
+  SELECT i, CAST(sum(CAST(round(v[i] * s, 8) AS DECIMAL(18,8))) AS DOUBLE)
+            AS y
+  FROM s{k}, unnest(generate_series(1, len(v))) AS g(i)
+  GROUP BY i
+),
+yv{k} AS (SELECT list(y ORDER BY i) AS yv FROM y{k}),
+w{k} AS (
+  SELECT list_transform(yv, yi ->
+           round(yi / sqrt(list_dot_product(yv, yv)), 8)) AS w
+  FROM yv{k}
+)"""
+        )
+    parts.append(
+        f""",
+fin AS (
+  SELECT round(list_dot_product(v, p.w), 8) AS s FROM x CROSS JOIN w{_PCA_ITERS} p
+),
+lam AS (
+  SELECT CAST(sum(CAST(round(s * 1.0e8, 0) AS DECIMAL(19,0))
+               * CAST(round(s * 1.0e8, 0) AS DECIMAL(19,0))) AS DOUBLE)
+         / count(*) / 1.0e16 AS lam
+  FROM fin
+),
+tot AS (
+  SELECT CAST(sum(CAST(round(v[i] * 1.0e8, 0) AS DECIMAL(19,0))
+               * CAST(round(v[i] * 1.0e8, 0) AS DECIMAL(19,0))) AS DOUBLE)
+         / (SELECT count(*) FROM x) / 1.0e16 AS tot
+  FROM x, unnest(generate_series(1, len(v))) AS g(i)
+)
+SELECT i AS dim,
+       round(p.w[i], 6)          AS loading,
+       round(lam.lam, 6)         AS eigenvalue,
+       round(lam.lam / tot.tot, 6) AS explained_share
+FROM w{_PCA_ITERS} p, unnest(generate_series(1, {_PCA_DIM})) AS g(i)
+CROSS JOIN lam CROSS JOIN tot
+"""
+    )
+    return "".join(parts)
+
+
+@register("embedding_pca_power", sql=_pca_sql())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("v"),
+    )
+    cent_vec = (
+        emb.select(F.posexplode("v").alias("i", "val"))
+        .groupBy("i")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("val").cast("decimal(12,8)")), 8
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda st: st.m,
+            ).alias("c")
+        )
+    )
+    x = (
+        emb.crossJoin(F.broadcast(cent_vec))
+        .select(
+            "vec_id", F.zip_with("v", "c", lambda a, b: a - b).alias("v")
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    w_df = spark.range(1).select(
+        F.array_repeat(F.lit(0.125), _PCA_DIM).alias("w")
+    )
+    for _ in range(_PCA_ITERS):
+        scored = x.crossJoin(F.broadcast(w_df)).select(
+            "v", F.round(dot(F.col("v"), F.col("w")), 8).alias("s")
+        )
+        y = (
+            scored.select("s", F.posexplode("v").alias("i", "vi"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("vi") * F.col("s"), 8).cast(
+                        "decimal(18,8)"
+                    )
+                )
+                .cast("double")
+                .alias("y")
+            )
+        )
+        yv = y.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "y"))),
+                lambda st: st.y,
+            ).alias("yv")
+        )
+        w_df = yv.select(
+            F.transform(
+                "yv",
+                lambda yi: F.round(
+                    yi / F.sqrt(dot(F.col("yv"), F.col("yv"))), 8
+                ),
+            ).alias("w")
+        )
+    fin = x.crossJoin(F.broadcast(w_df)).select(
+        F.round(dot(F.col("v"), F.col("w")), 8).alias("s")
+    )
+    ks = F.round(F.col("s") * F.lit(1.0e8), 0).cast("decimal(19,0)")
+    lam = fin.agg(
+        (
+            F.sum(ks * ks).cast("double") / F.count(F.lit(1)) / F.lit(1.0e16)
+        ).alias("lam")
+    )
+    n_rows = x.agg(F.count(F.lit(1)).alias("n"))
+    kv = F.round(F.col("vi") * F.lit(1.0e8), 0).cast("decimal(19,0)")
+    tot = (
+        x.select(F.posexplode("v").alias("i", "vi"))
+        .agg(F.sum(kv * kv).cast("double").alias("ssq"))
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            (F.col("ssq") / F.col("n") / F.lit(1.0e16)).alias("tot")
+        )
+    )
+    return (
+        w_df.select(F.posexplode("w").alias("i", "wi"))
+        .crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("i") + 1).cast("long").alias("dim"),
+            F.round("wi", 6).alias("loading"),
+            F.round("lam", 6).alias("eigenvalue"),
+            F.round(F.col("lam") / F.col("tot"), 6).alias("explained_share"),
+        )
+    )
