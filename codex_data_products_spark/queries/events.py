@@ -1582,3 +1582,145 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest.groupBy(
         F.col("longest_streak").cast("long").alias("streak_days")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_timing — conversion LATENCY for two funnel edges
+# (signup→purchase, click→purchase): per converting user the time from
+# first entry event to the first purchase at-or-after it, summarized as
+# exact p50/p90/max and mean. events_funnel counts conversions; this
+# measures how long they take — the product-analytics pair.
+#
+# Scale shape: one conditional agg to the per-user first-entry grain,
+# one equi join of purchase events against it (co-partitioned on
+# user_id), a second per-user agg — never an event-grain window. The
+# percentiles are EXACT discrete quantiles computed with the same
+# closed-form trick as skew_profile's Gini: bucket latency to integer
+# minutes, aggregate to the distinct-minute grain (bounded by the time
+# span, not |users|), one cumulative window over that tiny frame, and
+# pick the smallest bucket whose cumulative count reaches
+# ceil(q·n) = n − n·(1−q) in pure integer arithmetic — no float rank,
+# no interpolation ambiguity between engines.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_TIMING_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+         min(CASE WHEN event_type = 'click'  THEN ts END) AS c_ts
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.ts >= f.s_ts THEN e.ts END) AS p_after_s,
+         min(CASE WHEN e.ts >= f.c_ts THEN e.ts END) AS p_after_c,
+         min(f.s_ts) AS s_ts, min(f.c_ts) AS c_ts
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT 'signup->purchase' AS edge,
+         epoch_us(p_after_s) - epoch_us(s_ts) AS us
+  FROM conv WHERE p_after_s IS NOT NULL
+  UNION ALL
+  SELECT 'click->purchase' AS edge,
+         epoch_us(p_after_c) - epoch_us(c_ts) AS us
+  FROM conv WHERE p_after_c IS NOT NULL
+),
+buckets AS (
+  SELECT edge, us // 60000000 AS lat_min, count(*) AS c,
+         sum(us) AS sum_us
+  FROM lat GROUP BY edge, lat_min
+),
+cum AS (
+  SELECT edge, lat_min, c, sum_us,
+         sum(c) OVER (PARTITION BY edge ORDER BY lat_min
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c,
+         sum(c) OVER (PARTITION BY edge) AS n,
+         sum(sum_us) OVER (PARTITION BY edge) AS tot_us
+  FROM buckets
+)
+SELECT edge,
+       CAST(max(n) AS BIGINT) AS n_conversions,
+       CAST(min(CASE WHEN cum_c >= n - n // 2  THEN lat_min END) AS BIGINT)
+         AS p50_min,
+       CAST(min(CASE WHEN cum_c >= n - n // 10 THEN lat_min END) AS BIGINT)
+         AS p90_min,
+       CAST(max(lat_min) AS BIGINT) AS max_min,
+       round(CAST(max(tot_us) AS DOUBLE) / max(n) / 60000000, 6)
+         AS mean_min
+FROM cum
+GROUP BY edge
+"""
+
+
+@register("events_funnel_timing", sql=_FUNNEL_TIMING_SQL)
+def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "s_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "c_ts"
+        ),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("ts") >= F.col("s_ts"), F.col("ts"))).alias(
+                "p_after_s"
+            ),
+            F.min(F.when(F.col("ts") >= F.col("c_ts"), F.col("ts"))).alias(
+                "p_after_c"
+            ),
+            F.min("s_ts").alias("s_ts"),
+            F.min("c_ts").alias("c_ts"),
+        )
+    )
+    lat = conv.filter(F.col("p_after_s").isNotNull()).select(
+        F.lit("signup->purchase").alias("edge"),
+        (F.unix_micros("p_after_s") - F.unix_micros("s_ts")).alias("us"),
+    ).unionByName(
+        conv.filter(F.col("p_after_c").isNotNull()).select(
+            F.lit("click->purchase").alias("edge"),
+            (F.unix_micros("p_after_c") - F.unix_micros("c_ts")).alias("us"),
+        )
+    )
+    buckets = lat.groupBy(
+        "edge", F.expr("us div 60000000").alias("lat_min")
+    ).agg(F.count(F.lit(1)).alias("c"), F.sum("us").alias("sum_us"))
+    we = Window.partitionBy("edge")
+    cum = buckets.select(
+        "edge",
+        "lat_min",
+        "c",
+        F.sum("c")
+        .over(
+            we.orderBy("lat_min").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cum_c"),
+        F.sum("c").over(we).alias("n"),
+        F.sum("sum_us").over(we).alias("tot_us"),
+    )
+    t50 = F.col("n") - F.expr("n div 2")
+    t90 = F.col("n") - F.expr("n div 10")
+    return cum.groupBy("edge").agg(
+        F.max("n").cast("long").alias("n_conversions"),
+        F.min(F.when(F.col("cum_c") >= t50, F.col("lat_min")))
+        .cast("long")
+        .alias("p50_min"),
+        F.min(F.when(F.col("cum_c") >= t90, F.col("lat_min")))
+        .cast("long")
+        .alias("p90_min"),
+        F.max("lat_min").cast("long").alias("max_min"),
+        F.round(
+            F.max("tot_us").cast("double") / F.max("n") / F.lit(60000000), 6
+        ).alias("mean_min"),
+    )
