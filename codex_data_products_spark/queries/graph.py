@@ -328,3 +328,43 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # root stays in-plan (1-row agg, no driver collect)
     root = sparse.agg(F.min("src").alias("node"))
     return op_bfs(sparse, root, max_hops=BFS_MAX_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_distribution — degree histogram of the supplier→customer
+# interaction graph (distinct pairs that actually traded): the first
+# diagnostic run on any production graph before choosing partitioning
+# (power-law tail ⇒ hub salting). Plan: the edge set is ONE distinct
+# over the joined fact (co-partitioned equi joins), degrees are a hash
+# agg to |suppliers| rows, and the histogram a second agg to the
+# distinct-degree grain — the same two-level collapse skew_profile
+# uses; nothing holistic, no window at all.
+# ---------------------------------------------------------------------------
+
+_DEGREE_SQL = """
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+deg AS (SELECT supp, count(*) AS degree FROM edges GROUP BY supp)
+SELECT CAST(degree AS BIGINT)   AS degree,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+FROM deg GROUP BY degree
+"""
+
+
+@register("graph_degree_distribution", sql=_DEGREE_SQL)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("supp"), F.col("o_custkey").alias("cust")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers")
+    )

@@ -2092,3 +2092,107 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("lam") / F.col("tot"), 6).alias("explained_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroid_drift — distribution-drift monitor: split the
+# corpus into two deterministic hash halves (the same Knuth-hash split
+# recipe the sampling family uses), compute per-LABEL exact-decimal
+# centroids for each half, and report the per-label centroid L2
+# displacement. In production the halves are "yesterday's batch" vs
+# "today's"; a label whose centroid moves is the embedding-space drift
+# alarm that triggers re-indexing (IVF cells) or re-training. Plan:
+# one posexplode scan to the (label, half, dim) grain — map-side
+# combinable — then |labels|-sized array assembly and a ROW-LOCAL
+# distance fold; vectors are never shuffled whole, and no float sum
+# crosses a shuffle (exact DECIMAL(12,8) means, as everywhere).
+# ---------------------------------------------------------------------------
+
+_DRIFT_SQL = """
+WITH e AS (
+  SELECT label,
+         CAST(((vec_id * 2654435761) % 4294967296) % 2 AS INT) AS half,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, half, i,
+         CAST(round(sum(CAST(v[i] AS DECIMAL(12,8))), 8) AS DOUBLE)
+           / count(*) AS m,
+         count(*) AS n
+  FROM e, unnest(generate_series(1, len(v))) AS g(i)
+  GROUP BY label, half, i
+),
+vecs AS (
+  SELECT label, half, list(m ORDER BY i) AS c, min(n) AS n
+  FROM cent GROUP BY label, half
+)
+SELECT a.label,
+       CAST(a.n AS BIGINT) AS n_half0,
+       CAST(b.n AS BIGINT) AS n_half1,
+       round(sqrt(list_dot_product(a.c, a.c)
+                  - 2 * list_dot_product(a.c, b.c)
+                  + list_dot_product(b.c, b.c)), 6) AS drift_l2
+FROM vecs a JOIN vecs b ON a.label = b.label
+WHERE a.half = 0 AND b.half = 1
+"""
+
+
+@register("embedding_centroid_drift", sql=_DRIFT_SQL)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").select(
+        "label",
+        (
+            ((F.col("vec_id") * F.lit(2654435761)) % F.lit(4294967296)) % 2
+        )
+        .cast("int")
+        .alias("half"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("v"),
+    )
+    cent = (
+        e.select("label", "half", F.posexplode("v").alias("i", "val"))
+        .groupBy("label", "half", "i")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("val").cast("decimal(12,8)")), 8
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    vecs = cent.groupBy("label", "half").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))),
+            lambda st: st.m,
+        ).alias("c"),
+        F.min("n").alias("n"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    a = vecs.filter(F.col("half") == 0).select(
+        "label", F.col("c").alias("ca"), F.col("n").alias("na")
+    )
+    b = vecs.filter(F.col("half") == 1).select(
+        "label", F.col("c").alias("cb"), F.col("n").alias("nb")
+    )
+    return a.join(b, "label").select(
+        "label",
+        F.col("na").cast("long").alias("n_half0"),
+        F.col("nb").cast("long").alias("n_half1"),
+        F.round(
+            F.sqrt(
+                dot(F.col("ca"), F.col("ca"))
+                - 2 * dot(F.col("ca"), F.col("cb"))
+                + dot(F.col("cb"), F.col("cb"))
+            ),
+            6,
+        ).alias("drift_l2"),
+    )
