@@ -790,3 +790,83 @@ def test_ivf_pq_rerank_probes_with_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_ivf_pq_rerank")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # shortlist → vector point probe
+
+
+# --- round-5 additions -------------------------------------------------
+
+
+def test_streaks_window_rides_user_day_grain(spark, sf_dir):
+    # the island window must consume the DISTINCT (user, day) frame —
+    # i.e. sit above a deduplicating aggregate — never raw events
+    plan = _plan(spark, sf_dir, "events_streaks")
+    assert plan.count("Window") == 1
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:]
+    assert "Join" not in plan
+
+
+def test_skew_profile_window_on_distinct_count_grain(spark, sf_dir):
+    # two audits, each: key agg -> distinct-count-value agg -> tiny
+    # cumulative window; no join anywhere and the windows sit above
+    # two levels of aggregation
+    plan = _plan(spark, sf_dir, "skew_profile")
+    assert "Join" not in plan
+    assert plan.count("Window") == 2
+
+
+def test_pii_scan_is_single_scan_per_side(spark, sf_dir):
+    # detector + injection are row-local codegen over ONE documents
+    # scan folding straight into the |sources| aggregate
+    plan = _plan(spark, sf_dir, "text_pii_scan")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_basket_rules_broadcasts_frequencies(spark, sf_dir):
+    # pair join is equi on the order key; frequency/lift sides ride
+    # broadcasts; no cartesian anywhere
+    plan = _plan(spark, sf_dir, "market_basket_rules")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dim_stats_is_explode_then_single_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_dim_stats")
+    assert "Generate posexplode" in plan or "Generate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_pca_broadcasts_direction_every_iteration(spark, sf_dir):
+    # w and the centroid travel as 1-row broadcasts; the corpus is
+    # never on the build side and never cartesian-joined against itself
+    plan = _plan(spark, sf_dir, "embedding_pca_power")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row crossJoin broadcasts
+
+
+def test_funnel_timing_no_event_grain_window(spark, sf_dir):
+    # percentile windows ride the distinct-minute bucket grain: every
+    # Window sits above a HashAggregate, and the only join is the
+    # co-partitioned purchase-vs-firsts equi join
+    plan = _plan(spark, sf_dir, "events_funnel_timing")
+    assert "CartesianProduct" not in plan
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:]
+
+
+def test_degree_distribution_two_level_collapse(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_degree_distribution")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # distinct edge set + degree agg + histogram agg
+    assert plan.count("HashAggregate") >= 4  # partial+final per level
+
+
+def test_centroid_drift_joins_label_grain_only(spark, sf_dir):
+    # the halves join at the |labels| grain (arrays already assembled);
+    # vectors are never shuffled whole below a join
+    plan = _plan(spark, sf_dir, "embedding_centroid_drift")
+    assert "CartesianProduct" not in plan
