@@ -1724,3 +1724,64 @@ def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot_us").cast("double") / F.max("n") / F.lit(60000000), 6
         ).alias("mean_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_dau_mau_stickiness — the DAU/MAU engagement ratio per calendar
+# month: average daily active users divided by monthly active users.
+# Plan: both numerator and denominator reduce the event stream through
+# the distinct (user, day) grain (bounded by users × calendar, immune
+# to per-user event volume); DAU is a count per day then an exact
+# integer sum per month, MAU a distinct count per month. One shuffle
+# family keyed on user/day prefixes, no window.
+# ---------------------------------------------------------------------------
+
+_DAU_MAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+         strftime(CAST(ts AS DATE), '%Y-%m') AS month
+  FROM events
+),
+dau AS (
+  SELECT month, day, count(*) AS dau FROM ud GROUP BY month, day
+),
+mau AS (
+  SELECT month, count(DISTINCT user_id) AS mau FROM ud GROUP BY month
+)
+SELECT d.month,
+       CAST(count(*) AS BIGINT)      AS n_days,
+       CAST(sum(d.dau) AS BIGINT)    AS user_days,
+       CAST(max(m.mau) AS BIGINT)    AS mau,
+       round(CAST(sum(d.dau) AS DOUBLE) / count(*) / max(m.mau), 6)
+         AS stickiness
+FROM dau d JOIN mau m ON d.month = m.month
+GROUP BY d.month
+"""
+
+
+@register("events_dau_mau_stickiness", sql=_DAU_MAU_SQL)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        T(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.date_format(F.to_date("ts"), "yyyy-MM").alias("month"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("month", "day").agg(F.count(F.lit(1)).alias("dau"))
+    mau = ud.groupBy("month").agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("dau").cast("long").alias("user_days"),
+            F.max("mau").cast("long").alias("mau"),
+            F.round(
+                F.sum("dau").cast("double") / F.count(F.lit(1)) / F.max("mau"),
+                6,
+            ).alias("stickiness"),
+        )
+    )

@@ -945,3 +945,77 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_hits(_PII_PHONE)).cast("long").alias("detected_phones"),
         F.sum(flagged.cast("int")).cast("long").alias("docs_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_length_percentiles — exact p50/p90/p99 of document length per
+# language: the length profile a curation pipeline reads before setting
+# truncation / min-length thresholds. Percentiles are EXACT discrete
+# quantiles with zero interpolation ambiguity, computed scale-safely
+# with the distinct-value cumulative trick (same as
+# events_funnel_timing): aggregate to the (lang, distinct n_chars)
+# grain, one cumulative window over that bounded frame, pick the
+# smallest value whose cumulative count reaches ceil(q·n) = n − ⌊(1−q)n⌋
+# in pure integer arithmetic. Never a per-document window.
+# ---------------------------------------------------------------------------
+
+_LEN_PCT_SQL = """
+WITH buckets AS (
+  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY lang, n_chars
+),
+cum AS (
+  SELECT lang, n_chars, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM buckets
+)
+SELECT lang,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum_c >= n - n // 2   THEN n_chars END) AS BIGINT)
+         AS p50_chars,
+       CAST(min(CASE WHEN cum_c >= n - n // 10  THEN n_chars END) AS BIGINT)
+         AS p90_chars,
+       CAST(min(CASE WHEN cum_c >= n - n // 100 THEN n_chars END) AS BIGINT)
+         AS p99_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM cum
+GROUP BY lang
+"""
+
+
+@register("text_length_percentiles", sql=_LEN_PCT_SQL)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    buckets = (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang", "n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wl = Window.partitionBy("lang")
+    cum = buckets.select(
+        "lang",
+        "n_chars",
+        F.sum("c")
+        .over(wl.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_c"),
+        F.sum("c").over(wl).alias("n"),
+    )
+
+    def pick(div: int):
+        t = F.col("n") - F.expr(f"n div {div}")
+        return F.min(F.when(F.col("cum_c") >= t, F.col("n_chars"))).cast(
+            "long"
+        )
+
+    return cum.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        pick(2).alias("p50_chars"),
+        pick(10).alias("p90_chars"),
+        pick(100).alias("p99_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
