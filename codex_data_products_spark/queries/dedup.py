@@ -766,3 +766,142 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("verify_yield"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash_eval — the SimHash twin of dedup_minhash_eval: recall
+# of the 2×16-bit band scheme against exact Hamming≤6 ground truth,
+# plus verification yield (true near-dups per band-collision probed).
+# Ground truth is computed over the shingle-sharing pair space (same
+# bounded pair generator the Jaccard twin uses — a near-dup at
+# Hamming≤6 without a single shared 5-gram shingle is not a meaningful
+# dup, and the bound keeps the exact side affordable at eval time;
+# the production path only ever runs the banded scheme). One summary
+# row: a 32-bit signature split into two 16-bit bands GUARANTEES
+# recall 1.0 only for Hamming≤1, so this measures how much of the ≤6
+# tail the two bands actually catch on real data — the number that
+# decides whether to widen to 4 bands at 100 TB.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_EVAL_SQL = f"""
+WITH {_SQL_SHINGLES},
+st AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct({_SQL_TOKENS}),
+           tok -> CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+         ) AS hs,
+         len(list_distinct({_SQL_TOKENS})) AS n
+  FROM documents
+),
+sim AS (SELECT doc_id, {_sql_simhash()} AS simhash FROM st),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sim a JOIN sim b
+    ON a.simhash // 65536 = b.simhash // 65536 AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM sim a JOIN sim b
+    ON a.simhash % 65536 = b.simhash % 65536
+   AND a.simhash // 65536 <> b.simhash // 65536
+   AND a.doc_id < b.doc_id
+),
+pairspace AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+exact AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairspace p
+  JOIN sim x ON x.doc_id = p.doc_a
+  JOIN sim y ON y.doc_id = p.doc_b
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
+),
+found AS (
+  SELECT e.doc_a, e.doc_b
+  FROM exact e JOIN cand c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+)
+SELECT
+  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+  CAST((SELECT count(*) FROM cand) AS BIGINT)  AS n_candidates,
+  CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+  round(CAST((SELECT count(*) FROM found) AS DOUBLE)
+        / (SELECT count(*) FROM exact), 6)     AS recall,
+  round(CAST((SELECT count(*) FROM found) AS DOUBLE)
+        / (SELECT count(*) FROM cand), 6)      AS verify_yield
+"""
+
+
+@register("dedup_simhash_eval", sql=_SIMHASH_EVAL_SQL)
+def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = T(spark, sf_dir, "documents")
+    sim = simhash_frame(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    hi = lambda side: (F.col(f"{side}.simhash") / 65536).cast("long")  # noqa: E731
+    lo = lambda side: F.col(f"{side}.simhash") % 65536  # noqa: E731
+    a, b = sim.alias("a"), sim.alias("b")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    pair_cols = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    ]
+    cand = (
+        a.join(b, (hi("a") == hi("b")) & lt)
+        .select(*pair_cols)
+        .unionByName(
+            a.join(b, (lo("a") == lo("b")) & (hi("a") != hi("b")) & lt).select(
+                *pair_cols
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh = _frequent_shingles_removed(shingle_table(docs))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    pairspace = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    x = sim.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sx")
+    )
+    y = sim.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sy")
+    )
+    exact = (
+        pairspace.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(
+            F.bit_count(F.col("sx").bitwiseXOR(F.col("sy")))
+            <= SIMHASH_MAX_HAMMING
+        )
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    found = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_exact.crossJoin(n_cand)
+        .crossJoin(n_found)
+        .select(
+            "n_exact_pairs",
+            "n_candidates",
+            "n_found",
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_exact_pairs"), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_candidates"), 6
+            ).alias("verify_yield"),
+        )
+    )
