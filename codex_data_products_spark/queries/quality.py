@@ -268,3 +268,90 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit("events.user_id", "events", "user_id").unionByName(
         audit("lineitem.l_suppkey", "lineitem", "l_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_priority_drift — categorical-distribution drift check: the
+# order-priority mix before vs from mid-1998, as a chi-square decomposition
+# per category (the test a DQ gate runs on any label/enum column
+# between yesterday's batch and today's). Plan: ONE pass over orders to
+# the |priorities|×2 contingency grain, totals via a window over that
+# tiny frame, and each category's chi-square contribution computed
+# ROW-LOCAL from exact integer counts — no cross-row float sum exists
+# anywhere, so there is no aggregation-order nondeterminism to guard.
+# ---------------------------------------------------------------------------
+
+_PRIORITY_DRIFT_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS priority,
+         sum(CASE WHEN o_orderdate <  DATE '1998-07-01' THEN 1 ELSE 0 END)
+           AS n_early,
+         sum(CASE WHEN o_orderdate >= DATE '1998-07-01' THEN 1 ELSE 0 END)
+           AS n_late
+  FROM orders GROUP BY o_orderpriority
+),
+tot AS (
+  SELECT priority, n_early, n_late,
+         sum(n_early) OVER () AS tot_early,
+         sum(n_late) OVER ()  AS tot_late
+  FROM cells
+)
+SELECT priority,
+       CAST(n_early AS BIGINT) AS n_early,
+       CAST(n_late AS BIGINT)  AS n_late,
+       round(CAST(n_early AS DOUBLE) / tot_early, 6) AS share_early,
+       round(CAST(n_late AS DOUBLE) / tot_late, 6)   AS share_late,
+       round(
+         pow(n_early - CAST((n_early + n_late) * tot_early AS DOUBLE)
+                        / (tot_early + tot_late), 2)
+           / (CAST((n_early + n_late) * tot_early AS DOUBLE)
+              / (tot_early + tot_late))
+         + pow(n_late - CAST((n_early + n_late) * tot_late AS DOUBLE)
+                         / (tot_early + tot_late), 2)
+           / (CAST((n_early + n_late) * tot_late AS DOUBLE)
+              / (tot_early + tot_late)), 6) AS chi2_contrib
+FROM tot
+"""
+
+
+@register("orders_priority_drift", sql=_PRIORITY_DRIFT_SQL)
+def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pivot = F.lit("1998-07-01").cast("date")
+    cells = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum(
+                F.when(F.to_date("o_orderdate") < pivot, 1).otherwise(0)
+            ).alias("n_early"),
+            F.sum(
+                F.when(F.to_date("o_orderdate") >= pivot, 1).otherwise(0)
+            ).alias("n_late"),
+        )
+    )
+    w = Window.partitionBy()
+    tot = cells.select(
+        "priority",
+        "n_early",
+        "n_late",
+        F.sum("n_early").over(w).alias("tot_early"),
+        F.sum("n_late").over(w).alias("tot_late"),
+    )
+    n_e, n_l = F.col("n_early"), F.col("n_late")
+    t_e, t_l = F.col("tot_early"), F.col("tot_late")
+    e_early = ((n_e + n_l) * t_e).cast("double") / (t_e + t_l)
+    e_late = ((n_e + n_l) * t_l).cast("double") / (t_e + t_l)
+    return tot.select(
+        "priority",
+        n_e.cast("long").alias("n_early"),
+        n_l.cast("long").alias("n_late"),
+        F.round(n_e.cast("double") / t_e, 6).alias("share_early"),
+        F.round(n_l.cast("double") / t_l, 6).alias("share_late"),
+        F.round(
+            F.pow(n_e - e_early, 2) / e_early
+            + F.pow(n_l - e_late, 2) / e_late,
+            6,
+        ).alias("chi2_contrib"),
+    )
