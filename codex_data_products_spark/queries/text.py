@@ -1019,3 +1019,78 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_langid_eval — the language-ID heuristic measured against the
+# declared labels: confusion-matrix cells plus each cell's share of its
+# declared language. Like dedup_minhash_eval / knn_*_recall, this is
+# the self-measuring gate a curation pipeline tunes marker lists
+# against (zh/fr have no markers, so the matrix shows exactly where
+# the heuristic's coverage ends). One scan, row-local scoring, one
+# hash agg to the |langs|² grain, shares via a window over that tiny
+# frame.
+# ---------------------------------------------------------------------------
+
+_LANGID_EVAL_SQL = f"""
+WITH t AS (
+  SELECT lang AS lang_declared, {_SQL_TOKENS} AS toks FROM documents
+),
+s AS (
+  SELECT lang_declared,
+         {_sql_lang_score('en')} AS s_en,
+         {_sql_lang_score('es')} AS s_es,
+         {_sql_lang_score('de')} AS s_de
+  FROM t
+),
+pred AS (
+  SELECT lang_declared,
+         CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+              WHEN s_es >= s_de THEN 'es'
+              ELSE 'de' END AS lang_predicted
+  FROM s
+),
+cells AS (
+  SELECT lang_declared, lang_predicted, count(*) AS n
+  FROM pred GROUP BY lang_declared, lang_predicted
+)
+SELECT lang_declared, lang_predicted, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY lang_declared), 6)
+         AS share_of_declared
+FROM cells
+"""
+
+
+@register("text_langid_eval", sql=_LANGID_EVAL_SQL)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def score(lang: str):
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    s_en, s_es, s_de = score("en"), score("es"), score("de")
+    pred = docs.select(
+        F.col("lang").alias("lang_declared"),
+        F.when((s_en >= s_es) & (s_en >= s_de), "en")
+        .when(s_es >= s_de, "es")
+        .otherwise("de")
+        .alias("lang_predicted"),
+    )
+    cells = pred.groupBy("lang_declared", "lang_predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.select(
+        "lang_declared",
+        "lang_predicted",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("lang_declared")),
+            6,
+        ).alias("share_of_declared"),
+    )
