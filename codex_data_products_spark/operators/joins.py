@@ -259,6 +259,10 @@ class JoinEstimate:
     n_keys_matched: int
     predicted_rows: int
     max_key_product: int
+    # hottest single key's row count on the LEFT (big) side — what a
+    # skew_profile audit of the join key reports as max_rows; sizes the
+    # salt fan-out (0 = unknown, fall back to the fixed default)
+    max_left_key_rows: int = 0
 
     @property
     def avg_key_product(self) -> float:
@@ -278,11 +282,15 @@ def estimate_join(left: DataFrame, right: DataFrame, key: str) -> JoinEstimate:
     )
     stats = (
         a.join(b, "_k")
-        .select((F.col("_na") * F.col("_nb")).alias("_p"))
+        .select(
+            (F.col("_na") * F.col("_nb")).alias("_p"),
+            F.col("_na"),
+        )
         .agg(
             F.count(F.lit(1)).alias("m"),
             F.coalesce(F.sum("_p"), F.lit(0)).alias("pr"),
             F.coalesce(F.max("_p"), F.lit(0)).alias("mx"),
+            F.coalesce(F.max("_na"), F.lit(0)).alias("mxa"),
         )
         .first()
     )
@@ -292,7 +300,24 @@ def estimate_join(left: DataFrame, right: DataFrame, key: str) -> JoinEstimate:
         n_keys_matched=int(stats["m"]),
         predicted_rows=int(stats["pr"]),
         max_key_product=int(stats["mx"]),
+        max_left_key_rows=int(stats["mxa"]),
     )
+
+
+def auto_salts(
+    max_left_key_rows: int,
+    target_rows_per_task: int = 1_000_000,
+    lo: int = 2,
+    hi: int = 64,
+) -> int:
+    """Size the salt fan-out from the hot key's row count (the
+    skew_profile ``max_rows`` statistic): just enough sub-keys that no
+    reducer owns more than ``target_rows_per_task`` rows of the hot
+    key, clamped to [lo, hi]. Over-salting costs ``n_salts`` copies of
+    the small side, so the fan-out should track the skew, not a fixed
+    constant."""
+    need = -(-max(max_left_key_rows, 1) // target_rows_per_task)  # ceil
+    return max(lo, min(hi, need))
 
 
 def plan_join(
@@ -303,7 +328,7 @@ def plan_join(
     how: str = "inner",
     broadcast_row_limit: int = 1_000_000,
     skew_factor: float = 8.0,
-    n_salts: int = 16,
+    n_salts: int | None = None,
 ) -> tuple[DataFrame, str]:
     """Pick the physical join strategy FROM THE ESTIMATE ALONE (no data
     is touched here) and return ``(joined, strategy)``.
@@ -318,7 +343,11 @@ def plan_join(
          → **salted** scatter: the big side sprays across ``n_salts``
          sub-keys so no single reducer owns the hot key. Requires the
          right side to be replicable (dim-scale but over the broadcast
-         limit) — the same precondition as ``salted_join``.
+         limit) — the same precondition as ``salted_join``. When
+         ``n_salts`` is None the fan-out is SIZED FROM THE ESTIMATE
+         too (``auto_salts`` over the hot key's left-side row count —
+         the skew_profile ``max_rows`` statistic), so a 10× hotter key
+         gets ~10× the sub-keys instead of a fixed 16.
       3. otherwise → plain **shuffle** join; AQE re-plans at runtime
          if actual sizes disagree with the estimate.
     """
@@ -328,5 +357,11 @@ def plan_join(
         est.n_keys_matched > 0
         and est.max_key_product > skew_factor * est.avg_key_product
     ):
+        if n_salts is None:
+            n_salts = (
+                auto_salts(est.max_left_key_rows)
+                if est.max_left_key_rows
+                else 16
+            )
         return salted_join(left, right, key, n_salts=n_salts, how=how), "salted"
     return left.join(right, key, how), "shuffle"

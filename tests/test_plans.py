@@ -870,3 +870,28 @@ def test_centroid_drift_joins_label_grain_only(spark, sf_dir):
     # vectors are never shuffled whole below a join
     plan = _plan(spark, sf_dir, "embedding_centroid_drift")
     assert "CartesianProduct" not in plan
+
+
+def test_auto_salts_scale_with_hot_key_size():
+    from codex_data_products_spark.operators.joins import (
+        JoinEstimate,
+        auto_salts,
+        plan_join,
+    )
+
+    # fan-out tracks the hot key's row count, clamped to [2, 64]
+    assert auto_salts(1) == 2
+    assert auto_salts(1_000_000) == 2
+    assert auto_salts(10_000_000) == 10
+    assert auto_salts(1_000_000_000) == 64
+
+    # plan_join sizes the salted scatter from the estimate alone
+    est = JoinEstimate(
+        left_rows=100_000_000,
+        right_rows=5_000_000,
+        n_keys_matched=1_000,
+        predicted_rows=200_000_000,
+        max_key_product=150_000_000,
+        max_left_key_rows=12_000_000,
+    )
+    assert auto_salts(est.max_left_key_rows) == 12
