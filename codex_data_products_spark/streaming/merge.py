@@ -501,3 +501,89 @@ def run_topk_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding-moment maintenance: the per-dimension corpus
+# profile (count / exact-decimal first and second moments — the state
+# behind queries/similarity.embedding_dim_stats) kept current as new
+# vectors stream in. Moments are additive with EXACT decimal sums, so
+# the maintained state is bit-identical to recomputing over all
+# vectors ever ingested — the whitening/normalization stats an
+# embedding pipeline needs fresh without rescanning 100 TB of vectors.
+# Same replay contract as run_agg_maintenance: additive folds are not
+# idempotent, so each batch folds into its explicit pre-batch snapshot
+# (v=batch_id) and overwrites v=batch_id+1.
+# ---------------------------------------------------------------------------
+
+
+def moment_rows(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(dim, n, s, s2) partial moments for a batch of vectors: exact
+    DECIMAL(28,8) value sums and DECIMAL(38,0) fixed-point square sums
+    (k = v·1e8; the same wide-int path embedding_dim_stats uses), so
+    merges are associative with zero float drift."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    x = vectors.select(F.posexplode(v).alias("i", "val")).select(
+        (F.col("i") + 1).alias("dim"), "val"
+    )
+    k = F.round(F.col("val") * F.lit(1.0e8), 0).cast("decimal(19,0)")
+    return x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("val").cast("decimal(12,8)"))
+        .cast("decimal(28,8)")
+        .alias("s"),
+        F.sum(k * k).cast("decimal(38,0)").alias("s2"),
+    )
+
+
+def combine_moment_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    return (
+        state.unionByName(delta)
+        .groupBy("dim")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("decimal(28,8)").alias("s"),
+            F.sum("s2").cast("decimal(38,0)").alias("s2"),
+        )
+    )
+
+
+def moment_stats(state: DataFrame) -> DataFrame:
+    """Derive (dim, n, mean, std) from maintained moments — the same
+    numbers a full embedding_dim_stats scan would produce."""
+    mean = F.col("s").cast("double") / F.col("n")
+    mean_sq = F.col("s2").cast("double") / F.col("n") / F.lit(1.0e16)
+    return state.select(
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(mean_sq - F.pow(mean, 2)), 6).alias("std"),
+    )
+
+
+def run_moment_maintenance(
+    vectors: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+) -> None:
+    """foreachBatch maintenance of the per-dimension moment table:
+    each micro-batch's partial moments fold into the pre-batch
+    snapshot (v=batch_id → v=batch_id+1, replay-safe overwrite)."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = moment_rows(batch, vec_col)
+        state = read_table(spark, table_dir, version=batch_id)
+        new_state = combine_moment_state(state, delta)
+        new_state.write.mode("overwrite").parquet(
+            f"{table_dir}/v={batch_id + 1}"
+        )
+
+    q = (
+        vectors.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -717,3 +717,101 @@ def test_run_topk_maintenance_replay_keeps_version_chain(spark, tmp_path):
         for r in bootstrap_topk_state(full, 3, "score", ["uid"]).collect()
     )
     assert got == expect == [("u50", 50.0), ("u52", 8.5), ("u9", 9.0)]
+
+
+def test_moment_maintenance_matches_full_recompute(spark, tmp_path):
+    """Streaming per-dimension moment folds == one batch recompute over
+    all vectors ever ingested: decimal sums are exact and associative,
+    so state rows are bit-identical. Includes a checkpoint restart."""
+    import random
+
+    from codex_data_products_spark.streaming.merge import (
+        combine_moment_state,
+        moment_rows,
+        moment_stats,
+        read_table,
+        run_moment_maintenance,
+        table_versions,
+    )
+
+    rng = random.Random(7)
+
+    def vecs(n, start):
+        return spark.createDataFrame(
+            [
+                (start + i, [round(rng.uniform(-2, 2), 4) for _ in range(8)])
+                for i in range(n)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+
+    base, batch1, batch2 = vecs(20, 0), vecs(15, 100), vecs(10, 200)
+    src = str(tmp_path / "vecs")
+    table = str(tmp_path / "moments")
+    ckpt = str(tmp_path / "ckpt")
+    moment_rows(base).write.parquet(f"{table}/v=0")
+
+    def drain() -> None:
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).option("recursiveFileLookup", "true").parquet(src)
+        run_moment_maintenance(stream, table, ckpt)
+
+    batch1.coalesce(1).write.parquet(f"{src}/d1")
+    drain()
+    batch2.coalesce(1).write.parquet(f"{src}/d2")
+    drain()  # restart from checkpoint: folds only d2
+
+    assert table_versions(spark, table) == [0, 1, 2]
+    maintained = {
+        r["dim"]: (r["n"], r["s"], r["s2"])
+        for r in read_table(spark, table).collect()
+    }
+    full = base.unionByName(batch1).unionByName(batch2)
+    recomputed = {
+        r["dim"]: (r["n"], r["s"], r["s2"])
+        for r in moment_rows(full).collect()
+    }
+    assert maintained == recomputed  # exact decimal equality
+    stats = {r["dim"]: r for r in moment_stats(read_table(spark, table)).collect()}
+    assert len(stats) == 8 and all(s["n"] == 45 for s in stats.values())
+
+
+def test_run_moment_maintenance_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: re-applying the same batch_id folds into
+    the same pre-batch snapshot and overwrites the same version — the
+    state after a replay equals the state after a single application."""
+    from codex_data_products_spark.streaming.merge import (
+        combine_moment_state,
+        moment_rows,
+        read_table,
+    )
+
+    base = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    delta = spark.createDataFrame(
+        [(2, [5.0, 6.0])], "vec_id long, embedding array<float>"
+    )
+    table = str(tmp_path / "moments")
+    moment_rows(base).write.parquet(f"{table}/v=0")
+
+    def apply(batch_id: int) -> None:
+        state = read_table(spark, table, version=batch_id)
+        combine_moment_state(state, moment_rows(delta)).write.mode(
+            "overwrite"
+        ).parquet(f"{table}/v={batch_id + 1}")
+
+    apply(0)
+    once = {
+        r["dim"]: (r["n"], r["s"], r["s2"])
+        for r in read_table(spark, table).collect()
+    }
+    apply(0)  # simulated crash-replay of the same micro-batch
+    twice = {
+        r["dim"]: (r["n"], r["s"], r["s2"])
+        for r in read_table(spark, table).collect()
+    }
+    assert once == twice
+    assert twice[1][0] == 3  # folded exactly once
