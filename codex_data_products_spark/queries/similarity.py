@@ -1957,8 +1957,12 @@ y{k} AS (
 ),
 yv{k} AS (SELECT list(y ORDER BY i) AS yv FROM y{k}),
 w{k} AS (
+  -- degenerate corpus (all vectors identical): y is the zero vector;
+  -- keep the direction at zero instead of dividing by ||y|| = 0
   SELECT list_transform(yv, yi ->
-           round(yi / sqrt(list_dot_product(yv, yv)), 8)) AS w
+           CASE WHEN list_dot_product(yv, yv) = 0 THEN 0.0
+                ELSE round(yi / sqrt(list_dot_product(yv, yv)), 8)
+           END) AS w
   FROM yv{k}
 )"""
         )
@@ -1982,7 +1986,8 @@ tot AS (
 SELECT i AS dim,
        round(p.w[i], 6)          AS loading,
        round(lam.lam, 6)         AS eigenvalue,
-       round(lam.lam / tot.tot, 6) AS explained_share
+       CASE WHEN tot.tot = 0 THEN 0.0
+            ELSE round(lam.lam / tot.tot, 6) END AS explained_share
 FROM w{_PCA_ITERS} p, unnest(generate_series(1, {_PCA_DIM})) AS g(i)
 CROSS JOIN lam CROSS JOIN tot
 """
@@ -2054,11 +2059,12 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda st: st.y,
             ).alias("yv")
         )
+        nrm2 = dot(F.col("yv"), F.col("yv"))
         w_df = yv.select(
             F.transform(
                 "yv",
-                lambda yi: F.round(
-                    yi / F.sqrt(dot(F.col("yv"), F.col("yv"))), 8
+                lambda yi: F.when(nrm2 == 0, F.lit(0.0)).otherwise(
+                    F.round(yi / F.sqrt(nrm2), 8)
                 ),
             ).alias("w")
         )
@@ -2089,7 +2095,9 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("i") + 1).cast("long").alias("dim"),
             F.round("wi", 6).alias("loading"),
             F.round("lam", 6).alias("eigenvalue"),
-            F.round(F.col("lam") / F.col("tot"), 6).alias("explained_share"),
+            F.when(F.col("tot") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("lam") / F.col("tot"), 6))
+            .alias("explained_share"),
         )
     )
 

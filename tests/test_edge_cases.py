@@ -306,3 +306,115 @@ def test_contamination_queries_handle_short_docs(spark, tmp_path):
         oracle_df = run_oracle(registry.ORACLES[name], d)
         problems = compare_frames(spark_df, oracle_df)
         assert not problems, f"{name}: " + " | ".join(problems)
+
+
+# --- round-5 query additions -------------------------------------------
+
+
+def _tmp_sf_dir(spark, tmp_path, tables):
+    """Write a minimal sf-dir with the given {table: DataFrame}."""
+    d = str(tmp_path / "sf")
+    for name, df in tables.items():
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+    return d
+
+
+def test_streaks_bot_user_single_day(spark, tmp_path):
+    """A bot with thousands of same-day events contributes ONE user-day
+    row: its longest streak is 1 regardless of event volume."""
+    from codex_data_products_spark.queries.events import events_streaks
+
+    rows = [(i, "2024-03-05 10:%02d:00" % (i % 60), 7, "click", 1.0, "{}")
+            for i in range(2000)]
+    rows += [(9000 + j, "2024-03-%02d 09:00:00" % (10 + j), 8, "view", 1.0, "{}")
+             for j in range(4)]  # user 8: 4 consecutive days
+    ev = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = _tmp_sf_dir(spark, tmp_path, {"events": ev})
+    got = {r["streak_days"]: r["n_users"]
+           for r in events_streaks(spark, d).collect()}
+    assert got == {1: 1, 4: 1}
+
+
+def test_funnel_timing_no_conversions_is_empty(spark, tmp_path):
+    """Users who never purchase (or purchase before entry) produce no
+    latency rows — the query returns empty rather than crashing on the
+    integer-rank arithmetic."""
+    from codex_data_products_spark.queries.events import events_funnel_timing
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-02 00:00:00", 1, "signup", 1.0, "{}"),
+            (2, "2024-01-01 00:00:00", 1, "purchase", 1.0, "{}"),  # before
+            (3, "2024-01-03 00:00:00", 2, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = _tmp_sf_dir(spark, tmp_path, {"events": ev})
+    assert events_funnel_timing(spark, d).count() == 0
+
+
+def test_skew_profile_uniform_key_has_zero_gini(spark, tmp_path):
+    """A perfectly uniform key distribution has Gini exactly 0 and
+    skew_ratio exactly 1 — the closed-form tie-group path covers the
+    all-ties case."""
+    from codex_data_products_spark.queries.quality import skew_profile
+
+    ev = spark.createDataFrame(
+        [(u * 10 + i, "2024-01-01 00:00:00", u, "click", 1.0, "{}")
+         for u in range(8) for i in range(5)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    li = spark.createDataFrame(
+        [(1, s, 1.0) for s in range(4) for _ in range(3)],
+        "l_orderkey long, l_suppkey long, l_quantity double",
+    )
+    d = _tmp_sf_dir(spark, tmp_path, {"events": ev, "lineitem": li})
+    rows = {r["audit_key"]: r for r in skew_profile(spark, d).collect()}
+    ev_row = rows["events.user_id"]
+    assert ev_row["gini"] == 0.0 and ev_row["skew_ratio"] == 1.0
+    assert ev_row["n_keys"] == 8 and ev_row["max_rows"] == 5
+
+
+def test_length_percentiles_single_doc_per_lang(spark, tmp_path):
+    """n=1: every quantile target resolves to the single value (the
+    ceil(q·n)=1 boundary of the integer-rank arithmetic)."""
+    from codex_data_products_spark.queries.text import text_length_percentiles
+
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3), (2, "abcdefgh", "zz", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = _tmp_sf_dir(spark, tmp_path, {"documents": docs})
+    rows = {r["lang"]: r for r in text_length_percentiles(spark, d).collect()}
+    assert rows["en"]["p50_chars"] == rows["en"]["p99_chars"] == 3
+    assert rows["zz"]["p50_chars"] == rows["zz"]["p99_chars"] == 8
+
+
+def test_pca_constant_corpus_degenerate_variance(spark, tmp_path):
+    """All-identical vectors: centered data is the zero matrix, so the
+    matvec is zero — the guarded normalization must yield zero
+    loadings/eigenvalue/share instead of dividing by ||y|| = 0 (this
+    crashed with DIVIDE_BY_ZERO before the guard)."""
+    from codex_data_products_spark.queries.similarity import (
+        embedding_pca_power,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [0.5] * 64, 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = _tmp_sf_dir(spark, tmp_path, {"embeddings": vecs})
+    out = embedding_pca_power(spark, d).collect()
+    assert len(out) == 64
+    assert all(
+        r["loading"] == 0.0
+        and r["eigenvalue"] == 0.0
+        and r["explained_share"] == 0.0
+        for r in out
+    )
