@@ -905,3 +905,200 @@ def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("verify_yield"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash_wide — the tuning answer to dedup_simhash_eval's 0.44
+# recall: the SAME 32-bit signatures banded 4×8 bits instead of 2×16.
+# Pigeonhole guarantees recall 1.0 up to Hamming 3 (any pair differing
+# in ≤3 bits leaves at least one of 4 bands clean) and the measured
+# tail recall rises accordingly (dedup_simhash_wide_eval). The cost is
+# more candidate collisions per band (2^8 buckets vs 2^16) — exactly
+# the recall-vs-verify-work dial the eval pair lets an operator set.
+# Pairs are emitted by their FIRST matching band (later-band joins
+# require all earlier bands to differ), so no distinct shuffle over
+# exploded candidates — same plan shape as dedup_simhash.
+# ---------------------------------------------------------------------------
+
+_WIDE_BANDS = 4
+_WIDE_BITS = 8  # per band; _WIDE_BANDS * _WIDE_BITS == SIMHASH_BITS
+
+
+def _sql_wide_band(b: int) -> str:
+    return f"(simhash // {256 ** b}) % 256"
+
+
+def _wide_pairs_sql() -> str:
+    parts = []
+    for b in range(_WIDE_BANDS):
+        conds = [
+            f"(a.simhash // {256 ** b}) % 256 = (b.simhash // {256 ** b}) % 256"
+        ]
+        conds += [
+            f"(a.simhash // {256 ** j}) % 256 <> (b.simhash // {256 ** j}) % 256"
+            for j in range(b)
+        ]
+        conds.append("a.doc_id < b.doc_id")
+        parts.append(
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " a.simhash AS sa, b.simhash AS sb"
+            " FROM sim a JOIN sim b ON " + " AND ".join(conds)
+        )
+    return "\n  UNION ALL\n  ".join(parts)
+
+
+_SIMHASH_WIDE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct({_SQL_TOKENS}),
+           tok -> CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+         ) AS hs,
+         len(list_distinct({_SQL_TOKENS})) AS n
+  FROM documents
+),
+sim AS (SELECT doc_id, {_sql_simhash()} AS simhash FROM t),
+pairs AS (
+  {_wide_pairs_sql()}
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def _wide_candidate_pairs(sim: DataFrame, with_sig: bool = False) -> DataFrame:
+    a, b = sim.alias("a"), sim.alias("b")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+
+    def band(side: str, i: int):
+        return (F.col(f"{side}.simhash") / (256 ** i)).cast("long") % 256
+
+    cols = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    ]
+    if with_sig:
+        cols += [F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb")]
+    out = None
+    for i in range(_WIDE_BANDS):
+        cond = (band("a", i) == band("b", i)) & lt
+        for j in range(i):
+            cond = cond & (band("a", j) != band("b", j))
+        piece = a.join(b, cond).select(*cols)
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+@register("dedup_simhash_wide", sql=_SIMHASH_WIDE_SQL)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    sim = simhash_frame(docs)
+    pairs = _wide_candidate_pairs(sim, with_sig=True)
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return pairs.filter(hamming <= SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash_wide_eval — same ground truth as dedup_simhash_eval,
+# candidates from the 4×8 banding: the before/after pair that justifies
+# the band widening with a measured number.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_WIDE_EVAL_SQL = f"""
+WITH {_SQL_SHINGLES},
+st AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct({_SQL_TOKENS}),
+           tok -> CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+         ) AS hs,
+         len(list_distinct({_SQL_TOKENS})) AS n
+  FROM documents
+),
+sim AS (SELECT doc_id, {_sql_simhash()} AS simhash FROM st),
+cand AS (
+  SELECT doc_a, doc_b FROM (
+    {_wide_pairs_sql()}
+  )
+),
+pairspace AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+exact AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairspace p
+  JOIN sim x ON x.doc_id = p.doc_a
+  JOIN sim y ON y.doc_id = p.doc_b
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
+),
+found AS (
+  SELECT e.doc_a, e.doc_b
+  FROM exact e JOIN cand c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+)
+SELECT
+  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+  CAST((SELECT count(*) FROM cand) AS BIGINT)  AS n_candidates,
+  CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+  round(CAST((SELECT count(*) FROM found) AS DOUBLE)
+        / (SELECT count(*) FROM exact), 6)     AS recall,
+  round(CAST((SELECT count(*) FROM found) AS DOUBLE)
+        / (SELECT count(*) FROM cand), 6)      AS verify_yield
+"""
+
+
+@register("dedup_simhash_wide_eval", sql=_SIMHASH_WIDE_EVAL_SQL)
+def dedup_simhash_wide_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = T(spark, sf_dir, "documents")
+    sim = simhash_frame(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _wide_candidate_pairs(sim).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _frequent_shingles_removed(shingle_table(docs))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    pairspace = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    x = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sx"))
+    y = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sy"))
+    exact = (
+        pairspace.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(
+            F.bit_count(F.col("sx").bitwiseXOR(F.col("sy")))
+            <= SIMHASH_MAX_HAMMING
+        )
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    found = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_exact.crossJoin(n_cand)
+        .crossJoin(n_found)
+        .select(
+            "n_exact_pairs",
+            "n_candidates",
+            "n_found",
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_exact_pairs"), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_candidates"), 6
+            ).alias("verify_yield"),
+        )
+    )
