@@ -295,3 +295,55 @@ def test_merge_into_matches_reference_model(spark, base_rows, changes):
         ).collect()
     }
     assert got == model
+
+
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=40))
+def test_gini_tie_group_closed_form_equals_naive_rank_sum(counts):
+    """skew_profile's Gini algebra: the tie-group closed form
+    Σ cnt·(2·g·before + g(g+1)) over the distinct-count grain equals
+    2·Σ rank·cnt over the naively sorted-and-ranked key list, for any
+    count multiset — the identity that lets the query avoid ranking
+    |keys| rows."""
+    from collections import Counter
+
+    srt = sorted(counts)
+    naive_2s1 = 2 * sum((i + 1) * c for i, c in enumerate(srt))
+    groups = sorted(Counter(counts).items())
+    before = 0
+    closed = 0
+    for cnt, g in groups:
+        closed += cnt * (2 * g * before + g * (g + 1))
+        before += g
+    assert closed == naive_2s1
+    # and the resulting Gini matches the textbook formula
+    n, s = len(srt), sum(srt)
+    gini_closed = (closed - (n + 1) * s) / (n * s)
+    gini_naive = (naive_2s1 - (n + 1) * s) / (n * s)
+    assert gini_closed == gini_naive
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    st.sampled_from([2, 10, 100]),
+)
+def test_integer_rank_quantile_equals_sorted_pick(values, div):
+    """The distinct-value cumulative trick (events_funnel_timing /
+    text_length_percentiles): the smallest bucket whose cumulative
+    count reaches n − n//div equals the ceil(q·n)-th element of the
+    sorted list (q = 1 − 1/div), for any multiset."""
+    from collections import Counter
+    import math
+
+    srt = sorted(values)
+    n = len(srt)
+    target = n - n // div
+    # trick: walk distinct values in order, accumulate counts
+    cum = 0
+    picked = None
+    for v, c in sorted(Counter(values).items()):
+        cum += c
+        if picked is None and cum >= target:
+            picked = v
+    q = 1 - 1 / div
+    expected = srt[math.ceil(q * n) - 1]
+    assert picked == expected
