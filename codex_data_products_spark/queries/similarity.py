@@ -2204,3 +2204,52 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("drift_l2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_cell_balance — IVF index-health audit: cell-population stats
+# from the write-time assignment plus the number an index owner
+# actually plans capacity with — the EXPECTED SCAN FRACTION at
+# nprobe=1, Σ(n_c/N)² (queries land in cells proportionally to cell
+# mass, so hot cells hurt twice: more queries probe them AND each
+# probe scans more vectors). Paired with embedding_centroid_drift this
+# is the re-indexing trigger. Plan: the assignment's |cells|-grain
+# counts collapse through one more tiny agg — exact integers until
+# three final divisions; no new corpus scan beyond the assignment's.
+# ---------------------------------------------------------------------------
+
+_CELL_BALANCE_SQL = f"""
+WITH assign AS ({_ASSIGN_SQL}),
+cells AS (
+  SELECT assigned_label, count(*) AS n_c FROM assign GROUP BY assigned_label
+)
+SELECT CAST(count(*) AS BIGINT)    AS n_cells,
+       CAST(sum(n_c) AS BIGINT)   AS n_vectors,
+       CAST(min(n_c) AS BIGINT)   AS min_cell,
+       CAST(max(n_c) AS BIGINT)   AS max_cell,
+       round(CAST(max(n_c) AS DOUBLE) * count(*) / sum(n_c), 6)
+         AS imbalance,
+       round(CAST(sum(n_c * n_c) AS DOUBLE) / (sum(n_c) * sum(n_c)), 6)
+         AS expected_scan_frac
+FROM cells
+"""
+
+
+@register("knn_ivf_cell_balance", sql=_CELL_BALANCE_SQL)
+def knn_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        knn_ivf_assign(spark, sf_dir)
+        .groupBy("assigned_label")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    n, s = F.count(F.lit(1)), F.sum("n_c")
+    return cells.agg(
+        n.cast("long").alias("n_cells"),
+        s.cast("long").alias("n_vectors"),
+        F.min("n_c").cast("long").alias("min_cell"),
+        F.max("n_c").cast("long").alias("max_cell"),
+        F.round(F.max("n_c").cast("double") * n / s, 6).alias("imbalance"),
+        F.round(
+            F.sum(F.col("n_c") * F.col("n_c")).cast("double") / (s * s), 6
+        ).alias("expected_scan_frac"),
+    )
