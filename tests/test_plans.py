@@ -895,3 +895,19 @@ def test_auto_salts_scale_with_hot_key_size():
         max_left_key_rows=12_000_000,
     )
     assert auto_salts(est.max_left_key_rows) == 12
+
+
+def test_simhash_wide_no_cartesian_first_match_bands(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_simhash_wide")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # four band joins, all equi (SortMergeJoin/ShuffledHashJoin/BHJ)
+    assert plan.count("Join") >= 4
+
+
+def test_cell_balance_is_aggregates_over_assignment(spark, sf_dir):
+    # no new corpus scan beyond the assignment's embedding reads, and
+    # the balance math is hash aggregates only — no window, no extra join
+    plan = _plan(spark, sf_dir, "knn_ivf_cell_balance")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
