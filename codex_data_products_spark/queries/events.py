@@ -1785,3 +1785,109 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_forecast_eval — BACKTEST of the Holt forecaster: hold out the
+# last 3 calendar days, fit level/trend on the rest (the identical
+# bit-deterministic fold events_holt_forecast uses), and score
+# forecast level + h·trend against each held-out day's actual count.
+# The self-measuring gate for the forecasting family — the number an
+# anomaly-detection threshold is calibrated against. Output is the
+# per-(type, horizon) error table: NO cross-row float aggregation
+# exists (each error is row-local), so there is nothing to make
+# order-nondeterministic. Plan: one scan to the daily grain, the
+# train/holdout split via one broadcast max-day scalar, the fold
+# row-local per type.
+# ---------------------------------------------------------------------------
+
+_FORECAST_EVAL_HOLDOUT = 3
+
+_FORECAST_EVAL_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY event_type, day
+),
+cutoff AS (SELECT max(day) - {_FORECAST_EVAL_HOLDOUT} AS cut FROM daily),
+series AS (
+  SELECT event_type,
+         list([c, c, CAST(0.0 AS DOUBLE)] ORDER BY day) AS s
+  FROM daily CROSS JOIN cutoff WHERE day <= cut
+  GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, len(s) AS n_train_days,
+         list_reduce(s, (acc, e) -> [
+           e[1],
+           {HOLT_ALPHA} * e[1] + {1 - HOLT_ALPHA} * (acc[2] + acc[3]),
+           {HOLT_BETA} * (({HOLT_ALPHA} * e[1]
+                 + {1 - HOLT_ALPHA} * (acc[2] + acc[3])) - acc[2])
+                + {1 - HOLT_BETA} * acc[3]
+         ]) AS st
+  FROM series
+)
+SELECT d.event_type,
+       CAST(d.day - c.cut AS BIGINT)               AS horizon,
+       CAST(f.n_train_days AS BIGINT)              AS n_train_days,
+       CAST(d.c AS BIGINT)                         AS actual,
+       round(f.st[2] + (d.day - c.cut) * f.st[3], 6) AS forecast,
+       round(abs(f.st[2] + (d.day - c.cut) * f.st[3] - d.c), 6) AS abs_err
+FROM daily d
+CROSS JOIN cutoff c
+JOIN folded f ON f.event_type = d.event_type
+WHERE d.day > c.cut
+"""
+
+
+@register("events_forecast_eval", sql=_FORECAST_EVAL_SQL)
+def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    cutoff = daily.agg(
+        F.date_sub(F.max("day"), _FORECAST_EVAL_HOLDOUT).alias("cut")
+    )
+    train = daily.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("day") <= F.col("cut")
+    )
+    seeded = F.transform(
+        F.array_sort(F.collect_list(F.struct("day", "c"))),
+        lambda r: F.array(r["c"], r["c"], F.lit(0.0)),
+    )
+    series = train.groupBy("event_type").agg(seeded.alias("s"))
+    s = F.col("s")
+    a, a1 = F.lit(HOLT_ALPHA), F.lit(1 - HOLT_ALPHA)
+    g, g1 = F.lit(HOLT_BETA), F.lit(1 - HOLT_BETA)
+
+    def step(acc, e):
+        x = F.element_at(e, 1)
+        l_old, b_old = F.element_at(acc, 2), F.element_at(acc, 3)
+        l_new = a * x + a1 * (l_old + b_old)
+        return F.array(x, l_new, g * (l_new - l_old) + g1 * b_old)
+
+    st = F.aggregate(
+        F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+        F.element_at(s, 1),
+        step,
+    )
+    folded = series.select(
+        "event_type",
+        F.size(s).alias("n_train_days"),
+        F.element_at(st, 2).alias("level"),
+        F.element_at(st, 3).alias("trend"),
+    )
+    holdout = daily.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("day") > F.col("cut")
+    )
+    h = F.datediff("day", "cut")
+    fc = F.col("level") + h * F.col("trend")
+    return holdout.join(F.broadcast(folded), "event_type").select(
+        "event_type",
+        h.cast("long").alias("horizon"),
+        F.col("n_train_days").cast("long").alias("n_train_days"),
+        F.col("c").cast("long").alias("actual"),
+        F.round(fc, 6).alias("forecast"),
+        F.round(F.abs(fc - F.col("c")), 6).alias("abs_err"),
+    )
