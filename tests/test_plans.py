@@ -911,3 +911,12 @@ def test_cell_balance_is_aggregates_over_assignment(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_ivf_cell_balance")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_forecast_eval_fold_rowlocal_broadcast_scalars(spark, sf_dir):
+    # train/holdout split rides ONE broadcast max-day scalar; the Holt
+    # fold is row-local per type; no window, no cartesian against facts
+    plan = _plan(spark, sf_dir, "events_forecast_eval")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cutoff scalar
