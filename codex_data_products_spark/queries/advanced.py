@@ -1076,3 +1076,192 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_fulfillment_lag — order-to-ship latency per priority class:
+# exact p50/p90/max of datediff(l_shipdate, o_orderdate), the SLA
+# metric an ops dashboard alarms on per priority. Same scale recipe as
+# the other exact-quantile queries: the co-partitioned fact join
+# reduces straight to the (priority, distinct lag-day) grain — bounded
+# by priorities × calendar span, never row count — then one cumulative
+# window over that tiny frame and integer-rank picks.
+# ---------------------------------------------------------------------------
+
+_FULFILL_SQL = """
+WITH lags AS (
+  SELECT o.o_orderpriority AS priority,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+buckets AS (
+  SELECT priority, lag_days, count(*) AS c FROM lags
+  GROUP BY priority, lag_days
+),
+cum AS (
+  SELECT priority, lag_days, c,
+         sum(c) OVER (PARTITION BY priority ORDER BY lag_days
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c,
+         sum(c) OVER (PARTITION BY priority) AS n
+  FROM buckets
+)
+SELECT priority,
+       CAST(max(n) AS BIGINT) AS n_lines,
+       CAST(min(CASE WHEN cum_c >= n - n // 2  THEN lag_days END) AS BIGINT)
+         AS p50_days,
+       CAST(min(CASE WHEN cum_c >= n - n // 10 THEN lag_days END) AS BIGINT)
+         AS p90_days,
+       CAST(max(lag_days) AS BIGINT) AS max_days
+FROM cum
+GROUP BY priority
+"""
+
+
+@register("orders_fulfillment_lag", sql=_FULFILL_SQL)
+def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    lags = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("lag_days"),
+    )
+    buckets = lags.groupBy("priority", "lag_days").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wp = Window.partitionBy("priority")
+    cum = buckets.select(
+        "priority",
+        "lag_days",
+        F.sum("c")
+        .over(
+            wp.orderBy("lag_days").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum_c"),
+        F.sum("c").over(wp).alias("n"),
+    )
+
+    def pick(div: int):
+        t = F.col("n") - F.expr(f"n div {div}")
+        return F.min(F.when(F.col("cum_c") >= t, F.col("lag_days"))).cast(
+            "long"
+        )
+
+    return cum.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        pick(2).alias("p50_days"),
+        pick(10).alias("p90_days"),
+        F.max("lag_days").cast("long").alias("max_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_survival_curve — customer-lifetime survival: for each tenure
+# month k, the share of customers still active at k months among those
+# OBSERVABLE for at least k months (right-censoring: a customer whose
+# first order is near the dataset end can't be held against long
+# tenures). Lifetime = months between first and last order; observable
+# horizon = months between first order and the global max date. Both
+# distributions collapse to the distinct-month grain (≤ data-span
+# months), the curve is two cumulative windows over that tiny frame —
+# the retention analysis every subscription/marketplace team runs.
+# ---------------------------------------------------------------------------
+
+_SURVIVAL_SQL = """
+WITH mi AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m_idx
+  FROM orders
+),
+span AS (
+  -- explicit integer month indexes (year*12 + month): identical
+  -- month-boundary arithmetic in both engines, no fractional-month
+  -- or day-of-month semantics to diverge on
+  SELECT o_custkey,
+         max(m_idx) - min(m_idx) AS lifetime_m,
+         (SELECT max(m_idx) FROM mi) - min(m_idx) AS observable_m
+  FROM mi GROUP BY o_custkey
+),
+life AS (SELECT lifetime_m AS m, count(*) AS c FROM span GROUP BY lifetime_m),
+obs AS (SELECT observable_m AS m, count(*) AS c FROM span GROUP BY observable_m),
+months AS (
+  SELECT DISTINCT m FROM (SELECT m FROM life UNION ALL SELECT m FROM obs)
+),
+curve AS (
+  SELECT months.m AS tenure_months,
+         (SELECT coalesce(sum(c), 0) FROM life WHERE life.m >= months.m)
+           AS n_survived,
+         (SELECT coalesce(sum(c), 0) FROM obs WHERE obs.m >= months.m)
+           AS n_observable
+  FROM months
+)
+SELECT CAST(tenure_months AS BIGINT) AS tenure_months,
+       CAST(n_observable AS BIGINT)  AS n_observable,
+       CAST(n_survived AS BIGINT)    AS n_survived,
+       round(CAST(n_survived AS DOUBLE) / n_observable, 6) AS survival_rate
+FROM curve
+WHERE n_observable > 0
+"""
+
+
+@register("orders_survival_curve", sql=_SURVIVAL_SQL)
+def orders_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    mi = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m_idx"),
+    )
+    global_max = mi.agg(F.max("m_idx").alias("global_max"))
+    span = (
+        mi.groupBy("o_custkey")
+        .agg(F.min("m_idx").alias("first_m"), F.max("m_idx").alias("last_m"))
+        .crossJoin(F.broadcast(global_max))
+        .select(
+            (F.col("last_m") - F.col("first_m")).alias("lifetime_m"),
+            (F.col("global_max") - F.col("first_m")).alias("observable_m"),
+        )
+    )
+    life = span.groupBy(F.col("lifetime_m").alias("m")).agg(
+        F.count(F.lit(1)).alias("c_life")
+    )
+    obs = span.groupBy(F.col("observable_m").alias("m")).agg(
+        F.count(F.lit(1)).alias("c_obs")
+    )
+    months = (
+        life.select("m")
+        .unionByName(obs.select("m"))
+        .distinct()
+        .join(life, "m", "left")
+        .join(obs, "m", "left")
+        .select(
+            "m",
+            F.coalesce("c_life", F.lit(0)).alias("c_life"),
+            F.coalesce("c_obs", F.lit(0)).alias("c_obs"),
+        )
+    )
+    # suffix sums: count of customers with value >= m, via a cumulative
+    # window ordered DESC over the distinct-month grain
+    wd = Window.orderBy(F.col("m").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = months.select(
+        F.col("m").alias("tenure_months"),
+        F.sum("c_obs").over(wd).alias("n_observable"),
+        F.sum("c_life").over(wd).alias("n_survived"),
+    )
+    return curve.filter(F.col("n_observable") > 0).select(
+        F.col("tenure_months").cast("long").alias("tenure_months"),
+        F.col("n_observable").cast("long").alias("n_observable"),
+        F.col("n_survived").cast("long").alias("n_survived"),
+        F.round(
+            F.col("n_survived").cast("double") / F.col("n_observable"), 6
+        ).alias("survival_rate"),
+    )
