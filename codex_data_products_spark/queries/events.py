@@ -1891,3 +1891,73 @@ def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fc, 6).alias("forecast"),
         F.round(F.abs(fc - F.col("c")), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_user_entropy — behavioral-diversity profile: Shannon entropy
+# of each user's event-type mix, reported as the corpus histogram
+# (entropy bucket → user count). Bots and scripted accounts sit at the
+# entropy extremes, so this is a standard abuse-detection feature.
+# Scale shape: one hash agg to the (user, type) grain, one collapse to
+# per-user type-count lists (bounded by |event types|), entropy as a
+# ROW-LOCAL fold over the type-name-sorted list (the text_entropy
+# recipe — same IEEE op order in both engines, so the floats are
+# bit-identical), then a tiny histogram agg. No window; no float sum
+# ever crosses a shuffle.
+# ---------------------------------------------------------------------------
+
+_USER_ENTROPY_SQL = """
+WITH tc AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+per_user AS (
+  SELECT user_id, list(CAST(c AS DOUBLE) ORDER BY event_type) AS cs,
+         sum(c) AS n
+  FROM tc GROUP BY user_id
+),
+ent AS (
+  SELECT user_id,
+         round(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(cs, c ->
+               -(c / n) * log2(c / n))),
+           (a, b) -> a + b), 2) AS entropy_bucket
+  FROM per_user
+)
+SELECT entropy_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ent GROUP BY entropy_bucket
+"""
+
+
+@register("events_user_entropy", sql=_USER_ENTROPY_SQL)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tc = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_user = tc.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_type", "c"))),
+            lambda s: s["c"].cast("double"),
+        ).alias("cs"),
+        F.sum("c").alias("n"),
+    )
+    n = F.col("n")
+    ent = per_user.select(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    "cs", lambda c: -(c / n) * F.log2(c / n)
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            2,
+        ).alias("entropy_bucket")
+    )
+    return ent.groupBy("entropy_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
