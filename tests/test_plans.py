@@ -920,3 +920,24 @@ def test_forecast_eval_fold_rowlocal_broadcast_scalars(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row cutoff scalar
+
+
+def test_fulfillment_lag_window_on_distinct_day_grain(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "orders_fulfillment_lag")
+    assert "CartesianProduct" not in plan
+    # both windows sit above the (priority, lag_days) aggregate
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:]
+
+
+def test_survival_curve_windows_ride_month_grain(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "orders_survival_curve")
+    assert "CartesianProduct" not in plan
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:]
+
+
+def test_user_entropy_rowlocal_fold_no_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_user_entropy")
+    assert "Window" not in plan
+    assert "Join" not in plan
