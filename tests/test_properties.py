@@ -347,3 +347,79 @@ def test_integer_rank_quantile_equals_sorted_pick(values, div):
     q = 1 - 1 / div
     expected = srt[math.ceil(q * n) - 1]
     assert picked == expected
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=50,
+    ),
+    st.lists(st.integers(min_value=1, max_value=5), min_size=1, max_size=10),
+)
+def test_ewma_segmented_fold_equals_sequential(values, seg_sizes):
+    """events_ewma's algebra: composing per-segment (scale, offset)
+    linear maps in segment order equals the plain sequential fold over
+    the full value list, for any segmentation — the identity that lets
+    per-key aggregation state be O(segments) instead of O(events).
+
+    The identity is exact in REAL arithmetic but not bit-for-bit in
+    IEEE doubles (0.7·(0.7·x) reassociates to 0.49·x), which is why
+    the registered query's DuckDB oracle replays the SEGMENTED
+    arithmetic — cross-engine bit-identity comes from running the same
+    op sequence, not from this algebraic identity. Here we assert the
+    math with a tight relative tolerance."""
+    # build segments covering the values list
+    segs, i = [], 0
+    for g in seg_sizes:
+        if i >= len(values):
+            break
+        segs.append(values[i : i + g])
+        i += g
+    if i < len(values):
+        segs.append(values[i:])
+    flat = [v for s in segs for v in s]
+
+    # sequential reference: first value seeds, then acc = 0.3v + 0.7acc
+    acc = flat[0]
+    for v in flat[1:]:
+        acc = 0.3 * v + 0.7 * acc
+
+    # segmented: per segment (s, o) composed map plus a seeded fold for
+    # the first segment — exactly the query's arithmetic
+    def seg_map(vals):
+        s, o = 1.0, 0.0
+        for v in vals:
+            s, o = 0.7 * s, 0.3 * v + 0.7 * o
+        return s, o
+
+    def seg_seeded(vals):
+        a = vals[0]
+        for v in vals[1:]:
+            a = 0.3 * v + 0.7 * a
+        return a
+
+    import math
+
+    a = seg_seeded(segs[0])
+    for seg in segs[1:]:
+        s, o = seg_map(seg)
+        a = s * a + o
+    assert math.isclose(a, acc, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40))
+def test_survival_suffix_sum_equals_direct_count(lifetimes):
+    """orders_survival_curve's suffix-sum window: cumulative counts in
+    descending value order equal the direct >= m counts at every
+    distinct m."""
+    from collections import Counter
+
+    groups = sorted(Counter(lifetimes).items(), reverse=True)
+    cum = 0
+    suffix = {}
+    for m, c in groups:
+        cum += c
+        suffix[m] = cum
+    for m in suffix:
+        assert suffix[m] == sum(1 for v in lifetimes if v >= m)
