@@ -290,7 +290,11 @@ def estimate_join(left: DataFrame, right: DataFrame, key: str) -> JoinEstimate:
             F.count(F.lit(1)).alias("m"),
             F.coalesce(F.sum("_p"), F.lit(0)).alias("pr"),
             F.coalesce(F.max("_p"), F.lit(0)).alias("mx"),
-            F.coalesce(F.max("_na"), F.lit(0)).alias("mxa"),
+            # Left count of the key with the LARGEST JOIN PRODUCT, not
+            # the global max(_na): the hot joined key (the one salting
+            # must spread) can differ from the widest left key when the
+            # latter matches a tiny right side.
+            F.coalesce(F.max_by("_na", "_p"), F.lit(0)).alias("mxa"),
         )
         .first()
     )

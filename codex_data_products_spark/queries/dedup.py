@@ -478,7 +478,7 @@ WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     sim = simhash_frame(docs)
-    hi = lambda side: (F.col(f"{side}.simhash") / 65536).cast("long")  # noqa: E731
+    hi = lambda side: F.shiftrightunsigned(F.col(f"{side}.simhash"), 16)  # noqa: E731
     lo = lambda side: F.col(f"{side}.simhash") % 65536  # noqa: E731
     a, b = sim.alias("a"), sim.alias("b")
     lt = F.col("a.doc_id") < F.col("b.doc_id")
@@ -730,9 +730,9 @@ SELECT
   CAST((SELECT count(*) FROM cand) AS BIGINT)  AS n_candidates,
   CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
   round(CAST((SELECT count(*) FROM found) AS DOUBLE)
-        / (SELECT count(*) FROM exact), 6)     AS recall,
+        / NULLIF((SELECT count(*) FROM exact), 0), 6) AS recall,
   round(CAST((SELECT count(*) FROM found) AS DOUBLE)
-        / (SELECT count(*) FROM cand), 6)      AS verify_yield
+        / NULLIF((SELECT count(*) FROM cand), 0), 6)  AS verify_yield
 """
 
 
@@ -759,10 +759,14 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_found",
             F.round(
-                F.col("n_found").cast("double") / F.col("n_exact_pairs"), 6
+                F.col("n_found").cast("double")
+                / F.nullif(F.col("n_exact_pairs"), F.lit(0)),
+                6,
             ).alias("recall"),
             F.round(
-                F.col("n_found").cast("double") / F.col("n_candidates"), 6
+                F.col("n_found").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0)),
+                6,
             ).alias("verify_yield"),
         )
     )
@@ -826,9 +830,9 @@ SELECT
   CAST((SELECT count(*) FROM cand) AS BIGINT)  AS n_candidates,
   CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
   round(CAST((SELECT count(*) FROM found) AS DOUBLE)
-        / (SELECT count(*) FROM exact), 6)     AS recall,
+        / NULLIF((SELECT count(*) FROM exact), 0), 6) AS recall,
   round(CAST((SELECT count(*) FROM found) AS DOUBLE)
-        / (SELECT count(*) FROM cand), 6)      AS verify_yield
+        / NULLIF((SELECT count(*) FROM cand), 0), 6)  AS verify_yield
 """
 
 
@@ -838,7 +842,7 @@ def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     sim = simhash_frame(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    hi = lambda side: (F.col(f"{side}.simhash") / 65536).cast("long")  # noqa: E731
+    hi = lambda side: F.shiftrightunsigned(F.col(f"{side}.simhash"), 16)  # noqa: E731
     lo = lambda side: F.col(f"{side}.simhash") % 65536  # noqa: E731
     a, b = sim.alias("a"), sim.alias("b")
     lt = F.col("a.doc_id") < F.col("b.doc_id")
@@ -898,10 +902,14 @@ def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_found",
             F.round(
-                F.col("n_found").cast("double") / F.col("n_exact_pairs"), 6
+                F.col("n_found").cast("double")
+                / F.nullif(F.col("n_exact_pairs"), F.lit(0)),
+                6,
             ).alias("recall"),
             F.round(
-                F.col("n_found").cast("double") / F.col("n_candidates"), 6
+                F.col("n_found").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0)),
+                6,
             ).alias("verify_yield"),
         )
     )
@@ -972,7 +980,7 @@ def _wide_candidate_pairs(sim: DataFrame, with_sig: bool = False) -> DataFrame:
     lt = F.col("a.doc_id") < F.col("b.doc_id")
 
     def band(side: str, i: int):
-        return (F.col(f"{side}.simhash") / (256 ** i)).cast("long") % 256
+        return F.shiftrightunsigned(F.col(f"{side}.simhash"), 8 * i) % 256
 
     cols = [
         F.col("a.doc_id").alias("doc_a"),
@@ -1044,9 +1052,9 @@ SELECT
   CAST((SELECT count(*) FROM cand) AS BIGINT)  AS n_candidates,
   CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
   round(CAST((SELECT count(*) FROM found) AS DOUBLE)
-        / (SELECT count(*) FROM exact), 6)     AS recall,
+        / NULLIF((SELECT count(*) FROM exact), 0), 6) AS recall,
   round(CAST((SELECT count(*) FROM found) AS DOUBLE)
-        / (SELECT count(*) FROM cand), 6)      AS verify_yield
+        / NULLIF((SELECT count(*) FROM cand), 0), 6)  AS verify_yield
 """
 
 
@@ -1095,10 +1103,14 @@ def dedup_simhash_wide_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_found",
             F.round(
-                F.col("n_found").cast("double") / F.col("n_exact_pairs"), 6
+                F.col("n_found").cast("double")
+                / F.nullif(F.col("n_exact_pairs"), F.lit(0)),
+                6,
             ).alias("recall"),
             F.round(
-                F.col("n_found").cast("double") / F.col("n_candidates"), 6
+                F.col("n_found").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0)),
+                6,
             ).alias("verify_yield"),
         )
     )

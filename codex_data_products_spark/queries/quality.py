@@ -299,17 +299,19 @@ tot AS (
 SELECT priority,
        CAST(n_early AS BIGINT) AS n_early,
        CAST(n_late AS BIGINT)  AS n_late,
-       round(CAST(n_early AS DOUBLE) / tot_early, 6) AS share_early,
-       round(CAST(n_late AS DOUBLE) / tot_late, 6)   AS share_late,
+       round(CAST(n_early AS DOUBLE) / NULLIF(tot_early, 0), 6)
+         AS share_early,
+       round(CAST(n_late AS DOUBLE) / NULLIF(tot_late, 0), 6)
+         AS share_late,
        round(
          pow(n_early - CAST((n_early + n_late) * tot_early AS DOUBLE)
                         / (tot_early + tot_late), 2)
-           / (CAST((n_early + n_late) * tot_early AS DOUBLE)
-              / (tot_early + tot_late))
+           / NULLIF(CAST((n_early + n_late) * tot_early AS DOUBLE)
+              / (tot_early + tot_late), 0)
          + pow(n_late - CAST((n_early + n_late) * tot_late AS DOUBLE)
                          / (tot_early + tot_late), 2)
-           / (CAST((n_early + n_late) * tot_late AS DOUBLE)
-              / (tot_early + tot_late)), 6) AS chi2_contrib
+           / NULLIF(CAST((n_early + n_late) * tot_late AS DOUBLE)
+              / (tot_early + tot_late), 0), 6) AS chi2_contrib
 FROM tot
 """
 
@@ -341,17 +343,21 @@ def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_e, n_l = F.col("n_early"), F.col("n_late")
     t_e, t_l = F.col("tot_early"), F.col("tot_late")
+    # nullif-guarded denominators: a degenerate split (all orders on
+    # one side of the pivot) yields NULL on BOTH engines instead of
+    # Spark-NULL vs DuckDB inf/error divergence.
     e_early = ((n_e + n_l) * t_e).cast("double") / (t_e + t_l)
     e_late = ((n_e + n_l) * t_l).cast("double") / (t_e + t_l)
+    nz = lambda c: F.nullif(c, F.lit(0))  # noqa: E731
     return tot.select(
         "priority",
         n_e.cast("long").alias("n_early"),
         n_l.cast("long").alias("n_late"),
-        F.round(n_e.cast("double") / t_e, 6).alias("share_early"),
-        F.round(n_l.cast("double") / t_l, 6).alias("share_late"),
+        F.round(n_e.cast("double") / nz(t_e), 6).alias("share_early"),
+        F.round(n_l.cast("double") / nz(t_l), 6).alias("share_late"),
         F.round(
-            F.pow(n_e - e_early, 2) / e_early
-            + F.pow(n_l - e_late, 2) / e_late,
+            F.pow(n_e - e_early, 2) / nz(e_early)
+            + F.pow(n_l - e_late, 2) / nz(e_late),
             6,
         ).alias("chi2_contrib"),
     )

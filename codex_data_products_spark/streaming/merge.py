@@ -529,7 +529,7 @@ def moment_rows(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
     k = F.round(F.col("val") * F.lit(1.0e8), 0).cast("decimal(19,0)")
     return x.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("val").cast("decimal(12,8)"))
+        F.sum(F.col("val").cast("decimal(20,8)"))
         .cast("decimal(28,8)")
         .alias("s"),
         F.sum(k * k).cast("decimal(38,0)").alias("s2"),
