@@ -340,13 +340,11 @@ WHERE j.jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
-    """Banded-minhash candidate pairs (doc_a, doc_b) for a shingle
-    table — the shared core of dedup_minhash_lsh and its recall
-    evaluation. First-match-band emission keeps the two band joins
-    disjoint (no DISTINCT over collision pairs)."""
-    from pyspark import StorageLevel
-
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, b0, b1) banded-minhash signatures for a (already
+    df-capped) shingle table — one row per doc. Shared by the batch LSH
+    queries and the incremental dedup maintainer
+    (``streaming.dedup_ivm``), which persists exactly this frame."""
     sig = _with_salted_md5(sh).groupBy("doc_id").agg(
         *[_minhash_expr(i) for i in range(NUM_MINHASHES)]
     )
@@ -358,11 +356,21 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
         ]
         return F.md5(F.concat_ws(",", *cols))
 
+    return sig.select(
+        "doc_id", band_val(0).alias("b0"), band_val(1).alias("b1")
+    )
+
+
+def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
+    """Banded-minhash candidate pairs (doc_a, doc_b) for a shingle
+    table — the shared core of dedup_minhash_lsh and its recall
+    evaluation. First-match-band emission keeps the two band joins
+    disjoint (no DISTINCT over collision pairs)."""
+    from pyspark import StorageLevel
+
     # One signature row per doc (tiny): persist so the band self-join's
     # two branches don't each re-run the md5-heavy aggregation.
-    bands = sig.select(
-        "doc_id", band_val(0).alias("b0"), band_val(1).alias("b1")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = minhash_bands(sh).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bands.alias("a"), bands.alias("b")
     lt = F.col("a.doc_id") < F.col("b.doc_id")
     pair = [F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")]
@@ -390,6 +398,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_for_pairs(cand, sh).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental — the maintained-view twin of dedup_minhash_lsh
+# (streaming/dedup_ivm.py): the documents table is ingested as THREE
+# modulo batches through the incremental maintainer (O(delta) per
+# batch: delta-only hashing, broadcast candidate join against the
+# persisted band table, re-sign repair when a shingle crosses the DF
+# cap), and the final pair snapshot is returned. The oracle is the
+# SAME from-scratch SQL as dedup_minhash_lsh — the driver's hash
+# comparison therefore certifies incremental == from-scratch equality
+# end to end, not just rows.
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_incremental", sql=_MINHASH_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_dedup_batch,
+        bootstrap_dedup_state,
+        dedup_pairs_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="dedup_ivm_")
+    bootstrap_dedup_state(spark, state)
+    for k in range(3):
+        apply_dedup_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
+    return dedup_pairs_snapshot(spark, state)
 
 
 # ---------------------------------------------------------------------------

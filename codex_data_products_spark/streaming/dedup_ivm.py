@@ -1,0 +1,305 @@
+"""Incrementally-maintained MinHash-LSH duplicate-pair set — the fifth
+IVM class next to the aggregate / HLL / join-view / top-k maintainers
+in ``streaming.merge``.
+
+The maintained view is EXACTLY the output of the batch
+``dedup_minhash_lsh`` query over all documents ingested so far:
+verified pairs ``(doc_a, doc_b, jaccard)`` with band-sharing MinHash
+signatures and set Jaccard >= threshold. Each batch costs O(|delta|),
+not O(|corpus|): new documents hash only themselves, and candidate
+generation joins the (tiny, broadcast) delta signatures against the
+persisted band table so the persisted side never shuffles.
+
+The one global dependency in the batch pipeline is the stop-shingle
+document-frequency cap: ingesting new docs can push a shingle's DF over
+the cap, which removes it from the shingle sets of EVERY doc containing
+it — changing those docs' signatures and Jaccards. The maintainer
+handles this exactly instead of approximately: DF counts are themselves
+an incrementally-maintained additive aggregate (the ``combine_agg_state``
+shape), a batch that caps shingles triggers a RE-SIGN of just the docs
+containing a newly-capped shingle, and the pair set is repaired only
+where an endpoint was re-signed. A shingle crossing the cap has DF just
+above it, so the re-sign set is bounded by ~cap docs per newly-capped
+shingle — the refresh stays delta-proportional.
+
+State layout under ``state_dir`` (versioned snapshots, same
+``v=<batch_id>`` anchoring contract as every maintainer in
+``streaming.merge``; batch k reads v=k and overwrites v=k+1, so a
+foreachBatch replay re-derives the same snapshots):
+
+  * ``shingles/batch=<k>/`` — APPEND-ONLY uncapped (doc_id, shingle)
+    rows per ingest batch. O(|delta|) write; a replay overwrites only
+    its own ``batch=`` dir. At 100 TB this is the "persist signatures
+    bucketed, hash only the delta" table from SCALE.md — stored
+    bucketed by shingle so the affected-doc probe is a pruned scan.
+  * ``df/v=<k>`` — (shingle, df) corpus document frequencies.
+  * ``bands/v=<k>`` — (doc_id, b0, b1) MinHash band signatures
+    (one row per doc — the small state).
+  * ``pairs/v=<k>`` — (doc_a, doc_b, jaccard) the maintained view.
+
+Invariants (property-tested in tests/test_streaming.py): after any
+sequence of insert batches with fresh doc_ids, ``pairs`` equals the
+from-scratch ``dedup_minhash_lsh`` over the union of all batches, and
+``bands``/``df`` equal their from-scratch counterparts.
+
+Reference parity: the reference has no incremental path at all (it
+recomputes products from scratch per run — e.g. the full pipeline in
+main.py); this maintainer is the Spark-native answer to running that
+recompute daily over an append-heavy 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.queries.dedup import (
+    JACCARD_THRESHOLD,
+    SHINGLE_DF_CAP,
+    _jaccard_for_pairs,
+    minhash_bands,
+    shingle_table,
+)
+from codex_data_products_spark.streaming.merge import read_table
+
+_SHINGLE_SCHEMA = "doc_id long, shingle string"
+_DF_SCHEMA = "shingle string, df long"
+_BANDS_SCHEMA = "doc_id long, b0 string, b1 string"
+_PAIRS_SCHEMA = "doc_a long, doc_b long, jaccard double"
+
+
+@dataclass(frozen=True)
+class DedupStateDirs:
+    root: str
+
+    @property
+    def shingles(self) -> str:
+        return f"{self.root}/shingles"
+
+    @property
+    def df(self) -> str:
+        return f"{self.root}/df"
+
+    @property
+    def bands(self) -> str:
+        return f"{self.root}/bands"
+
+    @property
+    def pairs(self) -> str:
+        return f"{self.root}/pairs"
+
+
+def _empty(spark: SparkSession, schema: str) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def bootstrap_dedup_state(spark: SparkSession, state_dir: str) -> DedupStateDirs:
+    """Write the v=0 snapshots (empty corpus — every document then
+    arrives through the change feed; an existing corpus is just a big
+    first batch)."""
+    dirs = DedupStateDirs(state_dir)
+    _empty(spark, _DF_SCHEMA).write.mode("overwrite").parquet(f"{dirs.df}/v=0")
+    _empty(spark, _BANDS_SCHEMA).write.mode("overwrite").parquet(
+        f"{dirs.bands}/v=0"
+    )
+    _empty(spark, _PAIRS_SCHEMA).write.mode("overwrite").parquet(
+        f"{dirs.pairs}/v=0"
+    )
+    return dirs
+
+
+def _prior_shingles(
+    spark: SparkSession, dirs: DedupStateDirs, batch_id: int
+) -> DataFrame:
+    """Uncapped shingle rows of every batch BEFORE this one. The
+    current batch's own dir is excluded explicitly so a crashed
+    attempt's leftover partition can never double-count on replay."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(dirs.shingles)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return _empty(spark, _SHINGLE_SCHEMA)
+    paths = []
+    for status in fs.listStatus(jvm_path):
+        name = status.getPath().getName()
+        if name.startswith("batch=") and int(name[6:]) < batch_id:
+            paths.append(f"{dirs.shingles}/{name}")
+    if not paths:
+        return _empty(spark, _SHINGLE_SCHEMA)
+    return spark.read.schema(_SHINGLE_SCHEMA).parquet(*paths)
+
+
+def apply_dedup_batch(
+    batch_docs: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """Fold one batch of NEW documents (fresh doc_ids — the corpus is
+    append-only) into the maintained dedup state: read the anchored
+    v=batch_id snapshots, write v=batch_id+1.
+
+    Scale shape (plan-guarded in tests/test_plans.py): everything
+    derived from the delta (new shingles, newly-capped shingles,
+    re-sign doc set, delta band signatures, candidate docs) is tiny and
+    broadcast; the persisted band table and the persisted shingle log
+    are only ever scanned + broadcast-joined, never shuffled.
+    """
+    spark = batch_docs.sparkSession
+    dirs = DedupStateDirs(state_dir)
+    cap = F.lit(SHINGLE_DF_CAP)
+
+    df_state = read_table(spark, dirs.df, version=batch_id)
+    bands_state = read_table(spark, dirs.bands, version=batch_id)
+    pairs_state = read_table(spark, dirs.pairs, version=batch_id)
+    old_sh = _prior_shingles(spark, dirs, batch_id)
+
+    # -- 1. shingle the delta; append (idempotently) to the shingle log
+    delta_sh = shingle_table(batch_docs).persist()
+    delta_sh.write.mode("overwrite").parquet(
+        f"{dirs.shingles}/batch={batch_id}"
+    )
+
+    # -- 2. fold DF counts (additive agg state, same algebra as
+    #       combine_agg_state) and find shingles the delta pushed over
+    #       the cap
+    delta_df = delta_sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("_ddf")
+    )
+    folded = df_state.join(delta_df, "shingle", "full_outer").select(
+        "shingle",
+        (
+            F.coalesce(F.col("df"), F.lit(0))
+            + F.coalesce(F.col("_ddf"), F.lit(0))
+        ).cast("long").alias("df_new"),
+        F.coalesce(F.col("df"), F.lit(0)).alias("df_old"),
+    ).persist()
+    new_df = folded.select("shingle", F.col("df_new").alias("df"))
+    newly_capped = folded.filter(
+        (F.col("df_old") <= cap) & (F.col("df_new") > cap)
+    ).select("shingle")
+    frequent = folded.filter(F.col("df_new") > cap).select("shingle")
+
+    # -- 3. docs needing (re-)signing: the delta itself, plus every OLD
+    #       doc containing a newly-capped shingle (their capped shingle
+    #       sets shrank). newly_capped is tiny by construction (a
+    #       shingle crosses the cap once), so the probe into the
+    #       persisted shingle log is a broadcast semi-join.
+    affected = (
+        old_sh.join(F.broadcast(newly_capped), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    resign = (
+        delta_sh.select("doc_id")
+        .distinct()
+        .unionByName(affected)
+        .distinct()
+        .persist()
+    )
+
+    # -- 4. capped shingle sets + band signatures for the re-sign set
+    all_sh = old_sh.unionByName(delta_sh)
+    sh_r = all_sh.join(F.broadcast(resign), "doc_id", "left_semi").join(
+        F.broadcast(frequent), "shingle", "left_anti"
+    )
+    bands_r = minhash_bands(sh_r).persist()
+
+    # -- 5. new band state: replace the re-signed docs' rows
+    new_bands = bands_state.join(
+        F.broadcast(resign), "doc_id", "left_anti"
+    ).unionByName(bands_r)
+
+    # -- 6. candidate pairs touching the re-sign set, under the NEW
+    #       signatures: broadcast(delta bands) x persisted bands.
+    #       Within-resign pairs surface from both sides, so normalize
+    #       doc order and dedup — the distinct is over the (small)
+    #       delta-proportional candidate set, never the corpus.
+    r, s = bands_r.alias("r"), new_bands.alias("s")
+    ne = F.col("r.doc_id") != F.col("s.doc_id")
+    norm = [
+        F.least(F.col("r.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+        F.greatest(F.col("r.doc_id"), F.col("s.doc_id")).alias("doc_b"),
+    ]
+    cand = (
+        s.join(F.broadcast(r), (F.col("r.b0") == F.col("s.b0")) & ne)
+        .select(*norm)
+        .unionByName(
+            s.join(
+                F.broadcast(r),
+                (F.col("r.b1") == F.col("s.b1"))
+                & (F.col("r.b0") != F.col("s.b0"))
+                & ne,
+            ).select(*norm)
+        )
+        .distinct()
+        .persist()
+    )
+
+    # -- 7. verify ONLY those candidates: exact Jaccard over the capped
+    #       shingle sets of the candidate docs (a broadcast-pruned slice
+    #       of the shingle log)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_v = all_sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").join(
+        F.broadcast(frequent), "shingle", "left_anti"
+    )
+    verified = _jaccard_for_pairs(cand, sh_v).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+    # -- 8. repair the pair set only where an endpoint was re-signed
+    kept = pairs_state.join(
+        F.broadcast(resign.select(F.col("doc_id").alias("doc_a"))),
+        "doc_a",
+        "left_anti",
+    ).join(
+        F.broadcast(resign.select(F.col("doc_id").alias("doc_b"))),
+        "doc_b",
+        "left_anti",
+    )
+    new_pairs = kept.select("doc_a", "doc_b", "jaccard").unionByName(
+        verified
+    )
+
+    new_df.write.mode("overwrite").parquet(f"{dirs.df}/v={batch_id + 1}")
+    new_bands.write.mode("overwrite").parquet(
+        f"{dirs.bands}/v={batch_id + 1}"
+    )
+    new_pairs.write.mode("overwrite").parquet(
+        f"{dirs.pairs}/v={batch_id + 1}"
+    )
+    for frame in (delta_sh, folded, resign, bands_r, cand):
+        frame.unpersist()
+
+
+def run_dedup_maintenance(
+    docs: DataFrame, state_dir: str, checkpoint_dir: str
+) -> None:
+    """availableNow foreachBatch drain of a document stream onto the
+    maintained duplicate-pair view — the streaming twin of calling
+    ``apply_dedup_batch`` per batch, with the standard replay contract:
+    a batch anchored to v=batch_id overwrites v=batch_id+1 (and its own
+    ``shingles/batch=`` dir), so a crash between state write and
+    checkpoint commit re-derives identical snapshots."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        apply_dedup_batch(batch, state_dir, batch_id)
+
+    (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def dedup_pairs_snapshot(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
+    """The maintained view: (doc_a, doc_b, jaccard) — equal to
+    ``dedup_minhash_lsh`` recomputed from scratch over every document
+    ingested up to ``version``."""
+    return read_table(spark, DedupStateDirs(state_dir).pairs, version)

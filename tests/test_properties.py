@@ -423,3 +423,74 @@ def test_survival_suffix_sum_equals_direct_count(lifetimes):
         suffix[m] = cum
     for m in suffix:
         assert suffix[m] == sum(1 for v in lifetimes if v >= m)
+
+
+# --- incremental dedup == from-scratch (streaming/dedup_ivm.py) ------------
+#
+# The maintained duplicate-pair view must equal dedup_minhash_lsh
+# recomputed over the union after EVERY batch, for random corpora drawn
+# from a tiny vocabulary (maximizing shared shingles / band collisions)
+# and random batch splits. Small example budget: each example runs a
+# full multi-batch maintenance cycle with parquet state.
+
+_DEDUP_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(_DEDUP_VOCAB), min_size=5, max_size=9
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    data=st.data(),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_incremental_equals_from_scratch(spark, tmp_path_factory, docs, data):
+    from codex_data_products_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        _frequent_shingles_removed,
+        _jaccard_for_pairs,
+        _lsh_candidate_pairs,
+        shingle_table,
+    )
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_dedup_batch,
+        bootstrap_dedup_state,
+        dedup_pairs_snapshot,
+    )
+
+    n_batches = data.draw(st.integers(min_value=1, max_value=3))
+    assignment = [
+        data.draw(st.integers(min_value=0, max_value=n_batches - 1))
+        for _ in docs
+    ]
+    frame = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    state = str(tmp_path_factory.mktemp("dedup_ivm"))
+    bootstrap_dedup_state(spark, state)
+    seen_ids: list[int] = []
+    for k in range(n_batches):
+        ids = [i for i, b in zip(range(len(docs)), assignment) if b == k]
+        seen_ids.extend(ids)
+        batch = frame.filter(F.col("doc_id").isin(ids or [-1]))
+        apply_dedup_batch(batch, state, k)
+        prefix = frame.filter(F.col("doc_id").isin(seen_ids or [-1]))
+        sh = _frequent_shingles_removed(shingle_table(prefix))
+        want = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in _jaccard_for_pairs(_lsh_candidate_pairs(sh), sh)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup_pairs_snapshot(spark, state).collect()
+        }
+        assert got == want

@@ -815,3 +815,185 @@ def test_run_moment_maintenance_replay_is_idempotent(spark, tmp_path):
     }
     assert once == twice
     assert twice[1][0] == 3  # folded exactly once
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (streaming/dedup_ivm.py): the fifth IVM class. The
+# maintained pair view must equal the from-scratch dedup_minhash_lsh
+# over everything ingested, including when a batch pushes a shingle
+# over the DF cap and old docs must be re-signed.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_from_scratch(docs_df):
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        _frequent_shingles_removed,
+        _jaccard_for_pairs,
+        _lsh_candidate_pairs,
+        shingle_table,
+    )
+
+    raw = shingle_table(docs_df).persist()
+    sh = _frequent_shingles_removed(raw)
+    out = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in _jaccard_for_pairs(_lsh_candidate_pairs(sh), sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .collect()
+    }
+    raw.unpersist()
+    return out
+
+
+def _ivm_pairs(spark, state_dir):
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        dedup_pairs_snapshot,
+    )
+
+    return {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_pairs_snapshot(spark, state_dir).collect()
+    }
+
+
+def test_dedup_ivm_matches_from_scratch_on_documents(spark, sf_dir, tmp_path):
+    """Three modulo batches of the documents table: the maintained view
+    equals a from-scratch LSH run over the union after every batch."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_dedup_batch,
+        bootstrap_dedup_state,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "dedup_state")
+    bootstrap_dedup_state(spark, state)
+    for k in range(3):
+        apply_dedup_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
+        prefix = docs.filter(F.col("doc_id") % 3 <= k)
+        assert _ivm_pairs(spark, state) == _lsh_from_scratch(prefix)
+
+
+def _cap_corpus(spark, n_with_common: int):
+    """Synthetic corpus where one shingle ('w0..w4') appears in
+    ``n_with_common`` docs — crossing SHINGLE_DF_CAP when that exceeds
+    the cap — plus a near-dup pair (9001, 9002) that shares the common
+    shingle, so capping it changes that pair's Jaccard."""
+    common = "w0 w1 w2 w3 w4"
+    rows = [
+        (1000 + i, f"{common} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f")
+        for i in range(n_with_common)
+    ]
+    # near-dup pair: 60 tokens, one differing tail token -> Jaccard
+    # (55 shared of 61 union) high enough that the md5-deterministic
+    # bands collide
+    shared_tail = " ".join(f"s{j}" for j in range(54))
+    rows.append((9001, f"{common} {shared_tail} onlyx"))
+    rows.append((9002, f"{common} {shared_tail} onlyy"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_ivm_cap_crossing_resigns_old_docs(spark, tmp_path):
+    """Batch 1 pushes the common shingle over the DF cap: docs from
+    batch 0 that contain it (including the near-dup pair) must be
+    re-signed and their pairs re-verified. Equality with from-scratch
+    is checked before AND after the crossing."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.dedup import SHINGLE_DF_CAP
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_dedup_batch,
+        bootstrap_dedup_state,
+    )
+
+    corpus = _cap_corpus(spark, SHINGLE_DF_CAP + 20)
+    state = str(tmp_path / "dedup_state")
+    bootstrap_dedup_state(spark, state)
+    # batch 0: common-shingle DF = 62 (60 fillers + the near-dup pair),
+    # below the cap of 100; batch 1 adds 60 more -> DF 122, capped.
+    b0 = corpus.filter((F.col("doc_id") < 1060) | (F.col("doc_id") > 9000))
+    b1 = corpus.filter((F.col("doc_id") >= 1060) & (F.col("doc_id") < 9000))
+    apply_dedup_batch(b0, state, 0)
+    got_before = _ivm_pairs(spark, state)
+    assert got_before == _lsh_from_scratch(b0)
+    apply_dedup_batch(b1, state, 1)
+    got_after = _ivm_pairs(spark, state)
+    assert got_after == _lsh_from_scratch(corpus)
+    # the crossing genuinely exercised the re-sign/re-verify path: the
+    # near-dup pair (9001, 9002) — OLD docs untouched by batch 1 — must
+    # now carry a Jaccard computed over the CAPPED shingle sets (the
+    # common shingle no longer counts toward intersection or union).
+    from codex_data_products_spark.streaming.dedup_ivm import DedupStateDirs
+    from codex_data_products_spark.streaming.merge import read_table
+
+    dirs = DedupStateDirs(state)
+    jac_before = {p[:2]: p[2] for p in got_before}
+    jac_after = {p[:2]: p[2] for p in got_after}
+    assert (9001, 9002) in jac_before and (9001, 9002) in jac_after
+    assert jac_before[(9001, 9002)] != jac_after[(9001, 9002)]
+    # and the DF state really crossed the cap
+    df_common = (
+        read_table(spark, dirs.df)
+        .filter(F.col("shingle") == "w0 w1 w2 w3 w4")
+        .collect()[0]["df"]
+    )
+    assert df_common > SHINGLE_DF_CAP
+
+
+def test_run_dedup_maintenance_replay_overwrites_same_version(
+    spark, tmp_path
+):
+    """Crash-replay: batch 0 wrote v=1 (and shingles/batch=0) but the
+    checkpoint commit was lost. The replay must anchor to v=0, overwrite
+    the same snapshot AND the same shingle-log partition (no
+    double-counted DF), and land on the from-scratch result."""
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        DedupStateDirs,
+        bootstrap_dedup_state,
+        run_dedup_maintenance,
+    )
+    from codex_data_products_spark.streaming.merge import table_versions
+
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "dedup_state")
+    tail = " ".join(f"t{j}" for j in range(59))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{tail} onlyx"),
+            (2, f"{tail} onlyy"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(f"{src}/d0")
+    bootstrap_dedup_state(spark, state)
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_dedup_maintenance(stream, state, ckpt)
+
+    drain(str(tmp_path / "ckpt1"))  # writes v=1, "commit lost"
+    drain(str(tmp_path / "ckpt2"))  # replay of batch_id=0
+
+    dirs = DedupStateDirs(state)
+    assert table_versions(spark, dirs.pairs) == [0, 1]
+    assert table_versions(spark, dirs.df) == [0, 1]
+    got = _ivm_pairs(spark, state)
+    assert got == _lsh_from_scratch(docs)
+    assert got  # the near-dup pair (1, 2) is actually found
+    # DF counts were not double-applied by the replay
+    from codex_data_products_spark.streaming.merge import read_table
+
+    df_counts = {
+        r["shingle"]: r["df"]
+        for r in read_table(spark, dirs.df).collect()
+    }
+    assert max(df_counts.values()) <= 2
