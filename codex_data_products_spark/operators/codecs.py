@@ -229,3 +229,170 @@ def resize_bmp_nearest(payload: bytes, dst_w: int, dst_h: int) -> bytes:
             row[3 * x : 3 * x + 3] = srow[3 * sx : 3 * sx + 3]
         rows.append(bytes(row))
     return encode_bmp(dst_w, dst_h, rows)
+
+
+# --- PNG ---------------------------------------------------------------------
+# From-scratch implementation of the public PNG spec (RFC 2083 /
+# ISO 15948) for the one profile a training pipeline's synthetic
+# assets need: 8-bit truecolor (color type 2, RGB), non-interlaced.
+# The only non-trivial dependency is DEFLATE, which the stdlib zlib
+# provides — the filter layer (all 5 types: None/Sub/Up/Average/Paeth)
+# is implemented here, so the compressed-image hook in
+# operators/multimodal.py is now executable in this container.
+
+import zlib
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_scanline(ftype: int, raw: bytes, prior: bytes, bpp: int) -> bytes:
+    out = bytearray(len(raw))
+    for i in range(len(raw)):
+        x = raw[i]
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prior[i]
+        c = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return bytes(out)
+
+
+def _unfilter_scanline(
+    ftype: int, filt: bytes, prior: bytes, bpp: int
+) -> bytes:
+    out = bytearray(len(filt))
+    for i in range(len(filt)):
+        x = filt[i]
+        a = out[i - bpp] if i >= bpp else 0
+        b = prior[i]
+        c = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x + a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x + b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x + (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            out[i] = (x + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rgb_rows: Sequence[bytes],
+    filters: Sequence[int] | None = None,
+) -> bytes:
+    """Encode 8-bit RGB rows (top-down, 3*width bytes each) as a
+    non-interlaced truecolor PNG. ``filters`` picks the per-scanline
+    filter type (default: cycle 0..4 so every filter in the spec gets
+    exercised — a real encoder would pick per-row by heuristic)."""
+    if len(rgb_rows) != height:
+        raise ValueError(f"expected {height} rows, got {len(rgb_rows)}")
+    bpp = 3
+    stream = bytearray()
+    prior = b"\x00" * (bpp * width)
+    for y, row in enumerate(rgb_rows):
+        if len(row) != bpp * width:
+            raise ValueError("row byte length != 3*width")
+        ftype = filters[y] if filters is not None else y % 5
+        stream.append(ftype)
+        stream += _filter_scanline(ftype, row, prior, bpp)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse chunks, inflate, unfilter. Same return contract as
+    ``decode_bmp``: width/height/channels, ``pixel_checksum`` (sum of
+    all R+G+B bytes) and top-down ``rgb_rows``. CRCs are verified —
+    a corrupted chunk fails loudly, not with garbage pixels."""
+    if payload[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG profile (depth={depth}, color={color}, "
+            f"interlace={interlace}); only 8-bit truecolor non-interlaced"
+        )
+    bpp = 3
+    stream = zlib.decompress(bytes(idat))
+    expected = height * (1 + bpp * width)
+    if len(stream) != expected:
+        raise ValueError(
+            f"PNG pixel stream is {len(stream)} bytes, expected {expected}"
+        )
+    rows: list[bytes] = []
+    checksum = 0
+    prior = b"\x00" * (bpp * width)
+    for y in range(height):
+        base = y * (1 + bpp * width)
+        row = _unfilter_scanline(
+            stream[base], stream[base + 1 : base + 1 + bpp * width], prior, bpp
+        )
+        checksum += sum(row)
+        rows.append(row)
+        prior = row
+    return {
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "pixel_checksum": checksum,
+        "rgb_rows": rows,
+    }

@@ -45,17 +45,23 @@ Codec = Callable[[bytes], dict]
 
 
 def real_image_codec(payload: bytes) -> dict:
-    """Real image decode. Uncompressed 24-bit BMP is handled natively by
-    the from-scratch spec codec (``operators/codecs.py`` — the minihdf5
-    approach: real public byte format, no third-party decoder); other
-    formats (PNG/JPEG) still need a Pillow/opencv-backed Codec injected
-    with the same return keys (width, height, channels)."""
+    """Real image decode. Uncompressed 24-bit BMP and 8-bit truecolor
+    PNG (all 5 scanline filters, DEFLATE via stdlib zlib) are handled
+    natively by the from-scratch spec codecs (``operators/codecs.py`` —
+    the minihdf5 approach: real public byte formats, no third-party
+    decoder); JPEG and other lossy formats still need a Pillow/opencv
+    Codec injected with the same return keys (width, height,
+    channels)."""
     if payload[:2] == b"BM":
         from codex_data_products_spark.operators.codecs import decode_bmp
 
         return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from codex_data_products_spark.operators.codecs import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
-        "no compressed-image codec in this container (BMP decodes "
+        "no lossy-image codec in this container (BMP and PNG decode "
         "natively); inject a Pillow/opencv-backed Codec with the same "
         "return keys (width, height, channels)"
     )

@@ -392,6 +392,98 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal_png_decode — the compressed-image hook, now executable:
+# the same checkerboard pixels as multimodal_bmp_decode but shipped
+# through the from-scratch PNG codec (operators/codecs.py — DEFLATE
+# via stdlib zlib, per-scanline filters cycling through all 5 spec
+# types so None/Sub/Up/Average/Paeth all decode in-flight). The oracle
+# replays the closed-form checkerboard arithmetic; the compressed byte
+# count is NOT asserted (it is a zlib implementation detail), the
+# decoded geometry and every pixel byte are.
+# ---------------------------------------------------------------------------
+
+_PNG_DECODE_SQL = """
+WITH g AS (
+  SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, h,
+         ((w + 1) // 2) * ((h + 1) // 2) + (w // 2) * (h // 2) AS n_even
+  FROM g
+)
+SELECT doc_id                                            AS asset_id,
+       CAST(w AS BIGINT)                                 AS width,
+       CAST(h AS BIGINT)                                 AS height,
+       CAST(3 AS BIGINT)                                 AS channels,
+       CAST(255 * (n_even + 2 * (w * h - n_even)) AS BIGINT)
+         AS pixel_checksum,
+       CAST(h AS BIGINT)                                 AS n_filtered_rows
+FROM c
+"""
+
+
+@register("multimodal_png_decode", sql=_PNG_DECODE_SQL)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.codecs import encode_png
+    from codex_data_products_spark.operators.multimodal import (
+        real_image_codec,
+    )
+    from codex_data_products_spark.tables import spread
+
+    docs = spread(T(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                rows = [
+                    bytes(
+                        255 if ((b // 3) + y + (b % 3)) % 2 else 0
+                        for b in range(3 * w)
+                    )
+                    for y in range(h)
+                ]
+                payloads.append(encode_png(w, h, rows))  # filters y % 5
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                m = real_image_codec(bytes(p))
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": m["width"],
+                        "height": m["height"],
+                        "channels": m["channels"],
+                        "pixel_checksum": m["pixel_checksum"],
+                        "n_filtered_rows": len(m["rgb_rows"]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = docs.mapInPandas(
+        encode, schema="asset_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        schema=(
+            "asset_id long, width long, height long, channels long, "
+            "pixel_checksum long, n_filtered_rows long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal_bmp_resize — the previously-stubbed byte re-encode now
 # executes: source checkerboard BMPs (same geometry as
 # multimodal_bmp_decode) are decoded, nearest-neighbor resized to a
