@@ -2,7 +2,17 @@
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "runs": [...], "steal_pct": ..., "load_avg_start": ...}
+
+Protocol (round-6 fix for cross-round comparability): the suite runs
+``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) in one session; the
+headline ``value`` is the MEDIAN run total and per-query timings are
+per-query medians, so a single hypervisor-steal spike can no longer
+masquerade as a plan regression. Host contention is measured, not
+guessed: /proc/stat is sampled before and after, and ``steal_pct``
+(stolen cycles as a share of all cycles during the bench) plus the
+starting load average are recorded in the JSON for the round artifact.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 output IO), after a warm-up pass of the session on a trivial action.
@@ -12,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -112,26 +123,66 @@ def main() -> None:
         .save()
     )
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # queries that persist intermediates (dedup family) would
-        # otherwise accumulate cache across the run
-        spark.catalog.clearCache()
+    def read_proc_stat() -> tuple[int, int] | None:
+        """(steal_ticks, total_ticks) from the aggregate cpu line."""
+        try:
+            with open("/proc/stat") as fh:
+                fields = fh.readline().split()
+        except OSError:
+            return None
+        if not fields or fields[0] != "cpu":
+            return None
+        vals = [int(x) for x in fields[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
 
-    total = round(sum(timings.values()), 3)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    load_start = round(os.getloadavg()[0], 2)
+    stat_start = read_proc_stat()
+
+    per_run: list[dict[str, float]] = []
+    for run in range(n_runs):
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = registry.QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            # queries that persist intermediates (dedup family) would
+            # otherwise accumulate cache across the run
+            spark.catalog.clearCache()
+        total = round(sum(timings.values()), 3)
+        print(f"  run {run + 1}/{n_runs}: {total:.1f}s", file=sys.stderr)
+        per_run.append(timings)
+
+    stat_end = read_proc_stat()
+    steal_pct = None
+    if stat_start and stat_end and stat_end[1] > stat_start[1]:
+        steal_pct = round(
+            100.0
+            * (stat_end[0] - stat_start[0])
+            / (stat_end[1] - stat_start[1]),
+            2,
+        )
+
+    run_totals = [round(sum(t.values()), 3) for t in per_run]
+    median_queries = {
+        name: round(statistics.median(t[name] for t in per_run), 3)
+        for name in HEADLINE
+    }
+    median_total = round(sum(median_queries.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                "value": median_total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": median_queries,
                 "sf": sf,
+                "runs": run_totals,
+                "median_run_sec": round(statistics.median(run_totals), 3),
+                "steal_pct": steal_pct,
+                "load_avg_start": load_start,
             }
         )
     )
