@@ -166,3 +166,32 @@ def within_cluster_ss(assigned_vectors: DataFrame, centroids: DataFrame) -> floa
     )
     row = joined.agg(F.sum(d2).alias("ss")).collect()[0]
     return float(row["ss"])
+
+
+def auto_nprobe(
+    n_cells: int,
+    expected_scan_frac: float,
+    target_scan_frac: float = 0.2,
+    lo: int = 1,
+    hi: int | None = None,
+) -> int:
+    """Choose the IVF probe count FROM THE MEASURED INDEX BALANCE (the
+    ``knn_ivf_cell_balance`` audit) — the ANN twin of how
+    ``join_cardinality`` feeds ``plan_join``: measure, then let the
+    measurement pick the plan.
+
+    ``expected_scan_frac`` is the audit's nprobe=1 expected scan
+    fraction Σ(n_c/N)² (queries land in cells proportionally to cell
+    mass). Each extra probe adds roughly that fraction again, so the
+    largest probe count that keeps expected scanned vectors within the
+    ``target_scan_frac`` budget is ``target / esf``, floored. On a
+    balanced index (esf = 1/n_cells) this buys ``target · n_cells``
+    probes of recall headroom; on a skewed index (esf → hot-cell mass)
+    it backs off toward 1 — scanning the hot cell once already costs
+    the budget, and extra probes would blow it without the recall
+    payoff. Clamped to [lo, hi]; hi defaults to the cell count."""
+    if expected_scan_frac <= 0:
+        raise ValueError("expected_scan_frac must be positive")
+    hi = n_cells if hi is None else hi
+    need = int(target_scan_frac / expected_scan_frac)
+    return max(lo, min(hi, need))

@@ -129,3 +129,17 @@ def zorder_key(x_col: str, y_col: str, bits: int = 16):
         f"acc + (CAST((({x_col} >> i) & 1) AS BIGINT) << (2 * i))"
         f"    + (CAST((({y_col} >> i) & 1) AS BIGINT) << (2 * i + 1)))"
     )
+
+
+def partitioned_write(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style directory partitioning — the write-time layout for
+    IVF-cell-pruned similarity search (SCALE.md): the corpus is written
+    ``partitionBy(cell)`` so a probe that touches nprobe cells compiles
+    to a scan whose ``PartitionFilters`` eliminate every other cell's
+    files at PLANNING time, before any I/O. Directory partitioning
+    (not range clustering) is the right tool here because probes are
+    exact-match on a low-cardinality cell id, and it is what
+    ``test_plans.py::test_ivf_probe_is_partition_pruned`` plan-guards."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -991,3 +991,89 @@ def test_dedup_incremental_persisted_bands_never_shuffle(
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert cand.count() >= 0  # the plan actually executes
+
+
+def test_ivf_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """SCALE.md's IVF claim, promoted from asserted to plan-guarded:
+    the corpus written partitionBy(cell) + a probe filter on the cell
+    id compiles to a scan whose PartitionFilters carry the probed
+    cells — non-probed partitions are eliminated at planning time, so
+    at 100 TB a probe reads nprobe cells' files, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.plans.layout import partitioned_write
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "cell", F.col("label")
+    )
+    layout = str(tmp_path / "ivf_corpus")
+    partitioned_write(emb, layout, ["cell"])
+
+    corpus = spark.read.parquet(layout)
+    probed = [1, 3]  # the nprobe=2 cells a query's centroid ranking picked
+    scan = corpus.filter(F.col("cell").isin(probed)).select(
+        "vec_id", "embedding"
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the probe must be a PartitionFilter (planning-time file pruning),
+    # NOT a post-scan Filter or a mere pushed data filter
+    assert "PartitionFilters: [" in plan
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part_filters and "1" in part_filters and "3" in part_filters
+    # rows actually come only from the probed partitions' files
+    files = {
+        r["f"]
+        for r in scan.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert files and all("cell=1" in f or "cell=3" in f for f in files)
+    total_cells = {r["cell"] for r in corpus.select("cell").distinct().collect()}
+    assert len(total_cells) > len(probed)  # pruning had something to prune
+
+
+def test_auto_nprobe_flips_on_measured_balance_alone(spark, tmp_path):
+    """knn_ivf_cell_balance -> auto_nprobe closes the measure-then-plan
+    loop: on a deliberately SKEWED cell distribution the same scan
+    budget affords fewer probes than on a balanced one, and the probe
+    list the plan prunes to is sized by the measurement alone."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.operators.clustering import auto_nprobe
+    from codex_data_products_spark.plans.layout import partitioned_write
+
+    def balance(counts: dict[str, int]) -> tuple[int, float]:
+        rows = [(c, n) for c, n in counts.items()]
+        cells = spark.createDataFrame(rows, "cell string, n_c long")
+        r = cells.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            (
+                F.sum(F.col("n_c") * F.col("n_c")).cast("double")
+                / (F.sum("n_c") * F.sum("n_c"))
+            ).alias("esf"),
+        ).collect()[0]
+        return int(r["n_cells"]), float(r["esf"])
+
+    balanced = {f"c{i}": 100 for i in range(10)}
+    skewed = {"hot": 910, **{f"c{i}": 10 for i in range(9)}}
+    n_b, esf_b = balance(balanced)
+    n_s, esf_s = balance(skewed)
+    np_b = auto_nprobe(n_b, esf_b)
+    np_s = auto_nprobe(n_s, esf_s)
+    assert np_b == 2  # balanced: esf = 0.1, 20% budget -> 2 probes
+    assert np_s == 1  # skewed: hot cell alone ~83% of the scan budget
+    assert np_b > np_s
+
+    # and the chosen nprobe drives the pruned layout: probe lists of
+    # the decided size compile to exactly-that-many partition dirs
+    rows = [(i, c) for c, n in skewed.items() for i in range(n)][:50]
+    frame = spark.createDataFrame(rows, "vec_id long, cell string")
+    layout = str(tmp_path / "skewed_corpus")
+    partitioned_write(frame, layout, ["cell"])
+    probe_cells = ["hot"][:np_s]
+    scan = spark.read.parquet(layout).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "hot" in part_filters
