@@ -1961,3 +1961,100 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent.groupBy("entropy_bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_test — hash-split two-proportion experiment readout: users
+# are deterministically assigned to arms by md5(user_id) parity (the
+# split every experimentation platform does so assignment survives
+# restarts with no assignment table), conversion = user produced >= 1
+# purchase event, and the readout is per-arm rates plus the pooled
+# two-proportion z statistic. Plan: one pass to the (user, converted)
+# grain (hash agg), then a 2-row arm aggregate — the z arithmetic is a
+# handful of row-local double ops on exact integer counts, so both
+# engines agree bit-for-bit after the final round.
+# ---------------------------------------------------------------------------
+
+_AB_TEST_SQL = """
+WITH users AS (
+  SELECT user_id,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(conv) AS BIGINT) AS n_converted
+  FROM users GROUP BY arm
+),
+wide AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n_users END)     AS n_a,
+    max(CASE WHEN arm = 0 THEN n_converted END) AS c_a,
+    max(CASE WHEN arm = 1 THEN n_users END)     AS n_b,
+    max(CASE WHEN arm = 1 THEN n_converted END) AS c_b
+  FROM arms
+)
+SELECT n_a, c_a, n_b, c_b,
+       round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+       round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+       round(
+         (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+         / NULLIF(sqrt(
+             (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+             * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+             * (1.0 / n_a + 1.0 / n_b)
+           ), 0), 6) AS z_score
+FROM wide
+"""
+
+
+@register("events_ab_test", sql=_AB_TEST_SQL)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+        "conv",
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c_b"),
+    )
+    n_a, c_a = F.col("n_a"), F.col("c_a")
+    n_b, c_b = F.col("n_b"), F.col("c_b")
+    pooled = (c_a + c_b).cast("double") / (n_a + n_b)
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(c_a.cast("double") / n_a, 6).alias("rate_a"),
+        F.round(c_b.cast("double") / n_b, 6).alias("rate_b"),
+        F.round(
+            (c_a.cast("double") / n_a - c_b.cast("double") / n_b)
+            / F.nullif(se, F.lit(0.0)),
+            6,
+        ).alias("z_score"),
+    )

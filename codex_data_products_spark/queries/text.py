@@ -1094,3 +1094,172 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_declared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_unigram_surprisal — unigram-LM quality scoring, the CCNet-style
+# corpus filter: train term frequencies on the corpus itself, score
+# each document by its mean token surprisal -1/n Σ ln(tf_t/N) (high =
+# rare-token gibberish, low = stopword soup; the middle is keepable
+# text). Plan: one token explode → (doc, term) counts → corpus term
+# frequencies (map-side combinable) joined back on term — at 100 TB
+# the LM side is vocabulary-sized, so the join shuffles vocab rows,
+# never the corpus twice. Float hazard: the per-doc sum is folded over
+# a term-SORTED list (the text_entropy recipe) so hash-agg order can't
+# touch the low bits; ln() on identical doubles agrees across engines.
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+dt AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY doc_id, term
+),
+lm AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS tf FROM dt GROUP BY term
+),
+n_total AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM lm),
+packed AS (
+  SELECT d.doc_id,
+         list(CAST(d.c AS DOUBLE) ORDER BY d.term)  AS cs,
+         list(CAST(l.tf AS DOUBLE) ORDER BY d.term) AS tfs,
+         CAST(sum(d.c) AS BIGINT) AS n_tokens
+  FROM dt d JOIN lm l ON l.term = d.term
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(1, len(cs)),
+                            i -> -cs[i] * ln(tfs[i] / t.n))),
+           (acc, x) -> acc + x
+         ) / n_tokens, 6) AS mean_surprisal
+FROM packed, n_total t
+"""
+
+
+@register("text_unigram_surprisal", sql=_SURPRISAL_SQL)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.tables import spread
+
+    docs = T(spark, sf_dir, "documents")
+    dt = (
+        spread(docs.select("doc_id", _tokens().alias("toks")), "doc_id")
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lm = dt.groupBy("term").agg(F.sum("c").cast("long").alias("tf"))
+    n_total = lm.agg(F.sum("tf").cast("long").alias("n"))
+    packed = (
+        dt.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("term", "c", "tf"))
+            ).alias("rows"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+    n = F.col("n")
+    # fold term-sorted (c, tf) pairs: acc + (-c * ln(tf / N))
+    surprisal_sum = F.aggregate(
+        F.col("rows"),
+        F.lit(0.0),
+        lambda acc, r: acc
+        + (
+            -r["c"].cast("double")
+            * F.log(r["tf"].cast("double") / n)
+        ),
+    )
+    return packed.crossJoin(F.broadcast(n_total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(surprisal_sum / F.col("n_tokens"), 6).alias(
+            "mean_surprisal"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_hash_embedding — feature-hashing document vectors (the hashing
+# trick): each term routes to one of 8 buckets by md5, with a +/-1 sign
+# from an independent md5 bit, and the doc's vector component is the
+# signed sum of term counts. Model-free text -> vector featurization
+# for clustering / near-dup blocking when no trained embedder is in
+# the loop. All arithmetic is EXACT integers on bit-identical md5
+# values, so the oracle comparison is trivial. Plan: token explode ->
+# (doc, term) counts -> row-local bucket/sign -> one pivot-free
+# conditional aggregation per doc; scales as one shuffle on doc_id.
+# ---------------------------------------------------------------------------
+
+_HASH_DIMS = 8
+
+_HASH_EMB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+dt AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY doc_id, term
+),
+routed AS (
+  SELECT doc_id, c,
+         CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT)
+           % {_HASH_DIMS} AS bucket,
+         CASE WHEN CAST(concat('0x', substring(md5(concat('sign|', term)), 1, 8))
+                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM dt
+)
+SELECT doc_id,
+       {", ".join(
+           f"CAST(coalesce(sum(CASE WHEN bucket = {d} THEN sgn * c END), 0)"
+           f" AS BIGINT) AS h{d}" for d in range(_HASH_DIMS)
+       )}
+FROM routed GROUP BY doc_id
+"""
+
+
+@register("text_hash_embedding", sql=_HASH_EMB_SQL)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.tables import spread
+
+    docs = T(spark, sf_dir, "documents")
+    dt = (
+        spread(docs.select("doc_id", _tokens().alias("toks")), "doc_id")
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def h32(col, salt=""):
+        src = (
+            F.concat(F.lit(salt), col) if salt else col
+        )
+        return F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("long")
+
+    routed = dt.select(
+        "doc_id",
+        "c",
+        (h32(F.col("term")) % _HASH_DIMS).alias("bucket"),
+        F.when(h32(F.col("term"), "sign|") % 2 == 0, 1)
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return routed.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("bucket") == d, F.col("sgn") * F.col("c")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"h{d}")
+            for d in range(_HASH_DIMS)
+        ]
+    )
