@@ -1077,3 +1077,32 @@ def test_auto_nprobe_flips_on_measured_balance_alone(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "hot" in part_filters
+
+
+def test_ab_test_single_scan_hash_aggs_only(spark, sf_dir):
+    # arm assignment is row-local md5 arithmetic; the readout is two
+    # stacked hash aggregates over ONE events scan — no window, no join
+    plan = _plan(spark, sf_dir, "events_ab_test")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_unigram_surprisal_vocab_join_scalar_broadcast(spark, sf_dir):
+    # the LM side is vocabulary-grain (derived from the same (doc, term)
+    # counts), joined back on term as an equi join; the corpus-total N is
+    # a 1-row broadcast scalar — never a cartesian against doc rows
+    plan = _plan(spark, sf_dir, "text_unigram_surprisal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N scalar
+    assert "Window" not in plan
+
+
+def test_hash_embedding_rowlocal_routing_no_join(spark, sf_dir):
+    # feature-hash routing (bucket + sign) is row-local md5 math; the
+    # vector build is one conditional hash aggregate per doc — no join,
+    # no window, one documents scan
+    plan = _plan(spark, sf_dir, "text_hash_embedding")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("FileScan") == 1
