@@ -201,7 +201,11 @@ SELECT
   floor(l_quantity / 7.0)                                AS qty_div7,
   ceil(l_quantity / 7.0)                                 AS qty_div7_up,
   CAST(sign(l_quantity - 25.0) AS DOUBLE)                AS sign_off_mid,
-  CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT)         AS qty_mod7,
+  -- floor() BEFORE the integer cast: DuckDB casts 25.5 -> 26
+  -- (round-to-nearest) where Spark truncates to 25, so a bare cast
+  -- diverges on fractional quantities (the supplier_concentration
+  -- contract; caught by the sf0.5 stress sweep's fractional rows)
+  CAST(CAST(floor(l_quantity) AS BIGINT) % 7 AS BIGINT)  AS qty_mod7,
   sqrt(l_quantity)                                       AS qty_sqrt,
   l_quantity * l_quantity                                AS qty_sq
 FROM lineitem
@@ -225,7 +229,7 @@ def conditional_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(q / 7.0).cast("double").alias("qty_div7"),
         F.ceil(q / 7.0).cast("double").alias("qty_div7_up"),
         F.signum(q - 25.0).cast("double").alias("sign_off_mid"),
-        (q.cast("long") % 7).cast("long").alias("qty_mod7"),
+        (F.floor(q).cast("long") % 7).cast("long").alias("qty_mod7"),
         F.sqrt(q).alias("qty_sqrt"),
         (q * q).alias("qty_sq"),
     )

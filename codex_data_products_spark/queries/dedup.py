@@ -1153,3 +1153,80 @@ def dedup_simhash_wide_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("verify_yield"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_chunks — CHUNK-grain exact dedup (the substring-level pass in
+# production pipelines; suffix-array dedup's practical cousin): split
+# every document into non-overlapping 10-token chunks and surface each
+# chunk that recurs across >= 2 distinct documents — boilerplate spans,
+# quoted passages, template fragments. Document-grain dedup
+# (dedup_exact .. dedup_simhash) can't see these: two docs sharing one
+# span are NOT near-duplicates, yet a trained model sees the span
+# every epoch. Fixed-width chunks instead of sentence splits keep the
+# grain well-defined on unpunctuated text. Plan: chunks are generated
+# ROW-LOCALLY (slice over the token array), (chunk, doc) composite keys
+# dedupe FIRST (text_boilerplate's skew recipe — a chunk shared by half
+# the corpus spreads across tasks via map-side combine instead of one
+# collect_set array), then two hash aggs on the chunk grain. No
+# self-join, no window, nothing all-pairs.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 10
+CHUNK_MIN_DOCS = 2
+
+_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(
+           list_slice(t, (i - 1) * {CHUNK_TOKENS} + 1, i * {CHUNK_TOKENS}),
+           ' ') AS chunk
+  FROM toks,
+       unnest(generate_series(1, len(t) // {CHUNK_TOKENS})) AS u(i)
+),
+pairs AS (SELECT DISTINCT doc_id, chunk FROM chunks),
+occ AS (
+  SELECT chunk, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM chunks GROUP BY chunk
+)
+SELECT p.chunk,
+       CAST(count(*) AS BIGINT)                   AS n_docs,
+       CAST(any_value(o.n_occurrences) AS BIGINT) AS n_occurrences
+FROM pairs p JOIN occ o ON o.chunk = p.chunk
+GROUP BY p.chunk
+HAVING count(*) >= {CHUNK_MIN_DOCS}
+"""
+
+
+@register("dedup_chunks", sql=_CHUNKS_SQL)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    # short-doc guard BEFORE chunk generation (text_boilerplate
+    # contract: F.sequence(1, 0) steps -1 and emits [1, 0])
+    toks = spread(
+        docs.select("doc_id", _tokens().alias("t")).filter(
+            F.size("t") >= CHUNK_TOKENS
+        )
+    )
+    t = F.col("t")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(1), F.floor(F.size(t) / CHUNK_TOKENS).cast("int")),
+        lambda i: F.array_join(
+            F.slice(t, (i - 1) * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+        ),
+    )
+    chunks = toks.select("doc_id", F.explode(chunk_arr).alias("chunk"))
+    pairs = chunks.distinct()
+    occ = chunks.groupBy("chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    return (
+        pairs.groupBy("chunk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= CHUNK_MIN_DOCS)
+        .join(occ, "chunk")
+        .select("chunk", "n_docs", "n_occurrences")
+    )

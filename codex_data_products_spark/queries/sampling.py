@@ -526,3 +526,85 @@ def split_contamination_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture_temperature — temperature-based mixture reweighting (the
+# mC4 / XLM-R recipe): sampling weight w_s ∝ n_s^α with α = 0.3, the
+# standard knob that upsamples low-resource sources without letting the
+# head domains drown them. Complements mixture_weights (uniform
+# target): this is the one production multilingual mixes actually ship.
+# Outputs, per source: raw share, temperature weight, the oversampling
+# factor (how many epochs of that source one epoch of the mix consumes),
+# and expected docs per 1M sampled. Plan: one corpus pass to the
+# source grain (map-side combinable), then window math over the
+# |sources|-row frame — the window never sees corpus rows.
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3
+
+_MIX_TEMP_SQL = f"""
+WITH per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+-- denominators fold over SOURCE-SORTED lists so both engines sum the
+-- same doubles in the same order (window SUM over doubles is
+-- order-nondeterministic across engines)
+denom AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list(CAST(n_docs AS DOUBLE) ORDER BY source),
+                            x -> pow(x, {_TEMP_ALPHA}))),
+           (acc, y) -> acc + y) AS pow_sum
+  FROM per_source
+)
+SELECT source, n_docs,
+       round(CAST(n_docs AS DOUBLE) / d.total_docs, 6) AS share,
+       round(pow(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA}) / d.pow_sum, 6)
+         AS temp_weight,
+       round((pow(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA}) / d.pow_sum)
+             / (CAST(n_docs AS DOUBLE) / d.total_docs), 6)
+         AS oversample_factor,
+       -- round-half, not floor: with equal sources the product sits
+       -- EXACTLY on an integer boundary, where a 1-ulp cross-engine
+       -- pow() difference flips floor() by 1; round()'s boundary is
+       -- .5, which ulp noise cannot straddle
+       CAST(round(1000000 * pow(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA})
+                  / d.pow_sum, 0) AS BIGINT) AS docs_per_million
+FROM per_source, denom d
+"""
+
+
+@register("mixture_temperature", sql=_MIX_TEMP_SQL)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    denom = per_source.agg(
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "n_docs"))),
+                lambda r: F.pow(r["n_docs"].cast("double"), F.lit(_TEMP_ALPHA)),
+            ),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ).alias("pow_sum"),
+    )
+    n = F.col("n_docs").cast("double")
+    powered = F.pow(n, F.lit(_TEMP_ALPHA))
+    share = n / F.col("total_docs")
+    temp_weight = powered / F.col("pow_sum")
+    return per_source.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("share"),
+        F.round(temp_weight, 6).alias("temp_weight"),
+        F.round(temp_weight / share, 6).alias("oversample_factor"),
+        F.round(F.lit(1000000) * temp_weight, 0)
+        .cast("long")
+        .alias("docs_per_million"),
+    )

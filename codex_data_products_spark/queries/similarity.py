@@ -2253,3 +2253,229 @@ def knn_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_c") * F.col("n_c")).cast("double") / (s * s), 6
         ).alias("expected_scan_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_sq_int8 — scalar-quantized (SQ8) symmetric search: the THIRD
+# compression axis next to PQ (knn_pq_adc) and row-local min/max
+# quantization (embedding_quantize). Each DIMENSION gets a corpus-wide
+# [min, max] range learned in one pass; every value is snapped to one
+# of 256 levels on that dimension's grid (FAISS's ScalarQuantizer
+# QT_8bit layout). Search runs symmetric code-vs-code: the distance is
+# Σ_d ((cq_d − cx_d)·scale_d)² — exact integer code deltas weighted by
+# per-dim scales, folded in dimension order so both engines sum the
+# same doubles in the same order (no float-order tolerance needed).
+#
+# Plan at 100 TB: the range pass is a posexplode → map-side-combined
+# hash agg to the |dims| grain (64 rows); codes are computed row-local
+# at write time (here: one projection under a 1-row broadcast of the
+# ranges); search is the same broadcast-queries × corpus scan with a
+# TOP_K window every other knn query uses. Codes are 4× smaller than
+# float32 — the scan reads a quarter of the bytes, which IS the point
+# of SQ at scale.
+# ---------------------------------------------------------------------------
+
+_SQ_ST_SQL = """
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT i AS d, min(v[i]) AS mn, max(v[i]) AS mx
+  FROM e, unnest(generate_series(1, len(v))) AS g(i)
+  GROUP BY i
+),
+st AS (
+  SELECT list(mn ORDER BY d) AS mns,
+         list(CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255 END
+              ORDER BY d) AS scales
+  FROM dims
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(v)),
+           i -> least(255.0, greatest(0.0,
+                  floor((v[i] - s.mns[i]) / s.scales[i] + 0.5))))
+           AS c
+  FROM e, st s
+)
+"""
+
+_SQL_SQ_D2 = (
+    "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(generate_series(1, len(q.c)),"
+    " i -> power((q.c[i] - x.c[i]) * s.scales[i], 2))),"
+    " (acc, y) -> acc + y), 6)"
+)
+
+_SQ_SQL = f"""
+WITH {_SQ_ST_SQL},
+q AS (SELECT vec_id, c FROM codes WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         {_SQL_SQ_D2} AS d2,
+         row_number() OVER (
+           PARTITION BY q.vec_id ORDER BY {_SQL_SQ_D2}, x.vec_id
+         ) AS rn
+  FROM q JOIN codes x ON q.vec_id <> x.vec_id, st s
+)
+SELECT query_id, neighbor_id, d2, CAST(rn AS BIGINT) AS rn
+FROM scored WHERE rn <= {TOP_K}
+"""
+
+
+def _sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, c: array<double> int-valued codes, scales) — the SQ8
+    index build: one range pass, then row-local quantization."""
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = emb.select(F.posexplode("v").alias("i", "val")).select(
+        (F.col("i") + 1).alias("d"), "val"
+    )
+    stats = dims.groupBy("d").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    st = stats.agg(
+        F.array_sort(F.collect_list(F.struct("d", "mn", "mx"))).alias("rows")
+    ).select(
+        F.transform("rows", lambda r: r["mn"]).alias("mns"),
+        F.transform(
+            "rows",
+            lambda r: F.when(r["mx"] == r["mn"], F.lit(1.0)).otherwise(
+                (r["mx"] - r["mn"]) / 255
+            ),
+        ).alias("scales"),
+    )
+    return (
+        spread(emb, "vec_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "vec_id",
+            "scales",
+            F.transform(
+                F.sequence(F.lit(1), F.size("v")),
+                lambda i: F.least(
+                    F.lit(255.0),
+                    F.greatest(
+                        F.lit(0.0),
+                        F.floor(
+                            (
+                                F.element_at("v", i)
+                                - F.element_at("mns", i)
+                            )
+                            / F.element_at("scales", i)
+                            + 0.5
+                        ).cast("double"),
+                    ),
+                ),
+            ).alias("c"),
+        )
+    )
+
+
+@register("knn_sq_int8", sql=_SQ_SQL)
+def knn_sq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = _sq_codes(spark, sf_dir)
+    queries = codes.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
+    )
+    diff_sq = F.zip_with(
+        F.zip_with("qc", "c", lambda a, b: a - b),
+        "scales",
+        lambda df_, s: F.pow(df_ * s, F.lit(2.0)),
+    )
+    d2 = F.round(
+        F.aggregate(diff_sq, F.lit(0.0), lambda acc, y: acc + y), 6
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        codes.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            d2.alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_sq_recall — recall@5 of SQ8 symmetric search against exact
+# squared-L2 ground truth; completes the compression-ablation row next
+# to knn_pq_recall (PQ) and knn_ivf_pq_recall (IVF+PQ): an index owner
+# reads all three before trading bytes for recall. SQ8 keeps every
+# dimension (only the mantissa is coarse), so its recall ceiling is far
+# above PQ's at 4× the code size — the table quantifies exactly that.
+# ---------------------------------------------------------------------------
+
+_SQ_RECALL_SQL = f"""
+WITH approx AS ({_SQ_SQL}),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {_SQL_L2}, c.vec_id
+           ) AS rn
+    FROM q JOIN e c ON q.vec_id <> c.vec_id
+  ) WHERE rn <= {TOP_K}
+)
+SELECT t.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(i.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+         AS recall_at_k
+FROM truth t
+LEFT JOIN approx i
+  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@register("knn_sq_recall", sql=_SQ_RECALL_SQL)
+def knn_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.round(
+        _dot(F.col("qv"), F.col("qv"))
+        - 2 * _dot(F.col("qv"), F.col("v"))
+        + _dot(F.col("v"), F.col("v")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    truth = (
+        spread(emb, "vec_id")
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = knn_sq_int8(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["neighbor_id"] == approx["hit_id"]),
+        "left",
+    ).select(truth["query_id"], "hit_id")
+    return joined.groupBy("query_id").agg(
+        F.count("hit_id").alias("n_hit"),
+        F.round(F.count("hit_id").cast("double") / TOP_K, 6).alias(
+            "recall_at_k"
+        ),
+    )

@@ -1263,3 +1263,205 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(_HASH_DIMS)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_surprisal — bigram-LM quality scoring, the second-order
+# companion to text_unigram_surprisal (KenLM-style corpus filters score
+# with n-gram context; unigram alone can't see scrambled word salad).
+# The LM is add-one (Laplace) smoothed: p(w2|w1) = (c(w1 w2) + 1) /
+# (c1(w1) + V), trained on the corpus itself; each doc scores the mean
+# surprisal -1/nb Σ ln p over its bigrams. Plan: bigrams are generated
+# ROW-LOCALLY (slice+concat over the token array — no self-join, no
+# window over token positions), counted per (doc, bigram), the LM side
+# collapses to bigram/left-word grains (vocabulary-sized, map-side
+# combinable), and the per-doc sum folds over a bigram-SORTED list so
+# hash-agg order never touches the low bits. At 100 TB the joins
+# shuffle vocab rows, never the corpus twice.
+# ---------------------------------------------------------------------------
+
+_SQL_BIGRAMS = (
+    "list_transform(generate_series(1, len(t) - 1),"
+    " i -> t[i] || ' ' || t[i + 1])"
+)
+
+_BIGRAM_SURPRISAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+db AS (
+  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c
+  FROM bg GROUP BY doc_id, bigram
+),
+lm AS (
+  SELECT bigram, CAST(sum(c) AS BIGINT) AS cb,
+         split_part(bigram, ' ', 1) AS w1
+  FROM db GROUP BY bigram
+),
+lefts AS (
+  SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM lm GROUP BY w1
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT split_part(bigram, ' ', 2)) AS BIGINT) AS v
+  FROM lm
+),
+packed AS (
+  SELECT d.doc_id,
+         list(CAST(d.c AS DOUBLE) ORDER BY d.bigram)  AS cs,
+         list(CAST(l.cb AS DOUBLE) ORDER BY d.bigram) AS cbs,
+         list(CAST(f.c1 AS DOUBLE) ORDER BY d.bigram) AS c1s,
+         CAST(sum(d.c) AS BIGINT) AS n_bigrams
+  FROM db d
+  JOIN lm l ON l.bigram = d.bigram
+  JOIN lefts f ON f.w1 = l.w1
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(1, len(cs)),
+               i -> -cs[i] * ln((cbs[i] + 1) / (c1s[i] + vb.v)))),
+           (acc, x) -> acc + x
+         ) / n_bigrams, 6) AS mean_surprisal
+FROM packed, vocab vb
+"""
+
+
+@register("text_bigram_surprisal", sql=_BIGRAM_SURPRISAL_SQL)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.tables import spread
+
+    docs = T(spark, sf_dir, "documents")
+    # short-doc guard BEFORE gram generation (text_boilerplate contract:
+    # F.sequence(1, 0) would step -1 and emit [1, 0])
+    toks = spread(
+        docs.select("doc_id", _tokens().alias("t")).filter(
+            F.size("t") >= 2
+        )
+    )
+    t = F.col("t")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat(
+            F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+        ),
+    )
+    db = (
+        toks.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lm = db.groupBy("bigram").agg(F.sum("c").cast("long").alias("cb")).select(
+        "bigram", "cb", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+    )
+    lefts = lm.groupBy("w1").agg(F.sum("cb").cast("long").alias("c1"))
+    vocab = lm.select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2")
+    ).agg(F.countDistinct("w2").cast("long").alias("v"))
+    packed = (
+        db.join(lm, "bigram")
+        .join(lefts, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bigram", "c", "cb", "c1"))
+            ).alias("rows"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    v = F.col("v")
+    surprisal_sum = F.aggregate(
+        F.col("rows"),
+        F.lit(0.0),
+        lambda acc, r: acc
+        + (
+            -r["c"].cast("double")
+            * F.log(
+                (r["cb"].cast("double") + 1)
+                / (r["c1"].cast("double") + v)
+            )
+        ),
+    )
+    return packed.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        "n_bigrams",
+        F.round(surprisal_sum / F.col("n_bigrams"), 6).alias(
+            "mean_surprisal"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_readability — Flesch reading-ease over integer text statistics:
+# words (whitespace tokens), sentences (runs of [.!?]), and a syllable
+# ESTIMATE (runs of vowels incl. y — the standard regex proxy; exact
+# syllabification needs a dictionary). Corpus filters band on this to
+# drop both unreadable boilerplate and trivially-short fragments. All
+# three counts are exact integers from the same regex semantics on both
+# engines (character classes only — no engine-specific syntax), so the
+# only float math is the final closed-form score. Row-local, one scan,
+# zero shuffle.
+# ---------------------------------------------------------------------------
+
+_READABILITY_SQL = f"""
+WITH stats AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+                        / greatest(n_sentences, 1))
+             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                       / greatest(n_words, 1)), 4) AS flesch
+FROM stats
+"""
+
+
+@register("text_readability", sql=_READABILITY_SQL)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    n_words = F.size(_tokens()).cast("long")
+    n_sentences = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))
+    ).cast("long")
+    n_syllables = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0)
+        )
+    ).cast("long")
+    stats = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (
+                F.col("n_words").cast("double")
+                / F.greatest(F.col("n_sentences"), F.lit(1))
+            )
+            - F.lit(84.6)
+            * (
+                F.col("n_syllables").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1))
+            ),
+            4,
+        ).alias("flesch"),
+    )
