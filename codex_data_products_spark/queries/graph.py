@@ -368,3 +368,93 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_link_prediction — common-neighbor link prediction over the
+# near-duplicate pair graph: two documents that are each LSH-verified
+# near-dups of the same third document but were never emitted as a
+# pair themselves are predicted links — exactly the transitive
+# candidates a banded-LSH pass structurally misses (similarity decays
+# across hops; the band collision may not fire for the endpoints).
+# Production dedup closes this with one neighbor-join, not another
+# corpus pass. Score = common-neighbor count + the Jaccard of the two
+# neighbor SETS (not token sets). Plan: the two-hop join fans out per
+# shared neighbor, so cost is Σ deg(z)² over dup-cluster members —
+# bounded by cluster size (upstream stop-shingle DF cap kills viral
+# hubs), never corpus all-pairs; the existing-edge removal is a
+# broadcast-able anti join on the pair key.
+# ---------------------------------------------------------------------------
+
+from codex_data_products_spark.queries.dedup import (  # noqa: E402
+    _MINHASH_SQL,
+    dedup_minhash_lsh,
+)
+
+_LINK_PRED_SQL = f"""
+WITH pairs AS ({_MINHASH_SQL}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS dg FROM und GROUP BY a),
+cn AS (
+  SELECT u1.a AS x, u2.a AS y, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM und u1 JOIN und u2 ON u1.b = u2.b AND u1.a < u2.a
+  GROUP BY u1.a, u2.a
+),
+nonadj AS (
+  SELECT c.x, c.y, c.common_neighbors
+  FROM cn c LEFT JOIN e ON e.a = c.x AND e.b = c.y
+  WHERE e.a IS NULL
+)
+SELECT n.x AS doc_a, n.y AS doc_b, n.common_neighbors,
+       round(CAST(n.common_neighbors AS DOUBLE)
+             / (da.dg + db.dg - n.common_neighbors), 6) AS neighbor_jaccard
+FROM nonadj n
+JOIN deg da ON da.node = n.x
+JOIN deg db ON db.node = n.y
+"""
+
+
+def link_prediction_from_pairs(e: DataFrame) -> DataFrame:
+    """Common-neighbor predictions for an (a, b) pair frame (a < b
+    normalized). Unit-testable core of graph_link_prediction — see
+    tests/test_plans.py / test_clustering.py for the constructed-chain
+    case (1-2, 2-3 predicts 1-3 with neighbor_jaccard 1.0)."""
+    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    )
+    u1 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    u2 = und.select(F.col("a").alias("y"), F.col("b").alias("z2"))
+    cn = (
+        u1.join(u2, (F.col("z") == F.col("z2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    nonadj = cn.join(
+        e, (cn["x"] == e["a"]) & (cn["y"] == e["b"]), "left_anti"
+    )
+    da = deg.select(F.col("node").alias("nx"), F.col("dg").alias("dga"))
+    db = deg.select(F.col("node").alias("ny"), F.col("dg").alias("dgb"))
+    return (
+        nonadj.join(da, F.col("x") == F.col("nx"))
+        .join(db, F.col("y") == F.col("ny"))
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("dga") + F.col("dgb") - F.col("common_neighbors")),
+                6,
+            ).alias("neighbor_jaccard"),
+        )
+    )
+
+
+@register("graph_link_prediction", sql=_LINK_PRED_SQL)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return link_prediction_from_pairs(e)

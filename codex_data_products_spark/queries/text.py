@@ -1465,3 +1465,138 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train — REAL BPE tokenizer training (the iterative merge
+# loop, not just pair counting like text_bpe_pairs): start from the
+# word-frequency table with words split into characters, then T=4
+# rounds of: count adjacent symbol pairs weighted by word frequency →
+# pick the most frequent pair (lexicographic tie-break) → merge it
+# corpus-wide. Classic BPE trains exactly this way on the vocab-grain
+# word-frequency table (never raw text), so at 100 TB the loop runs on
+# a vocabulary-sized frame after ONE corpus pass — each round is a
+# hash agg + a 1-row broadcast of the winning pair.
+#
+# Determinism / parity: symbols live in a space-joined string with
+# space sentinels; the merge is a literal left-to-right non-overlapping
+# replace(' a b ' -> ' ab '), which Spark and DuckDB implement
+# identically (consecutive overlapping occurrences under-merge the
+# same way on both engines — the known quirk of string-replace BPE).
+# Counts are exact integers; no floats anywhere. DuckDB replays the
+# whole T-round chain from generated CTEs (the embedding_pca_power
+# recipe for iterative algorithms).
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 4
+
+
+def _bpe_sql() -> str:
+    parts = [
+        f"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest({_SQL_TOKENS}) AS word FROM documents
+  ) GROUP BY word
+),
+s0 AS (
+  SELECT cnt,
+         ' ' || array_to_string(
+           list_transform(generate_series(1, length(word)),
+                          i -> substring(word, i, 1)), ' ') || ' ' AS sym
+  FROM words
+)"""
+    ]
+    for t in range(1, BPE_MERGES + 1):
+        parts.append(
+            f""",
+p{t} AS (
+  SELECT pr AS pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+    SELECT cnt,
+           unnest(list_transform(generate_series(1, len(a) - 1),
+                                 i -> a[i] || ' ' || a[i + 1])) AS pr
+    FROM (
+      SELECT cnt, list_filter(string_split(sym, ' '), x -> x <> '') AS a
+      FROM s{t - 1}
+    ) WHERE len(a) >= 2
+  ) GROUP BY pr
+),
+b{t} AS (SELECT pair, n FROM p{t} ORDER BY n DESC, pair LIMIT 1),
+s{t} AS (
+  SELECT cnt,
+         replace(sym, ' ' || b.pair || ' ',
+                 ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+  FROM s{t - 1}, b{t} b
+)"""
+        )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, pair,"
+        f" replace(pair, ' ', '') AS merged, n FROM b{t}"
+        for t in range(1, BPE_MERGES + 1)
+    )
+    parts.append(f"\n{steps}")
+    return "".join(parts)
+
+
+@register("text_bpe_train", sql=_bpe_sql())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.tables import spread
+
+    docs = T(spark, sf_dir, "documents")
+    words = (
+        spread(docs.select(F.explode(_tokens()).alias("word")))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substr(F.col("word"), i, F.lit(1)),
+    )
+    frame = words.select(
+        "cnt",
+        F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias(
+            "sym"
+        ),
+    )
+    bests = []
+    for t in range(1, BPE_MERGES + 1):
+        a = F.filter(F.split("sym", " "), lambda x: x != "")
+        staged = frame.select("cnt", a.alias("a")).filter(F.size("a") >= 2)
+        pair_arr = F.transform(
+            F.sequence(F.lit(1), F.size("a") - 1),
+            lambda i: F.concat(
+                F.element_at("a", i), F.lit(" "), F.element_at("a", i + 1)
+            ),
+        )
+        pairs = (
+            staged.select("cnt", F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1)
+        bests.append(
+            best.select(
+                F.lit(t).cast("long").alias("step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
+                    "merged"
+                ),
+                "n",
+            )
+        )
+        frame = frame.crossJoin(F.broadcast(best)).select(
+            "cnt",
+            F.replace(
+                F.col("sym"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ),
+            ).alias("sym"),
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out

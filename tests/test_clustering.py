@@ -128,3 +128,24 @@ def test_pagerank_operator_hand_checked(spark):
         ranks = {n: round(0.15 / 3 + 0.85 * mass[n], 9) for n in "abc"}
     for n in "abc":
         assert abs(got[n] - ranks[n]) < 1e-9
+
+
+def test_link_prediction_predicts_chain_gap(spark):
+    # chain 1-2, 2-3: the missing 1-3 edge is the only prediction;
+    # deg(1)=deg(3)=1, cn=1 -> neighbor_jaccard 1/(1+1-1) = 1.0.
+    # A complete triangle (4-5, 4-6, 5-6) must predict NOTHING.
+    from codex_data_products_spark.queries.graph import (
+        link_prediction_from_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (4, 6), (5, 6)], "a long, b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["common_neighbors"],
+            r["neighbor_jaccard"],
+        )
+        for r in link_prediction_from_pairs(pairs).collect()
+    }
+    assert got == {(1, 3): (1, 1.0)}
