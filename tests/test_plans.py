@@ -1106,3 +1106,66 @@ def test_hash_embedding_rowlocal_routing_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_sq_codes_range_rides_one_row_broadcast(spark, sf_dir):
+    # the per-dim [min,max] table reaches every row as a 1-row broadcast
+    # (codes are row-local math under it); queries join broadcast; the
+    # only joins are those two broadcasts — nothing cartesian over rows
+    plan = _plan(spark, sf_dir, "knn_sq_int8")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row range stats
+    assert "SortMergeJoin" not in plan  # never a corpus x corpus shuffle join
+
+
+def test_bpe_train_loops_on_vocab_grain(spark, sf_dir):
+    # every iteration is hash aggs over the word-frequency grain plus a
+    # 1-row broadcast of the winning pair; no window, nothing cartesian
+    plan = _plan(spark, sf_dir, "text_bpe_train")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_surprisal_joins_vocab_grains_only(spark, sf_dir):
+    # LM sides are bigram-/left-word-grain equi joins; the vocab size V
+    # is the only 1-row broadcast; no window anywhere
+    plan = _plan(spark, sf_dir, "text_bigram_surprisal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row V scalar
+    assert "Window" not in plan
+
+
+def test_readability_is_single_pass_rowlocal(spark, sf_dir):
+    # pure row-local regex counting + closed-form score: one scan,
+    # no join, no window, no aggregate — nothing to shuffle at all
+    plan = _plan(spark, sf_dir, "text_readability")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_mixture_temperature_folds_denominator_no_window(spark, sf_dir):
+    # the temperature denominator folds over a source-sorted list in a
+    # 1-row broadcast — the window-SUM-over-doubles hazard is designed
+    # out, so no Window may appear
+    plan = _plan(spark, sf_dir, "mixture_temperature")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row denominators
+
+
+def test_dedup_chunks_no_self_join_no_window(spark, sf_dir):
+    # chunk recurrence is two hash aggs + one chunk-grain equi join;
+    # never a doc x doc self-join, never a window over chunk rows
+    plan = _plan(spark, sf_dir, "dedup_chunks")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_link_prediction_equi_joins_only(spark, sf_dir):
+    # two-hop neighbor join + anti join on the pair key + two degree
+    # joins — all equi; nothing cartesian, no window
+    plan = _plan(spark, sf_dir, "graph_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan or plan.count("Window") <= 2  # upstream LSH
