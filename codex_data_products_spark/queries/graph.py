@@ -392,7 +392,7 @@ from codex_data_products_spark.queries.dedup import (  # noqa: E402
 )
 
 _LINK_PRED_SQL = f"""
-WITH pairs AS ({_MINHASH_SQL}),
+WITH pairs AS MATERIALIZED ({_MINHASH_SQL}),
 e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
 und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
 deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS dg FROM und GROUP BY a),
@@ -454,7 +454,15 @@ def link_prediction_from_pairs(e: DataFrame) -> DataFrame:
 
 @register("graph_link_prediction", sql=_LINK_PRED_SQL)
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = dedup_minhash_lsh(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    # the pair frame is referenced ~7x downstream (und x2, two-hop x4,
+    # anti join); without a cut each reference would recompute the FULL
+    # LSH pipeline (shingle -> minhash -> band join -> verify) — at
+    # sf0.5 that turned a 10 s query into a 10 min one. The pair set is
+    # dup-cluster-bounded (thousands of rows), so one localCheckpoint
+    # materializes it and every downstream branch reads the tiny cut.
+    e = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
     )
     return link_prediction_from_pairs(e)
