@@ -1165,11 +1165,11 @@ def dedup_simhash_wide_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # span are NOT near-duplicates, yet a trained model sees the span
 # every epoch. Fixed-width chunks instead of sentence splits keep the
 # grain well-defined on unpunctuated text. Plan: chunks are generated
-# ROW-LOCALLY (slice over the token array), (chunk, doc) composite keys
-# dedupe FIRST (text_boilerplate's skew recipe — a chunk shared by half
-# the corpus spreads across tasks via map-side combine instead of one
-# collect_set array), then two hash aggs on the chunk grain. No
-# self-join, no window, nothing all-pairs.
+# ROW-LOCALLY (slice over the token array), the doc-distinct and total
+# counts come from ONE expand-based aggregation whose partial phase
+# dedupes (chunk, doc) map-side — a chunk shared by half the corpus
+# spreads across tasks instead of one collect_set array. No self-join,
+# no window, nothing all-pairs, one corpus scan.
 # ---------------------------------------------------------------------------
 
 CHUNK_TOKENS = 10
@@ -1187,17 +1187,14 @@ chunks AS (
   FROM toks,
        unnest(generate_series(1, len(t) // {CHUNK_TOKENS})) AS u(i)
 ),
-pairs AS (SELECT DISTINCT doc_id, chunk FROM chunks),
-occ AS (
-  SELECT chunk, CAST(count(*) AS BIGINT) AS n_occurrences
+counts AS (
+  SELECT chunk,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT)               AS n_occurrences
   FROM chunks GROUP BY chunk
 )
-SELECT p.chunk,
-       CAST(count(*) AS BIGINT)                   AS n_docs,
-       CAST(any_value(o.n_occurrences) AS BIGINT) AS n_occurrences
-FROM pairs p JOIN occ o ON o.chunk = p.chunk
-GROUP BY p.chunk
-HAVING count(*) >= {CHUNK_MIN_DOCS}
+SELECT chunk, n_docs, n_occurrences
+FROM counts WHERE n_docs >= {CHUNK_MIN_DOCS}
 """
 
 
@@ -1219,14 +1216,16 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     chunks = toks.select("doc_id", F.explode(chunk_arr).alias("chunk"))
-    pairs = chunks.distinct()
-    occ = chunks.groupBy("chunk").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occurrences")
-    )
+    # ONE aggregation: countDistinct compiles to Spark's expand +
+    # two-phase partial agg, which dedupes (chunk, doc) map-side —
+    # the same skew discipline as an explicit composite-key dedupe,
+    # without the second corpus pass and the chunk-grain join the
+    # first cut of this query paid (EXPLAIN_r6 audit: 4 scans -> 1)
     return (
-        pairs.groupBy("chunk")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        chunks.groupBy("chunk")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
         .filter(F.col("n_docs") >= CHUNK_MIN_DOCS)
-        .join(occ, "chunk")
-        .select("chunk", "n_docs", "n_occurrences")
     )

@@ -2336,9 +2336,12 @@ def _sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dims.groupBy("d").agg(
         F.min("val").alias("mn"), F.max("val").alias("mx")
     )
+    # the 1-row range frame is broadcast under BOTH the corpus-codes and
+    # query-codes branches; cutting it here keeps each branch from
+    # re-deriving the dim stats (and re-scanning the corpus) on its own
     st = stats.agg(
         F.array_sort(F.collect_list(F.struct("d", "mn", "mx"))).alias("rows")
-    ).select(
+    ).localCheckpoint().select(
         F.transform("rows", lambda r: r["mn"]).alias("mns"),
         F.transform(
             "rows",

@@ -1145,11 +1145,15 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codex_data_products_spark.tables import spread
 
     docs = T(spark, sf_dir, "documents")
+    # dt feeds the LM side AND the per-doc pack; one cut = one corpus
+    # tokenize instead of three (at 100 TB dt is the persisted
+    # token-count table every downstream LM query shares)
     dt = (
         spread(docs.select("doc_id", _tokens().alias("toks")), "doc_id")
         .select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     lm = dt.groupBy("term").agg(F.sum("c").cast("long").alias("tf"))
     n_total = lm.agg(F.sum("tf").cast("long").alias("n"))
@@ -1350,10 +1354,13 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
         ),
     )
+    # same cut as text_unigram_surprisal: db feeds the bigram LM, the
+    # left-word counts, the vocab size AND the per-doc pack
     db = (
         toks.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     lm = db.groupBy("bigram").agg(F.sum("c").cast("long").alias("cb")).select(
         "bigram", "cb", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
@@ -1543,10 +1550,16 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codex_data_products_spark.tables import spread
 
     docs = T(spark, sf_dir, "documents")
+    # ONE corpus pass builds the vocab-grain frequency table; the cut
+    # matters because every iteration's best-pair chain re-references
+    # it — without it the lazy 4-round loop compiled to THIRTY corpus
+    # scans (EXPLAIN_r6 audit). After the checkpoint everything
+    # downstream is vocabulary-sized.
     words = (
         spread(docs.select(F.explode(_tokens()).alias("word")))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
     )
     chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
