@@ -2482,3 +2482,255 @@ def knn_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_sq — the IVF × SQ8 composition, completing the index matrix
+# (IVF×raw = knn_ivf_multiprobe, IVF×PQ = knn_ivf_pq, and now IVF×SQ):
+# coarse-cell pruning cuts the scanned fraction, SQ8 codes cut the
+# scanned BYTES 4×, and unlike PQ every dimension survives — so the
+# composed recall stays near the pruning-only ceiling (knn_ivf_sq_recall
+# measures exactly that). Plan: cell assignment and probe selection ride
+# 1-row/|cells|-row broadcasts; the candidate join is an equi join on
+# the cell id (at 100 TB: partition pruning over the partitionBy(cell)
+# layout — plans/layout.py); distances fold dim-ordered over exact
+# integer codes, so the oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SQL_L2_CENT = (
+    "round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cvec)"
+    " + list_dot_product(c.cvec, c.cvec), 6)"
+)
+
+_IVF_SQ_PREFIX = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent_long AS (
+  SELECT label, g.i - 1 AS dim,
+         CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(20,8)) AS c
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         CAST(round(sum(c), 8) AS DOUBLE) / count(*) AS cv
+  FROM cent_long GROUP BY label, dim
+),
+cent_vec AS (
+  SELECT c_label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY c_label
+),
+celld AS (
+  SELECT e.vec_id, c.c_label, {_SQL_L2_CENT} AS d2
+  FROM e CROSS JOIN cent_vec c
+),
+cell_assign AS (
+  SELECT vec_id, c_label AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d2, c_label
+    ) AS rn FROM celld
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, c_label AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d2, c_label
+    ) AS rn FROM celld WHERE vec_id % {QUERY_STRIDE} = 0
+  ) WHERE rn <= {N_PROBES}
+),
+dims AS (
+  SELECT i AS d, min(v[i]) AS mn, max(v[i]) AS mx
+  FROM e, unnest(generate_series(1, len(v))) AS g(i)
+  GROUP BY i
+),
+st AS (
+  SELECT list(mn ORDER BY d) AS mns,
+         list(CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255 END
+              ORDER BY d) AS scales
+  FROM dims
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(v)),
+           i -> least(255.0, greatest(0.0,
+                  floor((v[i] - s.mns[i]) / s.scales[i] + 0.5))))
+           AS c
+  FROM e, st s
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p
+  JOIN cell_assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT n.query_id, n.vec_id AS neighbor_id,
+         {_SQL_SQ_D2} AS d2
+  FROM cand n
+  JOIN codes x ON x.vec_id = n.vec_id
+  JOIN codes q ON q.vec_id = n.query_id, st s
+)"""
+
+_IVF_SQ_SQL = (
+    _IVF_SQ_PREFIX
+    + f"""
+SELECT query_id, neighbor_id, d2, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY d2, neighbor_id
+  ) AS rn FROM scored
+) WHERE rn <= {TOP_K}
+"""
+)
+
+
+@register("knn_ivf_sq", sql=_IVF_SQ_SQL)
+def knn_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(T(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent_vec = (
+        T(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "c"))
+        .select(
+            "label",
+            "dim",
+            F.col("c").cast("double").cast("decimal(20,8)").alias("c"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (F.round(F.sum("c"), 8).cast("double") / F.count(F.lit(1)))
+            .alias("m")
+        )
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+    d2c = F.round(
+        _dot(F.col("v"), F.col("v"))
+        - 2 * _dot(F.col("v"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec")),
+        6,
+    )
+    celld = emb.join(F.broadcast(cent_vec)).select(
+        "vec_id", "c_label", d2c.alias("d2")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    ranked = celld.withColumn("rn", F.row_number().over(w_cell))
+    cell_assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("c_label").alias("cell")
+    )
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") % QUERY_STRIDE == 0)
+            & (F.col("rn") <= N_PROBES)
+        )
+        .select(F.col("vec_id").alias("query_id"), F.col("c_label").alias("cell"))
+    )
+    codes = _sq_codes(spark, sf_dir)
+    cand = probes.join(cell_assign, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id")
+    qcodes = codes.select(
+        F.col("vec_id").alias("qid"), F.col("c").alias("qc")
+    )
+    diff_sq = F.zip_with(
+        F.zip_with("qc", "c", lambda a, b: a - b),
+        "scales",
+        lambda df_, sc: F.pow(df_ * sc, F.lit(2.0)),
+    )
+    d2 = F.round(
+        F.aggregate(diff_sq, F.lit(0.0), lambda acc, y: acc + y), 6
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qcodes), F.col("query_id") == F.col("qid"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            d2.alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_sq_recall — recall@5 of the composed IVF×SQ8 index against
+# exact squared-L2 truth. The reading next to knn_ivf_pq_recall: both
+# pay the same cell-pruning loss, but SQ keeps every dimension, so the
+# gap between the two IS the quantization axis isolated at equal
+# pruning — the number that decides codes-vs-recall trade at 4× size.
+# ---------------------------------------------------------------------------
+
+_IVF_SQ_RECALL_SQL = f"""
+WITH approx AS ({_IVF_SQ_SQL}),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {_SQL_L2}, c.vec_id
+           ) AS rn
+    FROM q JOIN e c ON q.vec_id <> c.vec_id
+  ) WHERE rn <= {TOP_K}
+)
+SELECT t.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(i.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+         AS recall_at_k
+FROM truth t
+LEFT JOIN approx i
+  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@register("knn_ivf_sq_recall", sql=_IVF_SQ_RECALL_SQL)
+def knn_ivf_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.round(
+        _dot(F.col("qv"), F.col("qv"))
+        - 2 * _dot(F.col("qv"), F.col("v"))
+        + _dot(F.col("v"), F.col("v")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    truth = (
+        spread(emb, "vec_id")
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = knn_ivf_sq(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["neighbor_id"] == approx["hit_id"]),
+        "left",
+    ).select(truth["query_id"], "hit_id")
+    return joined.groupBy("query_id").agg(
+        F.count("hit_id").alias("n_hit"),
+        F.round(F.count("hit_id").cast("double") / TOP_K, 6).alias(
+            "recall_at_k"
+        ),
+    )

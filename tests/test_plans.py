@@ -1169,3 +1169,12 @@ def test_link_prediction_equi_joins_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_link_prediction")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan or plan.count("Window") <= 2  # upstream LSH
+
+
+def test_ivf_sq_probe_joins_broadcast_sides(spark, sf_dir):
+    # cell ranking rides a |cells|-row broadcast; query codes ride a
+    # broadcast; the candidate join is equi on the cell id — nothing
+    # cartesian over corpus rows, no corpus SortMergeJoin self-join
+    plan = _plan(spark, sf_dir, "knn_ivf_sq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
