@@ -2284,13 +2284,13 @@ dims AS (
   FROM e, unnest(generate_series(1, len(v))) AS g(i)
   GROUP BY i
 ),
-st AS (
+st AS MATERIALIZED (
   SELECT list(mn ORDER BY d) AS mns,
          list(CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255 END
               ORDER BY d) AS scales
   FROM dims
 ),
-codes AS (
+codes AS MATERIALIZED (
   SELECT vec_id,
          list_transform(generate_series(1, len(v)),
            i -> least(255.0, greatest(0.0,
@@ -2523,14 +2523,14 @@ celld AS (
   SELECT e.vec_id, c.c_label, {_SQL_L2_CENT} AS d2
   FROM e CROSS JOIN cent_vec c
 ),
-cell_assign AS (
+cell_assign AS MATERIALIZED (
   SELECT vec_id, c_label AS cell FROM (
     SELECT *, row_number() OVER (
       PARTITION BY vec_id ORDER BY d2, c_label
     ) AS rn FROM celld
   ) WHERE rn = 1
 ),
-probes AS (
+probes AS MATERIALIZED (
   SELECT vec_id AS query_id, c_label AS cell FROM (
     SELECT *, row_number() OVER (
       PARTITION BY vec_id ORDER BY d2, c_label
@@ -2542,13 +2542,13 @@ dims AS (
   FROM e, unnest(generate_series(1, len(v))) AS g(i)
   GROUP BY i
 ),
-st AS (
+st AS MATERIALIZED (
   SELECT list(mn ORDER BY d) AS mns,
          list(CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255 END
               ORDER BY d) AS scales
   FROM dims
 ),
-codes AS (
+codes AS MATERIALIZED (
   SELECT vec_id,
          list_transform(generate_series(1, len(v)),
            i -> least(255.0, greatest(0.0,
