@@ -185,7 +185,11 @@ scored AS (
 )
 SELECT event_id, event_type, value, round(z, 6) AS zscore
 FROM scored
-WHERE abs(z) > 2.5
+-- threshold the ROUNDED z (the emitted value), matching the Spark
+-- side exactly: an unrounded-z filter diverges when a row's z lands
+-- inside (2.5, 2.5000005) — round-6 snaps it to the boundary, which
+-- one engine would keep and the other drop (caught at sf0.5)
+WHERE abs(round(z, 6)) > 2.5
 """
 
 

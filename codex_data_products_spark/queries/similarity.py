@@ -252,7 +252,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CENTROID_SQL = """
 WITH e AS (
   SELECT label, g.i - 1 AS dim,
-         CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(20,8)) AS c
+         CAST(round(CAST(embedding[g.i] AS DOUBLE), 8) AS DECIMAL(20,8)) AS c
   FROM embeddings,
        unnest(generate_series(1, len(embedding))) AS g(i)
 )
@@ -275,7 +275,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(
             "label",
             F.col("dim").cast("long").alias("dim"),
-            F.col("c").cast("double").cast("decimal(20,8)").alias("c"),
+            F.round(F.col("c").cast("double"), 8).cast("decimal(20,8)").alias("c"),
         )
         .groupBy("label", "dim")
         .agg(
@@ -301,7 +301,7 @@ WITH e AS (
 ),
 cent_long AS (
   SELECT label, g.i - 1 AS dim,
-         CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(20,8)) AS c
+         CAST(round(CAST(embedding[g.i] AS DOUBLE), 8) AS DECIMAL(20,8)) AS c
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
 ),
 cent AS (
@@ -578,7 +578,7 @@ WITH e AS (
 ),
 cent_long AS (
   SELECT label, g.i AS i,
-         CAST(round(sum(CAST(CAST(embedding[g.i] AS DOUBLE)
+         CAST(round(sum(CAST(round(CAST(embedding[g.i] AS DOUBLE), 8)
                               AS DECIMAL(20,8))), 8) AS DOUBLE)
            / count(*) AS m
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
@@ -628,7 +628,7 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "embeddings")
         .select("label", F.posexplode("embedding").alias("dim", "c"))
         .select(
-            "label", "dim", F.col("c").cast("double").cast("decimal(20,8)").alias("c")
+            "label", "dim", F.round(F.col("c").cast("double"), 8).cast("decimal(20,8)").alias("c")
         )
         .groupBy("label", "dim")
         .agg(
@@ -745,7 +745,7 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 cent AS (
-  SELECT i, CAST(round(sum(CAST(v[i] AS DECIMAL(20,8))), 8) AS DOUBLE)
+  SELECT i, CAST(round(sum(CAST(round(v[i], 8) AS DECIMAL(20,8))), 8) AS DOUBLE)
             / count(*) AS m
   FROM e, unnest(generate_series(1, len(v))) AS g(i)
   GROUP BY i
@@ -776,7 +776,7 @@ def embedding_norms_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(
             (
-                F.round(F.sum(F.col("x").cast("decimal(20,8)")), 8).cast(
+                F.round(F.sum(F.round(F.col("x"), 8).cast("decimal(20,8)")), 8).cast(
                     "double"
                 )
                 / F.count(F.lit(1))
@@ -832,7 +832,7 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 cent AS (
-  SELECT i, CAST(round(sum(CAST(v[i] AS DECIMAL(20,8))), 8) AS DOUBLE)
+  SELECT i, CAST(round(sum(CAST(round(v[i], 8) AS DECIMAL(20,8))), 8) AS DOUBLE)
             / count(*) AS m
   FROM e, unnest(generate_series(1, len(v))) AS g(i)
   GROUP BY i
@@ -879,7 +879,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.round(
-                    F.sum(F.col("x").cast("decimal(20,8)")), 8
+                    F.sum(F.round(F.col("x"), 8).cast("decimal(20,8)")), 8
                 ).cast("double")
                 / F.count(F.lit(1))
             ).alias("m")
@@ -975,7 +975,7 @@ PQ_ITERS = 3  # fixed Lloyd rounds — fixed so the oracle can replay them
 _SQL_CENT_VEC = """
 cent_long AS (
   SELECT label, g.i AS i,
-         CAST(round(sum(CAST(CAST(embedding[g.i] AS DOUBLE)
+         CAST(round(sum(CAST(round(CAST(embedding[g.i] AS DOUBLE), 8)
                               AS DECIMAL(20,8))), 8) AS DOUBLE)
            / count(*) AS m
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
@@ -1073,7 +1073,7 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "s",
                 "code",
                 "dim",
-                F.col("x").cast("decimal(20,8)").alias("x"),
+                F.round(F.col("x"), 8).cast("decimal(20,8)").alias("x"),
             )
             .groupBy("s", "code", "dim")
             .agg(
@@ -1143,7 +1143,7 @@ pq_asg{it} AS (
 pq_cm{it} AS (
   SELECT s, code, list(m ORDER BY dim) AS newc FROM (
     SELECT a.s, a.code, g.i - 1 AS dim,
-           CAST(round(sum(CAST(e.sv[g.i] AS DECIMAL(20,8))), 8) AS DOUBLE)
+           CAST(round(sum(CAST(round(e.sv[g.i], 8) AS DECIMAL(20,8))), 8) AS DOUBLE)
              / count(*) AS m
     FROM pq_asg{it} a
     JOIN pq_sube e ON e.vec_id = a.vec_id AND e.s = a.s,
@@ -1434,7 +1434,7 @@ def _ivf_pq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "dim",
-            F.col("c").cast("double").cast("decimal(20,8)").alias("c"),
+            F.round(F.col("c").cast("double"), 8).cast("decimal(20,8)").alias("c"),
         )
         .groupBy("label", "dim")
         .agg(
@@ -1855,13 +1855,13 @@ x AS (
 )
 SELECT dim,
        CAST(count(*) AS BIGINT) AS n,
-       round(CAST(round(sum(CAST(val AS DECIMAL(20,8))), 8) AS DOUBLE)
+       round(CAST(round(sum(CAST(round(val, 8) AS DECIMAL(20,8))), 8) AS DOUBLE)
              / count(*), 6) AS mean,
        round(sqrt(
          CAST(sum(CAST(round(val * 1.0e8, 0) AS DECIMAL(19,0))
                   * CAST(round(val * 1.0e8, 0) AS DECIMAL(19,0)))
               AS DOUBLE) / count(*) / 1.0e16
-         - pow(CAST(round(sum(CAST(val AS DECIMAL(20,8))), 8) AS DOUBLE)
+         - pow(CAST(round(sum(CAST(round(val, 8) AS DECIMAL(20,8))), 8) AS DOUBLE)
                / count(*), 2)), 6) AS std,
        round(min(val), 6) AS min_val,
        round(max(val), 6) AS max_val
@@ -1879,7 +1879,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") + 1).alias("dim"), "val"
     )
     n = F.count(F.lit(1))
-    mean = F.round(F.sum(F.col("val").cast("decimal(20,8)")), 8).cast(
+    mean = F.round(F.sum(F.round(F.col("val"), 8).cast("decimal(20,8)")), 8).cast(
         "double"
     ) / n
     k = F.round(F.col("val") * F.lit(1.0e8), 0).cast("decimal(19,0)")
@@ -1927,7 +1927,7 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 cent AS (
-  SELECT i, CAST(round(sum(CAST(v[i] AS DECIMAL(20,8))), 8) AS DOUBLE)
+  SELECT i, CAST(round(sum(CAST(round(v[i], 8) AS DECIMAL(20,8))), 8) AS DOUBLE)
             / count(*) AS m
   FROM e, unnest(generate_series(1, len(v))) AS g(i)
   GROUP BY i
@@ -2007,7 +2007,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.round(
-                    F.sum(F.col("val").cast("decimal(20,8)")), 8
+                    F.sum(F.round(F.col("val"), 8).cast("decimal(20,8)")), 8
                 ).cast("double")
                 / F.count(F.lit(1))
             ).alias("m")
@@ -2125,7 +2125,7 @@ WITH e AS (
 ),
 cent AS (
   SELECT label, half, i,
-         CAST(round(sum(CAST(v[i] AS DECIMAL(20,8))), 8) AS DOUBLE)
+         CAST(round(sum(CAST(round(v[i], 8) AS DECIMAL(20,8))), 8) AS DOUBLE)
            / count(*) AS m,
          count(*) AS n
   FROM e, unnest(generate_series(1, len(v))) AS g(i)
@@ -2163,7 +2163,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.round(
-                    F.sum(F.col("val").cast("decimal(20,8)")), 8
+                    F.sum(F.round(F.col("val"), 8).cast("decimal(20,8)")), 8
                 ).cast("double")
                 / F.count(F.lit(1))
             ).alias("m"),
@@ -2508,7 +2508,7 @@ WITH e AS (
 ),
 cent_long AS (
   SELECT label, g.i - 1 AS dim,
-         CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(20,8)) AS c
+         CAST(round(CAST(embedding[g.i] AS DOUBLE), 8) AS DECIMAL(20,8)) AS c
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
 ),
 cent AS (
@@ -2594,7 +2594,7 @@ def knn_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "dim",
-            F.col("c").cast("double").cast("decimal(20,8)").alias("c"),
+            F.round(F.col("c").cast("double"), 8).cast("decimal(20,8)").alias("c"),
         )
         .groupBy("label", "dim")
         .agg(
