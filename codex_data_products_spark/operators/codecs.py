@@ -169,8 +169,9 @@ def encode_wav(
 
 
 def decode_wav(payload: bytes) -> dict:
-    """Walk the RIFF chunk list (tolerating extra chunks), require
-    16-bit PCM, and compute per-file audio features: frame count,
+    """Walk the RIFF chunk list (tolerating extra chunks), decode
+    16-bit PCM or 8-bit G.711 μ-law/A-law (format codes 7/6, expanded
+    to 16-bit linear), and compute per-file audio features: frame count,
     duration, RMS amplitude (normalized to [0, 1]) and the raw sample
     sum — enough to prove every sample byte was decoded."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -190,13 +191,22 @@ def decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _brate, _balign, bits = fmt
-    if audio_format != 1 or bits != 16:
+    if audio_format == 1 and bits == 16:
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data[: 2 * n])
+        codec = "pcm16"
+    elif audio_format == 7 and bits == 8:  # G.711 μ-law (compressed)
+        samples = tuple(mulaw_expand(b) for b in data)
+        codec = "mulaw"
+    elif audio_format == 6 and bits == 8:  # G.711 A-law (compressed)
+        samples = tuple(alaw_expand(b) for b in data)
+        codec = "alaw"
+    else:
         raise ValueError(
             f"unsupported WAV (format={audio_format}, bits={bits}); "
-            "only 16-bit integer PCM"
+            "only 16-bit integer PCM and 8-bit G.711 μ-law/A-law"
         )
-    n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    n = len(samples)
     n_frames = n // channels
     sq = sum(s * s for s in samples)
     rms = (sq / n) ** 0.5 / 32768.0 if n else 0.0
@@ -208,6 +218,7 @@ def decode_wav(payload: bytes) -> dict:
         "rms": rms,
         "sample_sum": sum(samples),
         "channels": channels,
+        "codec": codec,
     }
 
 
@@ -395,4 +406,309 @@ def decode_png(payload: bytes) -> dict:
         "channels": 3,
         "pixel_checksum": checksum,
         "rgb_rows": rows,
+    }
+
+
+# --- G.711 μ-law / A-law ------------------------------------------------------
+# From-scratch implementation of the public ITU-T G.711 companding
+# standard (the classic Sun Microsystems reference arithmetic, 16-bit
+# linear domain). These are COMPRESSED audio formats — 8 bits on the
+# wire expand to 14/13 significant bits — carried in the standard
+# RIFF/WAVE container with format code 7 (μ-law) / 6 (A-law), so the
+# "compressed audio" hook in operators/multimodal.py is now executable
+# in this container, the same promotion PNG gave the image hook.
+# Expansion is pure integer arithmetic, which is why the registry
+# oracle can replay it exactly in SQL.
+
+_G711_BIAS = 0x84  # 132
+_G711_CLIP = 32635
+
+WAVE_FORMAT_ALAW = 6
+WAVE_FORMAT_MULAW = 7
+
+
+def mulaw_expand(code: int) -> int:
+    """μ-law byte → 16-bit linear sample (Sun ulaw2linear arithmetic)."""
+    u = ~code & 0xFF
+    t = ((u & 0x0F) << 3) + _G711_BIAS
+    t <<= (u & 0x70) >> 4
+    return _G711_BIAS - t if u & 0x80 else t - _G711_BIAS
+
+
+def mulaw_compress(sample: int) -> int:
+    """16-bit linear sample → μ-law byte (Sun linear2ulaw arithmetic)."""
+    sign = 0x80 if sample < 0 else 0
+    if sample < 0:
+        sample = -sample
+    if sample > _G711_CLIP:
+        sample = _G711_CLIP
+    sample += _G711_BIAS
+    seg = 7
+    for s in range(8):
+        if sample <= (0xFF << s):
+            seg = s
+            break
+    return ~(sign | (seg << 4) | ((sample >> (seg + 3)) & 0x0F)) & 0xFF
+
+
+def alaw_expand(code: int) -> int:
+    """A-law byte → 16-bit linear sample (Sun alaw2linear arithmetic)."""
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def alaw_compress(sample: int) -> int:
+    """16-bit linear sample → A-law byte (Sun linear2alaw arithmetic)."""
+    sign = 0x80 if sample >= 0 else 0
+    if sample < 0:
+        sample = -sample - 1  # A-law encodes -x as the code for x-1
+    if sample > _G711_CLIP:
+        sample = _G711_CLIP
+    if sample >= 0x100:
+        seg = 1
+        s = sample >> 8
+        while s > 1 and seg < 7:
+            s >>= 1
+            seg += 1
+        mant = (sample >> (seg + 3)) & 0x0F
+    else:
+        seg = 0
+        mant = sample >> 4
+    return ((sign | (seg << 4) | mant) ^ 0x55) & 0xFF
+
+
+def encode_g711(codes: Sequence[int] | bytes, law: str, sample_rate: int = 8000) -> bytes:
+    """Wrap raw 8-bit G.711 codewords in a RIFF/WAVE container with
+    the standard registered format code (7 = μ-law, 6 = A-law),
+    1 channel, 8 bits per sample."""
+    fmt_code = {"mulaw": WAVE_FORMAT_MULAW, "alaw": WAVE_FORMAT_ALAW}[law]
+    data = bytes(codes)
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, 1, sample_rate, sample_rate, 1, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --- GIF (LZW) ----------------------------------------------------------------
+# From-scratch implementation of the public GIF89a specification
+# (CompuServe, 1990; the LZW variant of Welch 1984): logical screen
+# descriptor + global color table + a single image block whose pixel
+# indices are LZW-compressed with GIF's variable code width
+# (min_code_size+1 .. 12 bits, LSB-first bit packing, 255-byte
+# sub-blocks, Clear/EOI control codes, deferred code-width bump — the
+# encoder emits exactly one more code at the old width after the table
+# outgrows it, matching what every deployed decoder expects). This is
+# a genuinely DICTIONARY-COMPRESSED image format decoded with zero
+# third-party code — stdlib-only, like PNG's zlib DEFLATE above.
+
+
+def _lzw_encode_gif(indices: Sequence[int], min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    code_size = min_code_size + 1
+    maxcode = (1 << code_size) - 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    free_ent = eoi + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits, code_size, maxcode
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        # deferred bump: the code just written used the old width
+        if free_ent > maxcode and code_size < 12:
+            code_size += 1
+            maxcode = (1 << code_size) - 1
+
+    def reset_table() -> None:
+        nonlocal table, free_ent, code_size, maxcode
+        table = {(i,): i for i in range(clear)}
+        free_ent = eoi + 1
+        code_size = min_code_size + 1
+        maxcode = (1 << code_size) - 1
+
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        k = int(k)
+        if not 0 <= k < clear:
+            raise ValueError(f"pixel index {k} out of palette range")
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if free_ent < 4096:
+            table[wk] = free_ent
+            free_ent += 1
+        else:
+            emit(clear)
+            reset_table()
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated (no EOI code)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+        if len(out) > n_pixels:
+            raise ValueError("LZW stream decodes past the image size")
+    if len(out) != n_pixels:
+        raise ValueError(
+            f"LZW stream decoded {len(out)} pixels, expected {n_pixels}"
+        )
+    return out
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    indices: Sequence[int],
+    palette: Sequence[tuple[int, int, int]],
+) -> bytes:
+    """Encode a single-frame GIF89a: power-of-two palette (2..256
+    entries), row-major pixel indices, LZW-compressed image data in
+    255-byte sub-blocks."""
+    if len(indices) != width * height:
+        raise ValueError("len(indices) != width*height")
+    n = len(palette)
+    if n < 2 or n & (n - 1):
+        raise ValueError("palette size must be a power of two >= 2")
+    size_bits = n.bit_length() - 1  # palette = 2^size_bits entries
+    min_code_size = max(2, size_bits)
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global color table flag + size bits
+    out += struct.pack("<HHBBB", width, height, 0x80 | (size_bits - 1), 0, 0)
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(min_code_size)
+    lzw = _lzw_encode_gif(indices, min_code_size)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode a single-frame GIF87a/89a with a global color table.
+    Returns width/height/channels plus ``palette_size``, the decoded
+    ``indices``, ``index_sum`` and ``pixel_checksum`` (sum of R+G+B
+    over all pixels via the palette) — enough to prove every LZW code
+    was expanded."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    palette = [
+        tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n_colors)
+    ]
+    pos += 3 * n_colors
+    # skip extension blocks (0x21 introducer) to the image descriptor
+    while pos < len(payload) and payload[pos] == 0x21:
+        pos += 2
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+    if pos >= len(payload) or payload[pos] != 0x2C:
+        raise ValueError("GIF missing image descriptor")
+    _l, _t, width, height, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+    if ipacked & 0xC0:
+        raise ValueError("local color tables / interlace not supported")
+    pos += 10
+    min_code_size = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF truncated inside image data sub-blocks")
+        blen = payload[pos]
+        if not blen:
+            break
+        if pos + 1 + blen > len(payload):
+            raise ValueError("GIF truncated inside image data sub-blocks")
+        lzw += payload[pos + 1 : pos + 1 + blen]
+        pos += 1 + blen
+    indices = _lzw_decode_gif(bytes(lzw), min_code_size, width * height)
+    checksum = sum(sum(palette[i]) for i in indices)
+    return {
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "palette_size": n_colors,
+        "indices": indices,
+        "index_sum": sum(indices),
+        "pixel_checksum": checksum,
+        "screen_width": sw,
+        "screen_height": sh,
     }

@@ -60,25 +60,32 @@ def real_image_codec(payload: bytes) -> dict:
         from codex_data_products_spark.operators.codecs import decode_png
 
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from codex_data_products_spark.operators.codecs import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "no lossy-image codec in this container (BMP and PNG decode "
-        "natively); inject a Pillow/opencv-backed Codec with the same "
-        "return keys (width, height, channels)"
+        "no lossy-image codec in this container (BMP, PNG and "
+        "LZW-compressed GIF decode natively); inject a Pillow/opencv-"
+        "backed Codec with the same return keys (width, height, "
+        "channels)"
     )
 
 
 def real_av_codec(payload: bytes) -> dict:
-    """Real audio decode. RIFF/WAVE 16-bit PCM is handled natively by
-    the from-scratch spec codec (``operators/codecs.py``); compressed
-    audio/video still needs an ffmpeg-backed Codec injected."""
+    """Real audio decode. RIFF/WAVE 16-bit PCM and COMPRESSED G.711
+    μ-law/A-law (format codes 7/6, ITU-T G.711 expansion implemented
+    from the spec) are handled natively by the from-scratch codecs
+    (``operators/codecs.py``); perceptual codecs (MP3/AAC/Opus) and
+    video still need an ffmpeg-backed Codec injected."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from codex_data_products_spark.operators.codecs import decode_wav
 
         return decode_wav(payload)
     raise NotImplementedError(
-        "no compressed-a/v codec in this container (PCM WAV decodes "
-        "natively); inject an ffmpeg-backed Codec with the same return "
-        "keys (n_frames, fps, duration_ms, sample_rate, rms)"
+        "no perceptual-a/v codec in this container (PCM and G.711 "
+        "WAV decode natively); inject an ffmpeg-backed Codec with the "
+        "same return keys (n_frames, fps, duration_ms, sample_rate, rms)"
     )
 
 

@@ -588,3 +588,198 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixel_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_g711_decode — the compressed-AUDIO hook, now executable:
+# deterministic 8-bit G.711 codewords (μ-law for even doc_ids, A-law
+# for odd) are wrapped in a real RIFF/WAVE container with the standard
+# registered format codes (7/6) and expanded back to 16-bit linear by
+# the from-scratch ITU-T G.711 codec (operators/codecs.py, Sun
+# reference arithmetic). Expansion is pure integer math, so the oracle
+# replays the exact companding formulas in SQL over the same generated
+# codewords — every decoded sample is value-checked, not just counted.
+# ---------------------------------------------------------------------------
+
+_G711_DECODE_SQL = """
+WITH g AS (
+  SELECT doc_id, 60 + doc_id % 37 AS n FROM documents
+),
+codes AS (
+  SELECT doc_id, n, (doc_id * 31 + (i - 1) * 7) % 256 AS b
+  FROM g, unnest(generate_series(1, n)) AS u(i)
+),
+dec AS (
+  SELECT doc_id, n,
+         CASE WHEN doc_id % 2 = 0 THEN
+           -- mu-law: u = ~b & 255; t = ((u%16)*8+132) << ((u//16)%8)
+           CASE WHEN (255 - b) >= 128
+                THEN 132 - (((255 - b) % 16) * 8 + 132)
+                           * (1 << (((255 - b) // 16) % 8))
+                ELSE (((255 - b) % 16) * 8 + 132)
+                     * (1 << (((255 - b) // 16) % 8)) - 132
+           END
+         ELSE
+           -- A-law: a = b ^ 0x55; seg switch per the Sun arithmetic
+           CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+           CASE (xor(b, 85) // 16) % 8
+             WHEN 0 THEN (xor(b, 85) % 16) * 16 + 8
+             WHEN 1 THEN (xor(b, 85) % 16) * 16 + 264
+             ELSE ((xor(b, 85) % 16) * 16 + 264)
+                  * (1 << ((xor(b, 85) // 16) % 8 - 1))
+           END
+         END AS s
+  FROM codes
+)
+SELECT doc_id                                            AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS codec,
+       CAST(max(n) AS BIGINT)                            AS n_frames,
+       CAST(8000 AS BIGINT)                              AS sample_rate,
+       CAST(max(n) * 1000 // 8000 AS BIGINT)             AS duration_ms,
+       CAST(sum(s) AS BIGINT)                            AS sample_sum
+FROM dec
+GROUP BY doc_id
+"""
+
+
+@register("multimodal_g711_decode", sql=_G711_DECODE_SQL)
+def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.codecs import encode_g711
+    from codex_data_products_spark.operators.multimodal import real_av_codec
+    from codex_data_products_spark.tables import spread
+
+    docs = spread(T(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 60 + did % 37
+                codes = bytes((did * 31 + i * 7) % 256 for i in range(n))
+                law = "mulaw" if did % 2 == 0 else "alaw"
+                payloads.append(encode_g711(codes, law, sample_rate=8000))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                m = real_av_codec(bytes(p))
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "codec": m["codec"],
+                        "n_frames": m["n_frames"],
+                        "sample_rate": m["sample_rate"],
+                        "duration_ms": m["duration_ms"],
+                        "sample_sum": m["sample_sum"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = docs.mapInPandas(
+        encode, schema="asset_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        schema=(
+            "asset_id long, codec string, n_frames long, "
+            "sample_rate long, duration_ms long, sample_sum long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_gif_decode — a DICTIONARY-compressed image format decoded
+# from scratch: deterministic 4-color pixel indices are LZW-compressed
+# into a real single-frame GIF89a (variable code width, LSB-first bit
+# packing, 255-byte sub-blocks — operators/codecs.py) and decoded back
+# in-flight. The oracle replays the index pattern and the closed-form
+# palette arithmetic (color j sums to 120j+15), so the pixel checksum
+# proves every LZW code expanded to the right indices AND the palette
+# bytes round-tripped. Compressed byte count is not asserted (it is an
+# encoder-choice detail), the decoded content is.
+# ---------------------------------------------------------------------------
+
+_GIF_DECODE_SQL = """
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 11 AS w, 3 + doc_id % 5 AS h
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, w, h, (doc_id + 3 * (i - 1)) % 4 AS v
+  FROM g, unnest(generate_series(1, w * h)) AS u(i)
+)
+SELECT doc_id                                            AS asset_id,
+       CAST(max(w) AS BIGINT)                            AS width,
+       CAST(max(h) AS BIGINT)                            AS height,
+       CAST(3 AS BIGINT)                                 AS channels,
+       CAST(4 AS BIGINT)                                 AS palette_size,
+       CAST(sum(v) AS BIGINT)                            AS index_sum,
+       CAST(120 * sum(v) + 15 * max(w) * max(h) AS BIGINT)
+         AS pixel_checksum
+FROM idx
+GROUP BY doc_id
+"""
+
+
+@register("multimodal_gif_decode", sql=_GIF_DECODE_SQL)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.codecs import encode_gif
+    from codex_data_products_spark.operators.multimodal import (
+        real_image_codec,
+    )
+    from codex_data_products_spark.tables import spread
+
+    docs = spread(T(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    palette = [(40 * j + 5, 40 * j + 9, 40 * j + 1) for j in range(4)]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 11, 3 + did % 5
+                idx = [(did + 3 * i) % 4 for i in range(w * h)]
+                payloads.append(encode_gif(w, h, idx, palette))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                m = real_image_codec(bytes(p))
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": m["width"],
+                        "height": m["height"],
+                        "channels": m["channels"],
+                        "palette_size": m["palette_size"],
+                        "index_sum": m["index_sum"],
+                        "pixel_checksum": m["pixel_checksum"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    payloads = docs.mapInPandas(
+        encode, schema="asset_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        schema=(
+            "asset_id long, width long, height long, channels long, "
+            "palette_size long, index_sum long, pixel_checksum long"
+        ),
+    )

@@ -299,3 +299,121 @@ def test_real_image_codec_dispatches_on_magic():
     assert real_image_codec(encode_png(4, 2, rows))["width"] == 4
     with pytest.raises(NotImplementedError):
         real_image_codec(b"\xff\xd8\xff\xe0" + bytes(64))  # JPEG magic
+
+
+def test_g711_expand_compress_round_trip_all_codes():
+    from codex_data_products_spark.operators.codecs import (
+        alaw_compress,
+        alaw_expand,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    # A-law: compress is an exact left inverse of expand on all codes
+    for b in range(256):
+        assert alaw_compress(alaw_expand(b)) == b
+    # mu-law: same, except the spec's dual zero — codes 127 and 255
+    # both decode to 0 and the canonical compressor emits 255
+    for b in range(256):
+        rt = mulaw_compress(mulaw_expand(b))
+        assert rt == (255 if b == 127 else b)
+        # value-level round trip holds everywhere
+        assert mulaw_expand(rt) == mulaw_expand(b)
+    # monotone decode tables over the positive code range
+    assert mulaw_expand(0x80) == max(mulaw_expand(b) for b in range(256))
+    assert mulaw_expand(0x00) == min(mulaw_expand(b) for b in range(256))
+
+
+def test_g711_wav_container_decodes_as_compressed_audio():
+    from codex_data_products_spark.operators.codecs import (
+        alaw_expand,
+        decode_wav,
+        encode_g711,
+        mulaw_expand,
+    )
+
+    codes = bytes(range(0, 250, 3))
+    for law, expand in (("mulaw", mulaw_expand), ("alaw", alaw_expand)):
+        m = decode_wav(encode_g711(codes, law, sample_rate=8000))
+        assert m["codec"] == law
+        assert m["n_frames"] == len(codes)
+        assert m["sample_rate"] == 8000
+        assert m["sample_sum"] == sum(expand(b) for b in codes)
+    # real_av_codec dispatches the same container
+    from codex_data_products_spark.operators.multimodal import real_av_codec
+
+    assert real_av_codec(encode_g711(codes, "alaw"))["codec"] == "alaw"
+
+
+def test_gif_lzw_round_trip_and_code_width_growth():
+    import random
+
+    from codex_data_products_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = random.Random(11)
+    for ncol in (2, 4, 16, 256):
+        pal = [(i % 256, (2 * i) % 256, (3 * i) % 256) for i in range(ncol)]
+        w, h = 31, 17
+        idx = [rng.randrange(ncol) for _ in range(w * h)]
+        m = decode_gif(encode_gif(w, h, idx, pal))
+        assert (m["width"], m["height"], m["palette_size"]) == (w, h, ncol)
+        assert m["indices"] == idx
+        assert m["pixel_checksum"] == sum(sum(pal[i]) for i in idx)
+
+
+def test_gif_lzw_kwkwk_and_table_reset():
+    from codex_data_products_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal2 = [(0, 0, 0), (255, 255, 255)]
+    # the classic KwKwK degenerate stream: a run of one symbol forces
+    # the decoder's code==next_code branch immediately
+    runs = [0] * 4096
+    assert decode_gif(encode_gif(64, 64, runs, pal2))["indices"] == runs
+    # a high-entropy 256-color image pushes the dictionary to 4096
+    # entries and exercises the Clear-code reset path
+    import random
+
+    rng = random.Random(3)
+    pal = [(i, 255 - i, i // 2) for i in range(256)]
+    idx = [rng.randrange(256) for _ in range(120 * 120)]
+    m = decode_gif(encode_gif(120, 120, idx, pal))
+    assert m["indices"] == idx
+
+
+def test_gif_decode_rejects_malformed():
+    import pytest as _pytest
+
+    from codex_data_products_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    with _pytest.raises(ValueError, match="bad signature"):
+        decode_gif(b"NOTGIF" + bytes(32))
+    pal = [(1, 2, 3), (4, 5, 6)]
+    g = bytearray(encode_gif(3, 2, [0, 1, 0, 1, 1, 0], pal))
+    g[6 + 4] &= 0x7F  # clear the global-color-table flag
+    with _pytest.raises(ValueError, match="global color table"):
+        decode_gif(bytes(g))
+    # truncated LZW stream: chop the data sub-blocks
+    g2 = encode_gif(3, 2, [0, 1, 0, 1, 1, 0], pal)
+    with _pytest.raises(ValueError):
+        decode_gif(g2[:-4] + b"\x00\x3b")
+
+
+def test_real_image_codec_dispatches_gif():
+    from codex_data_products_spark.operators.codecs import encode_gif
+    from codex_data_products_spark.operators.multimodal import (
+        real_image_codec,
+    )
+
+    pal = [(9, 8, 7), (1, 2, 3)]
+    m = real_image_codec(encode_gif(2, 2, [0, 1, 1, 0], pal))
+    assert (m["width"], m["height"], m["channels"]) == (2, 2, 3)
+    assert m["pixel_checksum"] == 2 * (9 + 8 + 7) + 2 * (1 + 2 + 3)
