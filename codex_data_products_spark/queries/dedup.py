@@ -1261,3 +1261,153 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= CHUNK_MIN_DOCS)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — asymmetric near-superset detection: containment
+# C(A,B) = |A∩B| / min(|A|, |B|) over DF-capped shingle sets (Broder
+# 1997's "containment" resemblance twin). Jaccard misses quote/excerpt
+# duplication — a 100-line doc fully embedded in a 10,000-line doc has
+# Jaccard ≈ 0.01 but containment 1.0 — and training corpora are full of
+# exactly that shape (boilerplate-wrapped reposts, quoted threads,
+# concatenated dumps). Same scale discipline as the Jaccard pass: pairs
+# only materialize through the shingle equi-join (never doc×doc), the
+# DF cap bounds any shingle's fan-out, and the final ratio is a
+# per-pair O(1) lookup against the broadcast-size doc-size table.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAINMENT_SQL = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(c.n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+         AS containment
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh)
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_containment", sql=_CONTAINMENT_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = T(spark, sf_dir, "documents")
+    raw = shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _frequent_shingles_removed(raw)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    ratio = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(ratio >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ratio, 6).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic — SemDeDup-style semantic deduplication (Abbas et al.,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", arXiv:2303.09540): within each coarse cluster (the
+# `label` column = k-means cell, exactly the paper's recipe), vectors
+# whose cosine exceeds the threshold form semantic-duplicate groups and
+# only one representative survives. Greedy keeper rule: a vector is
+# DROPPED iff it has a smaller-id neighbor above threshold — the kept
+# set is then exactly the ids with no smaller-id duplicate, computed in
+# one pass over the pair list (no iteration needed, unlike connected
+# components, because keep/drop only requires the min-id witness, not
+# the full component). Output is the actionable artifact: the drop list
+# with each vector's witness keeper and its duplicate-neighborhood
+# stats. Scale shape inherits dedup_embedding_cosine: pairs only
+# materialize cell-locally (linear in cell size, never corpus²), the
+# drop-set agg is one hash aggregate on the pair list.
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT
+    a.vec_id AS va,
+    b.vec_id AS vb,
+    a.label  AS label,
+    round(list_dot_product(a.v, b.v)
+          / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+          6) AS c
+  FROM e a
+  JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6)
+        >= {_SYNTHETIC_EMB_THRESHOLD}
+)
+SELECT vb                             AS dropped_vec_id,
+       CAST(max(label) AS BIGINT)     AS label,
+       min(va)                        AS kept_by,
+       CAST(count(*) AS BIGINT)       AS n_dup_neighbors,
+       max(c)                         AS max_cosine
+FROM pairs
+GROUP BY vb
+"""
+
+
+@register("dedup_semantic", sql=_SEMANTIC_SQL)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = spread(emb, "vec_id").alias("a")
+    b = F.broadcast(emb).alias("b")
+    cos = F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.col("a.label").alias("label"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") >= _SYNTHETIC_EMB_THRESHOLD)
+    )
+    return pairs.groupBy(F.col("vb").alias("dropped_vec_id")).agg(
+        F.max("label").cast("long").alias("label"),
+        F.min("va").alias("kept_by"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"),
+        F.max("c").alias("max_cosine"),
+    )

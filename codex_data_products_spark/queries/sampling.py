@@ -608,3 +608,84 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("docs_per_million"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_priority — weighted sampling without replacement via priority
+# sampling (Duffield, Lund, Thorup, "Priority sampling for estimation
+# of arbitrary subset sums", JACM 54(6), 2007): each doc draws a
+# deterministic uniform u_i from the Knuth hash, gets priority
+# q_i = w_i / u_i, and the sample is the top-k by priority. With the
+# threshold τ = (k+1)-th priority, ŵ_i = max(w_i, τ) is an unbiased
+# estimator of any subset sum — the standard way to build a weighted
+# corpus subsample whose token counts remain estimable. Scale shape:
+# one pushed-down scan → TakeOrdered(k+1) (per-partition heaps + a
+# k+1-row driver merge, no global sort, no full-corpus window); the
+# rank/threshold work happens on the 151-row result. Determinism: u_i
+# is exact integer arithmetic and q_i a single IEEE division, so both
+# engines order identically (doc_id tiebreak pins the measure-zero
+# collision case).
+# ---------------------------------------------------------------------------
+
+_PRIORITY_K = 150
+
+_PRIORITY_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         1 + len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS wt,
+         (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents
+),
+p AS (
+  SELECT doc_id, wt,
+         CAST(wt AS DOUBLE)
+           / ((CAST(h AS DOUBLE) + 1) / 4294967296.0) AS pri
+  FROM w
+),
+r AS (
+  SELECT doc_id, wt, pri,
+         row_number() OVER (ORDER BY pri DESC, doc_id) AS rn
+  FROM p
+)
+SELECT r.doc_id,
+       CAST(r.wt AS BIGINT)                      AS weight,
+       greatest(CAST(r.wt AS DOUBLE), t.tau)     AS est_weight
+FROM r
+JOIN (SELECT pri AS tau FROM r WHERE rn = {_PRIORITY_K + 1}) t ON TRUE
+WHERE r.rn <= {_PRIORITY_K}
+"""
+
+
+@register("sample_priority", sql=_PRIORITY_SQL)
+def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    wt = (F.lit(1) + _n_tokens()).alias("wt")
+    u = (_doc_hash().cast("double") + F.lit(1.0)) / F.lit(4294967296.0)
+    p = docs.select(
+        "doc_id", wt, (F.col("wt").cast("double") / u).alias("pri")
+    )
+    # TakeOrdered keeps k+1 rows (the sample plus the threshold row);
+    # everything after this line operates on <= 151 rows. Because the
+    # frame is sorted descending, the (k+1)-th priority tau is simply
+    # the value at rn == k+1, lifted over the whole tiny frame by an
+    # unpartitioned window — no self-join, no second corpus scan. The
+    # tau-null filter reproduces the SQL's inner-join semantics when
+    # the corpus has <= k docs (priority sampling is undefined there).
+    top = p.orderBy(F.desc("pri"), F.asc("doc_id")).limit(_PRIORITY_K + 1)
+    w = Window.orderBy(F.desc("pri"), F.asc("doc_id"))
+    wall = Window.partitionBy()
+    ranked = top.select("*", F.row_number().over(w).alias("rn"))
+    tau = F.max(
+        F.when(F.col("rn") == _PRIORITY_K + 1, F.col("pri"))
+    ).over(wall)
+    return (
+        ranked.select("*", tau.alias("tau"))
+        .filter((F.col("rn") <= _PRIORITY_K) & F.col("tau").isNotNull())
+        .select(
+            "doc_id",
+            F.col("wt").cast("long").alias("weight"),
+            F.greatest(F.col("wt").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
+    )

@@ -1178,3 +1178,47 @@ def test_ivf_sq_probe_joins_broadcast_sides(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_ivf_sq")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_g711_decode_is_two_pandas_stages_no_shuffle_after_spread(spark, sf_dir):
+    # encode → decode are row-local Arrow stages; no join, no window,
+    # at most the one spread repartition, one documents scan
+    plan = _plan(spark, sf_dir, "multimodal_g711_decode")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("FileScan") == 1
+    assert plan.count("MapInPandas") == 2
+
+
+def test_gif_decode_is_two_pandas_stages_no_shuffle_after_spread(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_gif_decode")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("FileScan") == 1
+    assert plan.count("MapInPandas") == 2
+
+
+def test_containment_pairs_only_via_shingle_equi_join(spark, sf_dir):
+    # pairs materialize only through the shingle equi-join (DF-capped);
+    # size lookups are equi joins; nothing cartesian over doc rows
+    plan = _plan(spark, sf_dir, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_sample_priority_is_takeordered_not_global_sort(spark, sf_dir):
+    # the corpus-grain selection is TakeOrdered(k+1) — per-partition
+    # heaps, never a full global Sort exchange; the window runs on the
+    # 151-row result and the threshold rides a 1-row broadcast
+    plan = _plan(spark, sf_dir, "sample_priority")
+    assert "TakeOrdered" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_semantic_dedup_pairs_cell_local_broadcast(spark, sf_dir):
+    # one side broadcast: pair generation is cell-local with no shuffle
+    # of the spread side; drop-set selection is one hash aggregate
+    plan = _plan(spark, sf_dir, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
