@@ -466,3 +466,125 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return link_prediction_from_pairs(e)
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — bounded k-core decomposition by iterative peeling
+# (Seidman 1983 "Network structure and minimum degree"; the standard
+# distributed formulation peels all sub-k nodes each superstep, e.g.
+# Montresor et al. 2013): repeatedly delete every node whose degree in
+# the SURVIVING subgraph is < K, for a fixed number of rounds. Graph:
+# part co-purchase (parts sharing an order, distinct pairs — the
+# market_basket pair space), where the K-core is the densely
+# substitutable product nucleus. Output is the per-round peel summary
+# (nodes/edges remaining), which pins every iteration's arithmetic in
+# the cross-engine hash without emitting the O(|V|) membership list.
+#
+# Spark shape: the pair frame is built once via the basket-bounded
+# order-key equi self-join (never part x part) and localCheckpoint'd;
+# each peel round is one degree hash-agg + two semi joins against the
+# survivor set, checkpointed so plan depth stays O(1) per round — the
+# same iterative-lineage discipline as pagerank/connected components.
+# At 100 TB the survivor set shrinks monotonically, so each round's
+# shuffle is no larger than the previous one.
+# ---------------------------------------------------------------------------
+
+KCORE_K = 50
+KCORE_ROUNDS = 3
+
+_KCORE_EDGES_SQL = """
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY x, y
+"""
+
+
+def _kcore_sql() -> str:
+    parts = [f"WITH e0 AS MATERIALIZED ({_KCORE_EDGES_SQL})"]
+    for t in range(KCORE_ROUNDS):
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT x, count(*) AS d FROM (
+    SELECT x FROM e{t} UNION ALL SELECT y AS x FROM e{t}
+  ) GROUP BY x
+),
+s{t + 1} AS (SELECT x FROM d{t} WHERE d >= {KCORE_K}),
+e{t + 1} AS MATERIALIZED (
+  SELECT e.x, e.y FROM e{t} e
+  JOIN s{t + 1} a ON a.x = e.x
+  JOIN s{t + 1} b ON b.x = e.y
+)"""
+        )
+    parts.append(
+        f""",
+d{KCORE_ROUNDS} AS (
+  SELECT x, count(*) AS d FROM (
+    SELECT x FROM e{KCORE_ROUNDS}
+    UNION ALL SELECT y AS x FROM e{KCORE_ROUNDS}
+  ) GROUP BY x
+)
+"""
+    )
+    stats = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS round,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM d{t}) AS n_nodes,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM e{t}) AS n_edges"
+        for t in range(KCORE_ROUNDS + 1)
+    )
+    parts.append(stats)
+    return "".join(parts)
+
+
+@register("graph_kcore", sql=_kcore_sql())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def stats(t: int, e: DataFrame, deg: DataFrame) -> DataFrame:
+        n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        return (
+            n_nodes.crossJoin(n_edges)
+            .select(
+                F.lit(t).cast("long").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        und = e.select("x").unionAll(e.select(F.col("y").alias("x")))
+        return und.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+
+    cur = edges
+    deg = degrees(cur)
+    rounds = [stats(0, cur, deg)]
+    for t in range(1, KCORE_ROUNDS + 1):
+        surv = deg.filter(F.col("d") >= KCORE_K).select("x")
+        cur = (
+            cur.join(surv, "x", "left_semi")
+            .join(
+                surv.select(F.col("x").alias("y")), "y", "left_semi"
+            )
+            .localCheckpoint()
+        )
+        deg = degrees(cur)
+        rounds.append(stats(t, cur, deg))
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out

@@ -361,3 +361,81 @@ def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_profile — Deequ-style column profiler (Schelter et al., "Automating
+# large-scale data quality verification", VLDB 2018: the ColumnProfiler
+# pass): per column, row count, null count, exact distinct count, and
+# min/max — the statistics a pipeline owner reads before writing rules
+# like the dq_violations suite. All values profile through a canonical
+# VARCHAR cast so one schema covers every column type (keys, enums,
+# dates) and both engines compare identical strings.
+#
+# Scale shape: ONE scan of orders; stack() fans each row out to the
+# (column, value) grain row-locally, then a two-level hash aggregate —
+# (column, value) partials (map-side combine collapses repeated enum
+# values before the shuffle) collapse to the |columns| grain. The exact
+# distinct count is the first-level group count, so no per-column
+# count(DISTINCT) expansion and no second scan. At 100 TB the shuffle
+# is bounded by sum of per-column cardinalities, not rows x columns.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderkey",
+    "o_custkey",
+    "o_orderdate",
+]
+
+_PROFILE_SQL = (
+    "WITH stacked AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS v"
+        " FROM orders"
+        for c in _PROFILE_COLS
+    )
+    + """
+),
+g AS (
+  SELECT column_name, v, count(*) AS cnt
+  FROM stacked GROUP BY column_name, v
+)
+SELECT column_name,
+       CAST(sum(cnt) AS BIGINT)                                 AS n_rows,
+       CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+                                                                AS n_null,
+       CAST(count(v) AS BIGINT)                                 AS n_distinct,
+       min(v)                                                   AS min_v,
+       max(v)                                                   AS max_v
+FROM g
+GROUP BY column_name
+"""
+)
+
+
+@register("dq_profile", sql=_PROFILE_SQL)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+    )
+    stacked = orders.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, v)"
+        )
+    )
+    g = stacked.groupBy("column_name", "v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return g.groupBy("column_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.count("v").cast("long").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

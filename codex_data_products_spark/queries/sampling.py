@@ -689,3 +689,88 @@ def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# split_contamination_semantic — embedding-level train/test leakage:
+# the semantic twin of split_contamination(_hashed). N-gram audits
+# catch verbatim leakage; paraphrased or templated test items leak
+# SEMANTICALLY (near-identical embeddings, different surface forms) —
+# the decontamination gap SemDeDup-era pipelines audit with embedding
+# similarity. Vectors hash-split 90/10 on vec_id (same Knuth recipe as
+# split_train_test), then each test vector is flagged if any
+# same-cell train vector exceeds the cosine threshold. Output: one row
+# per contaminated test vector with its witness count, max cosine, and
+# the smallest witness id.
+#
+# Scale shape: the TEST side is the small one by construction (the
+# benchmark suite), so it broadcasts; the train corpus streams
+# partition-parallel through the cell-local pair filter with no
+# shuffle, and the per-test-vector collapse is one hash agg on a
+# pair list bounded by cell co-membership — never corpus x corpus.
+# ---------------------------------------------------------------------------
+
+from codex_data_products_spark.queries.dedup import (  # noqa: E402
+    _SYNTHETIC_EMB_THRESHOLD as _SEM_THRESHOLD,
+)
+
+_SEM_CONTAM_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         ((vec_id * 2654435761) % 4294967296) % 100 AS h
+  FROM embeddings
+),
+tr AS (SELECT vec_id, label, v FROM e WHERE h < 90),
+te AS (SELECT vec_id, label, v FROM e WHERE h >= 90),
+pairs AS (
+  SELECT te.vec_id AS test_vec_id,
+         tr.vec_id AS train_vec_id,
+         round(list_dot_product(te.v, tr.v)
+               / sqrt(list_dot_product(te.v, te.v)
+                      * list_dot_product(tr.v, tr.v)), 6) AS c
+  FROM te JOIN tr ON te.label = tr.label
+  WHERE round(list_dot_product(te.v, tr.v)
+        / sqrt(list_dot_product(te.v, te.v)
+               * list_dot_product(tr.v, tr.v)), 6)
+        >= {_SEM_THRESHOLD}
+)
+SELECT test_vec_id,
+       CAST(count(*) AS BIGINT) AS n_train_witnesses,
+       max(c)                   AS max_cosine,
+       min(train_vec_id)        AS example_train_vec
+FROM pairs
+GROUP BY test_vec_id
+"""
+
+
+@register("split_contamination_semantic", sql=_SEM_CONTAM_SQL)
+def split_contamination_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from codex_data_products_spark.queries.dedup import cosine_expr
+    from codex_data_products_spark.tables import spread
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ((F.col("vec_id") * F.lit(2654435761)) % F.lit(4294967296) % 100)
+        .alias("h"),
+    )
+    tr = spread(emb.filter(F.col("h") < 90), "vec_id").alias("tr")
+    te = F.broadcast(emb.filter(F.col("h") >= 90)).alias("te")
+    cos = F.round(cosine_expr(F.col("te.v"), F.col("tr.v")), 6)
+    pairs = (
+        tr.join(te, F.col("te.label") == F.col("tr.label"))
+        .select(
+            F.col("te.vec_id").alias("test_vec_id"),
+            F.col("tr.vec_id").alias("train_vec_id"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") >= _SEM_THRESHOLD)
+    )
+    return pairs.groupBy("test_vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_witnesses"),
+        F.max("c").alias("max_cosine"),
+        F.min("train_vec_id").alias("example_train_vec"),
+    )

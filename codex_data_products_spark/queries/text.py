@@ -1498,7 +1498,11 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 4
 
 
-def _bpe_sql() -> str:
+def _bpe_chain_sql() -> str:
+    """The shared WITH-chain: word-frequency table -> s0 (char split)
+    -> T rounds of (pair count p{{t}}, winner b{{t}}, merged frame
+    s{{t}}). text_bpe_train reads the b{{t}} winners; text_bpe_apply
+    reads the final s{{T}} frame."""
     parts = [
         f"""
 WITH words AS (
@@ -1536,17 +1540,24 @@ s{t} AS (
   FROM s{t - 1}, b{t} b
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_sql() -> str:
     steps = "\nUNION ALL\n".join(
         f"SELECT CAST({t} AS BIGINT) AS step, pair,"
         f" replace(pair, ' ', '') AS merged, n FROM b{t}"
         for t in range(1, BPE_MERGES + 1)
     )
-    parts.append(f"\n{steps}")
-    return "".join(parts)
+    return f"{_bpe_chain_sql()}\n{steps}"
 
 
-@register("text_bpe_train", sql=_bpe_sql())
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the T-round merge loop; return (per-round winner frames,
+    final merged symbol frame). Shared by text_bpe_train (reads the
+    winners) and text_bpe_apply (reads the final frame)."""
     from codex_data_products_spark.tables import spread
 
     docs = T(spark, sf_dir, "documents")
@@ -1609,7 +1620,54 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("sym"),
         )
+    return bests, frame
+
+
+@register("text_bpe_train", sql=_bpe_sql())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bests, _ = _bpe_train_frames(spark, sf_dir)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionAll(b)
     return out
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_apply — APPLY the trained tokenizer: the symbol-unit
+# frequency table after all BPE_MERGES merges, i.e. the vocabulary
+# file a text_bpe_train run ships (character units plus the merged
+# units, each with its corpus occurrence count weighted by word
+# frequency). This closes the train->apply loop: train picks the
+# merges, apply reports what the tokenizer actually emits — the
+# bytes-per-token / fertility numbers a tokenizer owner reads before
+# freezing a vocab. Scale shape: identical to training (ONE corpus
+# pass to the vocab-grain word table, then everything is
+# vocabulary-sized); the unit explosion fans out by symbols-per-word,
+# bounded by word length, and collapses in one hash agg.
+# ---------------------------------------------------------------------------
+
+_BPE_APPLY_SQL = f"""{_bpe_chain_sql()}
+SELECT u AS symbol,
+       CAST(sum(cnt) AS BIGINT)   AS n,
+       CAST(length(u) AS BIGINT)  AS sym_len
+FROM (
+  SELECT cnt,
+         unnest(list_filter(string_split(sym, ' '), x -> x <> '')) AS u
+  FROM s{BPE_MERGES}
+)
+GROUP BY u
+"""
+
+
+@register("text_bpe_apply", sql=_BPE_APPLY_SQL)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, frame = _bpe_train_frames(spark, sf_dir)
+    units = F.filter(F.split("sym", " "), lambda x: x != "")
+    return (
+        frame.select("cnt", F.explode(units).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .select(
+            "symbol", "n", F.length("symbol").cast("long").alias("sym_len")
+        )
+    )

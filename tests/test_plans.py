@@ -1222,3 +1222,42 @@ def test_semantic_dedup_pairs_cell_local_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_kcore_edges_single_equi_join_then_semi_peels(spark, sf_dir):
+    # pair generation is the basket-bounded order-key equi self-join
+    # (never part x part); each peel round is semi joins + hash aggs —
+    # nothing cartesian, no window anywhere in the loop
+    plan = _plan(spark, sf_dir, "graph_kcore")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_bpe_apply_runs_on_vocab_grain_single_corpus_pass(spark, sf_dir):
+    # the corpus is touched once (the word-frequency checkpoint); the
+    # merge chain and the unit explosion are vocabulary-sized — the
+    # plan reads the checkpoint, not documents.parquet
+    plan = _plan(spark, sf_dir, "text_bpe_apply")
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert plan.count("FileScan") == 0
+    assert "Window" not in plan
+
+
+def test_dq_profile_one_scan_two_level_agg(spark, sf_dir):
+    # one orders scan; stack() fans out row-locally; exactly the
+    # two-level hash aggregate (column,value) -> column, never a
+    # per-column count(DISTINCT) Expand
+    plan = _plan(spark, sf_dir, "dq_profile")
+    assert plan.count("FileScan") == 1
+    assert "Expand" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_semantic_contamination_broadcasts_test_side(spark, sf_dir):
+    # the small (test) side broadcasts; the train corpus streams
+    # partition-parallel with no shuffle to the pair filter
+    plan = _plan(spark, sf_dir, "split_contamination_semantic")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
