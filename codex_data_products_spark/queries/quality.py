@@ -372,6 +372,18 @@ def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VARCHAR cast so one schema covers every column type (keys, enums,
 # dates) and both engines compare identical strings.
 #
+# This is the deliberate HIGH-CARDINALITY twin of
+# queries/advanced.profile_orders: that one computes the same stats as
+# ONE wide driver-row aggregate (count_distinct per column => Catalyst
+# Expand, |cols| x rows shuffle input collapsing to a single row) —
+# unbeatable for low-cardinality enum columns. This one stacks to the
+# (column, value) grain and aggregates twice, so the shuffle is
+# bounded by the sum of per-column CARDINALITIES and the distinct
+# count is a group count — the shape that survives profiling a
+# billion-distinct key column, where the wide single-row aggregate
+# concentrates every distinct value into one reducer. A profiler owner
+# picks per column class; the engine ships both plans, oracle-checked.
+#
 # Scale shape: ONE scan of orders; stack() fans each row out to the
 # (column, value) grain row-locally, then a two-level hash aggregate —
 # (column, value) partials (map-side combine collapses repeated enum

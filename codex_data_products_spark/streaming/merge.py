@@ -587,3 +587,121 @@ def run_moment_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Incremental column-profile maintenance (the streaming twin of
+# queries/quality.dq_profile): the maintained state is the per-column
+# VALUE-FREQUENCY MULTISET (column_name, v, cnt) — dq_profile's
+# first-level aggregate. That representation is the whole point:
+# scalar min/max/distinct state is NOT maintainable under retractions
+# (deleting the current max tells you nothing about the next one), but
+# the multiset is — a signed fold on (column, value) keeps every
+# profile statistic (rows, nulls, EXACT distinct, min, max) derivable
+# after any mix of inserts and deletes, at state size
+# sum(per-column cardinality), never the fact table. This is the
+# standard IVM resolution of the MIN/MAX non-invertibility problem
+# (keep the group-wise support counts; see Gupta & Mumick's classic
+# view-maintenance taxonomy).
+#
+# Per refresh: O(|delta| x |cols|) row-local stacking + one hash fold
+# against the state on (column_name, v). Profile reads collapse the
+# state to |cols| rows. NULL is a legitimate value row (its count
+# feeds n_null), so the fold join is null-safe on v.
+# ---------------------------------------------------------------------------
+
+
+def profile_rows(
+    batch: DataFrame, cols: list[str], op_col: str | None = None
+) -> DataFrame:
+    """Stack a batch to signed (column_name, v, cnt) profile rows.
+    Without op_col every row counts +1 (insert-only stream); with it,
+    op (+1/-1) makes the fold CDC-complete."""
+    op = F.col(op_col).cast("long") if op_col else F.lit(1).cast("long")
+    stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    stacked = batch.select(
+        op.alias("_op"),
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (column_name, v)"),
+    ).select("column_name", "v", "_op")
+    return stacked.groupBy("column_name", "v").agg(
+        F.sum("_op").cast("long").alias("cnt")
+    )
+
+
+def bootstrap_profile_state(facts: DataFrame, cols: list[str]) -> DataFrame:
+    """From-scratch multiset state — the one full scan ever needed."""
+    return profile_rows(facts, cols)
+
+
+def combine_profile_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Null-safe signed fold of (column_name, v, cnt) rows; value rows
+    whose support reaches zero leave the state, so a full retraction
+    restores the exact prior profile (min/max included)."""
+    d = delta.select(
+        F.col("column_name").alias("_c"),
+        F.col("v").alias("_v"),
+        F.col("cnt").alias("_dcnt"),
+    )
+    cond = (F.col("column_name") == F.col("_c")) & F.col("v").eqNullSafe(
+        F.col("_v")
+    )
+    return (
+        state.join(d, cond, "full_outer")
+        .select(
+            F.coalesce(F.col("column_name"), F.col("_c")).alias(
+                "column_name"
+            ),
+            F.coalesce(F.col("v"), F.col("_v")).alias("v"),
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("_dcnt"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cnt"),
+        )
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def profile_stats(state: DataFrame) -> DataFrame:
+    """Collapse the multiset state to the dq_profile output shape."""
+    return state.groupBy("column_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.count("v").cast("long").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+def run_profile_maintenance(
+    changes: DataFrame,
+    table_dir: str,
+    cols: list[str],
+    checkpoint_dir: str,
+    op_col: str | None = None,
+) -> None:
+    """foreachBatch maintenance of the column-profile multiset: each
+    micro-batch stacks to signed profile rows and folds into the
+    pre-batch snapshot (v=batch_id -> v=batch_id+1; the additive fold
+    is replay-safe only because the base is anchored, same contract as
+    run_agg_maintenance)."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = profile_rows(batch, cols, op_col)
+        state = read_table(spark, table_dir, version=batch_id)
+        new_state = combine_profile_state(state, delta)
+        new_state.write.mode("overwrite").parquet(
+            f"{table_dir}/v={batch_id + 1}"
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

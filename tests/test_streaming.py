@@ -997,3 +997,127 @@ def test_run_dedup_maintenance_replay_overwrites_same_version(
         for r in read_table(spark, dirs.df).collect()
     }
     assert max(df_counts.values()) <= 2
+
+
+def test_run_profile_maintenance_matches_batch_and_survives_retraction(
+    spark, tmp_path
+):
+    """Sixth IVM class — the column-profile multiset. Two contracts:
+    (1) after draining inserts, profile_stats(state) equals the
+    from-scratch profile of the union; (2) retracting a batch restores
+    the EXACT prior profile including min/max — the property scalar
+    min/max state cannot provide and the multiset representation
+    exists to provide."""
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_profile_state,
+        combine_profile_state,
+        profile_rows,
+        profile_stats,
+        read_table,
+        run_profile_maintenance,
+    )
+
+    cols = ["status", "price"]
+    schema = "id long, status string, price long"
+    src = str(tmp_path / "ins")
+    table = str(tmp_path / "prof_table")
+    base = spark.createDataFrame(
+        [(1, "open", 10), (2, "open", 20), (3, None, 30)], schema
+    )
+    bootstrap_profile_state(base, cols).write.parquet(f"{table}/v=0")
+
+    b1 = [(4, "closed", 99), (5, "open", 10)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/d1")
+    inserts = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    run_profile_maintenance(inserts, table, cols, str(tmp_path / "ckpt"))
+
+    got = {
+        tuple(r)
+        for r in profile_stats(read_table(spark, table)).collect()
+    }
+    everything = base.unionByName(spark.createDataFrame(b1, schema))
+    want = {
+        tuple(r)
+        for r in profile_stats(
+            bootstrap_profile_state(everything, cols)
+        ).collect()
+    }
+    assert got == want
+    stats = {r[0]: r for r in profile_stats(read_table(spark, table)).collect()}
+    assert stats["price"]["max_v"] == "99"
+    assert stats["status"]["n_null"] == 1
+    assert stats["status"]["n_distinct"] == 2
+
+    # retraction: delete batch b1 (op=-1) via the CDC-complete fold —
+    # max drops back from 99 to 30 because the multiset forgets the
+    # retracted support rows entirely
+    deletes = spark.createDataFrame(
+        [(4, "closed", 99, -1), (5, "open", 10, -1)],
+        schema + ", op int",
+    )
+    reverted = combine_profile_state(
+        read_table(spark, table), profile_rows(deletes, cols, "op")
+    )
+    back = {tuple(r) for r in profile_stats(reverted).collect()}
+    orig = {
+        tuple(r)
+        for r in profile_stats(bootstrap_profile_state(base, cols)).collect()
+    }
+    assert back == orig
+    assert {r[0]: r for r in profile_stats(reverted).collect()}["price"][
+        "max_v"
+    ] == "30"
+
+
+def test_run_profile_maintenance_replay_overwrites_same_version(
+    spark, tmp_path
+):
+    """Crash-replay for the profile maintainer: the fold is ADDITIVE,
+    so replay anchored to 'latest' would double-count the delta; the
+    pre-batch anchoring must make the second attempt overwrite v=1
+    with identical counts."""
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_profile_state,
+        profile_stats,
+        read_table,
+        run_profile_maintenance,
+        table_versions,
+    )
+
+    cols = ["status"]
+    schema = "id long, status string"
+    src = str(tmp_path / "ins")
+    table = str(tmp_path / "prof_table")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    bootstrap_profile_state(base, cols).write.parquet(f"{table}/v=0")
+    spark.createDataFrame([(3, "a"), (4, "c")], schema).coalesce(
+        1
+    ).write.parquet(f"{src}/d1")
+
+    def drain(ckpt: str) -> None:
+        inserts = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_profile_maintenance(inserts, table, cols, ckpt)
+
+    drain(str(tmp_path / "ckpt1"))  # writes v=1, "commit lost"
+    drain(str(tmp_path / "ckpt2"))  # replay of batch_id=0
+
+    assert table_versions(spark, table) == [0, 1]
+    got = {
+        (r["column_name"], r["v"], r["cnt"])
+        for r in read_table(spark, table).collect()
+    }
+    assert got == {
+        ("status", "a", 2),
+        ("status", "b", 1),
+        ("status", "c", 1),
+    }
+    stats = profile_stats(read_table(spark, table)).collect()[0]
+    assert stats["n_rows"] == 4 and stats["n_distinct"] == 3
