@@ -451,3 +451,125 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_drift_psi — population-stability-index drift between two
+# deterministic halves of orders (the production data-drift alarm:
+# PSI = sum over categories of (p_a - p_b) * ln(p_a / p_b), with the
+# conventional gates PSI < 0.1 stable / > 0.25 action). Halves come
+# from the Knuth hash of o_orderkey, so the audit is reproducible and,
+# on synthetic uniform data, PSI ~ 0 — the query pins the ARITHMETIC,
+# and swapping one half for a new drop turns it into the real alarm.
+# Laplace +1 smoothing keeps every category's ratio finite even when a
+# value appears in only one half (the standard epsilon treatment).
+#
+# Determinism: category counts are exact integers; each category's PSI
+# contribution is computed ROW-LOCAL from those integers, and the
+# per-column sum folds over the category-sorted list (float addition
+# order fixed on both engines — the mixture_temperature discipline).
+# Scale: one scan, stack() fan-out, (column, value) hash agg; the fold
+# runs on the per-column category list, enum-sized by construction —
+# profile high-cardinality columns through dq_profile buckets first.
+# ---------------------------------------------------------------------------
+
+_DRIFT_COLS = ["o_orderstatus", "o_orderpriority"]
+
+_DRIFT_SQL = (
+    "WITH st AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS v,"
+        " ((o_orderkey * 2654435761) % 4294967296) % 2 AS half"
+        " FROM orders"
+        for c in _DRIFT_COLS
+    )
+    + """
+),
+g AS (
+  SELECT column_name, v,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM st GROUP BY column_name, v
+),
+tot AS (
+  SELECT column_name,
+         CAST(sum(na) AS BIGINT)   AS ta,
+         CAST(sum(nb) AS BIGINT)   AS tb,
+         CAST(count(*) AS BIGINT)  AS k
+  FROM g GROUP BY column_name
+),
+c AS (
+  SELECT g.column_name, g.v, t.ta, t.tb, t.k,
+         (CAST(g.na + 1 AS DOUBLE) / (t.ta + t.k)
+          - CAST(g.nb + 1 AS DOUBLE) / (t.tb + t.k))
+         * ln((CAST(g.na + 1 AS DOUBLE) / (t.ta + t.k))
+              / (CAST(g.nb + 1 AS DOUBLE) / (t.tb + t.k))) AS contrib
+  FROM g JOIN tot t ON t.column_name = g.column_name
+)
+SELECT column_name,
+       min(k)  AS n_categories,
+       min(ta) AS n_half_a,
+       min(tb) AS n_half_b,
+       round(list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY v)),
+         (acc, y) -> acc + y), 6) AS psi
+FROM c
+GROUP BY column_name
+"""
+)
+
+
+@register("dq_drift_psi", sql=_DRIFT_SQL)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    half = (
+        (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) % 2
+    )
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _DRIFT_COLS
+    )
+    st = orders.select(
+        half.alias("half"),
+        F.expr(
+            f"stack({len(_DRIFT_COLS)}, {stack_args}) AS (column_name, v)"
+        ),
+    )
+    # g feeds both the totals and the contribution branch; it is
+    # enum-sized, so one localCheckpoint keeps the orders scan single.
+    g = st.groupBy("column_name", "v").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    ).localCheckpoint()
+    tot = g.groupBy("column_name").agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    pa = (F.col("na") + 1).cast("double") / (F.col("ta") + F.col("k"))
+    pb = (F.col("nb") + 1).cast("double") / (F.col("tb") + F.col("k"))
+    c = g.join(F.broadcast(tot), "column_name").select(
+        "column_name",
+        "v",
+        "ta",
+        "tb",
+        "k",
+        ((pa - pb) * F.log(pa / pb)).alias("contrib"),
+    )
+    psi = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("v", "contrib"))),
+            lambda r: r["contrib"],
+        ),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    return c.groupBy("column_name").agg(
+        F.min("k").alias("n_categories"),
+        F.min("ta").alias("n_half_a"),
+        F.min("tb").alias("n_half_b"),
+        F.round(psi, 6).alias("psi"),
+    )

@@ -1671,3 +1671,92 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbol", "n", F.length("symbol").cast("long").alias("sym_len")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_inverted_index — IR index construction (the posting-list build
+# every retrieval corpus ships alongside its embeddings; Zobel &
+# Moffat, "Inverted files for text search engines", CSUR 2006): per
+# term, document frequency, total term frequency, and the HEAD of the
+# doc_id-sorted posting list ("doc:tf,doc:tf,...", first 8). The full
+# posting list for a stopword is corpus-sized, so the head is capped
+# BEFORE any collection: the rank<=8 filter compiles to
+# WindowGroupLimit (per-partition top-k state, never a full posting
+# materialization), and df/tf totals come from a plain hash agg on the
+# (term, doc) grain — the two vocab-grain frames join at the end.
+# ---------------------------------------------------------------------------
+
+_INVIDX_MIN_DF = 5
+_INVIDX_HEAD = 8
+
+_INVIDX_SQL = f"""
+WITH g AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+  ) GROUP BY term, doc_id
+),
+stats AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT)  AS total_tf
+  FROM g GROUP BY term
+  HAVING count(*) >= {_INVIDX_MIN_DF}
+),
+head AS (
+  SELECT term, doc_id, tf
+  FROM g
+  QUALIFY row_number() OVER (PARTITION BY term ORDER BY doc_id)
+          <= {_INVIDX_HEAD}
+),
+postings AS (
+  SELECT term,
+         array_to_string(
+           list(doc_id || ':' || tf ORDER BY doc_id), ',') AS head_postings
+  FROM head GROUP BY term
+)
+SELECT s.term, s.df, s.total_tf, p.head_postings
+FROM stats s JOIN postings p ON s.term = p.term
+"""
+
+
+@register("text_inverted_index", sql=_INVIDX_SQL)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    # g is referenced by BOTH vocab-grain branches (stats and the
+    # capped posting heads); materialize it once so the corpus is
+    # scanned+exploded once, not per branch — the (term, doc) grain is
+    # the index's own size, the thing an index build materializes
+    # anyway.
+    g = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    stats = (
+        g.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .filter(F.col("df") >= _INVIDX_MIN_DF)
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    head = (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _INVIDX_HEAD)
+    )
+    postings = head.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda r: F.concat_ws(":", r["doc_id"], r["tf"]),
+            ),
+            ",",
+        ).alias("head_postings")
+    )
+    return stats.join(postings, "term").select(
+        "term", "df", "total_tf", "head_postings"
+    )

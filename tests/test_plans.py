@@ -1261,3 +1261,29 @@ def test_semantic_contamination_broadcasts_test_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_head_is_windowgrouplimit(spark, sf_dir):
+    # the posting-list head cap must compile to WindowGroupLimit so no
+    # task ever materializes a stopword's full posting list
+    plan = _plan(spark, sf_dir, "text_inverted_index")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # the (term, doc) grain is checkpointed: one corpus explode feeds
+    # both the stats and posting-head branches
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_drift_psi_single_scan_broadcast_totals(spark, sf_dir):
+    # one orders scan; per-column totals ride a broadcast back onto the
+    # (column, value) grain; the float fold is row-local on sorted
+    # category lists — no window anywhere
+    plan = _plan(spark, sf_dir, "dq_drift_psi")
+    # the (column, value) grain is checkpointed, so the final plan
+    # reads the materialized cut — zero re-scans of orders
+    assert plan.count("FileScan") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
