@@ -324,7 +324,7 @@ sig AS (
 bands AS (
   SELECT doc_id, {_sql_band_val(0)} AS b0, {_sql_band_val(1)} AS b1 FROM sig
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
   UNION ALL
@@ -780,7 +780,7 @@ sig AS (
 bands AS (
   SELECT doc_id, {_sql_band_val(0)} AS b0, {_sql_band_val(1)} AS b1 FROM sig
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
   UNION ALL
@@ -870,7 +870,7 @@ st AS (
   FROM documents
 ),
 sim AS (SELECT doc_id, {_sql_simhash()} AS simhash FROM st),
-cand AS (
+cand AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sim a JOIN sim b
     ON a.simhash // 65536 = b.simhash // 65536 AND a.doc_id < b.doc_id
@@ -1410,4 +1410,260 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("va").alias("kept_by"),
         F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"),
         F.max("c").alias("max_cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_prefix_jaccard — all-pairs set-similarity join with PREFIX
+# FILTERING (Bayardo/Ma/Srikant WWW'07 "Scaling up all pairs
+# similarity search"; Chaudhuri et al.'s SSJoin primitive): two token
+# SETS can reach Jaccard >= t only if their (globally rarest-first)
+# prefixes of length |d| - ceil(t*|d|) + 1 share a token, so only
+# prefix tokens are indexed and joined — the candidate space shrinks
+# by orders of magnitude versus joining on every shared token, and
+# shrinks FURTHER as t rises (at t=0.95 the prefix is ~1/20 of the
+# doc). This is the third candidate-generation strategy in the dedup
+# family (banded MinHash ~ probabilistic, DF-capped shingles ~
+# heuristic, prefix filter ~ EXACT: provably no false negatives), and
+# the right one when exact >= t semantics are required at scale.
+#
+# Plan shape: token df via one hash agg; per-doc rarest-first ordering
+# is a row-local array sort after the df join (no global vocab rank,
+# no vocab-grain window); candidates materialize only through the
+# prefix-token equi-join; verification is a row-local
+# array_intersect on the two carried token arrays, bounded by doc
+# length. Integer prefix arithmetic ((19n+19) div 20) so both engines
+# compute identical prefix lengths; the threshold compares the
+# ROUNDED jaccard on both engines (the events_anomaly sf0.5 lesson).
+# ---------------------------------------------------------------------------
+
+# ceil(0.95 * n) == (19n + 19) div 20 exactly, in integers
+_PREFIX_T_NUM, _PREFIX_T_DEN = 19, 20
+_PREFIX_THRESHOLD = 0.95
+
+_PREFIX_TOK_SQL = r"""
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents
+"""
+
+_PREFIX_BASE_SQL = f"""
+tok AS MATERIALIZED ({_PREFIX_TOK_SQL}),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc FROM tok GROUP BY token),
+perdoc AS MATERIALIZED (
+  SELECT t.doc_id,
+         list(t.token ORDER BY d.dfc, t.token) AS toks,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tok t JOIN df d ON d.token = t.token
+  GROUP BY t.doc_id
+),
+pref AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_slice(
+           toks, 1,
+           CAST(n - (({_PREFIX_T_NUM} * n + {_PREFIX_T_NUM})
+                     // {_PREFIX_T_DEN}) + 1 AS BIGINT))) AS ptok
+  FROM perdoc
+),
+cand AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b
+    ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+verified AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_intersect(pa.toks, pb.toks)) AS DOUBLE)
+               / (pa.n + pb.n - len(list_intersect(pa.toks, pb.toks))),
+               6) AS jaccard
+  FROM cand c
+  JOIN perdoc pa ON pa.doc_id = c.doc_a
+  JOIN perdoc pb ON pb.doc_id = c.doc_b
+)
+"""
+
+_PREFIX_SQL = f"""
+WITH {_PREFIX_BASE_SQL}
+SELECT doc_a, doc_b, jaccard
+FROM verified
+WHERE jaccard >= {_PREFIX_THRESHOLD}
+"""
+
+
+def _prefix_frames(spark: SparkSession, sf_dir: str):
+    """(perdoc, pref, cand, verified) frames of the prefix-filter
+    pipeline — shared by the pair query and its eval twin."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            )
+        ).alias("token"),
+    )
+    dfc = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("dfc")
+    )
+    perdoc = (
+        tok.join(dfc, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dfc", "token"))),
+                lambda r: r["token"],
+            ).alias("toks"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        # referenced by the prefix explode AND both verify joins — one
+        # materialized cut instead of three token-df joins
+        .localCheckpoint()
+    )
+    plen = (
+        F.col("n")
+        - F.expr(
+            f"({_PREFIX_T_NUM} * n + {_PREFIX_T_NUM}) div {_PREFIX_T_DEN}"
+        )
+        + 1
+    )
+    pref = perdoc.select(
+        "doc_id",
+        F.explode(F.slice("toks", F.lit(1), plen.cast("int"))).alias(
+            "ptok"
+        ),
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pa = perdoc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    pb = perdoc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    verified = (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter.cast("double")
+                / (F.col("n_a") + F.col("n_b") - inter),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return perdoc, pref, cand, verified
+
+
+@register("dedup_prefix_jaccard", sql=_PREFIX_SQL)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, _, verified = _prefix_frames(spark, sf_dir)
+    return verified.filter(F.col("jaccard") >= _PREFIX_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# dedup_prefix_jaccard_eval — the measurement twin: how much candidate
+# work does prefix filtering actually avoid? Candidate GENERATIONS are
+# counted at the token grain (sum of C(df, 2) — the number of pair
+# emissions an inverted-index join would perform) for (a) the full
+# token index and (b) the prefix index, so the "what we avoided"
+# number never requires materializing the avoided pairs. Alongside:
+# the distinct prefix-candidate count and the verified-pair count,
+# giving the verify precision. All counts exact integers.
+# ---------------------------------------------------------------------------
+
+_PREFIX_EVAL_SQL = f"""
+WITH {_PREFIX_BASE_SQL},
+fullgen AS (
+  SELECT CAST(sum(dfc * (dfc - 1) // 2) AS BIGINT) AS n FROM df
+),
+prefgen AS (
+  SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n FROM (
+    SELECT ptok, CAST(count(*) AS BIGINT) AS c FROM pref GROUP BY ptok
+  )
+),
+ncand AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cand),
+nver AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM verified
+  WHERE jaccard >= {_PREFIX_THRESHOLD}
+)
+SELECT fullgen.n  AS full_candidate_generations,
+       prefgen.n  AS prefix_candidate_generations,
+       ncand.n    AS n_prefix_pairs,
+       nver.n     AS n_verified_pairs,
+       round(CAST(fullgen.n AS DOUBLE) / prefgen.n, 2)
+         AS candidate_reduction,
+       round(CAST(nver.n AS DOUBLE) / ncand.n, 6) AS verify_precision
+FROM fullgen, prefgen, ncand, nver
+"""
+
+
+@register("dedup_prefix_jaccard_eval", sql=_PREFIX_EVAL_SQL)
+def dedup_prefix_jaccard_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    perdoc, pref, cand, verified = _prefix_frames(spark, sf_dir)
+    dfc = (
+        perdoc.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+    )
+    fullgen = dfc.agg(
+        F.sum(F.expr("dfc * (dfc - 1) div 2"))
+        .cast("long")
+        .alias("full_candidate_generations")
+    )
+    prefgen = (
+        pref.groupBy("ptok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.expr("c * (c - 1) div 2"))
+            .cast("long")
+            .alias("prefix_candidate_generations")
+        )
+    )
+    ncand = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_prefix_pairs")
+    )
+    nver = verified.filter(
+        F.col("jaccard") >= _PREFIX_THRESHOLD
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_verified_pairs"))
+    return (
+        fullgen.crossJoin(prefgen)
+        .crossJoin(ncand)
+        .crossJoin(nver)
+        .select(
+            "full_candidate_generations",
+            "prefix_candidate_generations",
+            "n_prefix_pairs",
+            "n_verified_pairs",
+            F.round(
+                F.col("full_candidate_generations").cast("double")
+                / F.col("prefix_candidate_generations"),
+                2,
+            ).alias("candidate_reduction"),
+            F.round(
+                F.col("n_verified_pairs").cast("double")
+                / F.col("n_prefix_pairs"),
+                6,
+            ).alias("verify_precision"),
+        )
     )

@@ -1287,3 +1287,23 @@ def test_drift_psi_single_scan_broadcast_totals(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_prefix_jaccard_no_vocab_window_no_cartesian(spark, sf_dir):
+    # rarest-first ordering is a row-local array sort after the df
+    # join — no global vocab rank, no vocab-grain window; candidates
+    # only via the prefix-token equi-join; verification row-local
+    plan = _plan(spark, sf_dir, "dedup_prefix_jaccard")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_jaccard_eval_counts_generations_not_pairs(spark, sf_dir):
+    # the "avoided work" numbers come from token-grain C(df,2) sums —
+    # the avoided pairs are never materialized; the only pair frames
+    # are the prefix candidates the production query builds anyway
+    plan = _plan(spark, sf_dir, "dedup_prefix_jaccard_eval")
+    # the only cross joins are the four 1-row stat frames composing
+    # the single output row
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
