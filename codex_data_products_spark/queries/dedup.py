@@ -1458,7 +1458,7 @@ perdoc AS MATERIALIZED (
   GROUP BY t.doc_id
 ),
 pref AS MATERIALIZED (
-  SELECT doc_id,
+  SELECT doc_id, n,
          unnest(list_slice(
            toks, 1,
            CAST(n - (({_PREFIX_T_NUM} * n + {_PREFIX_T_NUM})
@@ -1469,6 +1469,8 @@ cand AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM pref a JOIN pref b
     ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+   AND {_PREFIX_T_DEN} * least(a.n, b.n)
+       >= {_PREFIX_T_NUM} * greatest(a.n, b.n)
   GROUP BY doc_a, doc_b
 ),
 verified AS MATERIALIZED (
@@ -1528,6 +1530,7 @@ def _prefix_frames(spark: SparkSession, sf_dir: str):
     )
     pref = perdoc.select(
         "doc_id",
+        "n",
         F.explode(F.slice("toks", F.lit(1), plen.cast("int"))).alias(
             "ptok"
         ),
@@ -1538,7 +1541,15 @@ def _prefix_frames(spark: SparkSession, sf_dir: str):
         a.join(
             b,
             (F.col("a.ptok") == F.col("b.ptok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter (the paper's second pruning rule):
+            # Jaccard >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+            & (
+                F.lit(_PREFIX_T_DEN)
+                * F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(_PREFIX_T_NUM)
+                * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
