@@ -127,3 +127,35 @@ def bfs(
             dist = dist.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int
+) -> list[tuple[int, DataFrame, DataFrame]]:
+    """Bounded k-core peeling (Seidman 1983; peel-all-per-superstep as
+    in distributed formulations): repeatedly drop every node whose
+    degree in the surviving subgraph is < k. ``edges`` is an
+    (x, y) frame with x < y normalized. Returns
+    [(round, edges_frame, degree_frame), ...] for rounds 0..rounds —
+    round 0 is the input graph. Each round is one degree hash-agg and
+    two semi joins, localCheckpoint'd so plan depth stays O(1); the
+    survivor set shrinks monotonically, so per-round shuffle size is
+    non-increasing."""
+
+    def degrees(e: DataFrame) -> DataFrame:
+        und = e.select("x").unionAll(e.select(F.col("y").alias("x")))
+        return und.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+
+    cur = edges.localCheckpoint()
+    deg = degrees(cur)
+    out = [(0, cur, deg)]
+    for t in range(1, rounds + 1):
+        surv = deg.filter(F.col("d") >= k).select("x")
+        cur = (
+            cur.join(surv, "x", "left_semi")
+            .join(surv.select(F.col("x").alias("y")), "y", "left_semi")
+            .localCheckpoint()
+        )
+        deg = degrees(cur)
+        out.append((t, cur, deg))
+    return out

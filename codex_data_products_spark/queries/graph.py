@@ -556,6 +556,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
+    from codex_data_products_spark.operators.graphs import kcore_peel
+
     def stats(t: int, e: DataFrame, deg: DataFrame) -> DataFrame:
         n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
@@ -566,24 +568,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def degrees(e: DataFrame) -> DataFrame:
-        und = e.select("x").unionAll(e.select(F.col("y").alias("x")))
-        return und.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
-
-    cur = edges
-    deg = degrees(cur)
-    rounds = [stats(0, cur, deg)]
-    for t in range(1, KCORE_ROUNDS + 1):
-        surv = deg.filter(F.col("d") >= KCORE_K).select("x")
-        cur = (
-            cur.join(surv, "x", "left_semi")
-            .join(
-                surv.select(F.col("x").alias("y")), "y", "left_semi"
-            )
-            .localCheckpoint()
-        )
-        deg = degrees(cur)
-        rounds.append(stats(t, cur, deg))
+    rounds = [
+        stats(t, e, deg)
+        for t, e, deg in kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
+    ]
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionAll(r)

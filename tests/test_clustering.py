@@ -149,3 +149,99 @@ def test_link_prediction_predicts_chain_gap(spark):
         for r in link_prediction_from_pairs(pairs).collect()
     }
     assert got == {(1, 3): (1, 1.0)}
+
+
+def test_kcore_peel_triangle_survives_tail_peels(spark):
+    """Constructed 2-core: a triangle {1,2,3} with a pendant chain
+    3-4-5. At k=2 the chain peels over two rounds (5 first, then 4)
+    and the triangle is the exact 2-core fixpoint — three bounded
+    rounds reach it."""
+    from codex_data_products_spark.operators.graphs import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "x long, y long"
+    )
+    rounds = kcore_peel(edges, 2, 3)
+    sizes = [
+        (t, e.count(), deg.count()) for t, e, deg in rounds
+    ]
+    assert sizes[0] == (0, 5, 5)
+    assert sizes[1] == (1, 4, 4)   # node 5 (degree 1) peeled
+    assert sizes[2] == (2, 3, 3)   # node 4 lost its support, peeled
+    assert sizes[3] == (3, 3, 3)   # fixpoint: the triangle
+    core = {(r["x"], r["y"]) for r in rounds[3][1].collect()}
+    assert core == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_semantic_dedup_min_id_witness_rule(spark, tmp_path):
+    """Constructed SemDeDup cell: vectors a(1), b(2), c(3) in one cell
+    where cos(1,2) and cos(1,3) exceed the threshold but cos(2,3) also
+    does — every non-minimal vector is dropped with keeper witness 1,
+    and vector 1 (no smaller-id duplicate) survives by not appearing
+    in the drop list."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codex_data_products_spark.queries.dedup import dedup_semantic
+
+    d = tmp_path / "emb"
+    d.mkdir()
+    # near-parallel vectors => pairwise cosine ~1 within the cell
+    vecs = [
+        (1, [1.0, 0.0, 0.01], 0),
+        (2, [1.0, 0.0, 0.02], 0),
+        (3, [1.0, 0.01, 0.0], 0),
+        (9, [0.0, 1.0, 0.0], 1),  # different cell, never paired
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([v[2] for v in vecs], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = {
+        r["dropped_vec_id"]: (r["kept_by"], r["n_dup_neighbors"])
+        for r in dedup_semantic(spark, str(d)).collect()
+    }
+    assert set(out) == {2, 3}
+    assert out[2][0] == 1 and out[3][0] == 1
+    assert out[2][1] == 1 and out[3][1] == 2  # 3 has witnesses {1, 2}
+
+
+def test_containment_flags_exact_subset_doc(spark, tmp_path):
+    """A short doc fully embedded in a long doc: Jaccard is tiny but
+    containment is 1.0 — the pair the Jaccard passes structurally
+    miss and this query exists to catch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codex_data_products_spark.queries.dedup import dedup_containment
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    inner = " ".join(f"tok{i}" for i in range(12))
+    outer = inner + " " + " ".join(f"pad{i}" for i in range(300))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([inner, outer, other]),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array(
+                    [len(inner), len(outer), len(other)], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    rows = dedup_containment(spark, str(d)).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in rows}
+    assert got == {(1, 2): 1.0}
