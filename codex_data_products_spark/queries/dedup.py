@@ -1495,7 +1495,12 @@ WHERE jaccard >= {_PREFIX_THRESHOLD}
 def _prefix_frames(spark: SparkSession, sf_dir: str):
     """(perdoc, pref, cand, verified) frames of the prefix-filter
     pipeline — shared by the pair query and its eval twin."""
-    docs = T(spark, sf_dir, "documents")
+    return prefix_jaccard_frames(T(spark, sf_dir, "documents"))
+
+
+def prefix_jaccard_frames(docs: DataFrame):
+    """Pipeline over any (doc_id, text) frame — unit/property-testable
+    core (see test_properties: completeness vs an exact Python model)."""
     tok = docs.select(
         "doc_id",
         F.explode(

@@ -494,3 +494,150 @@ def test_dedup_incremental_equals_from_scratch(spark, tmp_path_factory, docs, da
             for r in dedup_pairs_snapshot(spark, state).collect()
         }
         assert got == want
+
+
+# --- prefix-filtered similarity join: exact-answer property --------------
+#
+# The WWW'07 guarantee: prefix + length filtering generates a candidate
+# SUPERSET of all pairs with Jaccard >= t, and verification is exact —
+# so the pipeline's output must EQUAL a brute-force Python model on the
+# same corpora (no false negatives from filtering, no false positives
+# from verification). Docs are a shared template with small deletions,
+# which concentrates pairs right around the 0.95 boundary.
+
+_TEMPLATE = [f"t{i}" for i in range(40)]
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(0, 39), max_size=2),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_jaccard_equals_exact_model(spark, removals):
+    from codex_data_products_spark.queries.dedup import (
+        _PREFIX_THRESHOLD,
+        prefix_jaccard_frames,
+    )
+
+    docs = [
+        (i + 1, " ".join(t for j, t in enumerate(_TEMPLATE) if j not in rm))
+        for i, rm in enumerate(removals)
+    ]
+    sets = {d: frozenset(text.split()) for d, text in docs}
+    expect = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            jac = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+            if jac >= _PREFIX_THRESHOLD:
+                expect.add((a, b))
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    _, _, _, verified = prefix_jaccard_frames(frame)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in verified.filter(
+            F.col("jaccard") >= _PREFIX_THRESHOLD
+        ).collect()
+    }
+    assert got == expect
+
+
+# --- bounded k-core peel reaches the classical fixpoint ------------------
+
+
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_peel_converges_to_classical_core(spark, edge_set):
+    from codex_data_products_spark.operators.graphs import kcore_peel
+
+    k = 2
+    # classical fixpoint in Python
+    edges = set(edge_set)
+    while True:
+        deg: dict[int, int] = {}
+        for x, y in edges:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(x, y) for x, y in edges if x in keep and y in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    frame = spark.createDataFrame(sorted(edge_set), "x long, y long")
+    # <= |V| rounds always converge; 6 nodes -> 6 rounds
+    rounds = kcore_peel(frame, k, 6)
+    sizes = [e.count() for _, e, _ in rounds]
+    assert all(a >= b for a, b in zip(sizes, sizes[1:]))  # monotone
+    final = {(r["x"], r["y"]) for r in rounds[-1][1].collect()}
+    assert final == edges
+
+
+# --- profile IVM: signed fold equals bootstrap on the net multiset -------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),
+            st.integers(0, 3),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_profile_fold_equals_bootstrap_on_net_rows(spark, rows):
+    """Insert all rows, then retract a deterministic half; the folded
+    state must equal bootstrapping from only the surviving rows —
+    including min/max, THE stats scalar state cannot maintain."""
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_profile_state,
+        combine_profile_state,
+        profile_rows,
+        profile_stats,
+    )
+
+    schema = "status string, price long"
+    base = spark.createDataFrame(rows, schema)
+    state = bootstrap_profile_state(base, ["status", "price"])
+    retracted = rows[::2]
+    survivors = rows[1::2]
+    if retracted:
+        delta = profile_rows(
+            spark.createDataFrame(
+                [(s, p, -1) for s, p in retracted], schema + ", op int"
+            ),
+            ["status", "price"],
+            "op",
+        )
+        state = combine_profile_state(state, delta)
+    got = {tuple(r) for r in profile_stats(state).collect()}
+    want = (
+        {
+            tuple(r)
+            for r in profile_stats(
+                bootstrap_profile_state(
+                    spark.createDataFrame(survivors, schema),
+                    ["status", "price"],
+                )
+            ).collect()
+        }
+        if survivors
+        else set()
+    )
+    assert got == want
