@@ -418,3 +418,32 @@ def test_pca_constant_corpus_degenerate_variance(spark, tmp_path):
         and r["explained_share"] == 0.0
         for r in out
     )
+
+
+def test_sample_priority_corpus_smaller_than_k_is_empty(spark, tmp_path):
+    """Priority sampling needs the (k+1)-th priority as its threshold;
+    with fewer than k+1 docs there is no tau and BOTH engines emit
+    zero rows (the SQL's inner join on the rn=k+1 row, the Spark
+    side's tau-null filter). Pinned so a refactor can't silently turn
+    the degenerate corpus into 'return everything with est=w'."""
+    from codex_data_products_spark.queries.sampling import sample_priority
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", "en", "s", 5) for i in range(1, 6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = _tmp_sf_dir(spark, tmp_path, {"documents": docs})
+    assert sample_priority(spark, d).count() == 0
+
+
+def test_inverted_index_below_min_df_is_empty(spark, tmp_path):
+    """Every term rarer than the df floor: stats filter removes all
+    vocab rows, so the index is empty rather than unfiltered."""
+    from codex_data_products_spark.queries.text import text_inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s", 10), (2, "gamma delta", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = _tmp_sf_dir(spark, tmp_path, {"documents": docs})
+    assert text_inverted_index(spark, d).count() == 0
