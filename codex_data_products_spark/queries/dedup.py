@@ -1413,48 +1413,64 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 # ---------------------------------------------------------------------------
 # dedup_prefix_jaccard — all-pairs set-similarity join with PREFIX
 # FILTERING (Bayardo/Ma/Srikant WWW'07 "Scaling up all pairs
-# similarity search"; Chaudhuri et al.'s SSJoin primitive): two token
+# similarity search"; Chaudhuri et al.'s SSJoin primitive): two item
 # SETS can reach Jaccard >= t only if their (globally rarest-first)
-# prefixes of length |d| - ceil(t*|d|) + 1 share a token, so only
-# prefix tokens are indexed and joined — the candidate space shrinks
-# by orders of magnitude versus joining on every shared token, and
-# shrinks FURTHER as t rises (at t=0.95 the prefix is ~1/20 of the
-# doc). This is the third candidate-generation strategy in the dedup
-# family (banded MinHash ~ probabilistic, DF-capped shingles ~
-# heuristic, prefix filter ~ EXACT: provably no false negatives), and
-# the right one when exact >= t semantics are required at scale.
+# prefixes of length |d| - ceil(t*|d|) + 1 share an item, so only
+# prefix items are indexed and joined; a LENGTH filter inside the
+# candidate join (t*max(|A|,|B|) <= min(|A|,|B|), integer arithmetic)
+# prunes cross-size pairs. EXACT — provably no false negatives —
+# completing the candidate-generation family: banded MinHash
+# (probabilistic), DF-capped shingles (heuristic), prefix filter
+# (exact), each with its own cost envelope.
 #
-# Plan shape: token df via one hash agg; per-doc rarest-first ordering
-# is a row-local array sort after the df join (no global vocab rank,
-# no vocab-grain window); candidates materialize only through the
-# prefix-token equi-join; verification is a row-local
-# array_intersect on the two carried token arrays, bounded by doc
-# length. Integer prefix arithmetic ((19n+19) div 20) so both engines
-# compute identical prefix lengths; the threshold compares the
-# ROUNDED jaccard on both engines (the events_anomaly sf0.5 lesson).
+# The item universe is the DISTINCT 5-token SHINGLE set (uncapped —
+# capping would break the exactness guarantee), not unigram tokens:
+# prefix filtering's effectiveness rests on rare items existing, and a
+# small-vocabulary corpus has NO rare unigrams — the sf0.5 stress
+# sweep measured the unigram variant's rarest-first prefixes landing
+# on items with df ~10^4, reinflating the candidate join to ~10^8 raw
+# pairs (SCALE.md). Shingle universes are |vocab|^k-sparse, so the
+# rarest-first prefix is genuinely rare at every scale; this is also
+# how production prefix-filter dedup is deployed.
+#
+# Plan shape: shingle df via one hash agg; per-doc rarest-first
+# ordering is a row-local array sort after the df join (no global
+# vocab rank, no vocab-grain window); candidates materialize only
+# through the (prefix-shingle, length-window) equi-join; verification
+# is a row-local array_intersect on the two carried shingle arrays,
+# bounded by doc length. Integer prefix arithmetic ((19n+19) div 20)
+# so both engines compute identical prefix lengths; the threshold
+# compares the ROUNDED jaccard on both engines (the events_anomaly
+# sf0.5 lesson).
 # ---------------------------------------------------------------------------
 
 # ceil(0.95 * n) == (19n + 19) div 20 exactly, in integers
 _PREFIX_T_NUM, _PREFIX_T_DEN = 19, 20
 _PREFIX_THRESHOLD = 0.95
 
-_PREFIX_TOK_SQL = r"""
+_PREFIX_ITEMS_SQL = f"""
   SELECT DISTINCT doc_id,
-         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
-  FROM documents
+         array_to_string(list_slice(t, i, i + {SHINGLE_K - 1}), ' ')
+           AS item
+  FROM (
+    SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    WHERE len({_SQL_TOKENS}) >= {SHINGLE_K}
+  ), unnest(generate_series(1, len(t) - {SHINGLE_K - 1})) AS g(i)
 """
 
 _PREFIX_BASE_SQL = f"""
-tok AS MATERIALIZED ({_PREFIX_TOK_SQL}),
-df AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc FROM tok GROUP BY token),
+items AS MATERIALIZED ({_PREFIX_ITEMS_SQL}),
+df AS (SELECT item, CAST(count(*) AS BIGINT) AS dfc FROM items GROUP BY item),
 perdoc AS MATERIALIZED (
   SELECT t.doc_id,
-         list(t.token ORDER BY d.dfc, t.token) AS toks,
+         list(t.item ORDER BY d.dfc, t.item) AS toks,
          CAST(count(*) AS BIGINT) AS n
-  FROM tok t JOIN df d ON d.token = t.token
+  FROM items t JOIN df d ON d.item = t.item
   GROUP BY t.doc_id
 ),
 pref AS MATERIALIZED (
@@ -1492,38 +1508,26 @@ WHERE jaccard >= {_PREFIX_THRESHOLD}
 """
 
 
-def _prefix_frames(spark: SparkSession, sf_dir: str):
-    """(perdoc, pref, cand, verified) frames of the prefix-filter
-    pipeline — shared by the pair query and its eval twin."""
-    return prefix_jaccard_frames(T(spark, sf_dir, "documents"))
-
-
-def prefix_jaccard_frames(docs: DataFrame):
-    """Pipeline over any (doc_id, text) frame — unit/property-testable
-    core (see test_properties: completeness vs an exact Python model)."""
-    tok = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-            )
-        ).alias("token"),
-    )
-    dfc = tok.groupBy("token").agg(
+def prefix_jaccard_frames(items: DataFrame):
+    """Prefix-filter pipeline over any DISTINCT (doc_id, item) frame;
+    returns (perdoc, pref, cand, verified). Unit/property-testable
+    core (test_properties feeds raw tokens as items and checks set
+    equality against a brute-force Python model)."""
+    dfc = items.groupBy("item").agg(
         F.count(F.lit(1)).cast("long").alias("dfc")
     )
     perdoc = (
-        tok.join(dfc, "token")
+        items.join(dfc, "item")
         .groupBy("doc_id")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("dfc", "token"))),
-                lambda r: r["token"],
+                F.array_sort(F.collect_list(F.struct("dfc", "item"))),
+                lambda r: r["item"],
             ).alias("toks"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
         # referenced by the prefix explode AND both verify joins — one
-        # materialized cut instead of three token-df joins
+        # materialized cut instead of three item-df joins
         .localCheckpoint()
     )
     plen = (
@@ -1589,6 +1593,16 @@ def prefix_jaccard_frames(docs: DataFrame):
     return perdoc, pref, cand, verified
 
 
+def _prefix_frames(spark: SparkSession, sf_dir: str):
+    """Pipeline frames over the corpus's distinct 5-token shingles —
+    shared by the pair query and its eval twin."""
+    docs = T(spark, sf_dir, "documents")
+    items = shingle_table(docs).select(
+        "doc_id", F.col("shingle").alias("item")
+    )
+    return prefix_jaccard_frames(items)
+
+
 @register("dedup_prefix_jaccard", sql=_PREFIX_SQL)
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, _, verified = _prefix_frames(spark, sf_dir)
@@ -1598,9 +1612,9 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # dedup_prefix_jaccard_eval — the measurement twin: how much candidate
 # work does prefix filtering actually avoid? Candidate GENERATIONS are
-# counted at the token grain (sum of C(df, 2) — the number of pair
+# counted at the item grain (sum of C(df, 2) — the number of pair
 # emissions an inverted-index join would perform) for (a) the full
-# token index and (b) the prefix index, so the "what we avoided"
+# shingle index and (b) the prefix index, so the "what we avoided"
 # number never requires materializing the avoided pairs. Alongside:
 # the distinct prefix-candidate count and the verified-pair count,
 # giving the verify precision. All counts exact integers.
@@ -1638,8 +1652,8 @@ def dedup_prefix_jaccard_eval(
 ) -> DataFrame:
     perdoc, pref, cand, verified = _prefix_frames(spark, sf_dir)
     dfc = (
-        perdoc.select(F.explode("toks").alias("token"))
-        .groupBy("token")
+        perdoc.select(F.explode("toks").alias("item"))
+        .groupBy("item")
         .agg(F.count(F.lit(1)).alias("dfc"))
     )
     fullgen = dfc.agg(

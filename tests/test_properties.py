@@ -523,11 +523,12 @@ def test_prefix_jaccard_equals_exact_model(spark, removals):
         prefix_jaccard_frames,
     )
 
-    docs = [
-        (i + 1, " ".join(t for j, t in enumerate(_TEMPLATE) if j not in rm))
+    sets = {
+        i + 1: frozenset(
+            t for j, t in enumerate(_TEMPLATE) if j not in rm
+        )
         for i, rm in enumerate(removals)
-    ]
-    sets = {d: frozenset(text.split()) for d, text in docs}
+    }
     expect = set()
     ids = sorted(sets)
     for i, a in enumerate(ids):
@@ -536,7 +537,10 @@ def test_prefix_jaccard_equals_exact_model(spark, removals):
             jac = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
             if jac >= _PREFIX_THRESHOLD:
                 expect.add((a, b))
-    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    frame = spark.createDataFrame(
+        [(d, t) for d, items in sets.items() for t in sorted(items)],
+        "doc_id long, item string",
+    )
     _, _, _, verified = prefix_jaccard_frames(frame)
     got = {
         (r["doc_a"], r["doc_b"])
