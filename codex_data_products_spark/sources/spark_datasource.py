@@ -155,6 +155,86 @@ class MiniHDF5DataSource(DataSource):
 
 
 # ---------------------------------------------------------------------------
+# arrowipc — Arrow IPC / Feather v2 files as a registered source
+# ---------------------------------------------------------------------------
+
+_ARROW_DDL = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "bool": "boolean",
+    "string": "string",
+    "large_string": "string",
+    "binary": "binary",
+    "large_binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _arrow_schema_ddl(path: str) -> str:
+    """Spark DDL for an IPC file's schema (metadata-only driver read)."""
+    import pyarrow.ipc as ipc
+
+    with ipc.open_file(path) as rd:
+        sch = rd.schema
+    cols = []
+    for field in sch:
+        t = str(field.type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp"
+        elif t in _ARROW_DDL:
+            ddl = _ARROW_DDL[t]
+        else:
+            raise ValueError(
+                f"arrowipc: unsupported Arrow type {t!r} for column"
+                f" {field.name!r}"
+            )
+        cols.append(f"`{field.name}` {ddl}")
+    return ", ".join(cols)
+
+
+class ArrowIPCReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("arrowipc source requires a path")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_FilePartition(p) for p in _expand(self.path)]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        # Yield pyarrow RecordBatches directly — the zero-copy fast
+        # path of the Python DataSource API (no per-row Python tuples;
+        # Spark consumes the Arrow buffers as-is).
+        import pyarrow.ipc as ipc
+
+        with ipc.open_file(partition.path) as rd:
+            for i in range(rd.num_record_batches):
+                yield rd.get_batch(i)
+
+
+class ArrowIPCDataSource(DataSource):
+    """``spark.read.format("arrowipc")`` — Arrow IPC (Feather v2)
+    files; one InputPartition per file, record batches passed to Spark
+    without row-level materialization. Schema is inferred from the
+    first file's IPC metadata on the driver (footer read only — no
+    data IO at planning time)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "arrowipc"
+
+    def schema(self) -> str:
+        return _arrow_schema_ddl(_expand(self.options.get("path"))[0])
+
+    def reader(self, schema) -> ArrowIPCReader:
+        return ArrowIPCReader(self.options)
+
+
+# ---------------------------------------------------------------------------
 # eventgen — deterministic streaming source
 # ---------------------------------------------------------------------------
 
@@ -238,3 +318,4 @@ def register_all(spark) -> None:
     spark.dataSource.register(MatrixMarketDataSource)
     spark.dataSource.register(MiniHDF5DataSource)
     spark.dataSource.register(EventGenDataSource)
+    spark.dataSource.register(ArrowIPCDataSource)

@@ -239,3 +239,61 @@ def test_datasource_missing_path_fails_fast(registered, tmp_path):
         registered.read.format("matrixmarket").load(
             str(tmp_path / "*.nothing")
         ).collect()
+
+
+def test_arrowipc_roundtrip_schema_and_values(registered, tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "name": pa.array(["a", "b", None]),
+            "score": pa.array([1.5, None, 3.25], pa.float64()),
+            "flag": pa.array([True, False, True]),
+            "day": pa.array(
+                [datetime.date(2024, 1, i + 1) for i in range(3)]
+            ),
+        }
+    )
+    path = tmp_path / "part0.arrow"
+    with ipc.new_file(str(path), t.schema) as w:
+        w.write_table(t)
+    df = registered.read.format("arrowipc").load(str(path))
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "id:bigint",
+        "name:string",
+        "score:double",
+        "flag:boolean",
+        "day:date",
+    ]
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {
+        (1, "a", 1.5, True, datetime.date(2024, 1, 1)),
+        (2, "b", None, False, datetime.date(2024, 1, 2)),
+        (3, None, 3.25, True, datetime.date(2024, 1, 3)),
+    }
+
+
+def test_arrowipc_glob_is_one_partition_per_file(registered, tmp_path):
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    for i in range(3):
+        t = pa.table({"v": pa.array([i * 10, i * 10 + 1], pa.int64())})
+        with ipc.new_file(str(tmp_path / f"f{i}.arrow"), t.schema) as w:
+            w.write_table(t)
+    df = registered.read.format("arrowipc").load(str(tmp_path / "*.arrow"))
+    assert df.rdd.getNumPartitions() == 3
+    assert sorted(r["v"] for r in df.collect()) == [0, 1, 10, 11, 20, 21]
+
+
+def test_arrowipc_missing_file_fails_on_driver(registered, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not a readable file"):
+        registered.read.format("arrowipc").load(
+            str(tmp_path / "nope.arrow")
+        ).count()
