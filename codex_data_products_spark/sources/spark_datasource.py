@@ -34,8 +34,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    InputPartition,
     DataSourceStreamReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -216,6 +218,53 @@ class ArrowIPCReader(DataSourceReader):
                 yield rd.get_batch(i)
 
 
+class _ArrowWriteDone(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path, self.rows = path, rows
+
+
+class ArrowIPCWriter(DataSourceWriter):
+    """One .arrow file per partition under the target directory —
+    the mirror of the reader's one-partition-per-file split."""
+
+    def __init__(self, options: dict, schema) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("arrowipc sink requires a path")
+        self.schema = schema
+
+    def write(self, iterator) -> "_ArrowWriteDone":
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        pid = TaskContext.get().partitionId()
+        arrow_schema = to_arrow_schema(self.schema)
+        rows = [tuple(r) for r in iterator]
+        cols = list(zip(*rows)) if rows else [[] for _ in arrow_schema]
+        table = pa.Table.from_arrays(
+            [
+                pa.array(list(c), f.type)
+                for f, c in zip(arrow_schema, cols)
+            ],
+            schema=arrow_schema,
+        )
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.arrow")
+        with ipc.new_file(out, arrow_schema) as w:
+            w.write_table(table)
+        return _ArrowWriteDone(out, len(rows))
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class ArrowIPCDataSource(DataSource):
     """``spark.read.format("arrowipc")`` — Arrow IPC (Feather v2)
     files; one InputPartition per file, record batches passed to Spark
@@ -232,6 +281,9 @@ class ArrowIPCDataSource(DataSource):
 
     def reader(self, schema) -> ArrowIPCReader:
         return ArrowIPCReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> ArrowIPCWriter:
+        return ArrowIPCWriter(self.options, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -297,3 +297,25 @@ def test_arrowipc_missing_file_fails_on_driver(registered, tmp_path):
         registered.read.format("arrowipc").load(
             str(tmp_path / "nope.arrow")
         ).count()
+
+
+def test_arrowipc_write_then_read_roundtrip(registered, tmp_path):
+    out = str(tmp_path / "sink")
+    df = registered.range(100).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS dbl", "CAST(id AS STRING) AS s"
+    ).repartition(4)
+    df.write.format("arrowipc").mode("append").save(out)
+    import glob as _glob
+
+    files = sorted(_glob.glob(out + "/part-*.arrow"))
+    assert len(files) == 4  # one IPC file per partition
+    back = registered.read.format("arrowipc").load(out + "/*.arrow")
+    assert [f.simpleString() for f in back.schema.fields] == [
+        "id:bigint",
+        "dbl:double",
+        "s:string",
+    ]
+    assert back.count() == 100
+    assert {tuple(r) for r in back.collect()} == {
+        (i, float(i * 2), str(i)) for i in range(100)
+    }
