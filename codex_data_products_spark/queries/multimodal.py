@@ -783,3 +783,127 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "palette_size long, index_sum long, pixel_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_ahash — perceptual near-duplicate IMAGE dedup via
+# average hash (aHash: grayscale -> 8x8 nearest-neighbor downsample ->
+# threshold each cell against the mean -> 64-bit signature; the
+# classic pHash-family baseline). This joins the multimodal and dedup
+# families: payloads are REAL encoded BMPs, decoded byte-for-byte by
+# the from-scratch spec codec, and images whose signatures collide
+# form near-dup groups — visually identical content at different
+# resolutions hashes identically, which is exactly what the
+# checkerboard corpus exercises (same pattern, 91 width x height
+# variants). The signature is emitted as a 64-char bit string: integer
+# thresholding (gray*64 > sum, strict) keeps every bit exact on both
+# engines and sidesteps BIGINT sign overflow at bit 63.
+#
+# Scale shape: encode and hash are two row-local Arrow stages (no
+# shuffle between them); the group collapse is one hash aggregate on
+# the 64-char signature — at 100 TB this is the standard
+# signature-grain dedup shuffle, |images| rows of 72 bytes, never
+# pixels. The oracle replays the checkerboard arithmetic in closed
+# form (the multimodal-family recipe).
+# ---------------------------------------------------------------------------
+
+_AHASH_SQL = """
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, (j * 8 + i) AS k,
+         CASE WHEN (((i * w) // 8) + ((j * h) // 8)) % 2 = 0
+              THEN 85 ELSE 170 END AS gray
+  FROM g,
+       unnest(generate_series(0, 7)) AS gi(i),
+       unnest(generate_series(0, 7)) AS gj(j)
+),
+sums AS (
+  SELECT doc_id, CAST(sum(gray) AS BIGINT) AS s FROM cells GROUP BY doc_id
+),
+hashes AS (
+  SELECT c.doc_id,
+         array_to_string(
+           list(CASE WHEN c.gray * 64 > m.s THEN '1' ELSE '0' END
+                ORDER BY c.k), '') AS ahash
+  FROM cells c JOIN sums m USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT ahash,
+       CAST(count(*) AS BIGINT) AS n_images,
+       min(doc_id)              AS min_asset,
+       max(doc_id)              AS max_asset
+FROM hashes
+GROUP BY ahash
+HAVING count(*) >= 2
+"""
+
+
+@register("multimodal_image_ahash", sql=_AHASH_SQL)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+    from codex_data_products_spark.tables import spread
+
+    docs = spread(T(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                rows = [
+                    bytes(
+                        255 if ((b // 3) + y + (b % 3)) % 2 else 0
+                        for b in range(3 * w)
+                    )
+                    for y in range(h)
+                ]
+                payloads.append(encode_bmp(w, h, rows))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                m = decode_bmp(bytes(p))
+                w, h, rows = m["width"], m["height"], m["rgb_rows"]
+                grays = []
+                for j in range(8):
+                    ys = (j * h) // 8
+                    row = rows[ys]
+                    for i in range(8):
+                        xs = (i * w) // 8
+                        r, g, b = row[3 * xs : 3 * xs + 3]
+                        grays.append((r + g + b) // 3)
+                s = sum(grays)
+                bits = "".join(
+                    "1" if g * 64 > s else "0" for g in grays
+                )
+                out.append({"asset_id": int(aid), "ahash": bits})
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(
+        encode, schema="asset_id long, payload binary"
+    )
+    sigs = payloads.mapInPandas(
+        ahash, schema="asset_id long, ahash string"
+    )
+    return (
+        sigs.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("asset_id").alias("min_asset"),
+            F.max("asset_id").alias("max_asset"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )

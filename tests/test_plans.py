@@ -1307,3 +1307,13 @@ def test_prefix_jaccard_eval_counts_generations_not_pairs(spark, sf_dir):
     # the single output row
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_image_ahash_two_arrow_stages_one_signature_agg(spark, sf_dir):
+    # encode -> hash are row-local Arrow stages; the only shuffle is
+    # the signature-grain hash aggregate (never pixels)
+    plan = _plan(spark, sf_dir, "multimodal_image_ahash")
+    assert plan.count("MapInPandas") == 2
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("FileScan") == 1
