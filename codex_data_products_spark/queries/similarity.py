@@ -616,8 +616,10 @@ FROM scored WHERE rn <= {TOP_K}
 """
 
 
-@register("knn_ivf_multiprobe", sql=_MULTIPROBE_SQL)
-def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _probe_ranked(spark: SparkSession, sf_dir: str):
+    """(emb, q, probes) where probes = (query_id, qv, label, cell_rank)
+    ranks every trained centroid per query — shared by the nprobe=2
+    index path and the nprobe tuning curve."""
     emb = spread(T(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         "label",
@@ -648,11 +650,19 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cells = Window.partitionBy("query_id").orderBy(
         cell_cos.desc(), F.col("label")
     )
-    probed = (
+    probes = (
         q.join(F.broadcast(cent))
         .withColumn("cell_rank", F.row_number().over(w_cells))
-        .filter(F.col("cell_rank") <= N_PROBES)
-        .select("query_id", "qv", "label")
+        .select("query_id", "qv", "label", "cell_rank")
+    )
+    return emb, q, probes
+
+
+@register("knn_ivf_multiprobe", sql=_MULTIPROBE_SQL)
+def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q, probes = _probe_ranked(spark, sf_dir)
+    probed = probes.filter(F.col("cell_rank") <= N_PROBES).select(
+        "query_id", "qv", "label"
     )
     cand = probed.join(F.broadcast(emb), "label").filter(
         F.col("vec_id") != F.col("query_id")
@@ -2734,3 +2744,166 @@ def knn_ivf_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_nprobe_curve — THE IVF tuning artifact in one query: for nprobe
+# in {1, 2, 4}, mean recall@K against exact brute-force truth AND the
+# exactly-counted scan cost (candidate rows scored, as a fraction of
+# n_queries x corpus). knn_recall / knn_recall_multiprobe score single
+# points; an index owner reads the whole recall-vs-scan-fraction curve
+# to pick the knee. Everything aggregates from exact integers — total
+# truth hits and total candidate rows — with one rounded division per
+# output cell, so the oracle matches bit-for-bit. The centroid ranking
+# is computed ONCE (shared probes frame, materialized in both
+# engines); each curve point filters cell_rank <= p, so the marginal
+# cost per point is the candidate scoring, exactly like production.
+# ---------------------------------------------------------------------------
+
+_CURVE_PROBES = (1, 2, 4)
+
+
+def _nprobe_curve_sql() -> str:
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent_long AS (
+  SELECT label, g.i AS i,
+         CAST(round(sum(CAST(round(CAST(embedding[g.i] AS DOUBLE), 8)
+                              AS DECIMAL(20,8))), 8) AS DOUBLE)
+           / count(*) AS m
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+  GROUP BY label, g.i
+),
+cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cent_long GROUP BY label),
+q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+probes AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, cent.label,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_dot_product(q.v, cent.cv)
+                    / sqrt(list_dot_product(q.v, q.v)
+                           * list_dot_product(cent.cv, cent.cv)), 6) DESC,
+                    cent.label
+         ) AS cell_rank
+  FROM q CROSS JOIN cent
+),
+truth AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {_SQL_COS} DESC, c.vec_id
+           ) AS rn
+    FROM q JOIN e c ON q.vec_id <> c.vec_id
+  ) WHERE rn <= {TOP_K}
+)"""
+    ]
+    for p in _CURVE_PROBES:
+        parts.append(
+            f""",
+cand{p} AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_SQL_COS} AS cosine
+  FROM q
+  JOIN (SELECT query_id, label FROM probes WHERE cell_rank <= {p}) pr
+    ON pr.query_id = q.vec_id
+  JOIN e c ON c.label = pr.label AND c.vec_id <> q.vec_id
+),
+approx{p} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS rn
+    FROM cand{p}
+  ) WHERE rn <= {TOP_K}
+),
+stat{p} AS (
+  SELECT CAST({p} AS BIGINT) AS nprobe,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM truth t JOIN approx{p} a
+            ON a.query_id = t.query_id
+           AND a.neighbor_id = t.neighbor_id) AS n_hits,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand{p}) AS scanned_rows
+)"""
+        )
+    stats = "\nUNION ALL\n".join(
+        f"SELECT nprobe, n_hits, scanned_rows FROM stat{p}"
+        for p in _CURVE_PROBES
+    )
+    parts.append(
+        f"""
+SELECT s.nprobe, s.n_hits, s.scanned_rows,
+       round(CAST(s.n_hits AS DOUBLE) / (nq.n * {TOP_K}), 6)
+         AS mean_recall,
+       round(CAST(s.scanned_rows AS DOUBLE) / (nq.n * nc.n), 6)
+         AS scan_fraction
+FROM ({stats}) s, nq, nc
+"""
+    )
+    return "".join(parts)
+
+
+@register("knn_nprobe_curve", sql=_nprobe_curve_sql())
+def knn_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q, probes = _probe_ranked(spark, sf_dir)
+    probes = probes.localCheckpoint()  # ranked once, filtered per point
+    truth = knn_brute_force(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint()
+    nq = q.count()  # |queries| and |corpus|: two tiny driver scalars,
+    nc = emb.count()  # the same class as the catalog-bounded counts
+    stats = []
+    for p in _CURVE_PROBES:
+        probed = probes.filter(F.col("cell_rank") <= p).select(
+            "query_id", "qv", "label"
+        )
+        cos = F.round(cosine_expr(F.col("qv"), F.col("v")), 6)
+        cand = (
+            probed.join(F.broadcast(emb), "label")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cosine"),
+            )
+            .localCheckpoint()
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        approx = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = truth.join(
+            F.broadcast(approx), ["query_id", "neighbor_id"], "left_semi"
+        )
+        n_hits = hits.agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        scanned = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("scanned_rows")
+        )
+        stats.append(
+            n_hits.crossJoin(scanned).select(
+                F.lit(p).cast("long").alias("nprobe"),
+                "n_hits",
+                "scanned_rows",
+                F.round(
+                    F.col("n_hits").cast("double") / (nq * TOP_K), 6
+                ).alias("mean_recall"),
+                F.round(
+                    F.col("scanned_rows").cast("double") / (nq * nc), 6
+                ).alias("scan_fraction"),
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out

@@ -1317,3 +1317,12 @@ def test_image_ahash_two_arrow_stages_one_signature_agg(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_nprobe_curve_candidate_joins_broadcast_not_cartesian(spark, sf_dir):
+    # each curve point's candidate join broadcasts the corpus frame on
+    # the cell key; the ranked-probe frame is checkpointed once
+    plan = _plan(spark, sf_dir, "knn_nprobe_curve")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
