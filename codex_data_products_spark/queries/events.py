@@ -2062,3 +2062,129 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_rolling_wau_hll — trailing-7-day distinct users via WINDOWED
+# HLL register merge, audited against the exact rolling WAU. This is
+# the sketch answer to the sliding-distinct problem: exact rolling
+# distinct (events_rolling_wau) must carry the full (user, day) grain
+# through every window, while HLL registers are a 64-row-per-day
+# mergeable summary — max-merge over any 7-day span gives the span's
+# estimate without touching user-grain data again. The register math
+# is the portable integer recipe from operators/sketches.py, so even
+# the approximate estimate hash-matches across engines; the query
+# emits estimate, exact, and realized relative error per day — the
+# audit that tells an owner whether 64 registers suffice.
+#
+# Scale shape: one pass to the (day, user) grain, one to day-grain
+# registers (|days| x 64 rows); the 7-day merge joins the tiny day
+# scaffold against the register table (|days| x 7 x 64 rows, nothing
+# user-grain); the exact side reuses the same day-scaffold join on
+# the deduped (user, day) frame. No window function needed at all.
+# ---------------------------------------------------------------------------
+
+from codex_data_products_spark.operators.sketches import (  # noqa: E402
+    HLL_ALPHA as _WAU_ALPHA,
+    HLL_LOW_BITS as _WAU_LOW_BITS,
+    HLL_M as _WAU_M,
+    _HLL_RMAX as _WAU_RMAX,
+    hll_estimate as _wau_hll_estimate,
+    hll_register_rows as _wau_register_rows,
+)
+
+_WAU_HLL_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(user_id AS VARCHAR) AS item
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+h AS (
+  SELECT day,
+         (CAST(concat('0x', substring(md5(item), 1, 1)) AS BIGINT) % 8)
+           * (CAST(1 AS BIGINT) << 60)
+         + CAST(concat('0x', substring(md5(item), 2, 15)) AS BIGINT) AS hv
+  FROM ud
+),
+reg AS (
+  SELECT day, hv % {_WAU_M} AS bucket,
+         max(CASE WHEN hv // {_WAU_M} > 0
+                  THEN {_WAU_LOW_BITS}
+                       - length(format('{{:b}}', hv // {_WAU_M})) + 1
+                  ELSE {_WAU_LOW_BITS + 1} END) AS rank
+  FROM h GROUP BY day, hv % {_WAU_M}
+),
+merged AS (
+  SELECT d.day, r.bucket, max(r.rank) AS rank
+  FROM days d
+  JOIN reg r ON r.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day, r.bucket
+),
+est AS (
+  SELECT day,
+         round({_WAU_ALPHA} * {_WAU_M * _WAU_M} * pow(2.0, {_WAU_RMAX})
+               / CAST(sum(CAST(pow(2.0, {_WAU_RMAX} - rank)
+                               AS DECIMAL(38,0)))
+                      + CAST({_WAU_M} - count(*) AS DECIMAL(38,0))
+                        * CAST(pow(2.0, {_WAU_RMAX}) AS DECIMAL(38,0))
+                      AS DOUBLE), 4) AS hll_wau
+  FROM merged GROUP BY day
+),
+exact AS (
+  SELECT d.day, CAST(count(DISTINCT u.item) AS BIGINT) AS exact_wau
+  FROM days d
+  JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT strftime(e.day, '%Y-%m-%d') AS day,
+       e.exact_wau,
+       s.hll_wau,
+       round(abs(s.hll_wau - e.exact_wau) / e.exact_wau, 4) AS rel_err
+FROM exact e JOIN est s ON s.day = e.day
+"""
+
+
+@register("events_rolling_wau_hll", sql=_WAU_HLL_SQL)
+def events_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    ud = ev.select(
+        F.to_date("ts").alias("day"),
+        F.col("user_id").cast("string").alias("item"),
+    ).distinct()
+    days = ud.select("day").distinct()
+    reg = _wau_register_rows(ud, "item", ["day"])
+    d = days.select(F.col("day").alias("rday"))
+    merged = (
+        F.broadcast(d)
+        .join(
+            reg,
+            (F.col("day") >= F.date_sub(F.col("rday"), 6))
+            & (F.col("day") <= F.col("rday")),
+        )
+        .groupBy(F.col("rday").alias("day"), "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+    est = _wau_hll_estimate(merged, ["day"]).withColumnRenamed(
+        "hll_estimate", "hll_wau"
+    )
+    exact = (
+        F.broadcast(d)
+        .join(
+            ud,
+            (F.col("day") >= F.date_sub(F.col("rday"), 6))
+            & (F.col("day") <= F.col("rday")),
+        )
+        .groupBy(F.col("rday").alias("day"))
+        .agg(F.count_distinct("item").cast("long").alias("exact_wau"))
+    )
+    return exact.join(est, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "exact_wau",
+        "hll_wau",
+        F.round(
+            F.abs(F.col("hll_wau") - F.col("exact_wau"))
+            / F.col("exact_wau"),
+            4,
+        ).alias("rel_err"),
+    )

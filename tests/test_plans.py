@@ -1326,3 +1326,13 @@ def test_nprobe_curve_candidate_joins_broadcast_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_wau_hll_register_grain_no_window(spark, sf_dir):
+    # the 7-day merge joins the broadcast day scaffold against the
+    # day-grain register table — no window function, nothing
+    # user-grain crosses the merge
+    plan = _plan(spark, sf_dir, "events_rolling_wau_hll")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the range-condition day join
