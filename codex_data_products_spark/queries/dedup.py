@@ -1697,3 +1697,75 @@ def dedup_prefix_jaccard_eval(
             ).alias("verify_precision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best — the curation DECISION that closes the dedup loop:
+# pairs → connected components → pick ONE canonical document per
+# duplicate cluster and quantify what gets dropped. Keeper policy is
+# the standard one (keep the longest document; break ties on the
+# smallest doc_id so the choice is stable across runs and engines) —
+# the rule CCNet/RefinedWeb-style pipelines apply after clustering.
+# Output: one row per non-singleton cluster with the keeper and the
+# char volume the deletion reclaims.
+#
+# Scale shape: reuses the bulk-synchronous CC labels (min-label
+# propagation, O(diameter) rounds); the keeper election is ONE window
+# over the component grain — bounded by cluster size, never the
+# corpus — and singletons are filtered before anything wide happens.
+# At 100 TB this is the exact production job: label, elect, reclaim.
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_SQL = f"""
+WITH comp AS (
+  SELECT * FROM ({_CC_SQL}) c
+),
+j AS (
+  SELECT comp.component_id, d.doc_id, d.n_chars
+  FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+),
+r AS (
+  SELECT component_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY component_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*)   OVER (PARTITION BY component_id) AS n_members,
+         sum(n_chars) OVER (PARTITION BY component_id) AS total_chars
+  FROM j
+)
+SELECT CAST(component_id AS BIGINT) AS component_id,
+       CAST(n_members AS BIGINT)    AS n_members,
+       CAST(doc_id AS BIGINT)       AS keeper_doc_id,
+       CAST(n_chars AS BIGINT)      AS keeper_chars,
+       CAST(total_chars - n_chars AS BIGINT) AS chars_dropped
+FROM r
+WHERE rn = 1 AND n_members >= 2
+"""
+
+
+@register("dedup_keep_best", sql=_KEEP_BEST_SQL)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    comp = dedup_connected_components(spark, sf_dir)
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component_id")
+    r = j.select(
+        "component_id",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        F.sum("n_chars").over(w).alias("total_chars"),
+    )
+    return r.filter((F.col("rn") == 1) & (F.col("n_members") >= 2)).select(
+        F.col("component_id").cast("long").alias("component_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("doc_id").cast("long").alias("keeper_doc_id"),
+        F.col("n_chars").cast("long").alias("keeper_chars"),
+        (F.col("total_chars") - F.col("n_chars"))
+        .cast("long")
+        .alias("chars_dropped"),
+    )

@@ -2188,3 +2188,91 @@ def events_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_bitmap_retention — classic D1..D13 retention computed the way
+# large-scale analytics stores do it (roaring-bitmap style, e.g.
+# ClickHouse retention()/Druid ThetaSketch pipelines): each user's
+# activity collapses to ONE 64-bit bitmask of day-offsets from their
+# own first active day (bit n set = active on day first+n), built with
+# a bit_or aggregate; "retained on day n" is then a pure bitwise test,
+# and all 14 retention counters come out of ONE single-row aggregate
+# unpivoted to (day_n, n_retained, retention).
+#
+# Scale shape: (user, day) distinct grain → per-user min-day via a
+# window over that bounded grain → one bit_or per user → 14 integer
+# sums. Per-user state is exactly 8 bytes regardless of event volume —
+# the whole point of the bitmap encoding at 100 TB. Offsets ≥ 64 clamp
+# to bit 63 (outside the 14-day readout window, so the clamp never
+# affects the answer). All-integer; no float anywhere.
+# ---------------------------------------------------------------------------
+
+_BITMAP_RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+ud0 AS (
+  SELECT user_id, d,
+         min(d) OVER (PARTITION BY user_id) AS d0
+  FROM ud
+),
+masks AS (
+  SELECT user_id,
+         bit_or(CAST(1 AS BIGINT) << least(date_diff('day', d0, d), 63))
+           AS mask
+  FROM ud0 GROUP BY user_id
+),
+tot AS (
+  SELECT count(*) AS n_users,
+         """ + ",\n         ".join(
+    f"sum((mask >> {n}) & 1) AS r{n}" for n in range(14)
+) + """
+  FROM masks
+)
+SELECT CAST(t.day_n AS BIGINT) AS day_n,
+       CAST(t.n_retained AS BIGINT) AS n_retained,
+       CAST(tot.n_users AS BIGINT) AS n_users,
+       round(CAST(t.n_retained AS DOUBLE) / tot.n_users, 6) AS retention
+FROM tot, LATERAL (VALUES """ + ", ".join(
+    f"({n}, r{n})" for n in range(14)
+) + """) AS t(day_n, n_retained)
+"""
+
+
+@register("events_bitmap_retention", sql=_BITMAP_RETENTION_SQL)
+def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ud = (
+        T(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    ud0 = ud.select(
+        "user_id",
+        "d",
+        F.min("d").over(Window.partitionBy("user_id")).alias("d0"),
+    )
+    masks = ud0.groupBy("user_id").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                        "least(datediff(d, d0), 63))")).alias("mask")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_users")] + [
+        F.sum(F.shiftright(F.col("mask"), n).bitwiseAND(F.lit(1))).alias(
+            f"r{n}"
+        )
+        for n in range(14)
+    ]
+    tot = masks.agg(*aggs)
+    stack_expr = "stack(14, " + ", ".join(
+        f"{n}L, r{n}" for n in range(14)
+    ) + ") AS (day_n, n_retained)"
+    return tot.selectExpr(stack_expr, "n_users").select(
+        F.col("day_n").cast("long").alias("day_n"),
+        F.col("n_retained").cast("long").alias("n_retained"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(
+            F.col("n_retained").cast("double") / F.col("n_users"), 6
+        ).alias("retention"),
+    )

@@ -573,3 +573,75 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tb").alias("n_half_b"),
         F.round(psi, 6).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_benford — Benford's-law first-digit audit over o_totalprice: the
+# classic fraud/synthetic-data screen (Hill 1995) a DQ pipeline runs on
+# monetary columns. Observed first-significant-digit counts vs the
+# Benford expectation p(d) = log10(1 + 1/d), one chi-square
+# contribution per digit. TPC-H totalprice is NOT Benford-distributed
+# (it is a bounded sum of uniforms), so the audit fires — which is the
+# interesting output: the query is the alarm, the data is the control.
+#
+# Scale shape: first_digit is a row-local substring of the decimal's
+# canonical string form (always positive, no leading zeros), so the
+# whole audit is ONE scan + one 9-row hash aggregate; the Benford
+# expectation and chi-square are per-digit float ops on exact integer
+# counts, rounded to 6dp on both engines. Nothing shuffles more than
+# 9 groups at 100 TB.
+# ---------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT substring(CAST(o_totalprice AS VARCHAR), 1, 1) AS digit
+  FROM orders
+),
+g AS (
+  SELECT digit, count(*) AS n_obs FROM d GROUP BY digit
+),
+t AS (
+  SELECT g.*, sum(n_obs) OVER () AS n_total FROM g
+)
+SELECT CAST(digit AS BIGINT)                                AS digit,
+       CAST(n_obs AS BIGINT)                                AS n_obs,
+       round(log10(1 + 1.0 / CAST(digit AS BIGINT)), 6)     AS benford_share,
+       round(CAST(n_obs AS DOUBLE) / n_total, 6)            AS observed_share,
+       round(pow(n_obs - n_total * log10(1 + 1.0 / CAST(digit AS BIGINT)), 2)
+             / (n_total * log10(1 + 1.0 / CAST(digit AS BIGINT))), 6)
+                                                            AS chi2_contrib
+FROM t
+"""
+
+
+@register("dq_benford", sql=_BENFORD_SQL)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    g = (
+        T(spark, sf_dir, "orders")
+        .select(
+            F.substring(F.col("o_totalprice").cast("string"), 1, 1).alias(
+                "digit"
+            )
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    t = g.select(
+        "digit", "n_obs", F.sum("n_obs").over(Window.partitionBy()).alias("n_total")
+    )
+    dig = F.col("digit").cast("long")
+    share = F.log10(1 + 1.0 / dig)
+    exp_n = F.col("n_total") * share
+    return t.select(
+        dig.alias("digit"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(share, 6).alias("benford_share"),
+        F.round(F.col("n_obs").cast("double") / F.col("n_total"), 6).alias(
+            "observed_share"
+        ),
+        F.round(F.pow(F.col("n_obs") - exp_n, 2) / exp_n, 6).alias(
+            "chi2_contrib"
+        ),
+    )

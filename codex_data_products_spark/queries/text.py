@@ -1760,3 +1760,228 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(postings, "term").select(
         "term", "df", "total_tf", "head_postings"
     )
+
+
+# ---------------------------------------------------------------------------
+# text_pii_redact — the TRANSFORM twin of text_pii_scan: actually
+# rewrite the text, replacing every email / IPv4 / phone match with a
+# typed placeholder token, and prove the rewrite cross-engine. The
+# same deterministic injection gives ground truth; the redacted
+# CONTENT itself is checked, not just counts — each row contributes an
+# order-independent 32-bit checksum of its redacted text (md5 prefix
+# as integer, summed exactly), so a single wrong byte in any rewritten
+# document flips the per-source checksum and fails the oracle.
+#
+# Scale shape: three chained regexp_replace calls, all row-local in
+# whole-stage codegen, then one |sources|-grain hash aggregate. The
+# redaction pass at 100 TB is a pure map stage — exactly this plan.
+# ---------------------------------------------------------------------------
+
+_REDACT_SQL = f"""
+WITH h AS (
+  SELECT source, text, ((doc_id * 2654435761) % 4294967296) % 10 AS slot,
+         doc_id
+  FROM documents
+),
+inj AS (
+  SELECT source,
+         CASE slot
+           WHEN 0 THEN text || ' contact user' || CAST(doc_id % 1000 AS VARCHAR)
+                        || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+           WHEN 1 THEN text || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST(doc_id % 254 AS VARCHAR) || '.7'
+           WHEN 2 THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE text
+         END AS text
+  FROM h
+),
+red AS (
+  SELECT source, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM inj
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(redacted <> text AS INT)) AS BIGINT) AS docs_redacted,
+       CAST(sum(len(regexp_extract_all(redacted, '<EMAIL>|<IP>|<PHONE>'))) AS BIGINT)
+         AS n_redactions,
+       CAST(sum(length(text) - length(redacted)) AS BIGINT) AS chars_delta,
+       CAST(sum(CAST(concat('0x', substring(md5(redacted), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS content_checksum
+FROM red
+GROUP BY source
+"""
+
+
+@register("text_pii_redact", sql=_REDACT_SQL)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    slot = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 10
+    did = F.col("doc_id")
+    injected = (
+        F.when(
+            slot == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                (did % 1000).cast("string"),
+                F.lit("@example"),
+                (did % 7).cast("string"),
+                F.lit(".org"),
+            ),
+        )
+        .when(
+            slot == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" host 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 254).cast("string"),
+                F.lit(".7"),
+            ),
+        )
+        .when(
+            slot == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(injected, _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    red = docs.select(
+        "source", injected.alias("text"), redacted.alias("redacted")
+    )
+    checksum = F.conv(F.substring(F.md5("redacted"), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("redacted") != F.col("text")).cast("int"))
+        .cast("long")
+        .alias("docs_redacted"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    F.col("redacted"), F.lit("<EMAIL>|<IP>|<PHONE>"), F.lit(0)
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_redactions"),
+        F.sum(F.length("text") - F.length("redacted"))
+        .cast("long")
+        .alias("chars_delta"),
+        F.sum(checksum).cast("long").alias("content_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_pmi_cooccur — pointwise mutual information over token
+# co-occurrence (Church & Hanks 1990), the collocation signal a
+# pipeline uses to find multiword expressions and topic structure.
+# Restricted to a deterministic top-V document-frequency vocabulary
+# (V = 40, ties broken lexicographically) so the pair space is bounded
+# by V(V-1)/2 REGARDLESS of corpus size — the discipline that makes
+# co-occurrence tractable at 100 TB: the vocabulary is a broadcast-side
+# table, each document contributes at most C(V,2) row-local pairs, and
+# the final aggregate has at most 780 groups.
+#
+# Plan: doc-distinct tokens → DF counts (hash agg) → top-V via ONE
+# window over the |vocab-candidates| grain — then the corpus is
+# re-scanned once, semi-joined against the broadcast vocabulary, and
+# self-joined on doc_id (co-located, each side ≤ V rows per doc).
+# PMI itself is per-row float math on exact integer counts, round 6.
+# ---------------------------------------------------------------------------
+
+_PMI_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tok
+  FROM documents
+),
+df AS (
+  SELECT tok, count(*) AS c FROM dt GROUP BY tok
+),
+vocab AS (
+  SELECT tok, c FROM df ORDER BY c DESC, tok LIMIT 40
+),
+dv AS (
+  SELECT dt.doc_id, dt.tok, v.c
+  FROM dt JOIN vocab v ON v.tok = dt.tok
+),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b,
+         min(a.c) AS c_a, min(b.c) AS c_b, count(*) AS c_ab
+  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tok_a, tok_b,
+       CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(c_a AS BIGINT)  AS c_a,
+       CAST(c_b AS BIGINT)  AS c_b,
+       round(ln(CAST(c_ab AS DOUBLE) * n_docs / (CAST(c_a AS BIGINT) * c_b)), 6)
+         AS pmi
+FROM pairs, n
+WHERE c_ab >= 3
+"""
+
+
+@register("text_pmi_cooccur", sql=_PMI_SQL)
+def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    ).distinct()
+    df = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # orderBy+limit compiles to TakeOrderedAndProject: each task keeps
+    # its local top-40, the driver merges — never a single-partition
+    # window over the full vocabulary candidate set. Total order
+    # (c DESC, tok) is unique, so the cut is deterministic.
+    vocab = df.orderBy(F.desc("c"), F.asc("tok")).limit(40)
+    dv = dt.join(F.broadcast(vocab), "tok").select("doc_id", "tok", "c")
+    a, b = dv.alias("a"), dv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(
+            F.min("a.c").alias("c_a"),
+            F.min("b.c").alias("c_b"),
+            F.count(F.lit(1)).alias("c_ab"),
+        )
+    )
+    n_docs = docs.count()
+    pmi = F.log(
+        F.col("c_ab").cast("double")
+        * F.lit(n_docs)
+        / (F.col("c_a").cast("long") * F.col("c_b"))
+    )
+    return pairs.filter(F.col("c_ab") >= 3).select(
+        "tok_a",
+        "tok_b",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        F.round(pmi, 6).alias("pmi"),
+    )
