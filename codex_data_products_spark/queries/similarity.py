@@ -2907,3 +2907,150 @@ def knn_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionAll(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# knn_cluster_quality — Davies-Bouldin readout over the IVF cell
+# assignments (Davies & Bouldin, IEEE TPAMI 1979): per cell, the mean
+# distance of its members to the cell centroid (S_i, the quantization
+# error knn_ivf_assign already computes as min_d2), and the worst-case
+# separation ratio max_{j≠i} (S_i + S_j) / d(c_i, c_j). This is the
+# clustering-quality gate that sits between training
+# (embedding_centroids) and committing to a partitionBy(cell) layout:
+# a cell with a high DB component overlaps its neighbor and will leak
+# recall at nprobe=1 — the same signal knn_ivf_cell_balance gives for
+# scan cost, but for geometry.
+#
+# Scale shape: S_i folds on the |cells| grain from per-row sqrt of the
+# ALREADY-ROUNDED min_d2 (deterministic input → deterministic sqrt),
+# quantized to DECIMAL(20,8) so the sum is exact and order-free; the
+# pairwise ratio matrix is |K|² rows of broadcast-sized centroid
+# vectors. Nothing touches the corpus twice and nothing wide shuffles.
+# Zero centroid distance (duplicate centroids) NULLIFs on both engines.
+# ---------------------------------------------------------------------------
+
+_DB_SQL = f"""
+WITH assign AS ({_ASSIGN_SQL}),
+s AS (
+  SELECT assigned_label AS cell,
+         count(*) AS n_vectors,
+         round(CAST(round(sum(CAST(round(sqrt(greatest(min_d2, 0)), 8)
+                                   AS DECIMAL(20,8))), 8) AS DOUBLE)
+               / count(*), 6) AS s_intra
+  FROM assign GROUP BY assigned_label
+),
+cent_long AS (
+  SELECT label, g.i - 1 AS dim,
+         CAST(round(CAST(embedding[g.i] AS DOUBLE), 8) AS DECIMAL(20,8)) AS c
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         CAST(round(sum(c), 8) AS DOUBLE) / count(*) AS cv
+  FROM cent_long GROUP BY label, dim
+),
+cent_vec AS (
+  SELECT c_label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY c_label
+),
+pair AS (
+  SELECT a.c_label AS cell, b.c_label AS other,
+         sqrt(greatest(round(list_dot_product(a.cvec, a.cvec)
+              - 2 * list_dot_product(a.cvec, b.cvec)
+              + list_dot_product(b.cvec, b.cvec), 6), 0)) AS d_ab
+  FROM cent_vec a JOIN cent_vec b ON a.c_label <> b.c_label
+),
+ratio AS (
+  SELECT p.cell,
+         round((sa.s_intra + sb.s_intra) / nullif(p.d_ab, 0.0), 6) AS r
+  FROM pair p
+  JOIN s sa ON sa.cell = p.cell
+  JOIN s sb ON sb.cell = p.other
+)
+SELECT CAST(s.cell AS BIGINT) AS cell,
+       CAST(s.n_vectors AS BIGINT) AS n_vectors,
+       s.s_intra,
+       max(ratio.r) AS db_component
+FROM s JOIN ratio ON ratio.cell = s.cell
+GROUP BY s.cell, s.n_vectors, s.s_intra
+"""
+
+
+@register("knn_cluster_quality", sql=_DB_SQL)
+def knn_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = knn_ivf_assign(spark, sf_dir)
+    sd = F.round(F.sqrt(F.greatest(F.col("min_d2"), F.lit(0.0))), 8).cast(
+        "decimal(20,8)"
+    )
+    s = assign.groupBy(F.col("assigned_label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.round(F.sum(sd), 8).cast("double") / F.count(F.lit(1)), 6
+        ).alias("s_intra"),
+    )
+    cent_vec = (
+        embedding_centroids(spark, sf_dir)
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "centroid"))
+            ).alias("pairs")
+        )
+        .select(
+            "c_label",
+            F.transform("pairs", lambda p: p["centroid"]).alias("cvec"),
+        )
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    a, b = cent_vec.alias("a"), cent_vec.alias("b")
+    d_ab = F.sqrt(
+        F.greatest(
+            F.round(
+                dot(F.col("a.cvec"), F.col("a.cvec"))
+                - 2 * dot(F.col("a.cvec"), F.col("b.cvec"))
+                + dot(F.col("b.cvec"), F.col("b.cvec")),
+                6,
+            ),
+            F.lit(0.0),
+        )
+    )
+    pair = a.join(
+        F.broadcast(b), F.col("a.c_label") != F.col("b.c_label")
+    ).select(
+        F.col("a.c_label").alias("cell"),
+        F.col("b.c_label").alias("other"),
+        d_ab.alias("d_ab"),
+    )
+    sa = s.select(
+        F.col("cell").alias("s_cell"), F.col("s_intra").alias("s_a")
+    )
+    sb = s.select(
+        F.col("cell").alias("o_cell"), F.col("s_intra").alias("s_b")
+    )
+    ratio = (
+        pair.join(F.broadcast(sa), F.col("cell") == F.col("s_cell"))
+        .join(F.broadcast(sb), F.col("other") == F.col("o_cell"))
+        .select(
+            "cell",
+            F.round(
+                (F.col("s_a") + F.col("s_b"))
+                / F.nullif(F.col("d_ab"), F.lit(0.0)),
+                6,
+            ).alias("r"),
+        )
+    )
+    return (
+        s.join(ratio, "cell")
+        .groupBy(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            "s_intra",
+        )
+        .agg(F.max("r").alias("db_component"))
+    )

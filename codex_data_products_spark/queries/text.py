@@ -1985,3 +1985,146 @@ def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_b").cast("long").alias("c_b"),
         F.round(pmi, 6).alias("pmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_logreg — a distributed, fixed-schedule logistic-
+# regression quality classifier trained INSIDE the engine: 3 batch
+# gradient-descent iterations on two row-local features (scaled length,
+# digit ratio) against the declared-language label, then a training-
+# accuracy readout — the "fastText-quality-filter" shape (Joulin 2017;
+# CCNet's quality LM gate) reduced to its distributed-training core.
+# Every iteration is ONE aggregate over the corpus; the weight vector
+# is a 1-row broadcast frame, so training is 3 scan+agg rounds and the
+# whole job is a static DAG — no collect, no driver loop state.
+#
+# Cross-engine determinism (the interesting part for an iterative
+# float algorithm): the link is the RATIONAL sigmoid
+# s(z) = 0.5 + (0.5·z)/(1+|z|) — only +,*,/,abs, all IEEE
+# correctly-rounded, so per-row values are bit-identical on both
+# engines (a libm exp() would not be). Gradient contributions are
+# quantized per-row to DECIMAL(20,8) (the embedding_centroids recipe)
+# so the SUM is exact and order-free; the weight update
+# w' = w − 0.5·(Σ/n) stays bit-identical because decimal→double cast,
+# division and subtraction are all correctly rounded. Weights are only
+# display-rounded at the very end.
+# ---------------------------------------------------------------------------
+
+
+def _logreg_sql() -> str:
+    feat = """
+SELECT CAST(length(text) AS DOUBLE) / 1000 AS x1,
+       coalesce(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                / nullif(length(text), 0), 0.0) AS x2,
+       CAST(lang = 'en' AS INT) AS y
+FROM documents
+"""
+    parts = [f"WITH f AS ({feat}),",
+             "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w1,"
+             " CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS wb)"]
+    for k in range(1, 4):
+        z = "(w1 * x1 + w2 * x2 + wb)"
+        s = f"(0.5 + (0.5 * {z}) / (1 + abs({z})))"
+        r = f"({s} - y)"
+        parts.append(f""",
+g{k} AS (
+  SELECT sum(CAST(round({r} * x1, 8) AS DECIMAL(20,8))) AS s1,
+         sum(CAST(round({r} * x2, 8) AS DECIMAL(20,8))) AS s2,
+         sum(CAST(round({r}, 8) AS DECIMAL(20,8)))      AS sb,
+         count(*) AS n
+  FROM f, w{k - 1}
+),
+w{k} AS (
+  SELECT w1 - 0.5 * (CAST(s1 AS DOUBLE) / n) AS w1,
+         w2 - 0.5 * (CAST(s2 AS DOUBLE) / n) AS w2,
+         wb - 0.5 * (CAST(sb AS DOUBLE) / n) AS wb
+  FROM g{k}, w{k - 1}
+)""")
+    z = "(w1 * x1 + w2 * x2 + wb)"
+    s = f"(0.5 + (0.5 * {z}) / (1 + abs({z})))"
+    parts.append(f""",
+acc AS (
+  SELECT sum(CAST(CAST({s} >= 0.5 AS INT) = y AS INT)) AS n_correct,
+         sum(y) AS n_pos, count(*) AS n
+  FROM f, w3
+)
+SELECT CAST(n AS BIGINT)          AS n_docs,
+       CAST(n_pos AS BIGINT)      AS n_pos,
+       round(w1, 6)               AS w_len,
+       round(w2, 6)               AS w_digit,
+       round(wb, 6)               AS w_bias,
+       round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy
+FROM acc, w3
+""")
+    return "".join(parts)
+
+
+_LOGREG_SQL = _logreg_sql()
+
+
+@register("text_quality_logreg", sql=_LOGREG_SQL)
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    f = docs.select(
+        (F.length("text").cast("double") / 1000).alias("x1"),
+        F.coalesce(
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0))
+            ).cast("double")
+            / F.nullif(F.length("text"), F.lit(0)),
+            F.lit(0.0),
+        ).alias("x2"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ).localCheckpoint()
+
+    def z_of(w1, w2, wb):
+        return w1 * F.col("x1") + w2 * F.col("x2") + wb
+
+    def sig(z):
+        return F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1) + F.abs(z))
+
+    q = lambda e: F.round(e, 8).cast("decimal(20,8)")  # noqa: E731
+
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2"), F.lit(0.0).alias("wb")
+    )
+    for _ in range(3):
+        j = f.crossJoin(F.broadcast(w))
+        resid = sig(z_of(F.col("w1"), F.col("w2"), F.col("wb"))) - F.col("y")
+        g = j.agg(
+            F.sum(q(resid * F.col("x1"))).alias("s1"),
+            F.sum(q(resid * F.col("x2"))).alias("s2"),
+            F.sum(q(resid)).alias("sb"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        w = g.crossJoin(F.broadcast(w)).select(
+            (
+                F.col("w1") - 0.5 * (F.col("s1").cast("double") / F.col("n"))
+            ).alias("w1"),
+            (
+                F.col("w2") - 0.5 * (F.col("s2").cast("double") / F.col("n"))
+            ).alias("w2"),
+            (
+                F.col("wb") - 0.5 * (F.col("sb").cast("double") / F.col("n"))
+            ).alias("wb"),
+        )
+
+    j = f.crossJoin(F.broadcast(w))
+    pred = (
+        sig(z_of(F.col("w1"), F.col("w2"), F.col("wb"))) >= 0.5
+    ).cast("int")
+    acc = j.agg(
+        F.sum((pred == F.col("y")).cast("int")).alias("n_correct"),
+        F.sum("y").alias("n_pos"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return acc.crossJoin(F.broadcast(w)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round("w1", 6).alias("w_len"),
+        F.round("w2", 6).alias("w_digit"),
+        F.round("wb", 6).alias("w_bias"),
+        F.round(F.col("n_correct").cast("double") / F.col("n"), 6).alias(
+            "accuracy"
+        ),
+    )
