@@ -2981,11 +2981,19 @@ def knn_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = F.round(F.sqrt(F.greatest(F.col("min_d2"), F.lit(0.0))), 8).cast(
         "decimal(20,8)"
     )
-    s = assign.groupBy(F.col("assigned_label").alias("cell")).agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.round(
-            F.round(F.sum(sd), 8).cast("double") / F.count(F.lit(1)), 6
-        ).alias("s_intra"),
+    # |cells|-grain frame reused three times (S_i, S_j lookup, output
+    # join): checkpoint so the corpus→assignment subtree runs ONCE, not
+    # once per reuse — at 100 TB re-deriving the assignment is the
+    # whole job's cost.
+    s = (
+        assign.groupBy(F.col("assigned_label").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.round(F.sum(sd), 8).cast("double") / F.count(F.lit(1)), 6
+            ).alias("s_intra"),
+        )
+        .localCheckpoint()
     )
     cent_vec = (
         embedding_centroids(spark, sf_dir)
@@ -3046,7 +3054,7 @@ def knn_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        s.join(ratio, "cell")
+        s.join(F.broadcast(ratio), "cell")
         .groupBy(
             F.col("cell").cast("long").alias("cell"),
             F.col("n_vectors").cast("long").alias("n_vectors"),

@@ -1336,3 +1336,69 @@ def test_wau_hll_register_grain_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the range-condition day join
+
+
+def test_benford_single_scan_tiny_grain(spark, sf_dir):
+    # first-digit extraction is row-local; the only window runs over
+    # the 9-row digit grain AFTER the aggregate, never the fact
+    plan = _plan(spark, sf_dir, "dq_benford")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_bitmap_retention_one_scan_no_join(spark, sf_dir):
+    # (user, day) distinct → per-user min-day window on that bounded
+    # grain → one bit_or per user → single-row agg unpivoted via stack;
+    # per-user state is 8 bytes, and the fact is scanned exactly once
+    plan = _plan(spark, sf_dir, "events_bitmap_retention")
+    assert plan.count("FileScan") == 1
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_pii_redact_pure_map_then_tiny_agg(spark, sf_dir):
+    # redaction is three chained regexp_replace calls in one projection
+    # — a pure map stage; the only exchange feeds the |sources| agg
+    plan = _plan(spark, sf_dir, "text_pii_redact")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_pmi_vocab_is_takeordered_and_broadcast(spark, sf_dir):
+    # top-V vocabulary via TakeOrderedAndProject (distributed top-k,
+    # never a single-partition window over all distinct tokens), then
+    # broadcast back; doc-local pair generation is an equi self-join
+    plan = _plan(spark, sf_dir, "text_pmi_cooccur")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_keep_best_windows_component_grain_only(spark, sf_dir):
+    # keeper election windows are partitioned by component_id — bounded
+    # by cluster size, never a global sort or cartesian anywhere
+    plan = _plan(spark, sf_dir, "dedup_keep_best")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan and "component_id" in plan
+
+
+def test_cluster_quality_broadcast_centroid_matrix(spark, sf_dir):
+    # S_i folds on the |cells| grain; the K x K centroid-pair matrix and
+    # both S_i lookups join broadcast-sized frames — the corpus is
+    # scanned for assignment only, never shuffled against itself
+    plan = _plan(spark, sf_dir, "knn_cluster_quality")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_logreg_static_dag_broadcast_weights_no_collect(spark, sf_dir):
+    # 3 GD iterations compile into ONE static DAG: each iteration is a
+    # corpus agg crossJoined against the 1-row broadcast weight frame —
+    # no driver loop state, no SortMergeJoin, no cartesian fallback
+    plan = _plan(spark, sf_dir, "text_quality_logreg")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
