@@ -2276,3 +2276,217 @@ def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_retained").cast("double") / F.col("n_users"), 6
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2_asof_lookup — the point-in-time (PIT) join that closes the SCD2
+# loop: events_scd2 BUILDS the versioned dimension; this query USES it
+# the way every warehouse does — "which version was valid AS OF time
+# t?". For each event, look up the user's regime one hour earlier
+# (valid_from <= ts-1h < valid_to) and aggregate the (regime-now,
+# regime-then) transition matrix. Facts that predate the user's first
+# span land in the 'none' bucket — the correct PIT semantics for
+# late-arriving dimension members.
+#
+# Scale shape: the PIT join is an EQUI join on user_id (dimension and
+# fact co-partition on the same key) with the validity-range predicate
+# applied as a residual filter — spans per user are bounded and
+# disjoint, so each fact matches at most one version and the join
+# never amplifies. The dimension build windows only within user
+# partitions; the output is the |types|² transition grain.
+# ---------------------------------------------------------------------------
+
+_SCD2_LOOKUP_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT *, sum(chg) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS island
+  FROM marked
+),
+spans AS (
+  SELECT user_id, island, min(event_type) AS type_then,
+         min(ts) AS valid_from
+  FROM islands GROUP BY user_id, island
+),
+dim AS (
+  SELECT user_id, type_then, valid_from,
+         lead(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from
+         ) AS valid_to
+  FROM spans
+),
+f AS (
+  SELECT user_id, event_type AS type_now,
+         ts - INTERVAL 1 HOUR AS t
+  FROM events
+)
+SELECT f.type_now,
+       coalesce(d.type_then, 'none') AS type_then,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM f LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND d.valid_from <= f.t
+ AND (d.valid_to IS NULL OR f.t < d.valid_to)
+GROUP BY f.type_now, coalesce(d.type_then, 'none')
+"""
+
+
+@register("scd2_asof_lookup", sql=_SCD2_LOOKUP_SQL)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("type_then"),
+        F.min("ts").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = spans.select(
+        "user_id",
+        "type_then",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    f = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("type_now"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("t"),
+    )
+    j = f.join(
+        dim,
+        (dim["user_id"] == f["user_id"])
+        & (dim["valid_from"] <= f["t"])
+        & (dim["valid_to"].isNull() | (f["t"] < dim["valid_to"])),
+        "left",
+    )
+    return j.groupBy(
+        "type_now", F.coalesce("type_then", F.lit("none")).alias("type_then")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# cdc_net_changes — batch changelog compaction (the Debezium/Delta-CDF
+# "net effect" rule): a batch of per-key insert/update/delete rows
+# collapses to ONE net operation per key decided by the (first_op,
+# last_op) pair — I..D cancels to NONE, I..x stays an INSERT carrying
+# the LAST value, x..D nets to DELETE, anything else is an UPDATE.
+# This is the compaction every incremental consumer (including the
+# repo's IVM maintainers) wants applied to a changelog before replay:
+# N ops per key become 1. Ops are synthesized deterministically from
+# event_id (both engines identically); per-key first/last are
+# arg_min/arg_max over the total (ts, event_id) order — ONE hash
+# aggregate over the batch, no window, no sort of the full changelog.
+# Output is the |op|-grain summary: keys per net op and the exact
+# DECIMAL sum of surviving last-values.
+# ---------------------------------------------------------------------------
+
+_CDC_NET_SQL = """
+WITH log AS (
+  SELECT user_id AS k, ts, event_id,
+         CASE WHEN event_id % 10 = 0 THEN 'D'
+              WHEN event_id % 10 <= 2 THEN 'I'
+              ELSE 'U' END AS op,
+         CAST(round(CAST(value AS DOUBLE), 2) AS DECIMAL(12,2)) AS v
+  FROM events
+),
+ordered AS (
+  SELECT k, op, v, n_ops_one,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+  FROM (SELECT *, 1 AS n_ops_one FROM log)
+),
+per_key AS (
+  SELECT k,
+         arg_min(op, ord_key) AS first_op,
+         arg_max(op, ord_key) AS last_op,
+         arg_max(v, ord_key)  AS last_v,
+         count(*) AS n_ops
+  FROM ordered GROUP BY k
+),
+net AS (
+  SELECT k, n_ops, last_v,
+         CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'NONE'
+              WHEN first_op = 'I'                   THEN 'I'
+              WHEN last_op = 'D'                    THEN 'D'
+              ELSE 'U' END AS net_op
+  FROM per_key
+)
+SELECT net_op,
+       CAST(count(*) AS BIGINT)  AS n_keys,
+       CAST(sum(n_ops) AS BIGINT) AS n_ops_compacted,
+       CAST(round(sum(CASE WHEN net_op IN ('I', 'U') THEN last_v END), 2)
+            AS DOUBLE) AS net_value_sum
+FROM net GROUP BY net_op
+"""
+
+
+@register("cdc_net_changes", sql=_CDC_NET_SQL)
+def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = T(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 10 <= 2, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("value").cast("double"), 2)
+        .cast("decimal(12,2)")
+        .alias("v"),
+    )
+    # DuckDB's arg_min/arg_max take scalar ordering keys only, so both
+    # engines order by the SAME lexicographic (strftime ts, zero-padded
+    # event_id) string — string order == chronological order.
+    ord_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    per_key = log.groupBy("k").agg(
+        F.min_by("op", ord_key).alias("first_op"),
+        F.max_by("op", ord_key).alias("last_op"),
+        F.max_by("v", ord_key).alias("last_v"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    net = per_key.select(
+        "k",
+        "n_ops",
+        "last_v",
+        F.when(
+            (F.col("first_op") == "I") & (F.col("last_op") == "D"), "NONE"
+        )
+        .when(F.col("first_op") == "I", "I")
+        .when(F.col("last_op") == "D", "D")
+        .otherwise("U")
+        .alias("net_op"),
+    )
+    return net.groupBy("net_op").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_ops").cast("long").alias("n_ops_compacted"),
+        F.round(
+            F.sum(
+                F.when(F.col("net_op").isin("I", "U"), F.col("last_v"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("net_value_sum"),
+    )

@@ -645,3 +645,134 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_contrib"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_winsorize — robust-moment preprocessing: clamp o_totalprice at
+# the p01/p99 HISTOGRAM-EDGE thresholds and report raw vs winsorized
+# means plus clamp counts — the outlier treatment a feature pipeline
+# applies before training on heavy-tailed monetary columns.
+#
+# Exact percentiles of a continuous column would need a global sort of
+# a near-unique domain — the anti-pattern this repo's percentile
+# queries avoid. Winsorization doesn't need them: clamping to the EDGE
+# of the bucket containing the percentile is the standard
+# histogram-sketch answer (what approx_percentile-based clamps do in
+# production), and it's exact-integer decidable: bucket to a bounded
+# width-1000 domain, one cumulative window over the ~|max/1000| bucket
+# grain, pick thresholds by integer rank (ceil via (n+99)//100 — no
+# float), then one more scan clamps and folds exact DECIMAL moments.
+# Thresholds are a 1-row broadcast; two scans total, both
+# column-pruned to o_totalprice.
+# ---------------------------------------------------------------------------
+
+_WINSORIZE_SQL = """
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket, count(*) AS c
+  FROM orders GROUP BY bucket
+),
+cum AS (
+  SELECT bucket,
+         sum(c) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c,
+         sum(c) OVER () AS n
+  FROM b
+),
+thr AS (
+  SELECT min(CASE WHEN cum_c >= (n + 99) // 100 THEN bucket END) * 1000
+           AS lo_clamp,
+         (min(CASE WHEN cum_c >= (99 * n + 99) // 100 THEN bucket END) + 1)
+           * 1000 AS hi_clamp,
+         min(n) AS n
+  FROM cum
+),
+w AS (
+  SELECT CAST(o_totalprice AS DECIMAL(14,2)) AS v,
+         greatest(least(CAST(o_totalprice AS DECIMAL(14,2)),
+                        CAST(hi_clamp AS DECIMAL(14,2))),
+                  CAST(lo_clamp AS DECIMAL(14,2))) AS wv,
+         lo_clamp, hi_clamp, n
+  FROM orders, thr
+)
+SELECT CAST(min(n) AS BIGINT)                         AS n_orders,
+       CAST(min(lo_clamp) AS BIGINT)                  AS lo_clamp,
+       CAST(min(hi_clamp) AS BIGINT)                  AS hi_clamp,
+       CAST(sum(CASE WHEN v < lo_clamp THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_clamped_lo,
+       CAST(sum(CASE WHEN v > hi_clamp THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_clamped_hi,
+       round(CAST(round(sum(v), 2) AS DOUBLE) / count(*), 6)  AS mean_raw,
+       round(CAST(round(sum(wv), 2) AS DOUBLE) / count(*), 6) AS mean_winsorized
+FROM w
+"""
+
+
+@register("orders_winsorize", sql=_WINSORIZE_SQL)
+def orders_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = T(spark, sf_dir, "orders")
+    b = (
+        orders.select(
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # both windows run over the ~|max_price/1000| bucket grain — a few
+    # hundred rows regardless of order count
+    cum = b.select(
+        "bucket",
+        F.sum("c")
+        .over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cum_c"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    p01_rank = F.expr("(n + 99) div 100")
+    p99_rank = F.expr("(99 * n + 99) div 100")
+    thr = cum.agg(
+        (
+            F.min(F.when(F.col("cum_c") >= p01_rank, F.col("bucket"))) * 1000
+        ).alias("lo_clamp"),
+        (
+            (
+                F.min(F.when(F.col("cum_c") >= p99_rank, F.col("bucket")))
+                + 1
+            )
+            * 1000
+        ).alias("hi_clamp"),
+        F.min("n").alias("n"),
+    )
+    v = F.col("o_totalprice").cast("decimal(14,2)")
+    w = orders.crossJoin(F.broadcast(thr)).select(
+        v.alias("v"),
+        F.greatest(
+            F.least(v, F.col("hi_clamp").cast("decimal(14,2)")),
+            F.col("lo_clamp").cast("decimal(14,2)"),
+        ).alias("wv"),
+        "lo_clamp",
+        "hi_clamp",
+        "n",
+    )
+    return w.agg(
+        F.min("n").cast("long").alias("n_orders"),
+        F.min("lo_clamp").cast("long").alias("lo_clamp"),
+        F.min("hi_clamp").cast("long").alias("hi_clamp"),
+        F.sum((F.col("v") < F.col("lo_clamp")).cast("int"))
+        .cast("long")
+        .alias("n_clamped_lo"),
+        F.sum((F.col("v") > F.col("hi_clamp")).cast("int"))
+        .cast("long")
+        .alias("n_clamped_hi"),
+        F.round(
+            F.round(F.sum("v"), 2).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_raw"),
+        F.round(
+            F.round(F.sum("wv"), 2).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_winsorized"),
+    )
