@@ -2490,3 +2490,202 @@ def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("net_value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_trend_test — nonparametric monotonic-trend detection over the
+# daily event-count series: the Mann-Kendall S statistic with the full
+# tie-corrected variance, its z-score, the 5% two-sided verdict, and
+# the Theil-Sen slope (median of all pairwise slopes) — the
+# trend-alarm kit a monitoring pipeline runs on every metric series
+# because it needs no distributional assumptions and shrugs off
+# outliers that wreck least-squares.
+#
+# Scale shape: everything reduces through the DAILY grain first
+# (calendar-bounded — |days| per type, never |events|), so the
+# pairwise self-join is days^2/2 per type — thousands of rows when the
+# corpus is petabytes. S and the tie correction are exact integers;
+# the only floats are the final row-local z and the pairwise slopes,
+# whose median is picked by INTEGER rank over a (slope, day, day)
+# total order, so both engines select the identical element(s).
+# ---------------------------------------------------------------------------
+
+_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn,
+         CAST(b.c - a.c AS DOUBLE)
+           / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope,
+         a.day AS d1, b.day AS d2
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+mk AS (
+  SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat
+  FROM pairs GROUP BY event_type
+),
+nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily
+  GROUP BY event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, c)
+  GROUP BY event_type
+),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, d1, d2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs
+),
+sen AS (
+  SELECT event_type, avg(slope) AS sen_slope
+  FROM ranked
+  WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+  GROUP BY event_type
+),
+z AS (
+  SELECT mk.event_type, mk.s_stat, nd.n_days, ties.tie_term,
+         (CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+               - ties.tie_term AS DOUBLE)) / 18.0 AS var_s
+  FROM mk JOIN nd ON mk.event_type = nd.event_type
+          JOIN ties ON mk.event_type = ties.event_type
+)
+SELECT z.event_type, z.n_days, z.s_stat,
+       round(z.var_s, 6) AS var_s,
+       round(CASE WHEN z.s_stat > 0
+                  THEN CAST(z.s_stat - 1 AS DOUBLE) / nullif(sqrt(z.var_s), 0)
+                  WHEN z.s_stat < 0
+                  THEN CAST(z.s_stat + 1 AS DOUBLE) / nullif(sqrt(z.var_s), 0)
+                  ELSE 0.0 END, 6) AS z_score,
+       CASE WHEN z.s_stat > 0
+                 AND CAST(z.s_stat - 1 AS DOUBLE)
+                     / nullif(sqrt(z.var_s), 0) > 1.96 THEN 'increasing'
+            WHEN z.s_stat < 0
+                 AND CAST(z.s_stat + 1 AS DOUBLE)
+                     / nullif(sqrt(z.var_s), 0) < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend,
+       round(sen.sen_slope, 6) AS sen_slope
+FROM z JOIN sen ON z.event_type = sen.event_type
+"""
+
+
+@register("events_trend_test", sql=_TREND_SQL)
+def events_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    # the fact-grain reduction runs ONCE: every downstream branch (the
+    # pairwise join, n_days, the tie correction) reads the checkpointed
+    # calendar-bounded daily frame, not the raw events scan
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.c") > F.col("a.c"), 1)
+        .when(F.col("b.c") < F.col("a.c"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+        ).alias("slope"),
+        F.col("a.day").alias("d1"),
+        F.col("b.day").alias("d2"),
+    )
+    mk = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s_stat")
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("np"),
+    )
+    sen = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(np + 1) div 2"))
+            | (F.col("rn") == F.expr("(np + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(F.avg("slope").alias("sen_slope"))
+    )
+    z = (
+        mk.join(nd, "event_type")
+        .join(ties, "event_type")
+        .withColumn(
+            "var_s",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            ).cast("double")
+            / 18.0,
+        )
+    )
+    sqrt_v = F.nullif(F.sqrt("var_s"), F.lit(0.0))
+    z_expr = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / sqrt_v,
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / sqrt_v,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return z.join(sen, "event_type").select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z_expr, 6).alias("z_score"),
+        F.when(
+            (F.col("s_stat") > 0)
+            & ((F.col("s_stat") - 1).cast("double") / sqrt_v > 1.96),
+            "increasing",
+        )
+        .when(
+            (F.col("s_stat") < 0)
+            & ((F.col("s_stat") + 1).cast("double") / sqrt_v < -1.96),
+            "decreasing",
+        )
+        .otherwise("no_trend")
+        .alias("trend"),
+        F.round("sen_slope", 6).alias("sen_slope"),
+    )

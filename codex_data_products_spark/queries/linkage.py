@@ -1,0 +1,223 @@
+"""Entity resolution and table-maintenance planning.
+
+Green-field surface (no reference counterpart — the reference's only
+string matching is the exact synonym-map join, SURVEY J4/E1): a
+production data platform needs (a) FUZZY record linkage — "are these
+two strings the same real-world entity despite typos/variants?" — and
+(b) storage-maintenance planning — "how do N small files compact into
+target-size bins?" (the Delta/Iceberg OPTIMIZE primitive). Both are
+expressed here as exact, oracle-checkable relational plans.
+
+Scale discipline shared by both:
+
+* ``er_fuzzy_join`` never pairs ROWS — it pairs the DISTINCT-name
+  grain (vocabulary-bounded, |names| << |rows| at any corpus size) and
+  maps match pairs back to row mass by multiplying the per-name counts
+  it carried through the aggregate.  Candidate generation is standard
+  ER blocking (equi-join on a blocking key) plus the length-band
+  filter, so the expensive edit-distance verify runs only on
+  same-block, similar-length pairs.
+* ``compaction_plan`` folds each partition's file list locally —
+  the list is bounded by files-per-partition, never corpus-sized —
+  and the fold is pure integer arithmetic, bit-identical on both
+  engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+# ---------------------------------------------------------------------------
+# er_fuzzy_join — blocked edit-distance entity resolution over the part
+# dictionary. Classic ER pipeline: (1) collapse to the distinct-name
+# grain carrying row counts; (2) block on a cheap key (the head noun)
+# so candidates are same-block pairs only; (3) prune with the length
+# band |len_a - len_b| <= T (edit distance >= length gap, so nothing
+# true is lost); (4) verify survivors with levenshtein <= T. Output is
+# the per-distance match profile: how many NAME pairs and how many
+# underlying ROW pairs each distance bucket would link — the merge-size
+# estimate a dedup/merge decision needs.
+#
+# Scale shape: the name grain is vocabulary-bounded, so the self-join
+# broadcasts its right side; blocking caps the quadratic term at
+# (names-per-block)^2, the knob every ER system tunes. levenshtein
+# runs JVM-side (no Python); counts are exact integers.
+# ---------------------------------------------------------------------------
+
+_ER_T = 3  # edit-distance threshold (and length band)
+
+_ER_SQL = f"""
+WITH names AS (
+  SELECT p_name,
+         CAST(count(*) AS BIGINT)     AS n,
+         split_part(p_name, ' ', 2)   AS blk,
+         length(p_name)               AS len
+  FROM part GROUP BY p_name
+),
+cand AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b, a.n AS na, b.n AS nb,
+         levenshtein(a.p_name, b.p_name) AS d
+  FROM names a JOIN names b
+    ON a.blk = b.blk
+   AND a.p_name < b.p_name
+   AND abs(a.len - b.len) <= {_ER_T}
+)
+SELECT CAST(d AS INT)                 AS dist,
+       CAST(count(*) AS BIGINT)      AS n_name_pairs,
+       CAST(sum(na * nb) AS BIGINT)  AS n_row_pairs
+FROM cand
+WHERE d <= {_ER_T}
+GROUP BY d
+"""
+
+
+@register("er_fuzzy_join", sql=_ER_SQL)
+def er_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        T(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "p_name",
+            "n",
+            F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
+            F.length("p_name").alias("len"),
+        )
+    )
+    a, b = names.alias("a"), names.alias("b")
+    # the right side is the vocabulary grain — broadcast it so the
+    # blocked self-join never shuffles the name table
+    cand = a.join(
+        F.broadcast(b),
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_name") < F.col("b.p_name"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= _ER_T),
+    ).select(
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("d"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    )
+    return (
+        cand.filter(F.col("d") <= _ER_T)
+        .groupBy(F.col("d").cast("int").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_name_pairs"),
+            F.sum(F.col("na") * F.col("nb")).cast("long").alias("n_row_pairs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan — small-file compaction planning (the OPTIMIZE /
+# bin-packing primitive). Files are modeled per (priority, month)
+# partition as one file per write day sized by its row count — the
+# shape a daily-append table actually has. Each partition's files are
+# packed NEXT-FIT-DECREASING (sort by size desc, open a new bin when
+# the current one would overflow) against a per-partition target of
+# max(biggest file, ceil(total/8)) — i.e. aim for ~8 output files but
+# never split a file. NFD is exactly how Spark's own
+# FilePartition.getFilePartitions packs splits into tasks.
+#
+# Scale shape: ONE pass to the (partition, day) file grain, then the
+# pack runs as a row-LOCAL integer fold over each partition's
+# size-sorted list — bounded by files-per-partition (days per month
+# here), regardless of row count. No window, no driver loop; the fold
+# is [n_bins, fill] -> next state, replayed bit-identically by
+# DuckDB's list_reduce.
+# ---------------------------------------------------------------------------
+
+_COMPACT_SQL = """
+WITH files AS (
+  SELECT o_orderpriority AS pri,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM orders GROUP BY pri, month, day
+),
+parts AS (
+  SELECT pri, month,
+         list(sz ORDER BY sz DESC, day) AS sizes,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(sz) AS BIGINT)  AS total_size,
+         CAST(max(sz) AS BIGINT)  AS mx
+  FROM files GROUP BY pri, month
+),
+t AS (
+  SELECT *, greatest(mx, (total_size + 7) // 8) AS target FROM parts
+),
+folded AS (
+  SELECT pri, month, n_files, total_size, target,
+         list_reduce(
+           [[CAST(1 AS BIGINT), CAST(0 AS BIGINT)]]
+             || list_transform(sizes, s -> [s, s]),
+           (acc, e) -> CASE WHEN acc[2] + e[1] <= target
+                            THEN [acc[1], acc[2] + e[1]]
+                            ELSE [acc[1] + 1, e[1]] END
+         ) AS st
+  FROM t
+)
+SELECT pri, month, n_files, total_size,
+       CAST(target AS BIGINT)            AS target,
+       CAST(st[1] AS BIGINT)             AS n_bins,
+       CAST(n_files - st[1] AS BIGINT)   AS files_saved,
+       round(CAST(total_size AS DOUBLE)
+             / CAST(st[1] * target AS DOUBLE), 6) AS fill_pct
+FROM folded
+"""
+
+
+@register("compaction_plan", sql=_COMPACT_SQL)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    # size-desc sort key packed so array_sort yields (sz DESC, day ASC):
+    # negate the size, tiebreak on day
+    parts = files.groupBy("pri", "month").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct((-F.col("sz")).alias("k"), "day", "sz"))),
+            lambda r: r["sz"],
+        ).alias("sizes"),
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("sz").cast("long").alias("total_size"),
+        F.max("sz").cast("long").alias("mx"),
+    )
+    t = parts.withColumn(
+        "target",
+        F.greatest(F.col("mx"), F.expr("(total_size + 7) div 8")),
+    )
+    init = F.array(F.lit(1).cast("long"), F.lit(0).cast("long"))
+    folded = t.withColumn(
+        "st",
+        F.aggregate(
+            F.col("sizes"),
+            init,
+            lambda acc, s: F.when(
+                F.element_at(acc, 2) + s <= F.col("target"),
+                F.array(F.element_at(acc, 1), F.element_at(acc, 2) + s),
+            ).otherwise(F.array(F.element_at(acc, 1) + 1, s)),
+        ),
+    )
+    return folded.select(
+        "pri",
+        "month",
+        "n_files",
+        "total_size",
+        F.col("target").cast("long").alias("target"),
+        F.element_at("st", 1).cast("long").alias("n_bins"),
+        (F.col("n_files") - F.element_at("st", 1))
+        .cast("long")
+        .alias("files_saved"),
+        F.round(
+            F.col("total_size").cast("double")
+            / (F.element_at("st", 1) * F.col("target")).cast("double"),
+            6,
+        ).alias("fill_pct"),
+    )

@@ -45,6 +45,7 @@ def load_all() -> None:
         events,
         graph,
         joins,
+        linkage,
         multimodal,
         quality,
         relational,

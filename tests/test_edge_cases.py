@@ -447,3 +447,83 @@ def test_inverted_index_below_min_df_is_empty(spark, tmp_path):
     )
     d = _tmp_sf_dir(spark, tmp_path, {"documents": docs})
     assert text_inverted_index(spark, d).count() == 0
+
+
+def test_trend_test_monotone_and_flat_series(spark, tmp_path):
+    """Hand-checkable Mann-Kendall: a strictly increasing 10-day series
+    has S = 45, var_s = 125, z = 44/sqrt(125) > 1.96 ('increasing') and
+    Theil-Sen slope exactly 1.0; a constant series is fully tied —
+    S = 0, var_s = 0, z = 0, 'no_trend', slope 0."""
+    from codex_data_products_spark.queries.events import events_trend_test
+
+    rows = []
+    eid = 0
+    for i in range(10):  # type 'up': day i has i+1 events
+        for _ in range(i + 1):
+            rows.append((eid, "2024-03-%02d 09:00:00" % (1 + i), 1, "up",
+                         1.0, "{}"))
+            eid += 1
+    for i in range(10):  # type 'flat': 2 events every day
+        for _ in range(2):
+            rows.append((eid, "2024-03-%02d 09:00:00" % (1 + i), 2, "flat",
+                         1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = _tmp_sf_dir(spark, tmp_path, {"events": ev})
+    got = {r["event_type"]: r for r in events_trend_test(spark, d).collect()}
+    up, flat = got["up"], got["flat"]
+    assert up["s_stat"] == 45 and up["var_s"] == 125.0
+    assert abs(up["z_score"] - 44 / 125 ** 0.5) < 1e-6
+    assert up["trend"] == "increasing" and up["sen_slope"] == 1.0
+    assert flat["s_stat"] == 0 and flat["var_s"] == 0.0
+    assert flat["z_score"] == 0.0
+    assert flat["trend"] == "no_trend" and flat["sen_slope"] == 0.0
+
+
+def test_compaction_plan_matches_next_fit_model(spark, tmp_path):
+    """Constructed single-partition file list [5,3,3,1], target
+    max(5, ceil(12/8)) = 5: NFD packs 5 | 3 | 3+1 -> 3 bins."""
+    from codex_data_products_spark.queries.linkage import compaction_plan
+
+    rows = []
+    oid = 0
+    for day, n in [(1, 5), (2, 3), (3, 3), (4, 1)]:
+        for _ in range(n):
+            rows.append((oid, 1, "O", 10.0, "2024-03-%02d 00:00:00" % day,
+                         "1-URGENT"))
+            oid += 1
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    d = _tmp_sf_dir(spark, tmp_path, {"orders": orders})
+    (r,) = compaction_plan(spark, d).collect()
+    assert r["n_files"] == 4 and r["total_size"] == 12
+    assert r["target"] == 5 and r["n_bins"] == 3 and r["files_saved"] == 1
+    assert abs(r["fill_pct"] - 12 / 15) < 1e-6
+
+
+def test_er_fuzzy_join_blocks_and_length_band(spark, tmp_path):
+    """'red bolt'~'ted bolt' (dist 1, same block) match; 'red bolt' vs
+    'red gear' are in different blocks (no candidate); a same-block
+    name beyond the length band is pruned before levenshtein."""
+    from codex_data_products_spark.queries.linkage import er_fuzzy_join
+
+    names = (["red bolt"] * 3 + ["ted bolt"] * 2 + ["red gear"] * 4
+             + ["extraordinarily bolt"] * 1)
+    parts = spark.createDataFrame(
+        [(i, n, "B", "T", 1, 1.0) for i, n in enumerate(names)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    d = _tmp_sf_dir(spark, tmp_path, {"part": parts})
+    rows = er_fuzzy_join(spark, d).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["dist"] == 1 and r["n_name_pairs"] == 1
+    assert r["n_row_pairs"] == 6  # 3 'red bolt' x 2 'ted bolt'

@@ -1402,3 +1402,63 @@ def test_logreg_static_dag_broadcast_weights_no_collect(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_scd2_lookup_equi_join_no_nested_loop(spark, sf_dir):
+    # the PIT lookup joins fact to dimension on the user_id EQUI key
+    # (co-partitioning) with the validity range as a residual filter —
+    # never a nested-loop/cartesian range join
+    plan = _plan(spark, sf_dir, "scd2_asof_lookup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_cdc_net_changes_pure_hash_agg(spark, sf_dir):
+    # changelog compaction is ONE pass: per-key min_by/max_by hash
+    # aggregate then the |op|-grain collapse — no window sorts the
+    # changelog, no join touches it
+    plan = _plan(spark, sf_dir, "cdc_net_changes")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_winsorize_two_scans_bucket_grain_window(spark, sf_dir):
+    # pass 1 reduces to the width-1000 bucket grain before any window;
+    # pass 2 clamps against the broadcast 1-row threshold frame — the
+    # only nested-loop join allowed is that single-row broadcast
+    plan = _plan(spark, sf_dir, "orders_winsorize")
+    assert plan.count("FileScan") == 2
+    assert "CartesianProduct" not in plan
+    # thresholds arrive via broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_er_fuzzy_join_broadcasts_name_grain(spark, sf_dir):
+    # candidates come from the blocked equi self-join of the DISTINCT
+    # name grain with the vocabulary side broadcast; levenshtein is a
+    # JVM expression on the candidate rows only
+    plan = _plan(spark, sf_dir, "er_fuzzy_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_compaction_plan_single_scan_local_fold(spark, sf_dir):
+    # the bin-pack is a row-local integer fold over each partition's
+    # size-sorted list — one fact scan, no join, no window
+    plan = _plan(spark, sf_dir, "compaction_plan")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_trend_test_daily_grain_computed_once(spark, sf_dir):
+    # every branch (pairs, n_days, ties, sen) must read the
+    # checkpointed daily frame: the raw events scan happens during
+    # checkpoint materialization, not once per branch
+    plan = _plan(spark, sf_dir, "events_trend_test")
+    assert plan.count("FileScan") == 0
+    assert plan.count("Scan ExistingRDD") >= 4
+    assert "CartesianProduct" not in plan
