@@ -483,3 +483,94 @@ def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(money("o_totalprice")).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# band_join_buckets — a KEYLESS numeric band join: pair every click
+# with every view that happened within ±120 s of it, ACROSS all users
+# (no shared equi key exists), and profile the pairs by 30-second gap
+# bucket and direction. The naive plan is a theta join (cartesian +
+# filter); the scalable rewrite — the one range-join optimizers apply
+# — buckets time into eps-width cells, EXPANDS each left row to its
+# 3 adjacent cells, and equi-joins on the cell id: every qualifying
+# pair lands in exactly one (expanded-cell == right-cell) match, each
+# candidate cell holds only eps-local rows, and the residual |gap| <=
+# eps filter runs on candidates, never the cross product.
+#
+# Scale shape: the join is a plain shuffle equi-join on the cell id —
+# partitionable, skew-bounded by events-per-2-minutes. Gap arithmetic
+# is exact integer MICROSECONDS (unix_micros vs epoch_us), so both
+# engines bucket identically; 'div' on the non-negative |gap| floors
+# identically too (negative gaps are routed through the direction
+# label instead — truncate-vs-floor never fires).
+# ---------------------------------------------------------------------------
+
+_BAND_EPS_US = 120_000_000  # +/- 120 s
+_BAND_BUCKET_US = 30_000_000  # 30 s histogram buckets
+
+_BAND_SQL = f"""
+WITH clicks AS (
+  SELECT epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT epoch_us(ts) AS v_us FROM events WHERE event_type = 'view'
+),
+pairs AS (
+  SELECT c_us, v_us, abs(c_us - v_us) AS gap
+  FROM clicks c JOIN views v
+    ON abs(c.c_us - v.v_us) <= {_BAND_EPS_US}
+)
+SELECT CASE WHEN v_us < c_us THEN 'view_first'
+            WHEN v_us > c_us THEN 'click_first'
+            ELSE 'simultaneous' END                AS direction,
+       CAST(gap // {_BAND_BUCKET_US} AS INT)       AS gap_bucket,
+       CAST(count(*) AS BIGINT)                    AS n_pairs
+FROM pairs
+GROUP BY direction, gap_bucket
+"""
+
+
+@register("band_join_buckets", sql=_BAND_SQL)
+def band_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.unix_micros("ts").alias("c_us")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.unix_micros("ts").alias("v_us"),
+        (F.unix_micros("ts") - F.unix_micros("ts") % _BAND_EPS_US).alias(
+            "v_cell"
+        ),
+    )
+    # expand each click to its cell and both neighbors: any view within
+    # eps lies in one of the three, and in exactly ONE right cell — no
+    # dedup needed after the residual filter
+    expanded = clicks.select(
+        "c_us",
+        F.explode(
+            F.array(
+                F.lit(-_BAND_EPS_US),
+                F.lit(0),
+                F.lit(_BAND_EPS_US),
+            )
+        ).alias("off"),
+    ).select(
+        "c_us",
+        (
+            F.col("c_us") - F.col("c_us") % _BAND_EPS_US + F.col("off")
+        ).alias("cell"),
+    )
+    pairs = expanded.join(
+        views, F.col("cell") == F.col("v_cell")
+    ).filter(F.abs(F.col("c_us") - F.col("v_us")) <= _BAND_EPS_US)
+    return pairs.select(
+        F.when(F.col("v_us") < F.col("c_us"), "view_first")
+        .when(F.col("v_us") > F.col("c_us"), "click_first")
+        .otherwise("simultaneous")
+        .alias("direction"),
+        F.expr(f"abs(c_us - v_us) div {_BAND_BUCKET_US}")
+        .cast("int")
+        .alias("gap_bucket"),
+    ).groupBy("direction", "gap_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

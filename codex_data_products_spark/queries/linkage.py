@@ -221,3 +221,146 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fill_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout — the Z-ORDER data-layout audit: assign every order a
+# Morton code interleaving its (price-bucket, month-bucket) dims,
+# split the table into 16 Morton-ranged files, build each file's zone
+# map (per-dim min/max), and measure data skipping: for a point query
+# on EITHER dim, what fraction of files does the zone map prune? The
+# same audit runs on the naive append (key-order) layout, so the
+# output is the side-by-side justification for OPTIMIZE ZORDER BY —
+# multi-dim pruning vs one-dim — computed from the table itself.
+#
+# Scale shape: one stats pass (2-value broadcast), then ONE scan
+# assigns both layouts' file ids row-locally (bit interleaving is
+# pure integer div/mod arithmetic) and collapses straight to the
+# (layout, file) zone-map grain — 32 rows regardless of table size.
+# The 16-probe pruning sweep cross-joins two tiny frames. Nothing
+# fact-sized ever shuffles; no sort is performed (Morton RANGES
+# partition the data exactly as a Z-order write would cluster it).
+# ---------------------------------------------------------------------------
+
+_ZORDER_SQL = """
+WITH stats AS (
+  SELECT max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mpc,
+         max(o_orderkey)                                AS mk,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS m_lo,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS m_hi
+  FROM orders
+),
+dims AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) * 16 // (mpc + 1) AS d1,
+         (year(o_orderdate) * 12 + month(o_orderdate) - m_lo) * 16
+           // (m_hi - m_lo + 1)                                     AS d2,
+         o_orderkey * 16 // (mk + 1)                                AS file_a
+  FROM orders, stats
+),
+coded AS (
+  SELECT d1, d2, file_a,
+         ( ((d1 // 1) % 2) * 2 + ((d2 // 1) % 2)
+         + (((d1 // 2) % 2) * 2 + ((d2 // 2) % 2)) * 4
+         + (((d1 // 4) % 2) * 2 + ((d2 // 4) % 2)) * 16
+         + (((d1 // 8) % 2) * 2 + ((d2 // 8) % 2)) * 64 ) // 16 AS file_z
+  FROM dims
+),
+layouts AS (
+  SELECT 'zorder' AS layout, file_z AS f, d1, d2 FROM coded
+  UNION ALL
+  SELECT 'append' AS layout, file_a AS f, d1, d2 FROM coded
+),
+zones AS (
+  SELECT layout, f, CAST(count(*) AS BIGINT) AS n_rows,
+         min(d1) AS lo1, max(d1) AS hi1,
+         min(d2) AS lo2, max(d2) AS hi2
+  FROM layouts GROUP BY layout, f
+),
+probes AS (SELECT unnest(range(16)) AS v),
+pruned AS (
+  SELECT z.layout, p.v,
+         sum(CASE WHEN p.v < z.lo1 OR p.v > z.hi1 THEN 1 ELSE 0 END) AS p1,
+         sum(CASE WHEN p.v < z.lo2 OR p.v > z.hi2 THEN 1 ELSE 0 END) AS p2,
+         count(*) AS nf
+  FROM zones z, probes p
+  GROUP BY z.layout, p.v
+)
+SELECT layout,
+       CAST(min(nf) AS BIGINT)                       AS n_files,
+       round(avg(CAST(p1 AS DOUBLE) / nf), 6)        AS pruned_share_price,
+       round(avg(CAST(p2 AS DOUBLE) / nf), 6)        AS pruned_share_month
+FROM pruned GROUP BY layout
+"""
+
+
+@register("zorder_layout", sql=_ZORDER_SQL)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    mcol = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    stats = orders.agg(
+        F.max(cents).alias("mpc"),
+        F.max("o_orderkey").alias("mk"),
+        F.min(mcol).alias("m_lo"),
+        F.max(mcol).alias("m_hi"),
+    )
+    dims = orders.crossJoin(F.broadcast(stats)).select(
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) * 16 div (mpc + 1)"
+        ).alias("d1"),
+        F.expr(
+            "(year(o_orderdate) * 12 + month(o_orderdate) - m_lo) * 16"
+            " div (m_hi - m_lo + 1)"
+        ).alias("d2"),
+        F.expr("o_orderkey * 16 div (mk + 1)").alias("file_a"),
+    )
+    coded = dims.withColumn(
+        "file_z",
+        F.expr(
+            "( ((d1 div 1) % 2) * 2 + ((d2 div 1) % 2)"
+            " + (((d1 div 2) % 2) * 2 + ((d2 div 2) % 2)) * 4"
+            " + (((d1 div 4) % 2) * 2 + ((d2 div 4) % 2)) * 16"
+            " + (((d1 div 8) % 2) * 2 + ((d2 div 8) % 2)) * 64 ) div 16"
+        ),
+    )
+    # both layouts fan out row-locally in one projection — the fact is
+    # scanned once and collapses straight to the (layout, file) grain
+    both = coded.select(
+        F.expr(
+            "stack(2, 'zorder', file_z, 'append', file_a) AS (layout, f)"
+        ),
+        "d1",
+        "d2",
+    )
+    zones = both.groupBy("layout", "f").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("d1").alias("lo1"),
+        F.max("d1").alias("hi1"),
+        F.min("d2").alias("lo2"),
+        F.max("d2").alias("hi2"),
+    )
+    probes = spark.range(16).select(F.col("id").alias("v"))
+    pruned = (
+        zones.crossJoin(F.broadcast(probes))
+        .groupBy("layout", "v")
+        .agg(
+            F.sum(
+                ((F.col("v") < F.col("lo1")) | (F.col("v") > F.col("hi1")))
+                .cast("int")
+            ).alias("p1"),
+            F.sum(
+                ((F.col("v") < F.col("lo2")) | (F.col("v") > F.col("hi2")))
+                .cast("int")
+            ).alias("p2"),
+            F.count(F.lit(1)).alias("nf"),
+        )
+    )
+    return pruned.groupBy("layout").agg(
+        F.min("nf").cast("long").alias("n_files"),
+        F.round(
+            F.avg(F.col("p1").cast("double") / F.col("nf")), 6
+        ).alias("pruned_share_price"),
+        F.round(
+            F.avg(F.col("p2").cast("double") / F.col("nf")), 6
+        ).alias("pruned_share_month"),
+    )

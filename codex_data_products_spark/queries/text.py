@@ -8,7 +8,7 @@ md5) — JVM-side, whole-stage codegen, zero Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from codex_data_products_spark.registry import register
@@ -2127,4 +2127,181 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_correct").cast("double") / F.col("n"), 6).alias(
             "accuracy"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_keyphrase_rake — RAKE keyphrase extraction (Rose et al. 2010):
+# candidate phrases are maximal stopword-free token runs (capped at 3
+# tokens), each word scores degree/frequency where freq counts the
+# word's phrase occurrences and degree sums the lengths of the phrases
+# it appears in, and a phrase scores the sum of its words' scores.
+# Output: the corpus top-10 phrases — the zero-model keyword extractor
+# run over crawl corpora before anything learned exists.
+#
+# Scale shape: tokens explode once; the phrase-run windows partition
+# per DOCUMENT (bounded by doc length, never corpus-grain); word stats
+# and phrase counts are vocabulary/phrase-grain hash aggs; the final
+# phrase score joins the DISTINCT-phrase grain to word stats and folds
+# each phrase's <=3 member scores in position order (0.0 + s1 == s1
+# exactly, so Spark's explicit-seed fold equals DuckDB's first-element
+# list_reduce), making the float sum order-deterministic on both
+# engines. Top-10 is a TakeOrdered, never a global sort.
+# ---------------------------------------------------------------------------
+
+_RAKE_MAX_LEN = 3
+
+_RAKE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS w
+  FROM (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+    FROM documents
+  ), unnest(generate_series(1, len(toks))) AS u(i)
+),
+content AS (
+  SELECT doc_id, pos, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rnk
+  FROM toks
+  WHERE w <> '' AND NOT list_contains({_SQL_STOPLIST}, w)
+),
+sub AS (
+  SELECT doc_id, pos, w, pos - rnk AS isl,
+         (row_number() OVER (PARTITION BY doc_id, pos - rnk ORDER BY pos)
+          - 1) // {_RAKE_MAX_LEN} AS subisl
+  FROM content
+),
+sub2 AS (
+  SELECT doc_id, isl, subisl, w, pos,
+         count(*) OVER (PARTITION BY doc_id, isl, subisl) AS plen
+  FROM sub
+),
+wordstats AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM sub2 GROUP BY w
+),
+phrase_inst AS (
+  SELECT doc_id, isl, subisl, string_agg(w, ' ' ORDER BY pos) AS phrase
+  FROM sub2 GROUP BY doc_id, isl, subisl
+),
+phrase_counts AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM phrase_inst GROUP BY phrase
+),
+pw AS (
+  SELECT phrase, i, pwtoks[i] AS w
+  FROM (
+    SELECT phrase, regexp_split_to_array(phrase, ' ') AS pwtoks
+    FROM phrase_counts
+  ), unnest(generate_series(1, len(pwtoks))) AS u(i)
+),
+scored AS (
+  SELECT pw.phrase,
+         CAST(len(list(pw.i)) AS BIGINT) AS n_words,
+         list_reduce(
+           [CAST(0.0 AS DOUBLE)]
+             || list(CAST(ws.deg AS DOUBLE) / ws.freq ORDER BY pw.i),
+           (a, b) -> a + b
+         ) AS score
+  FROM pw JOIN wordstats ws ON pw.w = ws.w
+  GROUP BY pw.phrase
+)
+SELECT s.phrase, c.n_occurrences, s.n_words,
+       round(s.score, 6) AS score
+FROM scored s JOIN phrase_counts c ON s.phrase = c.phrase
+ORDER BY s.score DESC, s.phrase
+LIMIT 10
+"""
+
+
+@register("text_keyphrase_rake", sql=_RAKE_SQL)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim("text")), r"\s+")
+        ).alias("pos", "w"),
+    )
+    content = (
+        toks.filter(
+            (F.col("w") != "") & (~F.col("w").isin(_STOPWORDS))
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+        .withColumn("isl", F.col("pos") - F.col("rnk"))
+    )
+    sub = content.withColumn(
+        "subisl",
+        F.expr(
+            "(row_number() OVER (PARTITION BY doc_id, isl ORDER BY pos)"
+            f" - 1) div {_RAKE_MAX_LEN}"
+        ),
+    )
+    sub2 = sub.withColumn(
+        "plen",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("doc_id", "isl", "subisl")
+        ),
+    )
+    wordstats = sub2.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    phrase_inst = sub2.groupBy("doc_id", "isl", "subisl").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda r: r["w"],
+            ),
+            " ",
+        ).alias("phrase")
+    )
+    phrase_counts = phrase_inst.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    pw = phrase_counts.select(
+        "phrase",
+        F.posexplode(F.split("phrase", " ")).alias("i", "w"),
+    )
+    scored = (
+        pw.join(wordstats, "w")
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "i",
+                                (
+                                    F.col("deg").cast("double")
+                                    / F.col("freq")
+                                ).alias("s"),
+                            )
+                        )
+                    ),
+                    lambda r: r["s"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.join(phrase_counts, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            "n_words",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(10)
     )

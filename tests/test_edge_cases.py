@@ -527,3 +527,53 @@ def test_er_fuzzy_join_blocks_and_length_band(spark, tmp_path):
     (r,) = rows
     assert r["dist"] == 1 and r["n_name_pairs"] == 1
     assert r["n_row_pairs"] == 6  # 3 'red bolt' x 2 'ted bolt'
+
+
+def test_band_join_boundary_and_cell_crossing(spark, tmp_path):
+    """A view exactly eps away qualifies; one microsecond beyond does
+    not; a pair straddling a 120 s cell boundary is still found (the
+    3-cell expansion covers it)."""
+    from codex_data_products_spark.queries.joins import band_join_buckets
+
+    base = "2024-03-01 00:0%d:%02d.%06d"
+    rows = [
+        # click at exactly t=120s (a cell boundary)
+        (1, "2024-03-01 00:02:00.000000", 1, "click", 1.0, "{}"),
+        # view 120s BEFORE (previous cell, exactly at eps) -> qualifies
+        (2, "2024-03-01 00:00:00.000000", 1, "view", 1.0, "{}"),
+        # view 120.000001s before -> excluded
+        (3, "2024-02-29 23:59:59.999999", 1, "view", 1.0, "{}"),
+        # view 1s after (same cell) -> qualifies, bucket 0
+        (4, "2024-03-01 00:02:01.000000", 1, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = _tmp_sf_dir(spark, tmp_path, {"events": ev})
+    got = {
+        (r["direction"], r["gap_bucket"]): r["n_pairs"]
+        for r in band_join_buckets(spark, d).collect()
+    }
+    assert got == {("view_first", 4): 1, ("click_first", 0): 1}
+
+
+def test_rake_hand_computed_scores(spark, tmp_path):
+    """'deep learning of deep nets': phrases {deep learning, deep nets};
+    deep freq 2 deg 4, learning/nets freq 1 deg 2 -> every word scores
+    2.0 and both phrases score 4.0, tie broken by phrase text."""
+    from codex_data_products_spark.queries.text import text_keyphrase_rake
+
+    docs = spark.createDataFrame(
+        [(1, "deep learning of deep nets", "en", "s", 26)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    d = _tmp_sf_dir(spark, tmp_path, {"documents": docs})
+    rows = text_keyphrase_rake(spark, d).collect()
+    assert [(r["phrase"], r["n_occurrences"], r["n_words"], r["score"])
+            for r in rows] == [
+        ("deep learning", 1, 2, 4.0),
+        ("deep nets", 1, 2, 4.0),
+    ]

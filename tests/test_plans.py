@@ -1462,3 +1462,32 @@ def test_trend_test_daily_grain_computed_once(spark, sf_dir):
     assert plan.count("FileScan") == 0
     assert plan.count("Scan ExistingRDD") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_two_scans_no_cartesian_on_fact(spark, sf_dir):
+    # stats pass + one assignment scan; both layouts fan out through
+    # one stack() projection; the only nested-loop joins are the 1-row
+    # stats broadcast and the 16-row probe frame
+    plan = _plan(spark, sf_dir, "zorder_layout")
+    assert plan.count("FileScan") == 2
+    assert "CartesianProduct" not in plan
+    assert "stack" in plan
+
+
+def test_band_join_is_equi_on_cell_never_nested_loop(spark, sf_dir):
+    # the keyless band join must compile to an EQUI join on the
+    # expanded cell id (shuffle- or broadcast-hash), never the
+    # nested-loop theta join the naive formulation produces
+    plan = _plan(spark, sf_dir, "band_join_buckets")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+    assert "Generate" in plan  # the 3-cell expansion explode
+
+
+def test_rake_topk_is_take_ordered(spark, sf_dir):
+    # phrase-run windows partition per document; the corpus top-10 is
+    # a TakeOrdered heap, never a global sort
+    plan = _plan(spark, sf_dir, "text_keyphrase_rake")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
