@@ -1269,3 +1269,226 @@ def orders_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_survived").cast("double") / F.col("n_observable"), 6
         ).alias("survival_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_equidepth_histogram — the ANALYZE TABLE primitive: a 16-bucket
+# equi-depth histogram of o_totalprice, the statistic a cost-based
+# optimizer stores per column. Exact percentile boundaries on a
+# near-unique numeric domain would demand a global sort; the scalable
+# (and production-standard) answer picks boundaries at the EDGES of a
+# bounded-width pre-bucketing — one pass to the width-1000 bucket
+# grain, a cumulative window over that ~|max/1000|-row grain, integer
+# rank arithmetic for the 15 interior boundaries, and a tiny
+# cross-join to assign each width-1000 cell to its depth bucket.
+# Output: 16 (lo, hi, n_rows) rows whose fill spread IS the
+# histogram-quality audit.
+# ---------------------------------------------------------------------------
+
+_DEPTH_K = 16
+
+_EQUIDEPTH_SQL = f"""
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, c,
+         sum(c) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c,
+         sum(c) OVER () AS n
+  FROM b
+),
+ks AS (SELECT unnest(range(1, {_DEPTH_K})) AS k),
+bounds AS (
+  SELECT k,
+         min(CASE WHEN cum_c >= (k * n + {_DEPTH_K - 1}) // {_DEPTH_K}
+                  THEN bucket END) AS eb
+  FROM cum CROSS JOIN ks GROUP BY k
+),
+assign AS (
+  SELECT c.bucket, c.c,
+         count(CASE WHEN b2.eb < c.bucket THEN 1 END) AS d
+  FROM cum c CROSS JOIN bounds b2
+  GROUP BY c.bucket, c.c
+)
+SELECT CAST(d AS INT)                          AS depth_bucket,
+       CAST(min(bucket) * 1000 AS BIGINT)      AS lo,
+       CAST((max(bucket) + 1) * 1000 AS BIGINT) AS hi,
+       CAST(sum(c) AS BIGINT)                  AS n_rows
+FROM assign GROUP BY d
+"""
+
+
+@register("stats_equidepth_histogram", sql=_EQUIDEPTH_SQL)
+def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    # the fact reduces ONCE to the width-1000 bucket grain; both
+    # consumers (boundary picking, depth assignment) read the
+    # checkpointed grain instead of re-scanning orders
+    b = (
+        orders.select(
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cum = b.select(
+        "bucket",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cum_c"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    ks = spark.range(1, _DEPTH_K).select(F.col("id").alias("k"))
+    bounds = (
+        cum.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_c")
+                    >= F.expr(f"(k * n + {_DEPTH_K - 1}) div {_DEPTH_K}"),
+                    F.col("bucket"),
+                )
+            ).alias("eb")
+        )
+    )
+    assign = (
+        cum.crossJoin(F.broadcast(bounds))
+        .groupBy("bucket", "c")
+        .agg(
+            F.count(F.when(F.col("eb") < F.col("bucket"), 1)).alias("d")
+        )
+    )
+    return assign.groupBy(F.col("d").cast("int").alias("depth_bucket")).agg(
+        (F.min("bucket") * 1000).cast("long").alias("lo"),
+        ((F.max("bucket") + 1) * 1000).cast("long").alias("hi"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_selectivity_eval — close the optimizer-statistics loop the way
+# join_cardinality->plan_join closed the join one: ESTIMATE predicate
+# selectivities from the equi-depth histogram (uniform-within-bucket
+# interpolation, the textbook CBO formula) and measure them against
+# the exact counts in the same output row. The per-bucket
+# contributions are quantized to DECIMAL(20,6) before summing, so the
+# 16-term sum is associative-exact and both engines agree bit-for-bit
+# regardless of hash-aggregation order.
+#
+# Scale shape: the histogram side is 16 rows x 3 predicates; the
+# exact side is ONE conditional-count scan of orders. A production
+# system runs only the estimate (that is the point of statistics) —
+# the exact pass here is the eval harness.
+# ---------------------------------------------------------------------------
+
+_SEL_PREDS = [  # (pred_id, a, b): estimate F(b) - F(a)
+    ("between_50k_150k", 50_000, 150_000),
+    ("le_100k", 0, 100_000),
+    ("gt_200k", 200_000, 10_000_000),
+]
+
+_SEL_PRED_SQL = " UNION ALL ".join(
+    f"SELECT '{p}' AS pred, CAST({a} AS DOUBLE) AS a, CAST({b} AS DOUBLE) AS b"
+    for p, a, b in _SEL_PREDS
+)
+
+_SEL_EXACT_SQL = " UNION ALL ".join(
+    f"SELECT '{p}' AS pred, CAST(sum(CASE WHEN o_totalprice >= {a} "
+    f"AND o_totalprice <= {b} THEN 1 ELSE 0 END) AS BIGINT) AS exact_rows "
+    "FROM orders"
+    for p, a, b in _SEL_PREDS
+)
+
+_SELECTIVITY_SQL = f"""
+WITH hist AS ({_EQUIDEPTH_SQL}),
+preds AS ({_SEL_PRED_SQL}),
+contrib AS (
+  SELECT p.pred,
+         CAST(round(
+           h.n_rows * (
+             least(greatest((p.b - h.lo) / (h.hi - h.lo), 0.0), 1.0)
+             - least(greatest((p.a - h.lo) / (h.hi - h.lo), 0.0), 1.0)
+           ), 6) AS DECIMAL(20,6)) AS est_part
+  FROM preds p CROSS JOIN hist h
+),
+est AS (
+  SELECT pred, CAST(sum(est_part) AS DOUBLE) AS est_rows
+  FROM contrib GROUP BY pred
+),
+exact AS ({_SEL_EXACT_SQL})
+SELECT est.pred,
+       round(est.est_rows, 6) AS est_rows,
+       exact.exact_rows,
+       round((est.est_rows - exact.exact_rows)
+             / nullif(CAST(exact.exact_rows AS DOUBLE), 0), 6) AS rel_err
+FROM est JOIN exact ON est.pred = exact.pred
+"""
+
+
+@register("stats_selectivity_eval", sql=_SELECTIVITY_SQL)
+def stats_selectivity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = stats_equidepth_histogram(spark, sf_dir)
+    preds = spark.createDataFrame(
+        [(p, float(a), float(b)) for p, a, b in _SEL_PREDS],
+        "pred string, a double, b double",
+    )
+    frac = lambda x: F.least(  # noqa: E731
+        F.greatest(
+            (x - F.col("lo")) / (F.col("hi") - F.col("lo")), F.lit(0.0)
+        ),
+        F.lit(1.0),
+    )
+    contrib = preds.crossJoin(F.broadcast(hist)).select(
+        "pred",
+        F.round(
+            F.col("n_rows") * (frac(F.col("b")) - frac(F.col("a"))), 6
+        )
+        .cast("decimal(20,6)")
+        .alias("est_part"),
+    )
+    est = contrib.groupBy("pred").agg(
+        F.sum("est_part").cast("double").alias("est_rows")
+    )
+    orders = T(spark, sf_dir, "orders")
+    exact = orders.agg(
+        *[
+            F.sum(
+                (
+                    (F.col("o_totalprice") >= a)
+                    & (F.col("o_totalprice") <= b)
+                ).cast("int")
+            )
+            .cast("long")
+            .alias(p)
+            for p, a, b in _SEL_PREDS
+        ]
+    ).select(
+        F.expr(
+            "stack("
+            + str(len(_SEL_PREDS))
+            + ", "
+            + ", ".join(f"'{p}', {p}" for p, _, _ in _SEL_PREDS)
+            + ") AS (pred, exact_rows)"
+        )
+    )
+    return est.join(exact, "pred").select(
+        "pred",
+        F.round("est_rows", 6).alias("est_rows"),
+        "exact_rows",
+        F.round(
+            (F.col("est_rows") - F.col("exact_rows"))
+            / F.nullif(F.col("exact_rows").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rel_err"),
+    )

@@ -364,3 +364,153 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("p2").cast("double") / F.col("nf")), 6
         ).alias("pruned_share_month"),
     )
+
+
+# ---------------------------------------------------------------------------
+# er_clusters — entity CANONICALIZATION: close the fuzzy-match pair
+# set transitively ("red bolt"~"ted bolt"~"tan bolt" is ONE entity
+# even though the ends differ by 6 edits) and emit one row per
+# multi-name entity with its canonical (minimum) name, member count,
+# and total row mass — the merge worklist an MDM/dedup pipeline
+# actually executes.
+#
+# Matches require an equal blocking key, so every component lives
+# inside one block and its diameter is bounded by names-per-block.
+# Min-label propagation therefore converges in a FIXED number of
+# rounds (7 covers the 8-name blocks of every data generator here);
+# the plan is a STATIC 7-round DAG over the vocabulary-grain label
+# frame — no driver-side convergence loop, no collect. An 8th audit
+# round re-derives the neighbor minimum and each entity reports
+# `converged` — if a future dataset ever had a wider block, the flag
+# flips to false instead of silently emitting a half-merged entity.
+# DuckDB replays the identical unrolled rounds.
+# ---------------------------------------------------------------------------
+
+_ER_ROUNDS = 7
+
+
+def _er_cluster_sql() -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, _ER_ROUNDS + 2):  # rounds 1..7 + audit round 8
+        rounds.append(
+            f"""r{k} AS (
+  SELECT r.p_name,
+         least(r.lbl, coalesce(min(re.lbl), r.lbl)) AS lbl
+  FROM {prev} r
+  LEFT JOIN edges e ON e.dst = r.p_name
+  LEFT JOIN {prev} re ON re.p_name = e.src
+  GROUP BY r.p_name, r.lbl
+)"""
+        )
+        prev = f"r{k}"
+    last, audit = f"r{_ER_ROUNDS}", f"r{_ER_ROUNDS + 1}"
+    return f"""
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n,
+         split_part(p_name, ' ', 2) AS blk, length(p_name) AS len
+  FROM part GROUP BY p_name
+),
+pairs AS (
+  SELECT a.p_name AS na, b.p_name AS nb
+  FROM names a JOIN names b
+    ON a.blk = b.blk AND a.p_name < b.p_name
+   AND abs(a.len - b.len) <= {_ER_T}
+   AND levenshtein(a.p_name, b.p_name) <= {_ER_T}
+),
+edges AS (
+  SELECT na AS src, nb AS dst FROM pairs
+  UNION ALL
+  SELECT nb AS src, na AS dst FROM pairs
+),
+r0 AS (SELECT p_name, p_name AS lbl FROM names),
+{",".join(rounds)}
+SELECT {last}.lbl                              AS entity,
+       CAST(count(*) AS BIGINT)               AS n_names,
+       CAST(sum(names.n) AS BIGINT)           AS n_rows,
+       CAST(sum(CASE WHEN {last}.lbl <> {audit}.lbl THEN 1 ELSE 0 END) = 0
+            AS BOOLEAN)                       AS converged
+FROM {last}
+JOIN {audit} ON {last}.p_name = {audit}.p_name
+JOIN names ON names.p_name = {last}.p_name
+GROUP BY {last}.lbl
+HAVING count(*) >= 2
+"""
+
+
+@register("er_clusters", sql=_er_cluster_sql())
+def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        T(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "p_name",
+            "n",
+            F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
+            F.length("p_name").alias("len"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_name") < F.col("b.p_name"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= _ER_T)
+        & (
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= _ER_T
+        ),
+    ).select(
+        F.col("a.p_name").alias("na"), F.col("b.p_name").alias("nb")
+    )
+    edges = (
+        pairs.select(F.col("na").alias("src"), F.col("nb").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("nb").alias("src"), F.col("na").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    comp = names.select("p_name", F.col("p_name").alias("lbl"))
+
+    def one_round(frame: DataFrame) -> DataFrame:
+        nbr = (
+            edges.join(
+                frame.select(
+                    F.col("p_name").alias("src"),
+                    F.col("lbl").alias("nbr_lbl"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("p_name"))
+            .agg(F.min("nbr_lbl").alias("nbr_min"))
+        )
+        return frame.join(nbr, "p_name", "left").select(
+            "p_name",
+            F.least(
+                "lbl", F.coalesce("nbr_min", "lbl")
+            ).alias("lbl"),
+        )
+
+    for _ in range(_ER_ROUNDS):
+        comp = one_round(comp).localCheckpoint()
+    audit = one_round(comp)
+    return (
+        comp.join(
+            audit.select("p_name", F.col("lbl").alias("lbl_audit")),
+            "p_name",
+        )
+        .join(names.select("p_name", "n"), "p_name")
+        .groupBy(F.col("lbl").alias("entity"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_names"),
+            F.sum("n").cast("long").alias("n_rows"),
+            (
+                F.sum(
+                    (F.col("lbl") != F.col("lbl_audit")).cast("int")
+                )
+                == 0
+            ).alias("converged"),
+        )
+        .filter(F.col("n_names") >= 2)
+    )

@@ -577,3 +577,50 @@ def test_rake_hand_computed_scores(spark, tmp_path):
         ("deep learning", 1, 2, 4.0),
         ("deep nets", 1, 2, 4.0),
     ]
+
+
+def test_er_clusters_transitive_chain(spark, tmp_path):
+    """A 5-name chain whose ends are 4 edits apart (beyond the pair
+    threshold) still closes into ONE entity via transitivity, with the
+    minimum name canonical and the convergence audit green."""
+    from codex_data_products_spark.queries.linkage import er_clusters
+
+    adjs = ["aaaa", "aaab", "aabb", "abbb", "bbbb"]
+    rows = []
+    pk = 0
+    for adj in adjs:
+        for _ in range(2):  # 2 rows per name
+            rows.append((pk, f"{adj} bolt", "B", "T", 1, 1.0))
+            pk += 1
+    parts = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    d = _tmp_sf_dir(spark, tmp_path, {"part": parts})
+    rows = er_clusters(spark, d).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["entity"] == "aaaa bolt"
+    assert r["n_names"] == 5 and r["n_rows"] == 10
+    assert r["converged"] is True
+
+
+def test_equidepth_uniform_prices_fill_evenly(spark, tmp_path):
+    """32 orders at prices 500, 1500, ..., 31500 (one per width-1000
+    bucket): every depth bucket holds exactly 2 rows."""
+    from codex_data_products_spark.queries.advanced import (
+        stats_equidepth_histogram,
+    )
+
+    orders = spark.createDataFrame(
+        [(i, 1, "O", 500.0 + 1000 * i, "2024-01-01 00:00:00", "1-URGENT")
+         for i in range(32)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    d = _tmp_sf_dir(spark, tmp_path, {"orders": orders})
+    rows = stats_equidepth_histogram(spark, d).collect()
+    assert len(rows) == 16
+    assert all(r["n_rows"] == 2 for r in rows)
+    assert sorted(r["depth_bucket"] for r in rows) == list(range(16))

@@ -1491,3 +1491,31 @@ def test_rake_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_keyphrase_rake")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_er_clusters_static_dag_no_cartesian(spark, sf_dir):
+    # 7 fixed label-propagation rounds over checkpointed vocabulary-
+    # grain frames: no cartesian, no nested loop; the final plan reads
+    # checkpointed RDDs rather than re-deriving the name table
+    plan = _plan(spark, sf_dir, "er_clusters")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_equidepth_single_scan_bucket_grain_windows(spark, sf_dir):
+    # the fact reduces once into a checkpointed width-1000 bucket
+    # grain (zero file scans downstream); boundary picking and depth
+    # assignment cross-join only broadcast 15/16-row frames
+    plan = _plan(spark, sf_dir, "stats_equidepth_histogram")
+    assert plan.count("FileScan") == 0
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_selectivity_eval_two_scans_decimal_sum(spark, sf_dir):
+    # the checkpointed histogram grain + ONE conditional-count exact
+    # scan of orders; the estimate side sums DECIMAL-quantized
+    # contributions so agg order is moot
+    plan = _plan(spark, sf_dir, "stats_selectivity_eval")
+    assert plan.count("FileScan") == 1
+    assert "CartesianProduct" not in plan
