@@ -705,3 +705,137 @@ def run_profile_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Incremental optimizer-statistics maintenance (eighth IVM class):
+# keep a numeric column's width-W bucket histogram current against a
+# change feed, so ANALYZE-grade statistics — equi-depth boundaries,
+# selectivity estimates (queries/advanced.stats_equidepth_histogram /
+# stats_selectivity_eval) — stay fresh at O(|delta|) per micro-batch
+# instead of a full-table ANALYZE. The state is the bounded
+# width-W bucket grain (|max/W| rows regardless of table size); the
+# fold is additive signed counts (op = +1/-1), so retractions restore
+# the exact prior histogram and the pre-batch snapshot anchoring makes
+# crash replays overwrite the same version with identical state —
+# the same contract as run_agg_maintenance.
+# ---------------------------------------------------------------------------
+
+
+def histogram_rows(
+    batch: DataFrame, value_col: str, width: int, op_col: str | None = None
+) -> DataFrame:
+    """Collapse a (possibly signed) batch to bucket-grain count deltas."""
+    sign = F.col(op_col).cast("long") if op_col else F.lit(1).cast("long")
+    return (
+        batch.select(
+            F.floor(F.col(value_col) / width).cast("long").alias("bucket"),
+            sign.alias("_s"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("_s").cast("long").alias("cnt"))
+    )
+
+
+def bootstrap_histogram_state(
+    base: DataFrame, value_col: str, width: int
+) -> DataFrame:
+    return histogram_rows(base, value_col, width)
+
+
+def combine_histogram_state(
+    state: DataFrame, delta: DataFrame
+) -> DataFrame:
+    d = delta.select(
+        F.col("bucket").alias("_b"), F.col("cnt").alias("_dcnt")
+    )
+    return (
+        state.join(d, F.col("bucket") == F.col("_b"), "full_outer")
+        .select(
+            F.coalesce(F.col("bucket"), F.col("_b")).alias("bucket"),
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("_dcnt"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cnt"),
+        )
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def histogram_stats(
+    state: DataFrame, width: int, k: int = 16
+) -> DataFrame:
+    """Derive the k-bucket equi-depth histogram (depth_bucket, lo, hi,
+    n_rows) from the maintained bucket grain — the same integer-rank
+    boundary math as queries/advanced.stats_equidepth_histogram, run
+    on the O(|max/width|)-row state instead of the fact table."""
+    spark = state.sparkSession
+    state = state.localCheckpoint(eager=False)
+    cum = state.select(
+        "bucket",
+        F.col("cnt").alias("c"),
+        F.sum("cnt")
+        .over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cum_c"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    ks = spark.range(1, k).select(F.col("id").alias("k"))
+    bounds = (
+        cum.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_c") >= F.expr(f"(k * n + {k - 1}) div {k}"),
+                    F.col("bucket"),
+                )
+            ).alias("eb")
+        )
+    )
+    assign = (
+        cum.crossJoin(F.broadcast(bounds))
+        .groupBy("bucket", "c")
+        .agg(F.count(F.when(F.col("eb") < F.col("bucket"), 1)).alias("d"))
+    )
+    return assign.groupBy(F.col("d").cast("int").alias("depth_bucket")).agg(
+        (F.min("bucket") * width).cast("long").alias("lo"),
+        ((F.max("bucket") + 1) * width).cast("long").alias("hi"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+
+
+def run_histogram_maintenance(
+    changes: DataFrame,
+    table_dir: str,
+    value_col: str,
+    width: int,
+    checkpoint_dir: str,
+    op_col: str | None = None,
+) -> None:
+    """foreachBatch maintenance of the bucket-grain histogram state:
+    each micro-batch folds signed bucket deltas into the PRE-BATCH
+    snapshot (v=batch_id -> v=batch_id+1), so a replayed batch
+    overwrites its own version instead of double-counting."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = histogram_rows(batch, value_col, width, op_col)
+        state = read_table(spark, table_dir, version=batch_id)
+        new_state = combine_histogram_state(state, delta)
+        new_state.write.mode("overwrite").parquet(
+            f"{table_dir}/v={batch_id + 1}"
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

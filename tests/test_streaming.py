@@ -1121,3 +1121,120 @@ def test_run_profile_maintenance_replay_overwrites_same_version(
     }
     stats = profile_stats(read_table(spark, table)).collect()[0]
     assert stats["n_rows"] == 4 and stats["n_distinct"] == 3
+
+
+def test_run_histogram_maintenance_matches_batch_and_retracts(
+    spark, tmp_path
+):
+    """Eighth IVM class — optimizer statistics. After draining inserts,
+    histogram_stats(state) equals the from-scratch equi-depth histogram
+    of the union; retracting the batch restores the exact prior
+    histogram (signed bucket counts forget retracted rows entirely)."""
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_histogram_state,
+        combine_histogram_state,
+        histogram_rows,
+        histogram_stats,
+        read_table,
+        run_histogram_maintenance,
+    )
+
+    width, k = 1000, 4
+    schema = "id long, price double"
+    src = str(tmp_path / "ins")
+    table = str(tmp_path / "hist_table")
+    base = spark.createDataFrame(
+        [(i, 500.0 + 1000 * i) for i in range(8)], schema
+    )
+    bootstrap_histogram_state(base, "price", width).write.parquet(
+        f"{table}/v=0"
+    )
+
+    b1 = [(100 + i, 500.0 + 1000 * (8 + i)) for i in range(8)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/d1")
+    inserts = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    run_histogram_maintenance(
+        inserts, table, "price", width, str(tmp_path / "ckpt")
+    )
+
+    got = {
+        tuple(r)
+        for r in histogram_stats(
+            read_table(spark, table), width, k
+        ).collect()
+    }
+    union = base.unionByName(spark.createDataFrame(b1, schema))
+    want = {
+        tuple(r)
+        for r in histogram_stats(
+            bootstrap_histogram_state(union, "price", width), width, k
+        ).collect()
+    }
+    assert got == want
+    # 16 uniform rows into 4 depth buckets -> 4 rows each
+    assert sorted(r[3] for r in got) == [4, 4, 4, 4]
+
+    # retraction restores the exact 8-row histogram
+    deletes = spark.createDataFrame(
+        [(i, p, -1) for i, p in b1], schema + ", op int"
+    )
+    reverted = combine_histogram_state(
+        read_table(spark, table),
+        histogram_rows(deletes, "price", width, "op"),
+    )
+    back = {tuple(r) for r in histogram_stats(reverted, width, k).collect()}
+    orig = {
+        tuple(r)
+        for r in histogram_stats(
+            bootstrap_histogram_state(base, "price", width), width, k
+        ).collect()
+    }
+    assert back == orig
+
+
+def test_run_histogram_maintenance_replay_overwrites_same_version(
+    spark, tmp_path
+):
+    """Crash-replay for the statistics maintainer: the fold is
+    additive, so replay anchored to 'latest' would double-count; the
+    pre-batch anchoring must make the second drain overwrite v=1 with
+    identical bucket counts."""
+    from codex_data_products_spark.streaming.merge import (
+        bootstrap_histogram_state,
+        read_table,
+        run_histogram_maintenance,
+        table_versions,
+    )
+
+    schema = "id long, price double"
+    src = str(tmp_path / "ins")
+    table = str(tmp_path / "hist_table")
+    base = spark.createDataFrame([(1, 100.0), (2, 2100.0)], schema)
+    bootstrap_histogram_state(base, "price", 1000).write.parquet(
+        f"{table}/v=0"
+    )
+    spark.createDataFrame(
+        [(3, 150.0), (4, 3500.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/d1")
+
+    def drain(ckpt: str) -> None:
+        inserts = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_histogram_maintenance(inserts, table, "price", 1000, ckpt)
+
+    drain(str(tmp_path / "ckpt1"))  # writes v=1, "commit lost"
+    drain(str(tmp_path / "ckpt2"))  # replay of batch_id=0
+
+    assert table_versions(spark, table) == [0, 1]
+    got = {
+        (r["bucket"], r["cnt"])
+        for r in read_table(spark, table).collect()
+    }
+    assert got == {(0, 2), (2, 1), (3, 1)}
