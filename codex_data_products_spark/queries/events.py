@@ -2689,3 +2689,176 @@ def events_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trend"),
         F.round("sen_slope", 6).alias("sen_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_top_paths — top user journeys: each user's first three event
+# types (in time order) form a path string; output the 10 most common
+# paths among users with >= 3 events. The complement of events_markov
+# (which models single transitions): this surfaces whole entry
+# journeys, the product-analytics artifact behind onboarding funnels.
+#
+# Scale shape: the only window partitions per USER and the
+# WindowGroupLimit pushdown caps it at 3 rows per user before the
+# shuffle-side sort buffers anything; paths then collapse to the
+# path-string grain and the top-10 is a TakeOrdered heap.
+# ---------------------------------------------------------------------------
+
+_TOP_PATHS_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, ' > ' ORDER BY rn) AS path,
+         count(*) AS n
+  FROM ranked WHERE rn <= 3
+  GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM paths WHERE n = 3
+GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 10
+"""
+
+
+@register("events_top_paths", sql=_TOP_PATHS_SQL)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda r: r["event_type"],
+            ),
+            " > ",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        paths.filter(F.col("n") == 3)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_watermark_profile — the out-of-orderness audit that PICKS a
+# streaming watermark: treating event_id as arrival order, an event is
+# late by (max event-time already arrived for this user - its own
+# event-time). The lateness distribution lands in fixed buckets
+# (in-order, <=1 s, <=10 s, <=60 s, <=5 min, <=30 min, beyond) with
+# cumulative coverage per bucket; the smallest bucket whose coverage
+# reaches 99% is the watermark delay the streaming jobs
+# (streaming/events.py) should configure. Closes the batch->streaming
+# loop the way the eval queries close their tuning loops.
+#
+# Scale shape: the running max windows per USER over arrival order
+# (bounded per-user state, the same partitioning every per-user window
+# here uses); lateness is exact integer microseconds; the histogram
+# and its cumulative window live on the 7-row bucket grain.
+# ---------------------------------------------------------------------------
+
+_WM_SQL = """
+WITH arr AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+),
+late AS (
+  SELECT greatest(
+           max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) - ts_us,
+           0) AS late_us
+  FROM arr
+),
+bucketed AS (
+  SELECT CASE WHEN late_us IS NULL OR late_us = 0 THEN 0
+              WHEN late_us <= 1000000 THEN 1
+              WHEN late_us <= 10000000 THEN 2
+              WHEN late_us <= 60000000 THEN 3
+              WHEN late_us <= 300000000 THEN 4
+              WHEN late_us <= 1800000000 THEN 5
+              ELSE 6 END AS b
+  FROM late
+),
+hist AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_events FROM bucketed GROUP BY b
+)
+SELECT CASE b WHEN 0 THEN 'in_order' WHEN 1 THEN 'le_1s'
+              WHEN 2 THEN 'le_10s' WHEN 3 THEN 'le_60s'
+              WHEN 4 THEN 'le_5min' WHEN 5 THEN 'le_30min'
+              ELSE 'gt_30min' END AS lateness,
+       n_events,
+       round(CAST(sum(n_events) OVER (ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / sum(n_events) OVER (), 6) AS cum_share,
+       CAST(sum(n_events) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            >= CAST(ceil(0.99 * sum(n_events) OVER ()) AS BIGINT)
+            AS BOOLEAN) AS covers_p99
+FROM hist
+"""
+
+
+@register("events_watermark_profile", sql=_WM_SQL)
+def events_watermark_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = ev.select(
+        F.greatest(
+            F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"),
+            F.lit(0),
+        ).alias("late_us")
+    )
+    bucketed = late.select(
+        F.when(
+            F.col("late_us").isNull() | (F.col("late_us") == 0), 0
+        )
+        .when(F.col("late_us") <= 1_000_000, 1)
+        .when(F.col("late_us") <= 10_000_000, 2)
+        .when(F.col("late_us") <= 60_000_000, 3)
+        .when(F.col("late_us") <= 300_000_000, 4)
+        .when(F.col("late_us") <= 1_800_000_000, 5)
+        .otherwise(6)
+        .alias("b")
+    )
+    hist = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    labels = {
+        0: "in_order", 1: "le_1s", 2: "le_10s", 3: "le_60s",
+        4: "le_5min", 5: "le_30min", 6: "gt_30min",
+    }
+    label = F.col("b")
+    expr = F.lit("gt_30min")
+    for k in sorted(labels, reverse=True)[1:]:
+        expr = F.when(label == k, labels[k]).otherwise(expr)
+    return hist.select(
+        expr.alias("lateness"),
+        "n_events",
+        F.round(
+            F.sum("n_events").over(wb).cast("double")
+            / F.sum("n_events").over(wall),
+            6,
+        ).alias("cum_share"),
+        (
+            F.sum("n_events").over(wb)
+            >= F.ceil(0.99 * F.sum("n_events").over(wall)).cast("long")
+        ).alias("covers_p99"),
+    )

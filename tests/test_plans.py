@@ -1519,3 +1519,20 @@ def test_selectivity_eval_two_scans_decimal_sum(spark, sf_dir):
     plan = _plan(spark, sf_dir, "stats_selectivity_eval")
     assert plan.count("FileScan") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_top_paths_window_group_limit_and_take_ordered(spark, sf_dir):
+    # rn <= 3 must push into WindowGroupLimit (3 rows per user survive
+    # the shuffle); the top-10 is a TakeOrdered heap
+    plan = _plan(spark, sf_dir, "events_top_paths")
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_watermark_profile_one_scan_user_partitioned_window(spark, sf_dir):
+    # the running max partitions per user; the cumulative-share windows
+    # run on the 7-row bucket grain after the aggregate
+    plan = _plan(spark, sf_dir, "events_watermark_profile")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
