@@ -1492,3 +1492,225 @@ def stats_selectivity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_fpr_eval — measure the Bloom filter itself. bloom_semi_join
+# proves the sketch never changes answers; this query closes its
+# TUNING loop: build the filter from high-balance customers, probe it
+# with a key set KNOWN disjoint (the complement predicate on a unique
+# key), and report the realized false-positive rate next to the
+# textbook prediction (1 - (1-1/m)^(k·n))^k. A fleet sizes m and k
+# from exactly this comparison.
+#
+# Scale shape: the build side collapses to <= m bit positions
+# (broadcast); probes evaluate k hash expressions row-locally; both
+# counts are exact integers and the theory term is one row-local
+# double expression identical on both engines.
+# ---------------------------------------------------------------------------
+
+from codex_data_products_spark.operators.sketches import (  # noqa: E402
+    bloom_build,
+    bloom_probe,
+)
+
+_FPR_M = 65536
+_FPR_HASHES = ((2654435761, 7), (40503, 131), (2246822519, 1031))
+
+_FPR_POS_SQL = " UNION ".join(
+    f"SELECT DISTINCT (c_custkey * {mu} + {a}) % {_FPR_M} AS pos FROM build"
+    for mu, a in _FPR_HASHES
+)
+
+_FPR_SQL = f"""
+WITH build AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 4500
+),
+bpos AS ({_FPR_POS_SQL}),
+probe AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal <= 4500
+),
+hits AS (
+  SELECT p.c_custkey
+  FROM probe p
+  JOIN bpos h1 ON (p.c_custkey * {_FPR_HASHES[0][0]} + {_FPR_HASHES[0][1]})
+                  % {_FPR_M} = h1.pos
+  JOIN bpos h2 ON (p.c_custkey * {_FPR_HASHES[1][0]} + {_FPR_HASHES[1][1]})
+                  % {_FPR_M} = h2.pos
+  JOIN bpos h3 ON (p.c_custkey * {_FPR_HASHES[2][0]} + {_FPR_HASHES[2][1]})
+                  % {_FPR_M} = h3.pos
+)
+SELECT CAST((SELECT count(*) FROM build) AS BIGINT)  AS n_build,
+       CAST((SELECT count(*) FROM probe) AS BIGINT)  AS n_probe,
+       CAST((SELECT count(*) FROM hits) AS BIGINT)   AS n_false_pos,
+       round(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+             / nullif((SELECT count(*) FROM probe), 0), 6) AS fp_rate,
+       round(pow(1.0 - pow(1.0 - 1.0 / {_FPR_M},
+                           3.0 * (SELECT count(*) FROM build)), 3.0), 6)
+         AS fp_theory
+"""
+
+
+@register("bloom_fpr_eval", sql=_FPR_SQL)
+def bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_acctbal") > 4500).select("c_custkey")
+    probe = cust.filter(F.col("c_acctbal") <= 4500).select("c_custkey")
+    bloom = bloom_build(build, "c_custkey", m=_FPR_M, hashes=_FPR_HASHES)
+    hits = bloom_probe(
+        probe, bloom, "c_custkey", m=_FPR_M, hashes=_FPR_HASHES
+    )
+    nb = build.agg(F.count(F.lit(1)).cast("long").alias("n_build"))
+    np_ = probe.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+    nf = hits.agg(F.count(F.lit(1)).cast("long").alias("n_false_pos"))
+    return (
+        nb.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "n_build",
+            "n_probe",
+            "n_false_pos",
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / F.nullif(F.col("n_probe"), F.lit(0)),
+                6,
+            ).alias("fp_rate"),
+            F.round(
+                F.pow(
+                    1.0
+                    - F.pow(
+                        F.lit(1.0 - 1.0 / _FPR_M),
+                        3.0 * F.col("n_build"),
+                    ),
+                    F.lit(3.0),
+                ),
+                6,
+            ).alias("fp_theory"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hll_set_ops_eval — HLL SET ALGEBRA with its honesty check: distinct
+# clickers (A) and viewers (B) as register tables, their union by
+# register max-merge (the only set op HLL supports natively), and the
+# intersection by inclusion-exclusion |A|+|B|-|A∪B| — the estimator
+# every sketch warehouse exposes and every practitioner distrusts,
+# because its error is relative to the UNION, not the (often much
+# smaller) intersection. The exact intersection and the realized
+# relative error sit in the same row — the audit that says whether
+# inclusion-exclusion is usable on this data.
+#
+# Scale shape: everything flows through the 64-row-per-set register
+# grain (the mergeable ANALYZE artifact); the exact side is one
+# (user)-grain aggregate. Estimates use the repo's integer-exact
+# harmonic sum, so even the approximations hash-match across engines.
+# ---------------------------------------------------------------------------
+
+_HLL_EST_EXPR = f"""round({HLL_ALPHA} * {HLL_M * HLL_M} * pow(2.0, {_HLL_RMAX})
+               / CAST(sum(CAST(pow(2.0, {_HLL_RMAX} - rank) AS DECIMAL(38,0)))
+                      + CAST({HLL_M} - count(*) AS DECIMAL(38,0))
+                        * CAST(pow(2.0, {_HLL_RMAX}) AS DECIMAL(38,0))
+                      AS DOUBLE), 4)"""
+
+_HLL_SETOPS_SQL = f"""
+WITH items AS (
+  SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS g,
+         CAST(user_id AS VARCHAR) AS item
+  FROM events WHERE event_type IN ('click', 'view')
+),
+h AS (
+  SELECT g,
+         (CAST(concat('0x', substring(md5(item), 1, 1)) AS BIGINT) % 8)
+           * (CAST(1 AS BIGINT) << 60)
+         + CAST(concat('0x', substring(md5(item), 2, 15)) AS BIGINT) AS hv
+  FROM items
+),
+reg AS (
+  SELECT g, hv % {HLL_M} AS bucket,
+         max(CASE WHEN hv // {HLL_M} > 0
+                  THEN {HLL_LOW_BITS}
+                       - length(format('{{:b}}', hv // {HLL_M})) + 1
+                  ELSE {HLL_LOW_BITS + 1} END) AS rank
+  FROM h GROUP BY g, hv % {HLL_M}
+),
+allreg AS (
+  SELECT g, bucket, rank FROM reg
+  UNION ALL
+  SELECT 'u' AS g, bucket, max(rank) AS rank FROM reg GROUP BY bucket
+),
+est AS (SELECT g, {_HLL_EST_EXPR} AS e FROM allreg GROUP BY g),
+p AS (
+  SELECT min(CASE WHEN g = 'a' THEN e END) AS ea,
+         min(CASE WHEN g = 'b' THEN e END) AS eb,
+         min(CASE WHEN g = 'u' THEN e END) AS eu
+  FROM est
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (
+    SELECT user_id FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY user_id
+    HAVING max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+       AND max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1
+  )
+)
+SELECT round(ea, 4) AS est_clickers,
+       round(eb, 4) AS est_viewers,
+       round(eu, 4) AS est_union,
+       round(ea + eb - eu, 4) AS est_intersect,
+       ex.exact_intersect,
+       round(abs(ea + eb - eu - ex.exact_intersect)
+             / nullif(CAST(ex.exact_intersect AS DOUBLE), 0), 4)
+         AS rel_err
+FROM p, ex
+"""
+
+
+@register("hll_set_ops_eval", sql=_HLL_SETOPS_SQL)
+def hll_set_ops_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    items = ev.select(
+        F.when(F.col("event_type") == "click", "a")
+        .otherwise("b")
+        .alias("g"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    regs = hll_register_rows(items, "item", ["g"])
+    union_regs = regs.groupBy("bucket").agg(
+        F.max("rank").alias("rank")
+    ).select(F.lit("u").alias("g"), "bucket", "rank")
+    allreg = regs.select("g", "bucket", "rank").unionByName(union_regs)
+    est = hll_estimate(allreg, ["g"])
+    p = est.agg(
+        F.min(F.when(F.col("g") == "a", F.col("hll_estimate"))).alias("ea"),
+        F.min(F.when(F.col("g") == "b", F.col("hll_estimate"))).alias("eb"),
+        F.min(F.when(F.col("g") == "u", F.col("hll_estimate"))).alias("eu"),
+    )
+    ex = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+            F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        )
+        .filter((F.col("c") == 1) & (F.col("v") == 1))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    return p.crossJoin(F.broadcast(ex)).select(
+        F.round("ea", 4).alias("est_clickers"),
+        F.round("eb", 4).alias("est_viewers"),
+        F.round("eu", 4).alias("est_union"),
+        F.round(F.col("ea") + F.col("eb") - F.col("eu"), 4).alias(
+            "est_intersect"
+        ),
+        "exact_intersect",
+        F.round(
+            F.abs(F.col("ea") + F.col("eb") - F.col("eu")
+                  - F.col("exact_intersect"))
+            / F.nullif(
+                F.col("exact_intersect").cast("double"), F.lit(0.0)
+            ),
+            4,
+        ).alias("rel_err"),
+    )

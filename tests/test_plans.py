@@ -1536,3 +1536,22 @@ def test_watermark_profile_one_scan_user_partitioned_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_watermark_profile")
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_bloom_fpr_probe_is_rowlocal_broadcast(spark, sf_dir):
+    # the build side collapses to one broadcast position-set row; the
+    # probe side evaluates the k membership tests row-locally — no
+    # shuffle join between probe keys and the build set
+    plan = _plan(spark, sf_dir, "bloom_fpr_eval")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row broadcast combines
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_setops_flow_through_register_grain(spark, sf_dir):
+    # estimates must derive from the 64-row-per-set register grain;
+    # the only item-grain work is building registers and the exact
+    # intersection audit
+    plan = _plan(spark, sf_dir, "hll_set_ops_eval")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
