@@ -776,3 +776,169 @@ def orders_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("wv"), 2).cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_winsorized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kanon_audit — k-anonymity of the customer table under the
+# quasi-identifier (nation, market segment, account-balance decile):
+# how many customers sit in QI equivalence classes smaller than k=5,
+# i.e. are re-identifiable by joining public attributes? The audit a
+# training-data pipeline runs before releasing "anonymized" rows.
+# Output: one row per class-size bucket (1, 2-4, 5-19, 20+) with the
+# class and customer counts plus each bucket's share of all customers
+# — share_at_risk is the 1 + 2-4 mass.
+#
+# Scale shape: two stacked hash aggregates — rows to QI classes
+# (bounded by the QI domain), classes to 4 size buckets. The balance
+# decile comes from integer bucketing (width 1100 on the [-1000,10000]
+# domain), not a percentile sort. Nothing row-grain crosses a second
+# shuffle.
+# ---------------------------------------------------------------------------
+
+_KANON_SQL = """
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor((c_acctbal + 1000) / 1100) AS BIGINT) AS bal_decile,
+         count(*) AS class_size
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, bal_decile
+),
+bucketed AS (
+  SELECT CASE WHEN class_size = 1 THEN 'unique'
+              WHEN class_size < 5 THEN 'lt_5'
+              WHEN class_size < 20 THEN 'lt_20'
+              ELSE 'ge_20' END AS size_bucket,
+         class_size
+  FROM qi
+)
+SELECT size_bucket,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_customers,
+       round(CAST(sum(class_size) AS DOUBLE)
+             / sum(sum(class_size)) OVER (), 6) AS share
+FROM bucketed GROUP BY size_bucket
+"""
+
+
+@register("kanon_audit", sql=_KANON_SQL)
+def kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = T(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor((F.col("c_acctbal") + 1000) / 1100)
+        .cast("long")
+        .alias("bal_decile"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    bucketed = qi.select(
+        F.when(F.col("class_size") == 1, "unique")
+        .when(F.col("class_size") < 5, "lt_5")
+        .when(F.col("class_size") < 20, "lt_20")
+        .otherwise("ge_20")
+        .alias("size_bucket"),
+        "class_size",
+    )
+    agg = bucketed.groupBy("size_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_customers"),
+    )
+    return agg.select(
+        "size_bucket",
+        "n_classes",
+        "n_customers",
+        F.round(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(Window.partitionBy()),
+            6,
+        ).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pii_deletion_plan — the right-to-be-forgotten WORK ESTIMATE: given a
+# forget set (here the deterministic user_id % 97 == 0 sample), report
+# per (table, month-partition) how many rows a GDPR erasure would
+# rewrite and how many of the table's partitions it touches — the plan
+# a deletion job consults to schedule partition rewrites. Wide-spread
+# users (events) touch almost every partition; the audit quantifies
+# exactly that amplification before any file is rewritten.
+#
+# Scale shape: the forget membership test is a row-local modulus (a
+# real system broadcasts the forget-key set); each fact reduces in ONE
+# pass to its (month) partition grain; output is |tables| x |months|.
+# ---------------------------------------------------------------------------
+
+_DELETION_SQL = """
+WITH ev AS (
+  SELECT strftime(ts, '%Y-%m') AS month,
+         CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rows_delete,
+         CAST(count(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END)
+              AS BIGINT) AS n_subjects
+  FROM events GROUP BY month
+),
+ord AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rows_delete,
+         CAST(count(DISTINCT CASE WHEN o_custkey % 97 = 0 THEN o_custkey END)
+              AS BIGINT) AS n_subjects
+  FROM orders GROUP BY month
+)
+SELECT * FROM (
+  SELECT 'events' AS table_name, month, n_rows_delete, n_subjects,
+         CAST(count(*) OVER () AS BIGINT) AS table_partitions
+  FROM ev
+) WHERE n_rows_delete > 0
+UNION ALL
+SELECT * FROM (
+  SELECT 'orders' AS table_name, month, n_rows_delete, n_subjects,
+         CAST(count(*) OVER () AS BIGINT) AS table_partitions
+  FROM ord
+) WHERE n_rows_delete > 0
+"""
+
+
+@register("pii_deletion_plan", sql=_DELETION_SQL)
+def pii_deletion_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    def plan_for(
+        df: DataFrame, tname: str, time_col: str, key_col: str
+    ) -> DataFrame:
+        # ONE pass per fact: conditional aggregates compute the forget
+        # mass per month while every month still reaches the grain, so
+        # the partition total is a window over the month grain — no
+        # second scan
+        month = F.date_format(time_col, "yyyy-MM").alias("month")
+        forget = F.col(key_col) % 97 == 0
+        grain = df.groupBy(month).agg(
+            F.sum(forget.cast("int")).cast("long").alias("n_rows_delete"),
+            F.count_distinct(F.when(forget, F.col(key_col)))
+            .cast("long")
+            .alias("n_subjects"),
+        )
+        return (
+            grain.withColumn(
+                "table_partitions",
+                F.count(F.lit(1))
+                .over(Window.partitionBy())
+                .cast("long"),
+            )
+            .filter(F.col("n_rows_delete") > 0)
+            .select(
+                F.lit(tname).alias("table_name"),
+                "month",
+                "n_rows_delete",
+                "n_subjects",
+                "table_partitions",
+            )
+        )
+
+    ev = plan_for(T(spark, sf_dir, "events"), "events", "ts", "user_id")
+    orders = plan_for(
+        T(spark, sf_dir, "orders"), "orders", "o_orderdate", "o_custkey"
+    )
+    return ev.unionByName(orders)

@@ -1555,3 +1555,19 @@ def test_hll_setops_flow_through_register_grain(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hll_set_ops_eval")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kanon_two_level_hash_agg_no_join(spark, sf_dir):
+    # rows -> QI classes -> 4 size buckets: two stacked hash aggs, the
+    # share window runs over the 4-row bucket grain
+    plan = _plan(spark, sf_dir, "kanon_audit")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_deletion_plan_one_pass_per_fact(spark, sf_dir):
+    # each fact reduces ONCE to its month grain (conditional forget
+    # aggregates); partition totals are a window over that grain
+    plan = _plan(spark, sf_dir, "pii_deletion_plan")
+    assert plan.count("FileScan") == 2  # one scan per table
+    assert "Join" not in plan
