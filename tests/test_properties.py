@@ -645,3 +645,128 @@ def test_profile_fold_equals_bootstrap_on_net_rows(spark, rows):
         else set()
     )
     assert got == want
+
+
+# --- compaction_plan: the distributed NFD fold equals the sequential
+# model on arbitrary file lists ---------------------------------------------
+
+
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=20),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_compaction_fold_matches_python_nfd(spark, tmp_path_factory, sizes):
+    """One (priority, month) partition with one file per day: the
+    query's fold must equal a sequential next-fit-decreasing pack, and
+    every bin must respect the target by construction."""
+    from codex_data_products_spark.queries.linkage import compaction_plan
+
+    tmp = tmp_path_factory.mktemp("nfd")
+    rows = []
+    oid = 0
+    for day, n in enumerate(sizes, start=1):
+        for _ in range(n):
+            rows.append(
+                (oid, 1, "O", 10.0, "2024-03-%02d 00:00:00" % day,
+                 "1-URGENT")
+            )
+            oid += 1
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    d = str(tmp / "sf")
+    orders.coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    (r,) = compaction_plan(spark, d).collect()
+
+    total, mx = sum(sizes), max(sizes)
+    target = max(mx, (total + 7) // 8)
+    bins, fill = 1, 0
+    for s in sorted(sizes, reverse=True):
+        if fill + s <= target:
+            fill += s
+        else:
+            bins, fill = bins + 1, s
+    assert r["target"] == target
+    assert r["n_bins"] == bins
+    assert r["n_files"] == len(sizes) and r["total_size"] == total
+
+
+# --- er_clusters: the fixed-round propagation equals union-find ------------
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=3, max_size=5),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    )
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_er_clusters_equals_union_find(spark, tmp_path_factory, adjs):
+    """Random same-block name sets: the 7-round propagation's entities
+    must equal a sequential union-find over the same levenshtein<=3
+    pair predicate, every entity canonical = min member, all
+    converged."""
+    from codex_data_products_spark.queries.linkage import er_clusters
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    names = [f"{adj} bolt" for adj in adjs]
+    parent = {n: n for n in names}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if abs(len(a) - len(b)) <= 3 and lev(a, b) <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in names:
+        want.setdefault(find(n), []).append(n)
+    want_rows = {
+        (min(ms), len(ms), 2 * len(ms))
+        for ms in want.values()
+        if len(ms) >= 2
+    }
+
+    tmp = tmp_path_factory.mktemp("er")
+    rows = []
+    pk = 0
+    for n in names:
+        for _ in range(2):
+            rows.append((pk, n, "B", "T", 1, 1.0))
+            pk += 1
+    parts = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    d = str(tmp / "sf")
+    parts.coalesce(1).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    collected = er_clusters(spark, d).collect()
+    got = {
+        (r["entity"], r["n_names"], r["n_rows"]) for r in collected
+    }
+    assert got == want_rows
+    assert all(r["converged"] for r in collected)
