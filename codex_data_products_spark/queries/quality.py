@@ -942,3 +942,107 @@ def pii_deletion_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "orders"), "orders", "o_orderdate", "o_custkey"
     )
     return ev.unionByName(orders)
+
+
+# ---------------------------------------------------------------------------
+# table_fingerprint — order-independent per-partition content hashes:
+# every row serializes to a canonical string, hashes to a 60-bit
+# integer, and each (table, month) partition reports the SUM of its
+# row hashes mod 2^60 — a fingerprint any copy of the data reproduces
+# regardless of row order, file layout, or partitioning. This is the
+# replication/migration validation primitive (distcp checksum, table
+# diff at the partition grain): fingerprints disagree => that
+# partition diverged, without ever joining the two copies row-by-row.
+#
+# Scale shape: one scan per fact, row-local md5, one hash aggregate to
+# the month grain. Addition is commutative/associative and the
+# DECIMAL(38,0) accumulator is exact, so shuffle order can never
+# change the fingerprint — the property that makes it comparable
+# ACROSS engines and clusters (DuckDB derives the identical value).
+# The canonical serialization pins decimals to 2 places, exactly the
+# cross-engine rendering dq_profile already proves out.
+# ---------------------------------------------------------------------------
+
+_FP_MOD = 1 << 60
+
+_FINGERPRINT_SQL = f"""
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(concat('0x', substring(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' ||
+           CAST(o_custkey AS VARCHAR) || '|' ||
+           o_orderstatus || '|' ||
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+           o_orderpriority
+         ), 2, 15)) AS BIGINT) AS hv
+  FROM orders
+),
+l AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(concat('0x', substring(md5(
+           CAST(l_orderkey AS VARCHAR) || '|' ||
+           CAST(l_linenumber AS VARCHAR) || '|' ||
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+           l_returnflag
+         ), 2, 15)) AS BIGINT) AS hv
+  FROM lineitem
+)
+SELECT 'orders' AS table_name, month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(hv AS DECIMAL(38,0))) % {_FP_MOD} AS BIGINT)
+         AS fingerprint
+FROM o GROUP BY month
+UNION ALL
+SELECT 'lineitem' AS table_name, month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(hv AS DECIMAL(38,0))) % {_FP_MOD} AS BIGINT)
+         AS fingerprint
+FROM l GROUP BY month
+"""
+
+
+@register("table_fingerprint", sql=_FINGERPRINT_SQL)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fp(df: DataFrame, tname: str, month_col, canon) -> DataFrame:
+        hv = F.conv(F.substring(F.md5(canon), 2, 15), 16, 10).cast(
+            "bigint"
+        )
+        return (
+            df.select(month_col.alias("month"), hv.alias("hv"))
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.sum(F.col("hv").cast("decimal(38,0)")) % _FP_MOD)
+                .cast("long")
+                .alias("fingerprint"),
+            )
+            .select(
+                F.lit(tname).alias("table_name"),
+                "month",
+                "n_rows",
+                "fingerprint",
+            )
+        )
+
+    orders = T(spark, sf_dir, "orders")
+    o_canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    li = T(spark, sf_dir, "lineitem")
+    l_canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+        F.col("l_returnflag"),
+    )
+    return fp(
+        orders, "orders", F.date_format("o_orderdate", "yyyy-MM"), o_canon
+    ).unionByName(
+        fp(li, "lineitem", F.date_format("l_shipdate", "yyyy-MM"), l_canon)
+    )

@@ -1571,3 +1571,12 @@ def test_deletion_plan_one_pass_per_fact(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pii_deletion_plan")
     assert plan.count("FileScan") == 2  # one scan per table
     assert "Join" not in plan
+
+
+def test_fingerprint_one_scan_per_table_no_join(spark, sf_dir):
+    # row-local md5 + one hash agg per fact to the month grain; the
+    # DECIMAL sum is order-independent so no sort appears anywhere
+    plan = _plan(spark, sf_dir, "table_fingerprint")
+    assert plan.count("FileScan") == 2
+    assert "Join" not in plan
+    assert "Sort" not in plan
