@@ -2771,15 +2771,33 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WM_SQL = """
 WITH arr AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         event_id // 100000 AS seg
+  FROM events
+),
+seg_max AS (
+  SELECT user_id, seg, max(ts_us) AS m FROM arr GROUP BY user_id, seg
+),
+carry AS (
+  SELECT user_id, seg,
+         max(m) OVER (PARTITION BY user_id ORDER BY seg
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prior_max
+  FROM seg_max
 ),
 late AS (
+  -- ts_us is strictly positive, so 0 is a safe "no prior event"
+  -- sentinel: it can never win greatest() against a real prefix max
+  -- and never overflows the subtraction
   SELECT greatest(
-           max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND 1 PRECEDING) - ts_us,
+           greatest(
+             coalesce(max(a.ts_us) OVER (
+               PARTITION BY a.user_id, a.seg ORDER BY a.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+             coalesce(c.prior_max, 0)
+           ) - a.ts_us,
            0) AS late_us
-  FROM arr
+  FROM arr a JOIN carry c ON a.user_id = c.user_id AND a.seg = c.seg
 ),
 bucketed AS (
   SELECT CASE WHEN late_us IS NULL OR late_us = 0 THEN 0
@@ -2813,14 +2831,40 @@ FROM hist
 @register("events_watermark_profile", sql=_WM_SQL)
 def events_watermark_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
-    w = (
+    # per-key state must stay bounded even for a bot whose whole
+    # history lands on one user (the events_ewma lesson): the arrival
+    # prefix-max decomposes over fixed 100k-event_id segments — an
+    # in-segment window (<= 100k rows per task by construction) plus a
+    # cross-segment carry window on the (user, segment) grain
+    arr = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.expr("event_id div 100000").alias("seg"),
+    ).localCheckpoint(eager=False)
+    seg_max = arr.groupBy("user_id", "seg").agg(
+        F.max("ts_us").alias("m")
+    )
+    wseg = (
         Window.partitionBy("user_id")
+        .orderBy("seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = seg_max.select(
+        "user_id", "seg", F.max("m").over(wseg).alias("prior_max")
+    )
+    win = (
+        Window.partitionBy("user_id", "seg")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    late = ev.select(
+    late = arr.join(carry, ["user_id", "seg"]).select(
         F.greatest(
-            F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"),
+            F.greatest(
+                F.coalesce(F.max("ts_us").over(win), F.lit(0)),
+                F.coalesce("prior_max", F.lit(0)),
+            )
+            - F.col("ts_us"),
             F.lit(0),
         ).alias("late_us")
     )

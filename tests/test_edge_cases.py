@@ -624,3 +624,32 @@ def test_equidepth_uniform_prices_fill_evenly(spark, tmp_path):
     assert len(rows) == 16
     assert all(r["n_rows"] == 2 for r in rows)
     assert sorted(r["depth_bucket"] for r in rows) == list(range(16))
+
+
+def test_watermark_profile_carry_crosses_segment_boundary(spark, tmp_path):
+    """An event in a NEW 100k-event_id segment that is older than the
+    previous segment's max must be counted late via the cross-segment
+    carry (the in-segment window alone would call it in-order)."""
+    from codex_data_products_spark.queries.events import (
+        events_watermark_profile,
+    )
+
+    rows = [
+        (99_998, "2024-03-01 10:00:00", 1, "click", 1.0, "{}"),
+        (99_999, "2024-03-01 10:05:00", 1, "click", 1.0, "{}"),
+        # first event of segment 1: 30 s older than seg-0 max -> late
+        (100_000, "2024-03-01 10:04:30", 1, "click", 1.0, "{}"),
+        # in-order within segment 1
+        (100_001, "2024-03-01 10:06:00", 1, "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = _tmp_sf_dir(spark, tmp_path, {"events": ev})
+    got = {
+        r["lateness"]: r["n_events"]
+        for r in events_watermark_profile(spark, d).collect()
+    }
+    assert got == {"in_order": 3, "le_60s": 1}

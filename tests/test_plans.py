@@ -1530,12 +1530,17 @@ def test_top_paths_window_group_limit_and_take_ordered(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_watermark_profile_one_scan_user_partitioned_window(spark, sf_dir):
-    # the running max partitions per user; the cumulative-share windows
-    # run on the 7-row bucket grain after the aggregate
+def test_watermark_profile_segmented_bounded_state(spark, sf_dir):
+    # the arrival prefix-max is SEGMENTED: in-segment windows partition
+    # by (user, seg) (<= 100k rows per task by construction) and the
+    # cross-segment carry windows the (user, segment) grain — the fact
+    # is read once into the checkpointed arr frame, and the only join
+    # is the equi join back to the carry grain
     plan = _plan(spark, sf_dir, "events_watermark_profile")
-    assert plan.count("FileScan") == 1
-    assert "Join" not in plan
+    assert plan.count("FileScan") == 0
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_bloom_fpr_probe_is_rowlocal_broadcast(spark, sf_dir):
