@@ -293,8 +293,13 @@ FROM pruned GROUP BY layout
 """
 
 
-@register("zorder_layout", sql=_ZORDER_SQL)
-def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zorder_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order (d1, d2, file_a, file_z): the row-local dim bucketing
+    and Morton-ranged file assignment. The registered audit aggregates
+    this; a writer `partitionBy("file_z")`s it directly — the written
+    layout IS the clustering the audit measures
+    (tests/test_plans.py::test_zorder_written_layout_prunes drives the
+    write and plan-guards the pruned read)."""
     orders = T(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     mcol = F.year("o_orderdate") * 12 + F.month("o_orderdate")
@@ -314,7 +319,7 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d2"),
         F.expr("o_orderkey * 16 div (mk + 1)").alias("file_a"),
     )
-    coded = dims.withColumn(
+    return dims.withColumn(
         "file_z",
         F.expr(
             "( ((d1 div 1) % 2) * 2 + ((d2 div 1) % 2)"
@@ -323,6 +328,11 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + (((d1 div 8) % 2) * 2 + ((d2 div 8) % 2)) * 64 ) div 16"
         ),
     )
+
+
+@register("zorder_layout", sql=_ZORDER_SQL)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coded = zorder_frame(spark, sf_dir)
     # both layouts fan out row-locally in one projection — the fact is
     # scanned once and collapses straight to the (layout, file) grain
     both = coded.select(
