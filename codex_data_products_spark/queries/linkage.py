@@ -524,3 +524,123 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_names") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# er_blocking_eval — measure the BLOCKING strategy the way
+# dedup_minhash_eval measures banding: ground truth is the exact
+# levenshtein<=T pair set over the full name-grain cross product
+# (computable here because the name grain is vocabulary-bounded; at a
+# scale where vocab² is infeasible the same query runs on a hash-
+# sample of blocks), candidates are the blocked+length-banded pairs
+# er_fuzzy_join actually generates. Output: blocking recall (true
+# pairs surviving the block key) and the candidate work ratio vs
+# all-pairs — the two numbers that justify (or indict) the key choice.
+#
+# Scale shape: both sides live on the distinct-name grain; the truth
+# cross join broadcasts its right side and is the deliberate exact
+# twin, exactly like dedup_ngram_jaccard vs dedup_minhash_lsh.
+# ---------------------------------------------------------------------------
+
+_ER_BLOCK_EVAL_SQL = f"""
+WITH names AS (
+  SELECT p_name, split_part(p_name, ' ', 2) AS blk, length(p_name) AS len
+  FROM part GROUP BY p_name
+),
+truth AS (
+  SELECT a.p_name AS na, b.p_name AS nb,
+         CAST(a.blk = b.blk
+              AND abs(a.len - b.len) <= {_ER_T} AS INT) AS candidate
+  FROM names a JOIN names b ON a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= {_ER_T}
+),
+cand AS (
+  SELECT count(*) AS n_candidates
+  FROM names a JOIN names b
+    ON a.blk = b.blk AND a.p_name < b.p_name
+   AND abs(a.len - b.len) <= {_ER_T}
+),
+n AS (SELECT count(*) AS n_names FROM names)
+SELECT CAST(n.n_names AS BIGINT)                    AS n_names,
+       CAST(n.n_names * (n.n_names - 1) / 2 AS BIGINT) AS n_all_pairs,
+       CAST(cand.n_candidates AS BIGINT)            AS n_candidates,
+       CAST(count(*) AS BIGINT)                     AS n_true_pairs,
+       CAST(sum(truth.candidate) AS BIGINT)         AS n_true_blocked,
+       round(CAST(sum(truth.candidate) AS DOUBLE)
+             / nullif(count(*), 0), 6)              AS blocking_recall,
+       round(CAST(cand.n_candidates AS DOUBLE)
+             / nullif(n.n_names * (n.n_names - 1) / 2, 0), 6)
+         AS candidate_work_ratio
+FROM truth, cand, n
+GROUP BY n.n_names, cand.n_candidates
+"""
+
+
+@register("er_blocking_eval", sql=_ER_BLOCK_EVAL_SQL)
+def er_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        T(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "p_name",
+            F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
+            F.length("p_name").alias("len"),
+        )
+        .localCheckpoint()
+    )
+    a, b = names.alias("a"), names.alias("b")
+    truth = (
+        a.join(F.broadcast(b), F.col("a.p_name") < F.col("b.p_name"))
+        .filter(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= _ER_T
+        )
+        .select(
+            (
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.abs(F.col("a.len") - F.col("b.len")) <= _ER_T)
+            )
+            .cast("int")
+            .alias("candidate")
+        )
+    )
+    cand = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= _ER_T),
+        )
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    n = names.agg(F.count(F.lit(1)).alias("n_names"))
+    t = truth.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("candidate").alias("n_true_blocked"),
+    )
+    return (
+        t.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("n_names").cast("long").alias("n_names"),
+            F.expr("CAST(n_names * (n_names - 1) div 2 AS BIGINT)").alias(
+                "n_all_pairs"
+            ),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+            F.col("n_true_blocked").cast("long").alias("n_true_blocked"),
+            F.round(
+                F.col("n_true_blocked").cast("double")
+                / F.nullif(F.col("n_true_pairs"), F.lit(0)),
+                6,
+            ).alias("blocking_recall"),
+            F.round(
+                F.col("n_candidates").cast("double")
+                / F.nullif(
+                    F.expr("CAST(n_names * (n_names - 1) div 2 AS DOUBLE)"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("candidate_work_ratio"),
+        )
+    )

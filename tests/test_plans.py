@@ -1617,3 +1617,11 @@ def test_zorder_written_layout_prunes(spark, sf_dir, tmp_path):
     # the unpruned count equals the pruned count — skipping never
     # changes answers
     assert pruned.count() == table.filter(F.col("d1") == target).count()
+
+
+def test_er_blocking_eval_truth_broadcast_name_grain(spark, sf_dir):
+    # both the truth cross product and the candidate join stay on the
+    # broadcast vocabulary grain — no fact-sized shuffle anywhere
+    plan = _plan(spark, sf_dir, "er_blocking_eval")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
