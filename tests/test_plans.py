@@ -1625,3 +1625,12 @@ def test_er_blocking_eval_truth_broadcast_name_grain(spark, sf_dir):
     plan = _plan(spark, sf_dir, "er_blocking_eval")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_er_multiblock_first_match_key_no_distinct(spark, sf_dir):
+    # the second blocking pass joins with key2-agrees AND key1-disagrees
+    # so pair claims are first-match-key unique — no distinct/dedup
+    # operator may appear over the pair stream
+    plan = _plan(spark, sf_dir, "er_blocking_eval_multi")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
