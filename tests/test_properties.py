@@ -770,3 +770,54 @@ def test_er_clusters_equals_union_find(spark, tmp_path_factory, adjs):
     }
     assert got == want_rows
     assert all(r["converged"] for r in collected)
+
+
+# --- band_join_buckets: the 3-cell expansion finds EXACTLY the
+# brute-force pair set -------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(0, 600), min_size=1, max_size=12),
+    st.lists(st.integers(0, 600), min_size=1, max_size=12),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_band_join_equals_brute_force(spark, tmp_path_factory, cs, vs):
+    """Random click/view second-offsets in a 10-minute span: the
+    bucket-expansion join must produce exactly the |gap| <= 120 s
+    brute-force pair multiset, bucketed identically."""
+    from codex_data_products_spark.queries.joins import band_join_buckets
+
+    tmp = tmp_path_factory.mktemp("band")
+    rows, eid = [], 0
+    for s in cs:
+        rows.append((eid, f"2024-03-01 10:{s // 60:02d}:{s % 60:02d}", 1,
+                     "click", 1.0, "{}"))
+        eid += 1
+    for s in vs:
+        rows.append((eid, f"2024-03-01 10:{s // 60:02d}:{s % 60:02d}", 1,
+                     "view", 1.0, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp / "sf")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    want: dict = {}
+    for c in cs:
+        for v in vs:
+            gap = abs(c - v)
+            if gap <= 120:
+                direction = ("view_first" if v < c
+                             else "click_first" if v > c
+                             else "simultaneous")
+                key = (direction, gap // 30)
+                want[key] = want.get(key, 0) + 1
+    got = {
+        (r["direction"], r["gap_bucket"]): r["n_pairs"]
+        for r in band_join_buckets(spark, d).collect()
+    }
+    assert got == want
