@@ -1714,3 +1714,124 @@ def hll_set_ops_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_exact_median — the EXACT median of a near-unique numeric
+# column with bounded memory: the two-pass refinement every
+# distributed engine uses when "exact" is non-negotiable (billing,
+# SLAs) and a global sort is off the table. Pass 1 reduces to the
+# width-1000 bucket histogram and integer-rank arithmetic locates the
+# bucket holding the lower-median rank (n+1)//2; pass 2 scans ONLY
+# that bucket's rows (n/|buckets| of the table) and picks the exact
+# element by rank. Output: the median, its bucket, and how small the
+# refinement scan was — the refinement factor IS the scale story.
+#
+# Cross-engine exactness: ranks are integers; the in-bucket selection
+# orders by (price, orderkey) — a total order — so both engines pick
+# the identical row even among duplicate prices.
+# ---------------------------------------------------------------------------
+
+_EXACT_MEDIAN_SQL = """
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY bucket
+),
+cum AS (
+  SELECT bucket, c,
+         sum(c) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c,
+         sum(c) OVER () AS n
+  FROM b
+),
+target AS (
+  SELECT min(n) AS n, (min(n) + 1) // 2 AS rk,
+         min(CASE WHEN cum_c >= (n + 1) // 2 THEN bucket END) AS mb,
+         min(CASE WHEN cum_c >= (n + 1) // 2 THEN cum_c - c END)
+           AS rows_before
+  FROM cum
+),
+ranked AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+           AS r,
+         t.rk, t.rows_before, t.n, t.mb,
+         count(*) OVER () AS bucket_rows
+  FROM orders, target t
+  WHERE CAST(floor(o_totalprice / 1000) AS BIGINT) = t.mb
+)
+SELECT CAST(round(CAST(o_totalprice AS DECIMAL(14,2)), 2) AS DOUBLE)
+         AS exact_median,
+       CAST(n AS BIGINT)            AS n_rows,
+       CAST(mb AS BIGINT)           AS median_bucket,
+       CAST(bucket_rows AS BIGINT)  AS refined_rows,
+       round(CAST(bucket_rows AS DOUBLE) / n, 6) AS refine_fraction
+FROM ranked
+WHERE r = rk - rows_before
+"""
+
+
+@register("orders_exact_median", sql=_EXACT_MEDIAN_SQL)
+def orders_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 1000).cast("long")
+    b = (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = b.select(
+        "bucket",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cum_c"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    hit = F.col("cum_c") >= F.expr("(n + 1) div 2")
+    target = cum.agg(
+        F.min("n").alias("n"),
+        F.expr("(min(n) + 1) div 2").alias("rk"),
+        F.min(F.when(hit, F.col("bucket"))).alias("mb"),
+        F.min(F.when(hit, F.col("cum_c") - F.col("c"))).alias(
+            "rows_before"
+        ),
+    )
+    # pass 2: only the median bucket's rows are ranked — a window over
+    # n/|buckets| rows, never the table
+    ranked = (
+        orders.crossJoin(F.broadcast(target))
+        .filter(bucket == F.col("mb"))
+        .select(
+            "o_totalprice",
+            "rk",
+            "rows_before",
+            "n",
+            "mb",
+            F.row_number()
+            .over(Window.orderBy("o_totalprice", "o_orderkey"))
+            .alias("r"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy())
+            .alias("bucket_rows"),
+        )
+    )
+    return ranked.filter(
+        F.col("r") == F.col("rk") - F.col("rows_before")
+    ).select(
+        F.round(F.col("o_totalprice").cast("decimal(14,2)"), 2)
+        .cast("double")
+        .alias("exact_median"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("mb").cast("long").alias("median_bucket"),
+        F.col("bucket_rows").cast("long").alias("refined_rows"),
+        F.round(
+            F.col("bucket_rows").cast("double") / F.col("n"), 6
+        ).alias("refine_fraction"),
+    )

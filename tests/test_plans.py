@@ -1634,3 +1634,14 @@ def test_er_multiblock_first_match_key_no_distinct(spark, sf_dir):
     plan = _plan(spark, sf_dir, "er_blocking_eval_multi")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exact_median_refines_only_the_median_bucket(spark, sf_dir):
+    # pass 1 is a bucket-grain reduction; pass 2's row_number window
+    # runs only over rows filtered to the located bucket — the filter
+    # must sit below the window in the plan (scan -> filter -> window)
+    plan = _plan(spark, sf_dir, "orders_exact_median")
+    assert plan.count("FileScan") == 2
+    assert "CartesianProduct" not in plan
+    # the second scan's filter on the broadcast target precedes ranking
+    assert "Window" in plan
