@@ -369,3 +369,59 @@ def plan_join(
             )
         return salted_join(left, right, key, n_salts=n_salts, how=how), "salted"
     return left.join(right, key, how), "shuffle"
+
+
+# ---------------------------------------------------------------------------
+# Selectivity-driven filter planning: close the statistics loop the
+# way estimate_join -> plan_join closed the join one. A width-W bucket
+# histogram (the artifact queries/advanced.stats_equidepth_histogram
+# builds and streaming/merge.run_histogram_maintenance keeps fresh)
+# estimates how many rows a range predicate keeps; the plan decision
+# — broadcast the filtered side or leave it on the shuffle path — is
+# then made FROM THE ESTIMATE ALONE, before the filter ever runs.
+# ---------------------------------------------------------------------------
+
+
+def estimate_range_rows(
+    hist: list[tuple[int, int]], lo: float, hi: float, width: int = 1000
+) -> float:
+    """Estimated rows with value in [lo, hi] from a [(bucket, count)]
+    width-W histogram, uniform-within-bucket — the textbook CBO
+    formula. The histogram is bucket-grain (bounded), so this is
+    driver-side arithmetic over a tiny list, exactly like a real
+    optimizer reading column stats."""
+    est = 0.0
+    for bucket, count in hist:
+        b_lo, b_hi = bucket * width, (bucket + 1) * width
+        frac_hi = min(max((hi - b_lo) / (b_hi - b_lo), 0.0), 1.0)
+        frac_lo = min(max((lo - b_lo) / (b_hi - b_lo), 0.0), 1.0)
+        est += count * (frac_hi - frac_lo)
+    return est
+
+
+def plan_filtered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    filter_col: str,
+    lo: float,
+    hi: float,
+    hist: list[tuple[int, int]],
+    how: str = "inner",
+    broadcast_row_limit: int = 1_000_000,
+    width: int = 1000,
+) -> tuple[DataFrame, str, float]:
+    """Join ``fact`` to ``dim`` filtered to ``filter_col`` in
+    [lo, hi], choosing broadcast-vs-shuffle from the HISTOGRAM
+    estimate of the filtered dim size (no count job, no data touched):
+    a dim that is too big to broadcast unfiltered often collapses to
+    broadcastable size after a selective filter — the case a static
+    row-count rule misses and AQE only catches after a shuffle stage
+    has already been planned. Returns (joined, strategy, est_rows)."""
+    filtered = dim.filter(
+        (F.col(filter_col) >= lo) & (F.col(filter_col) <= hi)
+    )
+    est = estimate_range_rows(hist, lo, hi, width)
+    if est <= broadcast_row_limit:
+        return fact.join(F.broadcast(filtered), key, how), "broadcast", est
+    return fact.join(filtered, key, how), "shuffle", est

@@ -1645,3 +1645,53 @@ def test_exact_median_refines_only_the_median_bucket(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the second scan's filter on the broadcast target precedes ranking
     assert "Window" in plan
+
+
+# --- plan_filtered_join: histogram selectivity drives broadcast ------------
+
+
+def test_plan_filtered_join_flips_on_histogram_estimate(spark, sf_dir):
+    """The same dim with two different range predicates: a narrow range
+    the histogram estimates under the limit broadcasts; a wide range
+    over the limit stays on the shuffle path. The decision touches no
+    data — only the bucket-grain histogram list."""
+    from codex_data_products_spark.operators.joins import (
+        estimate_range_rows,
+        plan_filtered_join,
+    )
+    from codex_data_products_spark.tables import table as T
+    from pyspark.sql import functions as F
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    hist = [
+        (r["bucket"], r["c"])
+        for r in orders.groupBy(
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias(
+                "bucket"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    total = sum(c for _, c in hist)
+    # sanity: the estimator integrates to the table size
+    assert abs(estimate_range_rows(hist, -1e9, 1e9) - total) < 1e-6
+
+    limit = max(1, total // 20)
+    narrow_hi = 1000.0  # first bucket only
+    joined, strategy, est = plan_filtered_join(
+        li, orders, "o_orderkey", "o_totalprice", 0.0, narrow_hi, hist,
+        broadcast_row_limit=limit,
+    )
+    assert strategy == "broadcast" and est <= limit
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    joined, strategy, est = plan_filtered_join(
+        li, orders, "o_orderkey", "o_totalprice", 0.0, 1e9, hist,
+        broadcast_row_limit=limit,
+    )
+    assert strategy == "shuffle" and est > limit
