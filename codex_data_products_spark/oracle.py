@@ -95,9 +95,16 @@ def verify_queries(
     for name in targets:
         if name not in registry.ORACLES:
             continue
-        spark_df = registry.QUERIES[name](spark, sf_dir).toPandas()
-        oracle_df = run_oracle(registry.ORACLES[name], sf_dir)
-        results[name] = compare_frames(spark_df, oracle_df)
+        # a query that errors (e.g. a result set too large for the
+        # driver-side comparison at an extreme stress SF) must record
+        # its own failure, not abort the remaining sweep
+        try:
+            spark_df = registry.QUERIES[name](spark, sf_dir).toPandas()
+            oracle_df = run_oracle(registry.ORACLES[name], sf_dir)
+            results[name] = compare_frames(spark_df, oracle_df)
+        except Exception as exc:  # noqa: BLE001
+            first = str(exc).splitlines()[0][:200] if str(exc) else repr(exc)
+            results[name] = [f"error: {first}"]
         if progress:
             status = "MATCH" if not results[name] else "MISMATCH"
             print(f"{status:8s} {name}", flush=True)

@@ -60,3 +60,27 @@ def test_list_cells_compare_elementwise():
     assert compare_frames(a, b) == []
     c = pd.DataFrame({"x": [[2, 1], [3]]})
     assert compare_frames(a, c) != []
+
+
+def test_verify_queries_records_error_and_continues(spark, monkeypatch):
+    """A query that raises mid-sweep (e.g. a result too large to
+    materialize at an extreme stress SF) must land as an `error:` row
+    for ITS name while the rest of the sweep still runs."""
+    from codex_data_products_spark import registry
+    from codex_data_products_spark.oracle import verify_queries
+
+    registry.load_all()
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("simulated oversized result")
+
+    monkeypatch.setitem(registry.QUERIES, "agg_distinct", boom)
+    out = verify_queries(
+        spark,
+        "/root/testdata/sf0.001",
+        ["agg_distinct", "filter_predicates"],
+    )
+    assert out["agg_distinct"] == [
+        "error: simulated oversized result"
+    ]
+    assert out["filter_predicates"] == []
