@@ -2288,12 +2288,16 @@ def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # span land in the 'none' bucket — the correct PIT semantics for
 # late-arriving dimension members.
 #
-# Scale shape: the PIT join is an EQUI join on user_id (dimension and
-# fact co-partition on the same key) with the validity-range predicate
-# applied as a residual filter — spans per user are bounded and
-# disjoint, so each fact matches at most one version and the join
-# never amplifies. The dimension build windows only within user
-# partitions; the output is the |types|² transition grain.
+# Scale shape: the lookup is a sort-based MERGE, not a join — the
+# version-start rows union with the facts, one per-user sort orders
+# them, and last(ignore nulls) carries the active version forward, so
+# per-key work is O(spans + facts). (The first formulation was an equi
+# hash join with the validity range as a residual; each fact matched
+# exactly one version but PROBED all of its key's spans — quadratic on
+# high-churn keys, measured dominating sf1.0 wall time on the bot
+# users. tests/test_edge_cases.py pins merge == range-join semantics.)
+# The dimension build windows only within user partitions; the output
+# is the |types|² transition grain.
 # ---------------------------------------------------------------------------
 
 _SCD2_LOOKUP_SQL = """
@@ -2316,26 +2320,31 @@ spans AS (
          min(ts) AS valid_from
   FROM islands GROUP BY user_id, island
 ),
-dim AS (
-  SELECT user_id, type_then, valid_from,
-         lead(valid_from) OVER (
-           PARTITION BY user_id ORDER BY valid_from
-         ) AS valid_to
+dimrows AS (
+  SELECT user_id, valid_from AS t, 0 AS kind, island, type_then,
+         CAST(NULL AS VARCHAR) AS type_now
   FROM spans
 ),
-f AS (
-  SELECT user_id, event_type AS type_now,
-         ts - INTERVAL 1 HOUR AS t
+factrows AS (
+  SELECT user_id, ts - INTERVAL 1 HOUR AS t, 1 AS kind,
+         CAST(0 AS BIGINT) AS island,
+         CAST(NULL AS VARCHAR) AS type_then,
+         event_type AS type_now
   FROM events
+),
+merged AS (
+  SELECT kind, type_now,
+         last_value(type_then IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, kind, island
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS carried
+  FROM (SELECT * FROM dimrows UNION ALL SELECT * FROM factrows)
 )
-SELECT f.type_now,
-       coalesce(d.type_then, 'none') AS type_then,
+SELECT type_now,
+       coalesce(carried, 'none') AS type_then,
        CAST(count(*) AS BIGINT) AS n_events
-FROM f LEFT JOIN dim d
-  ON d.user_id = f.user_id
- AND d.valid_from <= f.t
- AND (d.valid_to IS NULL OR f.t < d.valid_to)
-GROUP BY f.type_now, coalesce(d.type_then, 'none')
+FROM merged WHERE kind = 1
+GROUP BY type_now, coalesce(carried, 'none')
 """
 
 
@@ -2359,28 +2368,48 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_type").alias("type_then"),
         F.min("ts").alias("valid_from"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
-    dim = spans.select(
+    # MERGE lookup instead of hash-join + range residual: union the
+    # version-start rows with the facts, sort once per user, and carry
+    # the last version forward. Per-key work is O(spans + facts) —
+    # linear — where the hash-join probe was O(spans × facts) and
+    # quadratic on high-churn keys (measured: the sf1.0 bot users
+    # dominated wall time under the join formulation). Dim rows sort
+    # before facts at equal t (kind 0 < 1), and same-instant spans
+    # resolve by island order, so ties match the range semantics.
+    dimrows = spans.select(
         "user_id",
+        F.col("valid_from").alias("t"),
+        F.lit(0).alias("kind"),
+        "island",
         "type_then",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lit(None).cast("string").alias("type_now"),
     )
-    f = T(spark, sf_dir, "events").select(
+    factrows = T(spark, sf_dir, "events").select(
         "user_id",
-        F.col("event_type").alias("type_now"),
         (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(0).cast("long").alias("island"),
+        F.lit(None).cast("string").alias("type_then"),
+        F.col("event_type").alias("type_now"),
     )
-    j = f.join(
-        dim,
-        (dim["user_id"] == f["user_id"])
-        & (dim["valid_from"] <= f["t"])
-        & (dim["valid_to"].isNull() | (f["t"] < dim["valid_to"])),
-        "left",
+    wm = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "island")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return j.groupBy(
-        "type_now", F.coalesce("type_then", F.lit("none")).alias("type_then")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    merged = dimrows.unionByName(factrows).select(
+        "kind",
+        "type_now",
+        F.last("type_then", ignorenulls=True).over(wm).alias("carried"),
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .groupBy(
+            "type_now",
+            F.coalesce("carried", F.lit("none")).alias("type_then"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
 
 
 # ---------------------------------------------------------------------------

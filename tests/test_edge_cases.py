@@ -653,3 +653,58 @@ def test_watermark_profile_carry_crosses_segment_boundary(spark, tmp_path):
         for r in events_watermark_profile(spark, d).collect()
     }
     assert got == {"in_order": 3, "le_60s": 1}
+
+
+def test_scd2_merge_equals_range_join_semantics(spark):
+    """The sort-based merge lookup must equal the declarative range
+    join (valid_from <= t < valid_to) on both testdata SFs — including
+    tie cases where a fact lands exactly on a version boundary."""
+    from codex_data_products_spark import registry
+    from tests.oracle_utils import compare_frames, run_oracle
+
+    registry.load_all()
+    range_join_sql = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT *, sum(chg) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS island
+  FROM marked
+),
+spans AS (
+  SELECT user_id, island, min(event_type) AS type_then,
+         min(ts) AS valid_from
+  FROM islands GROUP BY user_id, island
+),
+dim AS (
+  SELECT user_id, type_then, valid_from,
+         lead(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from, island
+         ) AS valid_to
+  FROM spans
+),
+f AS (
+  SELECT user_id, event_type AS type_now,
+         ts - INTERVAL 1 HOUR AS t
+  FROM events
+)
+SELECT f.type_now,
+       coalesce(d.type_then, 'none') AS type_then,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM f LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND d.valid_from <= f.t
+ AND (d.valid_to IS NULL OR f.t < d.valid_to)
+GROUP BY f.type_now, coalesce(d.type_then, 'none')
+"""
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        merge = run_oracle(registry.ORACLES["scd2_asof_lookup"], sf)
+        rjoin = run_oracle(range_join_sql, sf)
+        assert compare_frames(merge, rjoin) == []
