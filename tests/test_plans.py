@@ -1404,14 +1404,15 @@ def test_logreg_static_dag_broadcast_weights_no_collect(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
-def test_scd2_lookup_equi_join_no_nested_loop(spark, sf_dir):
-    # the PIT lookup joins fact to dimension on the user_id EQUI key
-    # (co-partitioning) with the validity range as a residual filter —
-    # never a nested-loop/cartesian range join
+def test_scd2_lookup_is_merge_not_join(spark, sf_dir):
+    # the PIT lookup is a sort-based merge: version rows union facts
+    # and one per-user window carries the active version — NO join of
+    # any kind may appear (the hash-join formulation probed all of a
+    # key's spans per fact: quadratic on high-churn keys)
     plan = _plan(spark, sf_dir, "scd2_asof_lookup")
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
-    assert "Join" in plan
+    assert "Join" not in plan
+    assert "Union" in plan
+    assert "Window" in plan
 
 
 def test_cdc_net_changes_pure_hash_agg(spark, sf_dir):
