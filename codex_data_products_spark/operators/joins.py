@@ -421,6 +421,12 @@ def plan_filtered_join(
     filtered = dim.filter(
         (F.col(filter_col) >= lo) & (F.col(filter_col) <= hi)
     )
+    # No statistics means UNKNOWN, not zero: a real CBO never treats a
+    # missing histogram as "estimated tiny" — doing so would broadcast an
+    # arbitrarily large filtered dim and OOM the executors. Fall back to
+    # the safe shuffle path when there are no stats to read.
+    if not hist:
+        return fact.join(filtered, key, how), "shuffle", float("nan")
     est = estimate_range_rows(hist, lo, hi, width)
     if est <= broadcast_row_limit:
         return fact.join(F.broadcast(filtered), key, how), "broadcast", est

@@ -84,7 +84,7 @@ def er_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_name",
             "n",
-            F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
+            F.coalesce(F.get(F.split(F.col("p_name"), " "), 1), F.lit("")).alias("blk"),
             F.length("p_name").alias("len"),
         )
     )
@@ -457,7 +457,7 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_name",
             "n",
-            F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
+            F.coalesce(F.get(F.split(F.col("p_name"), " "), 1), F.lit("")).alias("blk"),
             F.length("p_name").alias("len"),
         )
         .localCheckpoint(eager=False)
@@ -584,7 +584,7 @@ def er_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_n"))
         .select(
             "p_name",
-            F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
+            F.coalesce(F.get(F.split(F.col("p_name"), " "), 1), F.lit("")).alias("blk"),
             F.length("p_name").alias("len"),
         )
         .localCheckpoint()
@@ -709,7 +709,7 @@ def er_blocking_eval_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_n"))
         .select(
             "p_name",
-            F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
+            F.coalesce(F.get(F.split(F.col("p_name"), " "), 1), F.lit("")).alias("blk"),
             F.split(F.col("p_name"), " ").getItem(0).alias("blk2"),
             F.length("p_name").alias("len"),
         )

@@ -529,6 +529,35 @@ def test_er_fuzzy_join_blocks_and_length_band(spark, tmp_path):
     assert r["n_row_pairs"] == 6  # 3 'red bolt' x 2 'ted bolt'
 
 
+def test_er_blocking_key_single_token_matches_duckdb(spark, tmp_path):
+    """A one-token name has no second word: DuckDB's split_part returns
+    '' while Spark's split(...).getItem(1) returns NULL — and NULL never
+    equi-joins. The blocking key coalesces to '' so single-token names
+    block together in BOTH engines: 'bolt'~'bolz' (dist 1) must match."""
+    import duckdb
+
+    from codex_data_products_spark.queries.linkage import _ER_SQL, er_fuzzy_join
+
+    names = ["bolt"] * 2 + ["bolz"] * 3 + ["red gear"] * 2
+    parts = spark.createDataFrame(
+        [(i, n, "B", "T", 1, 1.0) for i, n in enumerate(names)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    d = _tmp_sf_dir(spark, tmp_path, {"part": parts})
+    rows = er_fuzzy_join(spark, d).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["dist"] == 1 and r["n_name_pairs"] == 1 and r["n_row_pairs"] == 6
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{d}/part.parquet/*.parquet')"
+    )
+    oracle = con.execute(_ER_SQL).fetchall()
+    assert [(int(a), int(b), int(c)) for a, b, c in oracle] == [(1, 1, 6)]
+
+
 def test_band_join_boundary_and_cell_crossing(spark, tmp_path):
     """A view exactly eps away qualifies; one microsecond beyond does
     not; a pair straddling a 120 s cell boundary is still found (the

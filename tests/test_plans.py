@@ -1696,3 +1696,32 @@ def test_plan_filtered_join_flips_on_histogram_estimate(spark, sf_dir):
         broadcast_row_limit=limit,
     )
     assert strategy == "shuffle" and est > limit
+
+
+def test_plan_filtered_join_missing_stats_falls_back_to_shuffle(spark, sf_dir):
+    """No histogram = UNKNOWN cardinality, not zero: the planner must
+    take the safe shuffle path rather than broadcast an arbitrarily
+    large filtered dim (the missing-column-stats rule every CBO
+    follows)."""
+    import math
+
+    from codex_data_products_spark.operators.joins import plan_filtered_join
+    from codex_data_products_spark.tables import table as T
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    joined, strategy, est = plan_filtered_join(
+        li, orders, "o_orderkey", "o_totalprice", 0.0, 1e9, hist=[],
+        broadcast_row_limit=1,
+    )
+    assert strategy == "shuffle" and math.isnan(est)
+    # and the result is still correct — same rows as the unplanned join
+    expect = li.join(
+        orders.filter(
+            (orders.o_totalprice >= 0.0) & (orders.o_totalprice <= 1e9)
+        ),
+        "o_orderkey",
+    ).count()
+    assert joined.count() == expect
