@@ -75,8 +75,13 @@ class CodexProduct:
     obs: DataFrame  # cell metadata + donor fields + Epic literals
     var: DataFrame  # surviving channels
     varm_long: DataFrame  # (channel, dataset, uniprot, rrid, antibodies_tsv_id)
-    edges: DataFrame  # (src_cell_id, dst_cell_id, weight)
+    edges: DataFrame  # (dataset, src_cell_id, dst_cell_id, weight)
     uns: dict = field(default_factory=dict)
+    # varm rows BEFORE the survivorship semi-join against the global var
+    # axis — the per-dataset-pure relation the incremental maintainer
+    # (streaming/product_ivm.py) persists so varm survivorship can be
+    # re-derived against the MAINTAINED var axis, not a block-local one.
+    varm_raw: DataFrame | None = None
 
 
 def discover_dataset_files(data_dir: str, dataset_uuid: str) -> dict[str, str] | None:
@@ -119,9 +124,20 @@ def build_product(
     tissue_by_uuid: dict[str, str] | None = None,
     product_uuid: str | None = None,
     creation_time: str | None = None,
+    only_datasets: list[str] | None = None,
 ) -> CodexProduct:
     """Compose the full Entry-C DAG. Nothing executes here except tiny
-    driver-side metadata reads (catalog collect, CSV headers)."""
+    driver-side metadata reads (catalog collect, CSV headers).
+
+    ``only_datasets`` restricts the build to a subset of the catalog's
+    leaf datasets — the incremental maintainer's block builder: because
+    every per-dataset table is a per-dataset-pure function of that
+    dataset's files (the F5 channel predicate is row-local, the donor
+    join keys on the dataset's own catalog row), a subset build produces
+    EXACTLY the rows the full build produces for those datasets. Only
+    ``var`` (the cross-dataset channel axis) and ``varm_long`` (semi-
+    joined against it) are block-relative; the maintainer re-derives
+    both from its persisted per-dataset state."""
     import uuid as uuidlib
     from datetime import datetime
 
@@ -133,6 +149,13 @@ def build_product(
     # F2: leaves = processed datasets (null descendants,
     # bin/concatenate.py:339-342).
     leaves = [r for r in cat_rows if r["immediate_descendant_ids"] is None]
+    if only_datasets is not None:
+        known = {r["uuid"] for r in leaves}
+        missing = [u for u in only_datasets if u not in known]
+        if missing:
+            raise ValueError(f"not leaf datasets in the catalog: {missing}")
+        wanted = set(only_datasets)
+        leaves = [r for r in leaves if r["uuid"] in wanted]
     processed_uuids = [r["uuid"] for r in leaves]
     processed_hbmids = [r["hubmap_id"] for r in leaves]
     ancestor_of = {r["uuid"]: r["immediate_ancestor_ids"] for r in cat_rows}
@@ -224,6 +247,7 @@ def build_product(
         local_edges = remap_edges_to_cell_ids(mm, labels, keep=keep)
         edge_parts.append(
             local_edges.select(
+                F.lit(ds).alias("dataset"),
                 F.concat_ws("-", F.lit(ds), "src_cell_id").alias("src_cell_id"),
                 F.concat_ws("-", F.lit(ds), "dst_cell_id").alias("dst_cell_id"),
                 "weight",
@@ -268,7 +292,11 @@ def build_product(
     x_long = x_long.join(F.broadcast(var), "channel", "left_semi").select(
         "dataset", "cell_id", "channel", "total", "mean"
     )
-    # J5: varm re-indexed to the surviving channel axis.
+    # J5: varm re-indexed to the surviving channel axis. The pre-join
+    # relation is kept on the product (varm_raw) for the incremental
+    # maintainer, which must re-derive survivorship against the
+    # maintained global axis rather than this build's block-local one.
+    varm_raw = varm_long
     varm_long = varm_long.join(F.broadcast(var), "channel", "left_semi")
 
     # J1: donor metadata broadcast join + E5 age cast + F7 Epic literals.
@@ -295,27 +323,116 @@ def build_product(
         "tissue": tissue,
     }
     return CodexProduct(
-        x_long=x_long, obs=obs, var=var, varm_long=varm_long, edges=edges, uns=uns
+        x_long=x_long,
+        obs=obs,
+        var=var,
+        varm_long=varm_long,
+        edges=edges,
+        uns=uns,
+        varm_raw=varm_raw,
     )
 
 
-def write_product(product: CodexProduct, out_dir: str) -> dict:
-    """K1 + K2: parquet product directory + manifest.
+PRODUCT_TABLES = ("x_long", "obs", "var", "varm_long", "edges")
+COMMIT_MARKER = "_PRODUCT_COMMIT.json"
 
-    x_long/edges partitioned by dataset → partition pruning for
-    per-dataset consumers; obs/var/varm are product-scale tables.
+
+def write_commit_marker(
+    out_dir: str,
+    uuid: str,
+    version: int,
+    tables: list[str],
+    dataset_uuids: list[str],
+) -> None:
+    """The commit point of the manifest-last protocol: the marker is the
+    LAST file written, via write-temp + atomic rename (POSIX rename is
+    atomic within a filesystem; object stores substitute a conditional
+    PUT). A reader that doesn't see the marker must treat the directory
+    as uncommitted garbage — so a crash anywhere earlier leaves no
+    readable half-product. The marker carries the COMMITTED dataset
+    list: readers gate partition visibility on it, so uncommitted
+    partitions written by an in-flight maintenance batch stay invisible
+    until this single rename."""
+    tmp = os.path.join(out_dir, f".{COMMIT_MARKER}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "uuid": uuid,
+                "version": version,
+                "tables": tables,
+                "dataset_uuids": dataset_uuids,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(out_dir, COMMIT_MARKER))
+
+
+def read_commit_marker(out_dir: str) -> dict:
+    """Raise if the product was never committed (or a write crashed
+    before its commit point)."""
+    path = os.path.join(out_dir, COMMIT_MARKER)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{out_dir} has no {COMMIT_MARKER}: product is uncommitted "
+            "(a build crashed mid-write, or never ran) — re-run the build"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_product_table(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+    """Committed read: consult the marker first, and filter the
+    dataset-partitioned tables to the marker's COMMITTED dataset list
+    (the simplified Iceberg/Delta snapshot pattern) — a partition
+    written by an in-flight maintenance batch that hasn't reached its
+    commit point is invisible, via partition pruning, not a row filter."""
+    marker = read_commit_marker(out_dir)
+    df = spark.read.parquet(f"{out_dir}/{table}")
+    if table in ("x_long", "obs", "edges"):
+        df = df.filter(F.col("dataset").isin(marker["dataset_uuids"]))
+    return df
+
+
+def write_product(
+    product: CodexProduct, out_dir: str, *, _fail_after: str | None = None
+) -> dict:
+    """K1 + K2: parquet product directory + manifest, committed with the
+    manifest-LAST protocol: tables → uns.json → manifest → commit
+    marker. A crash at any point leaves no marker, so readers (through
+    ``read_product_table``) refuse the half-product, and a re-run
+    converges — every table write is mode=overwrite.
+
+    x_long/obs/edges partitioned by dataset → partition pruning for
+    per-dataset consumers AND O(delta) incremental maintenance
+    (streaming/product_ivm.py); var/varm are channel-grain tables.
+
+    ``_fail_after`` is the failure-injection seam for the atomicity
+    test: crash immediately after writing the named step.
     """
+
+    def _checkpoint(step: str) -> None:
+        if _fail_after == step:
+            raise RuntimeError(f"injected crash after {step}")
+
     os.makedirs(out_dir, exist_ok=True)
     product.x_long.write.mode("overwrite").partitionBy("dataset").parquet(
         f"{out_dir}/x_long"
     )
-    product.obs.write.mode("overwrite").parquet(f"{out_dir}/obs")
+    _checkpoint("x_long")
+    product.obs.write.mode("overwrite").partitionBy("dataset").parquet(
+        f"{out_dir}/obs"
+    )
+    _checkpoint("obs")
     product.var.write.mode("overwrite").parquet(f"{out_dir}/var")
     product.varm_long.write.mode("overwrite").parquet(f"{out_dir}/varm_long")
     if product.edges is not None:
-        product.edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
+        product.edges.write.mode("overwrite").partitionBy("dataset").parquet(
+            f"{out_dir}/edges"
+        )
+    _checkpoint("tables")
     with open(f"{out_dir}/uns.json", "w") as f:
         json.dump(product.uns, f, indent=2)
+    _checkpoint("uns")
 
     # K2 manifest (create_json, bin/concatenate.py:154-177): counts are
     # DataFrame actions; file size measured on the written product.
@@ -337,6 +454,14 @@ def write_product(product: CodexProduct, out_dir: str) -> dict:
     }
     with open(f"{out_dir}/{product.uns['uuid']}.json", "w") as f:
         json.dump(manifest, f, indent=2)
+    _checkpoint("manifest")
+    write_commit_marker(
+        out_dir,
+        product.uns["uuid"],
+        0,
+        list(PRODUCT_TABLES),
+        list(product.uns["dataset_uuids"]),
+    )
     return manifest
 
 

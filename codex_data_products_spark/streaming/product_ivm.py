@@ -1,0 +1,334 @@
+"""Incrementally-maintained CODEX data product — the ninth IVM class,
+applied to the flagship pipeline itself.
+
+The reference's operational model is "new dataset release → re-run the
+whole concatenation over ALL datasets" (bin/concatenate.py:378-394, the
+sequential per-dataset loop, and :412 anndata.concat over everything).
+This maintainer replaces that with O(delta) per release: adding or
+removing a dataset touches ONLY that dataset's partitions plus the
+channel-grain axis tables.
+
+Why this decomposes cleanly: every row-scale product table is
+per-dataset-pure —
+
+  * ``x_long``: a dataset's rows are a function of its own files; the
+    F5 unidentifiable-channel filter is row-local on the channel name,
+    so global filtering restricted to one dataset equals filtering that
+    dataset alone.
+  * ``obs``: the donor join keys on the dataset's own catalog row.
+  * ``edges``: block-diagonal by construction (U3) — an edge never
+    crosses datasets.
+
+Only two cross-dataset dependencies exist, both channel-grain (tiny at
+any corpus size):
+
+  * ``var`` — the union of per-dataset surviving channel sets; adding a
+    dataset can extend the axis, removing one can retract channels no
+    other dataset carries.
+  * ``varm_long`` — varm rows semi-joined against the GLOBAL var axis,
+    so survivorship must be re-derived against the maintained axis, not
+    a block-local one (the product keeps the pre-join ``varm_raw``
+    relation for exactly this).
+
+State layout under ``<product>/_state`` (versioned ``v=<k>`` snapshots,
+same anchoring contract as every maintainer in ``streaming.merge``:
+batch k reads v=k, writes v=k+1, so a foreachBatch replay re-derives
+identical snapshots):
+
+  * ``ds_channels/v=<k>`` — (dataset, channel): surviving channels per
+    dataset.  var = distinct channel.
+  * ``ds_stats/v=<k>``    — (dataset, hubmap_id, n_cells): the additive
+    manifest inputs (total cells = sum, dataset lists = keys).
+  * ``ds_varm_raw/v=<k>`` — per-dataset varm rows BEFORE the var
+    semi-join.
+
+Commit protocol (single-writer): added partitions are written first —
+invisible to committed readers because ``read_product_table`` gates the
+dataset-partitioned tables on the COMMITTED uns dataset list — then
+state, axis tables, uns.json and the manifest, then the commit marker
+(the commit point, atomic rename), and only AFTER the commit point are
+removed datasets' partition files physically deleted (post-commit GC,
+the Iceberg/Delta "commit the snapshot, then expire unreferenced
+files" order). A crash anywhere before the marker leaves the previous
+committed product fully readable; a crash after it leaves at worst
+already-unreferenced files that the batch replay GCs.
+
+Invariants (tests/test_product_ivm.py): after any sequence of
+add/remove batches, every product table equals the from-scratch
+``build_product`` + ``write_product`` over the surviving dataset set
+(property-tested), a replayed batch is a no-op, and untouched datasets'
+x_long partition files are byte-identical (never rewritten).
+
+Reference parity: the reference has no incremental path
+(bin/concatenate.py recomputes the product per release); this is the
+Spark-native answer to running that recompute over an append-heavy
+corpus — at 100 TB the full rebuild is days, the delta is minutes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.plans.codex_pipeline import (
+    CodexProduct,
+    PRODUCT_TABLES,
+    build_product,
+    read_catalog,
+    write_commit_marker,
+    write_product,
+)
+from codex_data_products_spark.streaming.merge import read_table
+
+_PARTITIONED = ("x_long", "obs", "edges")  # dataset-partitioned tables
+_DS_CHANNELS_SCHEMA = "dataset string, channel string"
+_DS_STATS_SCHEMA = "dataset string, hubmap_id string, n_cells long"
+
+
+def _state_root(out_dir: str) -> str:
+    return os.path.join(out_dir, "_state")
+
+
+def _derive_state(product: CodexProduct) -> dict[str, DataFrame]:
+    """The per-dataset state relations, derived from product frames —
+    used both at bootstrap (full build) and per delta (block build), so
+    the maintained state is the same function of the same code path."""
+    spark = product.x_long.sparkSession
+    ds_channels = product.x_long.select("dataset", "channel").distinct()
+    hbm = spark.createDataFrame(
+        list(zip(product.uns["dataset_uuids"], product.uns["datasets"])),
+        "dataset string, hubmap_id string",
+    )
+    ds_stats = (
+        product.obs.groupBy("dataset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+        .join(F.broadcast(hbm), "dataset")
+        .select("dataset", "hubmap_id", "n_cells")
+    )
+    varm_raw = (
+        product.varm_raw
+        if product.varm_raw is not None
+        else product.varm_long
+    )
+    return {
+        "ds_channels": ds_channels,
+        "ds_stats": ds_stats,
+        "ds_varm_raw": varm_raw,
+    }
+
+
+def bootstrap_product_maintenance(
+    product: CodexProduct, out_dir: str
+) -> dict:
+    """Write the initial committed product plus the v=0 maintenance
+    state. An existing corpus is the base snapshot; every subsequent
+    release flows through ``apply_product_delta``."""
+    manifest = write_product(product, out_dir)
+    root = _state_root(out_dir)
+    for name, df in _derive_state(product).items():
+        df.write.mode("overwrite").parquet(f"{root}/{name}/v=0")
+    return manifest
+
+
+def _write_block_partitions(block: CodexProduct, out_dir: str) -> None:
+    """Write ONLY the added datasets' partitions into the three
+    dataset-partitioned tables: dynamic partition overwrite replaces
+    exactly the partitions present in the frame and leaves every other
+    dataset's files untouched (the no-rewrite guard asserts this at the
+    filesystem level)."""
+    spark = block.x_long.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        frames = {"x_long": block.x_long, "obs": block.obs, "edges": block.edges}
+        for table in _PARTITIONED:
+            df = frames[table]
+            if df is None:
+                continue
+            df.write.mode("overwrite").partitionBy("dataset").parquet(
+                f"{out_dir}/{table}"
+            )
+    finally:
+        spark.conf.set(key, prev)
+
+
+def apply_product_delta(
+    spark: SparkSession,
+    out_dir: str,
+    data_dir: str,
+    uuids_tsv: str,
+    batch_id: int,
+    add: Iterable[str] = (),
+    remove: Iterable[str] = (),
+    *,
+    tissue: str | None = None,
+    tissue_by_uuid: dict[str, str] | None = None,
+    decoder=None,
+) -> dict:
+    """Fold one release batch (datasets added and/or removed) into the
+    committed product: read state v=batch_id, write v=batch_id+1, touch
+    only the delta's partitions. Returns the updated manifest.
+
+    Replay-safe: the state read is anchored to the batch id, block
+    builds are deterministic, partition writes are overwrites, and the
+    GC of removed partitions is idempotent — a crashed batch re-runs to
+    the identical committed snapshot.
+    """
+    from codex_data_products_spark.sources.hdf5 import h5py_decoder
+
+    added = list(dict.fromkeys(add))
+    removed = list(dict.fromkeys(remove))
+    if set(added) & set(removed):
+        raise ValueError("a dataset cannot be both added and removed")
+
+    root = _state_root(out_dir)
+    ds_channels = read_table(spark, f"{root}/ds_channels", version=batch_id)
+    ds_stats = read_table(spark, f"{root}/ds_stats", version=batch_id)
+    ds_varm_raw = read_table(spark, f"{root}/ds_varm_raw", version=batch_id)
+    with open(f"{out_dir}/uns.json") as f:
+        uns = json.load(f)
+
+    touched = added + removed
+
+    # -- 1. block-build the added datasets (per-dataset-pure tables are
+    #       EXACTLY the full build's rows for them) and write only their
+    #       partitions. Uncommitted until the marker flips.
+    block = None
+    if added:
+        block = build_product(
+            spark,
+            data_dir,
+            uuids_tsv,
+            tissue=tissue or uns.get("tissue"),
+            decoder=decoder or h5py_decoder,
+            tissue_by_uuid=tissue_by_uuid,
+            product_uuid=uns["uuid"],
+            creation_time=uns["creation_data_time"],
+            only_datasets=added,
+        )
+        _write_block_partitions(block, out_dir)
+
+    # -- 2. fold the per-dataset state: drop touched datasets' rows,
+    #       union the block's freshly-derived rows (re-adding a dataset
+    #       replaces its contribution wholesale).
+    def fold(state: DataFrame, fresh: DataFrame | None) -> DataFrame:
+        kept = state.filter(~F.col("dataset").isin(touched))
+        return kept.unionByName(fresh) if fresh is not None else kept
+
+    block_state = _derive_state(block) if block is not None else {}
+    new_channels = fold(ds_channels, block_state.get("ds_channels"))
+    new_stats = fold(ds_stats, block_state.get("ds_stats"))
+    new_varm_raw = fold(ds_varm_raw, block_state.get("ds_varm_raw"))
+
+    v = batch_id + 1
+    new_channels.write.mode("overwrite").parquet(f"{root}/ds_channels/v={v}")
+    new_stats.write.mode("overwrite").parquet(f"{root}/ds_stats/v={v}")
+    new_varm_raw.write.mode("overwrite").parquet(f"{root}/ds_varm_raw/v={v}")
+    new_channels = spark.read.parquet(f"{root}/ds_channels/v={v}")
+    new_stats = spark.read.parquet(f"{root}/ds_stats/v={v}")
+    new_varm_raw = spark.read.parquet(f"{root}/ds_varm_raw/v={v}")
+
+    # -- 3. re-derive the channel-grain axis tables from state (tiny:
+    #       channels x datasets rows). var = union of per-dataset
+    #       surviving sets; varm survivorship against the NEW global
+    #       axis — the one place a block-local view would be wrong.
+    new_var = new_channels.select("channel").distinct()
+    new_varm = new_varm_raw.join(F.broadcast(new_var), "channel", "left_semi")
+    new_var.write.mode("overwrite").parquet(f"{out_dir}/var")
+    new_varm.write.mode("overwrite").parquet(f"{out_dir}/varm_long")
+
+    # -- 4. uns + manifest from the additive state (never a corpus
+    #       scan): dataset lists in catalog leaf order — identical to
+    #       what a from-scratch build over the surviving set emits.
+    stats_rows = {r["dataset"]: r for r in new_stats.collect()}
+    catalog_order = [
+        r["uuid"]
+        for r in read_catalog(spark, uuids_tsv)
+        .select("uuid", "immediate_descendant_ids")
+        .collect()
+        if r["immediate_descendant_ids"] is None
+    ]
+    surviving = [u for u in catalog_order if u in stats_rows]
+    surviving += [u for u in stats_rows if u not in set(catalog_order)]
+    uns["dataset_uuids"] = surviving
+    uns["datasets"] = [stats_rows[u]["hubmap_id"] for u in surviving]
+    with open(f"{out_dir}/uns.json", "w") as f:
+        json.dump(uns, f, indent=2)
+
+    total_cells = sum(int(stats_rows[u]["n_cells"]) for u in surviving)
+    size = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _, fns in os.walk(out_dir)
+        for fn in fns
+    )
+    manifest = {
+        "Data Product UUID": uns["uuid"],
+        "Tissue": uns.get("tissue"),
+        "Assay": "codex",
+        "Creation Time": uns["creation_data_time"],
+        "Dataset UUIDs": uns["dataset_uuids"],
+        "Dataset HBMIDs": uns["datasets"],
+        "Total Cell Count": total_cells,
+        "Raw File Size": size,
+    }
+    with open(f"{out_dir}/{uns['uuid']}.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+
+    # -- 5. COMMIT POINT (atomic rename), then post-commit GC of the
+    #       removed datasets' now-unreferenced partition files.
+    write_commit_marker(
+        out_dir, uns["uuid"], v, list(PRODUCT_TABLES), surviving
+    )
+    for ds in removed:
+        for table in _PARTITIONED:
+            shutil.rmtree(
+                os.path.join(out_dir, table, f"dataset={ds}"),
+                ignore_errors=True,
+            )
+    return manifest
+
+
+def run_product_maintenance(
+    changes: DataFrame,
+    out_dir: str,
+    data_dir: str,
+    uuids_tsv: str,
+    checkpoint_dir: str,
+    **build_kwargs,
+) -> None:
+    """availableNow foreachBatch drain of a release-change stream onto
+    the maintained product. ``changes`` rows: (op string in
+    {'add','remove'}, dataset string). The per-batch collect is catalog-
+    grain (releases touch a handful of datasets), bounded by design.
+
+    Standard replay contract: a batch anchored to v=batch_id overwrites
+    v=batch_id+1 and its own partitions, so a crash between the commit
+    marker and the checkpoint commit re-derives the same snapshot.
+    """
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        rows = batch.select("op", "dataset").collect()
+        apply_product_delta(
+            batch.sparkSession,
+            out_dir,
+            data_dir,
+            uuids_tsv,
+            batch_id,
+            add=[r["dataset"] for r in rows if r["op"] == "add"],
+            remove=[r["dataset"] for r in rows if r["op"] == "remove"],
+            **build_kwargs,
+        )
+
+    (
+        changes.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,274 @@
+"""Incremental CODEX product maintenance (the ninth IVM class,
+streaming/product_ivm.py): K-batch delta application must equal the
+from-scratch ``build_product`` + ``write_product`` over the surviving
+dataset set, a replayed batch must be a no-op, a crash before the
+commit marker must leave the previous snapshot fully readable, and
+untouched datasets' partition files must never be rewritten.
+
+The bundle is the production-shaped stress generator
+(tools/codex_stress.py) at miniature size: real minihdf5 expression
+payloads through the default decoder path, both filename variants,
+synonym headers, blank/Channel:N:N channels, bogus adjacency labels.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+from codex_data_products_spark.plans.codex_pipeline import (
+    COMMIT_MARKER,
+    build_product,
+    read_commit_marker,
+    read_product_table,
+    write_product,
+)
+from codex_data_products_spark.streaming.product_ivm import (
+    apply_product_delta,
+    bootstrap_product_maintenance,
+    run_product_maintenance,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location(
+    "codex_stress", os.path.join(REPO, "tools", "codex_stress.py")
+)
+codex_stress = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and codex_stress)
+
+N_DATASETS, N_CELLS = 6, 25
+DS = [codex_stress._ds_uuid(i) for i in range(N_DATASETS)]
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ivm_bundle"))
+    codex_stress.generate(out, N_DATASETS, N_CELLS)
+    return out
+
+
+def _build(spark, bundle, datasets):
+    return build_product(
+        spark,
+        os.path.join(bundle, "data"),
+        os.path.join(bundle, "uuids.tsv"),
+        tissue="Spleen",
+        product_uuid="ivm-product",
+        creation_time="2026-08-15 00:00:00",
+        only_datasets=datasets,
+    )
+
+
+def _table_rows(spark, out_dir, table):
+    df = read_product_table(spark, out_dir, table)
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def _snapshot_product(spark, out_dir):
+    snap = {
+        t: _table_rows(spark, out_dir, t)
+        for t in ("x_long", "obs", "var", "varm_long", "edges")
+    }
+    with open(f"{out_dir}/uns.json") as f:
+        uns = json.load(f)
+    snap["uns_datasets"] = (uns["dataset_uuids"], uns["datasets"])
+    with open(f"{out_dir}/ivm-product.json") as f:
+        m = json.load(f)
+    snap["manifest"] = (
+        m["Total Cell Count"],
+        m["Dataset UUIDs"],
+        m["Dataset HBMIDs"],
+    )
+    return snap
+
+
+def _assert_equals_from_scratch(spark, bundle, out_dir, datasets, tmp, tag):
+    fresh_dir = str(tmp / f"fresh_{tag}")
+    write_product(_build(spark, bundle, datasets), fresh_dir)
+    got, want = _snapshot_product(spark, out_dir), _snapshot_product(
+        spark, fresh_dir
+    )
+    for key in got:
+        assert got[key] == want[key], f"{tag}: {key} diverged"
+
+
+def _part_files(out_dir, table, dataset):
+    base = os.path.join(out_dir, table, f"dataset={dataset}")
+    out = []
+    for dp, _, fns in os.walk(base):
+        for fn in fns:
+            p = os.path.join(dp, fn)
+            st = os.stat(p)
+            out.append((os.path.relpath(p, base), st.st_size, st.st_mtime_ns))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def maintained(spark, bundle, tmp_path_factory):
+    """Bootstrap on {0,1}, then three delta batches ending at
+    {2,3,4,5}; yields (product_dir, shared tmp dir)."""
+    tmp = tmp_path_factory.mktemp("ivm_runs")
+    out = str(tmp / "product")
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
+
+    data = os.path.join(bundle, "data")
+    cat = os.path.join(bundle, "uuids.tsv")
+    # batch 0: pure add; record the no-rewrite evidence for DS[0]
+    before = {
+        t: _part_files(out, t, DS[0]) for t in ("x_long", "obs", "edges")
+    }
+    apply_product_delta(spark, out, data, cat, 0, add=[DS[2], DS[3]])
+    after = {
+        t: _part_files(out, t, DS[0]) for t in ("x_long", "obs", "edges")
+    }
+    # batch 1: mixed add + remove; batch 2: remove + add
+    apply_product_delta(
+        spark, out, data, cat, 1, add=[DS[4]], remove=[DS[1]]
+    )
+    apply_product_delta(
+        spark, out, data, cat, 2, add=[DS[5]], remove=[DS[0]]
+    )
+    return out, tmp, before, after
+
+
+def test_three_batch_maintenance_equals_from_scratch(
+    spark, bundle, maintained
+):
+    out, tmp, _, _ = maintained
+    _assert_equals_from_scratch(
+        spark, bundle, out, [DS[2], DS[3], DS[4], DS[5]], tmp, "final"
+    )
+    assert read_commit_marker(out)["version"] == 3
+
+
+def test_untouched_partition_files_never_rewritten(maintained):
+    """The no-rewrite guard (VERDICT r6 #1 'plan guard'): batch 0 added
+    DS[2]/DS[3]; DS[0]'s partition files in all three dataset-
+    partitioned tables must be byte-identical (same paths, sizes AND
+    mtimes — dynamic partition overwrite replaced only the touched
+    partitions)."""
+    _, _, before, after = maintained
+    for table in ("x_long", "obs", "edges"):
+        assert before[table] == after[table], table
+        assert before[table], f"{table}: expected files for DS[0]"
+
+
+def test_replayed_batch_is_idempotent(spark, bundle, maintained):
+    """Crash-replay anchoring: re-running batch 2 (state v=2 is still
+    retained) re-derives the identical committed snapshot."""
+    out, _, _, _ = maintained
+    want = _snapshot_product(spark, out)
+    apply_product_delta(
+        spark,
+        out,
+        os.path.join(bundle, "data"),
+        os.path.join(bundle, "uuids.tsv"),
+        2,
+        add=[DS[5]],
+        remove=[DS[0]],
+    )
+    assert _snapshot_product(spark, out) == want
+    assert read_commit_marker(out)["version"] == 3
+
+
+def test_crash_before_commit_keeps_previous_snapshot(
+    spark, bundle, tmp_path, monkeypatch
+):
+    """A batch that dies before the marker rename leaves the PREVIOUS
+    committed product fully readable: the added dataset's partitions
+    are on disk but invisible to committed reads, and the re-run
+    converges."""
+    import codex_data_products_spark.streaming.product_ivm as ivm
+
+    out = str(tmp_path / "product")
+    data = os.path.join(bundle, "data")
+    cat = os.path.join(bundle, "uuids.tsv")
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:1]), out)
+    base = _snapshot_product(spark, out)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(ivm, "write_commit_marker", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        apply_product_delta(spark, out, data, cat, 0, add=[DS[1]])
+    monkeypatch.undo()
+
+    # uncommitted partition exists on disk but committed reads hide it
+    assert os.path.isdir(f"{out}/x_long/dataset={DS[1]}")
+    assert read_commit_marker(out)["version"] == 0
+    assert _snapshot_product(spark, out)["x_long"] == base["x_long"]
+    obs = read_product_table(spark, out, "obs")
+    assert obs.filter(f"dataset = '{DS[1]}'").count() == 0
+
+    # replaying the batch converges to the from-scratch result
+    apply_product_delta(spark, out, data, cat, 0, add=[DS[1]])
+    _assert_equals_from_scratch(
+        spark, bundle, out, DS[:2], tmp_path, "recovered"
+    )
+
+
+def test_removal_retracts_private_channels_from_var(spark, bundle, tmp_path):
+    """Removing a dataset retracts its private channels from the var
+    axis and its varm rows — the cross-dataset retraction case."""
+    out = str(tmp_path / "product")
+    data = os.path.join(bundle, "data")
+    cat = os.path.join(bundle, "uuids.tsv")
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
+    var0 = {r["channel"] for r in read_product_table(spark, out, "var").collect()}
+    assert any(c.startswith("PRIV1_") for c in var0)
+
+    apply_product_delta(spark, out, data, cat, 0, remove=[DS[1]])
+    var1 = {r["channel"] for r in read_product_table(spark, out, "var").collect()}
+    assert not any(c.startswith("PRIV1_") for c in var1)
+    assert any(c.startswith("PRIV0_") for c in var1)  # survivor intact
+    varm = read_product_table(spark, out, "varm_long")
+    assert varm.filter(f"dataset = '{DS[1]}'").count() == 0
+    # physical GC happened post-commit
+    assert not os.path.isdir(f"{out}/x_long/dataset={DS[1]}")
+
+
+def test_streaming_drain_applies_change_feed(spark, bundle, tmp_path):
+    """The foreachBatch drain: a change-feed file stream with one
+    availableNow batch (add DS[1], remove none) lands the same product
+    as the direct apply."""
+    out = str(tmp_path / "product")
+    src = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    data = os.path.join(bundle, "data")
+    cat = os.path.join(bundle, "uuids.tsv")
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:1]), out)
+
+    spark.createDataFrame(
+        [("add", DS[1])], "op string, dataset string"
+    ).coalesce(1).write.parquet(f"{src}/d1")
+    changes = (
+        spark.readStream.schema("op string, dataset string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    run_product_maintenance(changes, out, data, cat, ckpt)
+    _assert_equals_from_scratch(
+        spark, bundle, out, DS[:2], tmp_path, "stream"
+    )
+
+
+def test_write_product_crash_atomicity(spark, bundle, tmp_path):
+    """VERDICT r6 #5: a crash between table writes leaves no readable
+    half-product (no marker -> committed reads refuse), and a re-run
+    converges to a committed product."""
+    out = str(tmp_path / "product")
+    product = _build(spark, bundle, DS[:1])
+    with pytest.raises(RuntimeError, match="injected crash after obs"):
+        write_product(product, out, _fail_after="obs")
+    assert not os.path.exists(f"{out}/{COMMIT_MARKER}")
+    with pytest.raises(FileNotFoundError, match="uncommitted"):
+        read_product_table(spark, out, "x_long")
+    # re-run converges: overwrite semantics, marker lands last
+    write_product(product, out)
+    assert read_commit_marker(out)["dataset_uuids"] == [DS[0]]
+    assert read_product_table(spark, out, "x_long").count() > 0
