@@ -146,7 +146,11 @@ def _cmd_verify(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="verify")
     names = args.names or None
     results = verify_queries(
-        spark, args.sf_dir, names, progress=args.verbose
+        spark,
+        args.sf_dir,
+        names,
+        progress=args.verbose,
+        mode="fingerprint" if args.fingerprint else "exact",
     )
     n_bad = 0
     for name, problems in sorted(results.items()):
@@ -210,6 +214,12 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("names", nargs="*", help="query names (default: all)")
     pv.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     pv.add_argument("--verbose", action="store_true")
+    pv.add_argument(
+        "--fingerprint",
+        action="store_true",
+        help="compare in-engine order-insensitive digests instead of "
+        "materializing results onto the driver (stress-SF sweeps)",
+    )
     pv.set_defaults(fn=_cmd_verify)
 
     ps = sub.add_parser(

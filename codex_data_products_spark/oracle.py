@@ -80,13 +80,244 @@ def compare_frames(
     return problems
 
 
+# ---------------------------------------------------------------------------
+# Distributed fingerprint compare (VERDICT r6 #2): an order-insensitive
+# digest computed INSIDE each engine — Spark aggregates executor-side,
+# DuckDB aggregates over the oracle subquery — so a 250M-row result is
+# verified without ever materializing onto the driver. The digest is
+# (row count, sum of two independent 60-bit row hashes): multiplicity-
+# sensitive, order-insensitive, collision odds ~2^-120 per query.
+#
+# The hard part is a row canonicalization BYTE-IDENTICAL across engines.
+# Strings/ints/decimals/dates/booleans cast identically; timestamps are
+# formatted to fixed 6-digit micros on both sides. Doubles are the trap:
+# Java's Formatter pads the shortest repr with zeros while C's printf
+# rounds the true binary expansion (0.1 -> ...0000e-01 vs ...0001e-01),
+# so NO printf-style format is portable. Instead each engine decomposes
+# the double into its exact IEEE-754 fields with exact float arithmetic:
+# e = floor(log2(|x|)) (corrected ±1 against exact power-of-two
+# comparison), mantissa52 = (|x| / 2^e - 1) * 2^52 — every step is a
+# power-of-two scale, so the arithmetic is exact and the (sign, e, m52)
+# triple is the bit pattern, engine-independently.
+# ---------------------------------------------------------------------------
+
+_NULL_MARK = "\x00N"
+_CELL_SEP = "\x1f"
+_ELEM_SEP = "\x1e"
+_M52 = 4503599627370496.0  # 2^52
+
+
+def _spark_ieee_canon(c):
+    from pyspark.sql import functions as F
+
+    ax = F.abs(c)
+    e0 = F.floor(F.log2(ax)).cast("int")
+    r0 = ax / F.pow(F.lit(2.0), e0.cast("double"))
+    e = (
+        F.when(r0 >= 2.0, e0 + F.lit(1))
+        .when(r0 < 1.0, e0 - F.lit(1))
+        .otherwise(e0)
+    )
+    m = ax / F.pow(F.lit(2.0), e.cast("double"))
+    m52 = F.round((m - F.lit(1.0)) * F.lit(_M52)).cast("long")
+    body = F.concat(
+        F.when(c < 0, F.lit("-")).otherwise(F.lit("")),
+        e.cast("string"),
+        F.lit(":"),
+        m52.cast("string"),
+    )
+    return (
+        # NaN canonicalizes like NULL — mirrors the exact comparator's
+        # _norm_cell, where both map to '∅' (pandas can't distinguish a
+        # NULL double from NaN, so neither may the fingerprint)
+        F.when(F.isnan(c), F.lit(_NULL_MARK))
+        .when(c == F.lit(float("inf")), F.lit("inf"))
+        .when(c == F.lit(float("-inf")), F.lit("-inf"))
+        .when(c == F.lit(0.0), F.lit("0"))
+        .otherwise(body)
+    )
+
+
+def _spark_canon(c, dtype):
+    """Canonical string for one Spark column/element; never NULL."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        out = _spark_ieee_canon(c.cast("double"))
+    elif isinstance(
+        dtype, (T.TimestampType, T.TimestampNTZType)
+    ):
+        out = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    elif isinstance(dtype, T.ArrayType):
+        inner = _spark_canon_elem(dtype.elementType)
+        out = F.concat(
+            F.lit("["),
+            F.array_join(F.transform(c, inner), _ELEM_SEP),
+            F.lit("]"),
+        )
+    elif isinstance(
+        dtype,
+        (
+            T.StringType, T.BooleanType, T.DateType, T.DecimalType,
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        ),
+    ):
+        out = c.cast("string")
+    else:
+        raise ValueError(f"fingerprint: unsupported Spark type {dtype}")
+    return F.coalesce(out, F.lit(_NULL_MARK))
+
+
+def _spark_canon_elem(elem_type):
+    def fn(e):
+        return _spark_canon(e, elem_type)
+
+    return fn
+
+
+def spark_digest(spark_df) -> tuple[int, int, int]:
+    """(count, sum h1, sum h2) computed entirely executor-side."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(spark_df.columns)
+    canon = [
+        _spark_canon(F.col(c), spark_df.schema[c].dataType) for c in cols
+    ]
+    h = F.md5(F.concat_ws(_CELL_SEP, *canon))
+    row = spark_df.select(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)").alias("h1"),
+        F.conv(F.substring(h, 17, 15), 16, 10).cast("decimal(38,0)").alias("h2"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("h1"), F.lit(0)).alias("s1"),
+        F.coalesce(F.sum("h2"), F.lit(0)).alias("s2"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s1"]), int(row["s2"])
+
+
+def _duck_ieee_canon(x: str) -> str:
+    ax = f"abs({x})"
+    e0 = f"CAST(floor(log2({ax})) AS INT)"
+    r0 = f"({ax} / power(2.0, CAST({e0} AS DOUBLE)))"
+    e = (
+        f"(CASE WHEN {r0} >= 2.0 THEN {e0} + 1 "
+        f"WHEN {r0} < 1.0 THEN {e0} - 1 ELSE {e0} END)"
+    )
+    m = f"({ax} / power(2.0, CAST({e} AS DOUBLE)))"
+    m52 = f"CAST(round(({m} - 1.0) * {_M52!r}) AS BIGINT)"
+    body = (
+        f"concat(CASE WHEN {x} < 0 THEN '-' ELSE '' END, "
+        f"CAST({e} AS VARCHAR), ':', CAST({m52} AS VARCHAR))"
+    )
+    return (
+        # NaN -> NULL-mark, mirroring the exact comparator (see the
+        # Spark twin above). The explicit IS NULL arm matters: DuckDB's
+        # concat SKIPS null arguments instead of nulling out, so a null
+        # input would otherwise leak through the ELSE body as ':'.
+        f"(CASE WHEN {x} IS NULL THEN NULL "
+        f"WHEN isnan({x}) THEN chr(0) || 'N' "
+        f"WHEN isinf({x}) AND {x} > 0 THEN 'inf' "
+        f"WHEN isinf({x}) THEN '-inf' "
+        f"WHEN {x} = 0.0 THEN '0' ELSE {body} END)"
+    )
+
+
+def _duck_canon(x: str, duck_type: str) -> str:
+    """Canonical-string SQL for one DuckDB column/element; never NULL."""
+    t = duck_type.upper()
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        out = _duck_ieee_canon(f"CAST({x} AS DOUBLE)")
+    elif t.startswith("TIMESTAMP"):
+        out = f"strftime({x}, '%Y-%m-%d %H:%M:%S.%f')"
+    elif t.endswith("[]"):
+        inner = _duck_canon("__e", t[:-2])
+        out = (
+            f"('[' || array_to_string(list_transform({x}, __e -> {inner}), "
+            f"chr(30)) || ']')"
+        )
+    elif (
+        t.startswith("DECIMAL")
+        or t in (
+            "VARCHAR", "BOOLEAN", "DATE", "TINYINT", "SMALLINT", "INTEGER",
+            "BIGINT", "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+            "UBIGINT",
+        )
+    ):
+        out = f"CAST({x} AS VARCHAR)"
+    else:
+        raise ValueError(f"fingerprint: unsupported DuckDB type {duck_type}")
+    return f"COALESCE({out}, chr(0) || 'N')"
+
+
+def duckdb_digest(
+    sql: str, sf_dir: str
+) -> tuple[list[str], tuple[int, int, int]]:
+    """(column names, (count, sum h1, sum h2)) computed entirely inside
+    DuckDB."""
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+    cols = sorted((name, dtype) for name, dtype, *_ in desc)
+    canon = ", ".join(_duck_canon(f'"{c}"', t) for c, t in cols)
+    n, s1, s2 = con.execute(
+        f"""
+        WITH __q AS ({sql}),
+        __rows AS (SELECT md5(concat_ws(chr(31), {canon})) AS __h FROM __q)
+        SELECT count(*),
+               COALESCE(sum(CAST(CAST('0x' || substr(__h, 1, 15) AS BIGINT)
+                                 AS HUGEINT)), 0),
+               COALESCE(sum(CAST(CAST('0x' || substr(__h, 17, 15) AS BIGINT)
+                                 AS HUGEINT)), 0)
+        FROM __rows
+        """
+    ).fetchone()
+    return [c for c, _ in cols], (int(n), int(s1), int(s2))
+
+
+def fingerprint_compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Digest-level compare: schema (column names), row count, and the
+    order-insensitive value fingerprint — nothing reaches the driver but
+    three integers per engine."""
+    o_cols, (o_n, o_h1, o_h2) = duckdb_digest(oracle_sql, sf_dir)
+    if sorted(spark_df.columns) != o_cols:
+        return [
+            f"columns differ: spark={sorted(spark_df.columns)} "
+            f"oracle={o_cols}"
+        ]
+    s_n, s_h1, s_h2 = spark_digest(spark_df)
+    problems: list[str] = []
+    if s_n != o_n:
+        problems.append(f"row counts differ: spark={s_n} oracle={o_n}")
+    if (s_h1, s_h2) != (o_h1, o_h2):
+        problems.append(
+            f"fingerprints differ: spark=({s_h1},{s_h2}) "
+            f"oracle=({o_h1},{o_h2})"
+        )
+    return problems
+
+
 def verify_queries(
-    spark, sf_dir: str, names: list[str] | None = None, progress: bool = False
+    spark,
+    sf_dir: str,
+    names: list[str] | None = None,
+    progress: bool = False,
+    mode: str = "exact",
 ) -> dict[str, list[str]]:
     """Run each registered query and its oracle; map name → problems
     (empty list = match; queries without an oracle are skipped).
     ``progress`` streams one line per query as it finishes, so a long
-    sweep that dies mid-run still attributes the failure."""
+    sweep that dies mid-run still attributes the failure.
+
+    ``mode="fingerprint"`` compares order-insensitive digests computed
+    inside each engine instead of materializing both result sets onto
+    the driver — the stress-SF path where a result can be hundreds of
+    millions of rows. Queries whose result types the fingerprint can't
+    canonicalize fall back to the exact compare (and are small by
+    construction — only scalar/array-typed wide results get huge)."""
     from codex_data_products_spark import registry
 
     registry.load_all()
@@ -99,9 +330,21 @@ def verify_queries(
         # driver-side comparison at an extreme stress SF) must record
         # its own failure, not abort the remaining sweep
         try:
-            spark_df = registry.QUERIES[name](spark, sf_dir).toPandas()
-            oracle_df = run_oracle(registry.ORACLES[name], sf_dir)
-            results[name] = compare_frames(spark_df, oracle_df)
+            sdf = registry.QUERIES[name](spark, sf_dir)
+            if mode == "fingerprint":
+                try:
+                    results[name] = fingerprint_compare(
+                        sdf, registry.ORACLES[name], sf_dir
+                    )
+                except ValueError:
+                    results[name] = compare_frames(
+                        sdf.toPandas(),
+                        run_oracle(registry.ORACLES[name], sf_dir),
+                    )
+            else:
+                results[name] = compare_frames(
+                    sdf.toPandas(), run_oracle(registry.ORACLES[name], sf_dir)
+                )
         except Exception as exc:  # noqa: BLE001
             first = str(exc).splitlines()[0][:200] if str(exc) else repr(exc)
             results[name] = [f"error: {first}"]

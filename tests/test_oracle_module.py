@@ -84,3 +84,70 @@ def test_verify_queries_records_error_and_continues(spark, monkeypatch):
         "error: simulated oversized result"
     ]
     assert out["filter_predicates"] == []
+
+
+# --- distributed fingerprint compare (VERDICT r6 #2) ------------------------
+
+
+def test_ieee_canonicalization_is_cross_engine_exact(spark):
+    """The double canonicalization (sign, exponent, mantissa52 via exact
+    power-of-two arithmetic) must be byte-identical between Spark and
+    DuckDB across the full exponent range, subnormals included, plus the
+    printf trap values (0.1 pads differently under Java vs C — the
+    reason this decomposition exists), negative zero, ties, and NaN/inf/
+    NULL — and injective (distinct doubles -> distinct strings)."""
+    import duckdb
+
+    from codex_data_products_spark.oracle import _duck_canon, _spark_canon
+    from pyspark.sql import functions as F
+
+    vals = [
+        0.1, 0.3, 1 / 3, 1e-300, 1e300, 2.0 ** -1030, 5e-324,
+        1.7976931348623157e308, 2.2250738585072014e-308, -0.0, 0.0,
+        123456789.123456789, 1.0, -2.0, math.pi, 0.30000000000000004,
+        float("nan"), float("inf"), float("-inf"), None,
+    ]
+    vals += [1.5 * 2.0 ** e for e in range(-1073, 1024, 97)]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    canon_s = [
+        r[0]
+        for r in sdf.select(
+            _spark_canon(F.col("x"), sdf.schema["x"].dataType)
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    canon_d = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_duck_canon('x', 'DOUBLE')} FROM t"
+        ).fetchall()
+    ]
+    assert canon_s == canon_d
+    # injective over the non-null/nan values (the decomposition IS the
+    # bit pattern); nan and NULL intentionally collide (exact-compare
+    # parity: pandas can't tell them apart)
+    finite = [c for c, v in zip(canon_s, vals)
+              if v is not None and not (isinstance(v, float) and math.isnan(v))]
+    assert len(set(finite)) == len(set(v for v in vals if v is not None
+                                       and not (isinstance(v, float) and math.isnan(v))))
+
+
+def test_fingerprint_compare_agrees_with_exact(spark, sf_dir):
+    """On type-diverse registry queries the digest verdict must agree
+    with the exact comparator (MATCH), and a salted oracle must flip it
+    to MISMATCH."""
+    from codex_data_products_spark import registry
+    from codex_data_products_spark.oracle import fingerprint_compare
+
+    registry.load_all()
+    for name in ("agg_collect_sorted", "date_functions", "json_extraction"):
+        sdf = registry.QUERIES[name](spark, sf_dir)
+        assert fingerprint_compare(sdf, registry.ORACLES[name], sf_dir) == []
+
+    sdf = registry.QUERIES["agg_collect_sorted"](spark, sf_dir)
+    salted = f"SELECT * FROM ({registry.ORACLES['agg_collect_sorted']}) LIMIT 1"
+    problems = fingerprint_compare(sdf, salted, sf_dir)
+    assert problems and "differ" in problems[0]

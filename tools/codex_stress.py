@@ -253,18 +253,109 @@ def run(out: str, n_datasets: int, n_cells: int) -> dict:
     }
 
 
+def run_delta(out: str, n_datasets: int, n_cells: int, n_add: int, n_remove: int) -> dict:
+    """The incremental-maintenance stress (VERDICT r6 #1): bootstrap the
+    maintained product on the first ``n_datasets - n_add`` datasets,
+    apply ONE delta batch (add the last ``n_add``, remove the first
+    ``n_remove``), and compare the maintained product's invariant counts
+    AND wall time against a from-scratch rebuild over the surviving set.
+    The headline number is delta_sec / rebuild_sec — the operational win
+    over the reference's rerun-everything model (bin/concatenate.py:412)."""
+    from codex_data_products_spark.plans.codex_pipeline import (
+        build_product,
+        read_product_table,
+        write_product,
+    )
+    from codex_data_products_spark.session import get_spark
+    from codex_data_products_spark.streaming.product_ivm import (
+        apply_product_delta,
+        bootstrap_product_maintenance,
+    )
+
+    spark = get_spark(app_name="codex-stress-delta")
+    data = os.path.join(out, "data")
+    cat = os.path.join(out, "uuids.tsv")
+    base = [_ds_uuid(i) for i in range(n_datasets - n_add)]
+    added = [_ds_uuid(i) for i in range(n_datasets - n_add, n_datasets)]
+    removed = base[:n_remove]
+    surviving = [u for u in base + added if u not in set(removed)]
+
+    t0 = time.perf_counter()
+    product = build_product(
+        spark, data, cat, tissue="Spleen",
+        product_uuid="stress-delta", creation_time="2026-08-15 00:00:00",
+        only_datasets=base,
+    )
+    bootstrap_product_maintenance(product, os.path.join(out, "maintained"))
+    bootstrap_sec = round(time.perf_counter() - t0, 1)
+
+    t1 = time.perf_counter()
+    manifest = apply_product_delta(
+        spark, os.path.join(out, "maintained"), data, cat, 0,
+        add=added, remove=removed,
+    )
+    delta_sec = round(time.perf_counter() - t1, 1)
+
+    t2 = time.perf_counter()
+    fresh = build_product(
+        spark, data, cat, tissue="Spleen",
+        product_uuid="stress-delta", creation_time="2026-08-15 00:00:00",
+        only_datasets=surviving,
+    )
+    fresh_manifest = write_product(fresh, os.path.join(out, "fresh"))
+    rebuild_sec = round(time.perf_counter() - t2, 1)
+
+    t3 = time.perf_counter()
+    counts = {}
+    for table in ("x_long", "obs", "var", "varm_long", "edges"):
+        m = read_product_table(spark, os.path.join(out, "maintained"), table).count()
+        f = read_product_table(spark, os.path.join(out, "fresh"), table).count()
+        counts[table] = {"maintained": m, "fresh": f, "match": m == f}
+    counts["manifest_cells"] = {
+        "maintained": manifest["Total Cell Count"],
+        "fresh": fresh_manifest["Total Cell Count"],
+        "match": manifest["Total Cell Count"] == fresh_manifest["Total Cell Count"],
+    }
+    check_sec = round(time.perf_counter() - t3, 1)
+
+    ok = all(v["match"] for v in counts.values())
+    return {
+        "mode": "delta",
+        "datasets_base": len(base),
+        "added": len(added),
+        "removed": len(removed),
+        "cells_per_dataset": n_cells,
+        "bootstrap_sec": bootstrap_sec,
+        "delta_apply_sec": delta_sec,
+        "from_scratch_rebuild_sec": rebuild_sec,
+        "speedup": round(rebuild_sec / delta_sec, 1) if delta_sec else None,
+        "invariant_check_sec": check_sec,
+        "counts": counts,
+        "ok": ok,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--datasets", type=int, default=50)
     ap.add_argument("--cells", type=int, default=50_000)
     ap.add_argument("--out", default=".stressdata/codex")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--delta", action="store_true",
+                    help="incremental-maintenance stress: add/remove vs rebuild")
+    ap.add_argument("--delta-add", type=int, default=5)
+    ap.add_argument("--delta-remove", type=int, default=2)
     args = ap.parse_args()
     if not args.skip_gen:
         t0 = time.perf_counter()
         generate(args.out, args.datasets, args.cells)
         print(f"generated in {time.perf_counter() - t0:.1f}s", flush=True)
-    result = run(args.out, args.datasets, args.cells)
+    if args.delta:
+        result = run_delta(
+            args.out, args.datasets, args.cells, args.delta_add, args.delta_remove
+        )
+    else:
+        result = run(args.out, args.datasets, args.cells)
     print(json.dumps(result))
     raise SystemExit(0 if result["ok"] else 1)
 
