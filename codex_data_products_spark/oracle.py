@@ -138,12 +138,12 @@ def _spark_ieee_canon(c):
     )
 
 
-def _spark_canon(c, dtype):
+def _spark_canon(c, dtype, force_double=False):
     """Canonical string for one Spark column/element; never NULL."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+    if force_double or isinstance(dtype, (T.DoubleType, T.FloatType)):
         out = _spark_ieee_canon(c.cast("double"))
     elif isinstance(
         dtype, (T.TimestampType, T.TimestampNTZType)
@@ -176,13 +176,16 @@ def _spark_canon_elem(elem_type):
     return fn
 
 
-def spark_digest(spark_df) -> tuple[int, int, int]:
+def spark_digest(spark_df, force_double=frozenset()) -> tuple[int, int, int]:
     """(count, sum h1, sum h2) computed entirely executor-side."""
     from pyspark.sql import functions as F
 
     cols = sorted(spark_df.columns)
     canon = [
-        _spark_canon(F.col(c), spark_df.schema[c].dataType) for c in cols
+        _spark_canon(
+            F.col(c), spark_df.schema[c].dataType, c in force_double
+        )
+        for c in cols
     ]
     h = F.md5(F.concat_ws(_CELL_SEP, *canon))
     row = spark_df.select(
@@ -223,10 +226,10 @@ def _duck_ieee_canon(x: str) -> str:
     )
 
 
-def _duck_canon(x: str, duck_type: str) -> str:
+def _duck_canon(x: str, duck_type: str, force_double: bool = False) -> str:
     """Canonical-string SQL for one DuckDB column/element; never NULL."""
     t = duck_type.upper()
-    if t in ("DOUBLE", "FLOAT", "REAL"):
+    if force_double or t in ("DOUBLE", "FLOAT", "REAL"):
         out = _duck_ieee_canon(f"CAST({x} AS DOUBLE)")
     elif t.startswith("TIMESTAMP"):
         out = f"strftime({x}, '%Y-%m-%d %H:%M:%S.%f')"
@@ -251,7 +254,7 @@ def _duck_canon(x: str, duck_type: str) -> str:
 
 
 def duckdb_digest(
-    sql: str, sf_dir: str
+    sql: str, sf_dir: str, force_double=frozenset()
 ) -> tuple[list[str], tuple[int, int, int]]:
     """(column names, (count, sum h1, sum h2)) computed entirely inside
     DuckDB."""
@@ -262,7 +265,9 @@ def duckdb_digest(
         )
     desc = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
     cols = sorted((name, dtype) for name, dtype, *_ in desc)
-    canon = ", ".join(_duck_canon(f'"{c}"', t) for c, t in cols)
+    canon = ", ".join(
+        _duck_canon(f'"{c}"', t, c in force_double) for c, t in cols
+    )
     n, s1, s2 = con.execute(
         f"""
         WITH __q AS ({sql}),
@@ -281,14 +286,49 @@ def duckdb_digest(
 def fingerprint_compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     """Digest-level compare: schema (column names), row count, and the
     order-insensitive value fingerprint — nothing reaches the driver but
-    three integers per engine."""
-    o_cols, (o_n, o_h1, o_h2) = duckdb_digest(oracle_sql, sf_dir)
+    three integers per engine.
+
+    Type-class reconciliation: the exact comparator goes through pandas,
+    which silently converts DuckDB DECIMAL (and NULL-bearing integer)
+    columns to float64 — so a query can be exact-equal while the two
+    engines DECLARE different types for a column. Wherever either engine
+    says floating, both sides canonicalize the column as double (the
+    casts are exact for every value pandas would have accepted)."""
+    from pyspark.sql import types as T
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    duck_types = {
+        name: dtype
+        for name, dtype, *_ in con.execute(
+            f"DESCRIBE SELECT * FROM ({oracle_sql})"
+        ).fetchall()
+    }
+    con.close()
+    spark_float = {
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+    }
+    duck_float = {
+        c
+        for c, t in duck_types.items()
+        if t.upper() in ("DOUBLE", "FLOAT", "REAL")
+    }
+    force = spark_float | duck_float
+
+    o_cols, (o_n, o_h1, o_h2) = duckdb_digest(
+        oracle_sql, sf_dir, force_double=force
+    )
     if sorted(spark_df.columns) != o_cols:
         return [
             f"columns differ: spark={sorted(spark_df.columns)} "
             f"oracle={o_cols}"
         ]
-    s_n, s_h1, s_h2 = spark_digest(spark_df)
+    s_n, s_h1, s_h2 = spark_digest(spark_df, force_double=force)
     problems: list[str] = []
     if s_n != o_n:
         problems.append(f"row counts differ: spark={s_n} oracle={o_n}")

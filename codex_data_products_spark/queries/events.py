@@ -235,24 +235,43 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     minutes before a purchase. Batch twin of
     ``streaming/events.attribution_stream`` (stream-stream interval
     join); the lag is exact integer microseconds so both engines (and
-    the streaming run) agree bit-for-bit. The join is an equi-join on
-    user_id with the interval as a post-condition — one shuffle, no
-    theta-join blowup."""
+    the streaming run) agree bit-for-bit.
+
+    SCALE SHAPE (the scd2 bug-class audit, VERDICT r6 #4): an equi join
+    on user_id alone probes EVERY view a user ever made per purchase —
+    O(views × purchases) per key, which a bot user turns quadratic
+    (~80M probe pairs at sf1.0 for ~0.6M true matches). The fix is the
+    ``band_join_buckets`` technique: bucket both sides into 30-minute
+    cells and join on (user, cell), with each purchase probing exactly
+    its own and the previous cell — any view in [p_ts - 30min, p_ts]
+    lands in one of those two, so the residual filter sees only
+    time-adjacent candidates. Per-key probe cost drops from
+    views-per-lifetime to views-per-hour. Measured at sf1.0 on the
+    bot-user generator: see SCALE.md residual-join audit table."""
     events = T(spark, sf_dir, "events")
+    cell_us = 1800 * 1_000_000  # 30-minute cells, integer microseconds
     p = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
         F.col("ts").alias("p_ts"),
+        F.explode(
+            F.array(
+                F.expr(f"unix_micros(ts) div {cell_us}"),
+                F.expr(f"unix_micros(ts) div {cell_us}") - 1,
+            )
+        ).alias("cell"),
     )
     v = events.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("v_ts"),
+        F.expr(f"unix_micros(ts) div {cell_us}").alias("v_cell"),
     )
     return (
         p.join(
             v,
             (F.col("user_id") == F.col("v_user"))
+            & (F.col("cell") == F.col("v_cell"))
             & (F.col("v_ts") <= F.col("p_ts"))
             & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
         )

@@ -1415,6 +1415,29 @@ def test_scd2_lookup_is_merge_not_join(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_attribution_join_is_cell_bucketed(spark, sf_dir):
+    # the scd2 bug-class audit (VERDICT r6 #4): the 30-min interval
+    # residual must ride a (user, cell) equi key — purchases explode
+    # into 2 cells and each probes only time-adjacent views, bounding
+    # per-key probe cost by views-per-hour, not views-per-lifetime. A
+    # user-only equi join (probing all of a bot's views per purchase)
+    # or a pure theta join must not come back.
+    plan = _plan(spark, sf_dir, "events_attribution")
+    assert "cell" in plan  # the bucket key reached the join
+    assert "Generate explode" in plan  # the 2-cell expansion exists
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the hash join keys on BOTH user and cell, not user alone
+    import re
+
+    join_lines = [
+        ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert join_lines and all(
+        "cell" in ln and "user_id" in ln for ln in join_lines
+    )
+
+
 def test_cdc_net_changes_pure_hash_agg(spark, sf_dir):
     # changelog compaction is ONE pass: per-key min_by/max_by hash
     # aggregate then the |op|-grain collapse — no window sorts the
