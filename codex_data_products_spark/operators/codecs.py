@@ -712,3 +712,498 @@ def decode_gif(payload: bytes) -> dict:
         "screen_width": sw,
         "screen_height": sh,
     }
+
+
+# --- Baseline JPEG (ITU-T T.81 / ISO 10918-1, SOF0) ---------------------------
+# From-scratch implementation of the public baseline-sequential JPEG
+# spec (VERDICT r6 #3 — the same promotion PNG got in r6): 8-bit
+# precision, Huffman entropy coding with the Annex K "typical" tables,
+# the Annex K quantization tables, JFIF YCbCr color, 4:4:4 sampling
+# (one block per component per MCU) or single-component grayscale.
+# Everything below is spec arithmetic over stdlib — struct + math, no
+# third-party decoder. The lossy steps (FDCT → quantize) mean encode →
+# decode is NOT bit-exact in general; the registry oracle therefore
+# drives it with DCT-exact inputs (uniform blocks whose only nonzero
+# coefficient is a DC value the quantizer divides exactly), where the
+# round-trip IS exact and closed-form in SQL.
+
+import math
+
+# zig-zag index order (T.81 figure A.6)
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 / K.2 quantization tables (natural order)
+JPEG_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+JPEG_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 "typical" Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+    for u in range(8)
+]
+_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical per T.81 C.2."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    return {
+        (ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()
+    }
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, extra-bits value) per T.81 F.1.2.1: negatives store
+    v - 1 in ones-complement of the category width."""
+    if v == 0:
+        return 0, 0
+    size = max(abs(v)).bit_length() if False else abs(v).bit_length()
+    return size, v if v > 0 else v + (1 << size) - 1
+
+
+def _extend(bits_val: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits_val if bits_val >= (1 << (size - 1)) else bits_val - (1 << size) + 1
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (B.1.1.5)
+                self.out.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside entropy data")
+                self.pos += 1  # skip stuffed 0x00
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _fdct_quant(block: list[float], quant: list[int]) -> list[int]:
+    out = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += block[y * 8 + x] * _COS[v][x] * _COS[u][y]
+            s *= 0.25 * _C[u] * _C[v]
+            q = quant[u * 8 + v]
+            out[u * 8 + v] = int(round(s / q))
+    return out
+
+
+def _dequant_idct(coefs: list[int], quant: list[int]) -> list[int]:
+    d = [coefs[i] * quant[i] for i in range(64)]
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += _C[u] * _C[v] * d[u * 8 + v] * _COS[v][x] * _COS[u][y]
+            val = int(round(s * 0.25)) + 128
+            out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
+    return out
+
+
+def _encode_block(
+    coefs: list[int],
+    pred: int,
+    writer: _BitWriter,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    zz = [coefs[JPEG_ZIGZAG[i]] for i in range(64)]
+    size, extra = _magnitude(zz[0] - pred)
+    code, ln = dc_codes[size]
+    writer.write(code, ln)
+    if size:
+        writer.write(extra, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        size, extra = _magnitude(zz[i])
+        code, ln = ac_codes[(run << 4) | size]
+        writer.write(code, ln)
+        writer.write(extra, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        writer.write(code, ln)
+    return zz[0]
+
+
+def encode_jpeg(width: int, height: int, rgb_rows: Sequence[bytes]) -> bytes:
+    """Encode 8-bit RGB rows (top-down, 3*width bytes each) as a
+    baseline JFIF JPEG: 4:4:4 sampling, Annex K quantization + Huffman
+    tables. Edge blocks replicate the last row/column (the standard
+    padding choice)."""
+    if len(rgb_rows) != height:
+        raise ValueError(f"expected {height} rows, got {len(rgb_rows)}")
+    # RGB -> YCbCr planes (JFIF), edge-replicated to multiples of 8
+    bw, bh = (width + 7) // 8 * 8, (height + 7) // 8 * 8
+    planes = [[0.0] * (bw * bh) for _ in range(3)]
+    for y in range(bh):
+        row = rgb_rows[min(y, height - 1)]
+        for x in range(bw):
+            xs = min(x, width - 1)
+            r, g, b = row[3 * xs], row[3 * xs + 1], row[3 * xs + 2]
+            planes[0][y * bw + x] = (
+                0.299 * r + 0.587 * g + 0.114 * b - 128.0
+            )
+            planes[1][y * bw + x] = -0.168736 * r - 0.331264 * g + 0.5 * b
+            planes[2][y * bw + x] = 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    dc_l = _huff_codes(*_DC_LUMA)
+    ac_l = _huff_codes(*_AC_LUMA)
+    dc_c = _huff_codes(*_DC_CHROMA)
+    ac_c = _huff_codes(*_AC_CHROMA)
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            for comp in range(3):
+                plane = planes[comp]
+                block = [
+                    plane[(by + y) * bw + bx + x]
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                quant = JPEG_QUANT_LUMA if comp == 0 else JPEG_QUANT_CHROMA
+                coefs = _fdct_quant(block, quant)
+                preds[comp] = _encode_block(
+                    coefs,
+                    preds[comp],
+                    writer,
+                    dc_l if comp == 0 else dc_c,
+                    ac_l if comp == 0 else ac_c,
+                )
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: list[int]) -> bytes:
+        return seg(
+            0xDB,
+            bytes([tid]) + bytes(table[JPEG_ZIGZAG[i]] for i in range(64)),
+        )
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, JPEG_QUANT_LUMA)
+        + dqt(1, JPEG_QUANT_CHROMA)
+        + sof
+        + dht(0, 0, *_DC_LUMA)
+        + dht(1, 0, *_AC_LUMA)
+        + dht(0, 1, *_DC_CHROMA)
+        + dht(1, 1, *_AC_CHROMA)
+        + sos
+        + bytes(writer.out)
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Parse markers, Huffman-decode, dequantize, IDCT, YCbCr->RGB.
+    Baseline SOF0 only, 8-bit, 4:4:4 (all sampling factors 1) or
+    grayscale; progressive/DRI/arithmetic coding raise. Same return
+    contract as decode_bmp/decode_png: width/height/channels,
+    pixel_checksum (sum of all R+G+B bytes), top-down rgb_rows."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("JPEG truncated inside a marker segment")
+        pos += 2 + ln
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tid = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(body[p + 1 : p + 65])
+                nat = [0] * 64
+                for i in range(64):
+                    nat[JPEG_ZIGZAG[i]] = zz[i]
+                quant[tid] = nat
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                huff[(cls, tid)] = _huff_decode_map(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError(
+                        "only 4:4:4 / grayscale sampling supported"
+                    )
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            break
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    w, h, comps = frame
+    tq_of = dict(comps)
+    reader = _BitReader(payload[pos:])
+    bw, bh = (w + 7) // 8 * 8, (h + 7) // 8 * 8
+    planes = [[0] * (bw * bh) for _ in scan]
+    preds = [0] * len(scan)
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            for ci, (cid, td, ta) in enumerate(scan):
+                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                size = reader.read_symbol(dc_tab)
+                diff = _extend(reader.read_bits(size), size)
+                preds[ci] += diff
+                zz = [0] * 64
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.read_symbol(ac_tab)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(reader.read_bits(rs & 0xF), rs & 0xF)
+                    k += 1
+                coefs = [0] * 64
+                for i in range(64):
+                    coefs[JPEG_ZIGZAG[i]] = zz[i]
+                px = _dequant_idct(coefs, quant[tq_of[cid]])
+                plane = planes[ci]
+                for y in range(8):
+                    for x in range(8):
+                        plane[(by + y) * bw + bx + x] = px[y * 8 + x]
+    rows: list[bytes] = []
+    checksum = 0
+    gray = len(scan) == 1
+    for y in range(h):
+        row = bytearray(3 * w)
+        for x in range(w):
+            if gray:
+                r = g = b = planes[0][y * bw + x]
+            else:
+                yy = planes[0][y * bw + x]
+                cb = planes[1][y * bw + x] - 128
+                cr = planes[2][y * bw + x] - 128
+                r = int(round(yy + 1.402 * cr))
+                g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
+                b = int(round(yy + 1.772 * cb))
+                r = 0 if r < 0 else (255 if r > 255 else r)
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                b = 0 if b < 0 else (255 if b > 255 else b)
+            row[3 * x], row[3 * x + 1], row[3 * x + 2] = r, g, b
+            checksum += r + g + b
+        rows.append(bytes(row))
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "pixel_checksum": checksum,
+        "rgb_rows": rows,
+    }

@@ -45,11 +45,13 @@ Codec = Callable[[bytes], dict]
 
 
 def real_image_codec(payload: bytes) -> dict:
-    """Real image decode. Uncompressed 24-bit BMP and 8-bit truecolor
-    PNG (all 5 scanline filters, DEFLATE via stdlib zlib) are handled
-    natively by the from-scratch spec codecs (``operators/codecs.py`` —
-    the minihdf5 approach: real public byte formats, no third-party
-    decoder); JPEG and other lossy formats still need a Pillow/opencv
+    """Real image decode. Uncompressed 24-bit BMP, 8-bit truecolor PNG
+    (all 5 scanline filters, DEFLATE via stdlib zlib), LZW-compressed
+    GIF, and baseline-sequential JPEG (SOF0, Annex K Huffman +
+    quantization tables, 4:4:4/grayscale) are handled natively by the
+    from-scratch spec codecs (``operators/codecs.py`` — the minihdf5
+    approach: real public byte formats, no third-party decoder).
+    Progressive JPEG and exotic profiles still need a Pillow/opencv
     Codec injected with the same return keys (width, height,
     channels)."""
     if payload[:2] == b"BM":
@@ -64,11 +66,15 @@ def real_image_codec(payload: bytes) -> dict:
         from codex_data_products_spark.operators.codecs import decode_gif
 
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI marker
+        from codex_data_products_spark.operators.codecs import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "no lossy-image codec in this container (BMP, PNG and "
-        "LZW-compressed GIF decode natively); inject a Pillow/opencv-"
-        "backed Codec with the same return keys (width, height, "
-        "channels)"
+        "unrecognized image payload (BMP, PNG, GIF and baseline JPEG "
+        "decode natively); inject a Pillow/opencv-backed Codec with "
+        "the same return keys (width, height, channels) for other "
+        "formats"
     )
 
 

@@ -24,13 +24,17 @@ def assets(spark):
 
 
 def test_real_codec_hooks_gate_only_compressed_formats():
-    # formats the spec codecs can't handle (JPEG magic, mp4) still
-    # require an injected library codec...
+    # formats the spec codecs can't handle (WebP, mp4) still require an
+    # injected library codec; a JPEG SOI now dispatches to the
+    # from-scratch T.81 decoder (which fails loudly on a garbage body
+    # rather than deferring to an injected codec)
     with pytest.raises(NotImplementedError):
-        real_image_codec(b"\xff\xd8\xff\xe0" + bytes(64))
+        real_image_codec(b"RIFF\x00\x00\x00\x00WEBP" + bytes(64))
     with pytest.raises(NotImplementedError):
         real_av_codec(b"\x00\x00\x00\x18ftypmp42")
-    # ...but BMP, PNG and PCM WAV decode natively (see codec tests below)
+    with pytest.raises(ValueError):
+        real_image_codec(b"\xff\xd8\xff\xe0" + bytes(64))
+    # ...but BMP, PNG, JPEG and PCM WAV decode natively (codec tests below)
 
 
 def test_image_metadata_schema_and_determinism(spark, assets):
@@ -298,7 +302,7 @@ def test_real_image_codec_dispatches_on_magic():
     assert real_image_codec(encode_bmp(4, 2, rows))["width"] == 4
     assert real_image_codec(encode_png(4, 2, rows))["width"] == 4
     with pytest.raises(NotImplementedError):
-        real_image_codec(b"\xff\xd8\xff\xe0" + bytes(64))  # JPEG magic
+        real_image_codec(b"RIFF\x00\x00\x00\x00WEBP" + bytes(64))  # WebP
 
 
 def test_g711_expand_compress_round_trip_all_codes():
@@ -417,3 +421,95 @@ def test_real_image_codec_dispatches_gif():
     m = real_image_codec(encode_gif(2, 2, [0, 1, 1, 0], pal))
     assert (m["width"], m["height"], m["channels"]) == (2, 2, 3)
     assert m["pixel_checksum"] == 2 * (9 + 8 + 7) + 2 * (1 + 2 + 3)
+
+
+# --- baseline JPEG (ITU-T T.81 SOF0, from-scratch; VERDICT r6 #3) -----------
+
+
+def test_jpeg_round_trip_exact_on_dct_exact_input():
+    """Uniform gray with an EVEN level: the only nonzero coefficient is
+    the luma DC, which the Annex K DC quantum divides exactly — encode
+    -> decode must be bit-exact, geometry and checksum closed-form."""
+    from codex_data_products_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for w, h, v in ((8, 8, 128), (16, 8, 120), (24, 16, 254), (8, 16, 80)):
+        rows = [bytes([v] * (3 * w)) for _ in range(h)]
+        m = decode_jpeg(encode_jpeg(w, h, rows))
+        assert (m["width"], m["height"], m["channels"]) == (w, h, 3)
+        assert m["pixel_checksum"] == 3 * v * w * h
+        assert m["rgb_rows"] == rows
+
+
+def test_jpeg_round_trip_lossy_but_close_on_structured_image():
+    """A gradient (every AC band live, byte stuffing exercised by
+    near-255 values): decode must recover every pixel within the
+    quantization error of the Annex K tables on smooth content."""
+    from codex_data_products_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 24, 16
+    rows = [
+        bytes(min(255, (x + 7 * y) * 255 // (3 * w + 7 * h)) for x in range(3 * w))
+        for y in range(h)
+    ]
+    m = decode_jpeg(encode_jpeg(w, h, rows))
+    assert (m["width"], m["height"]) == (w, h)
+    diffs = [
+        abs(a - b)
+        for ra, rb in zip(rows, m["rgb_rows"])
+        for a, b in zip(ra, rb)
+    ]
+    assert max(diffs) <= 12 and sum(diffs) / len(diffs) <= 3.0
+
+
+def test_jpeg_pads_non_multiple_of_8_dimensions():
+    from codex_data_products_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h, v = 11, 5, 200  # forces edge replication in both axes
+    rows = [bytes([v] * (3 * w)) for _ in range(h)]
+    m = decode_jpeg(encode_jpeg(w, h, rows))
+    assert (m["width"], m["height"]) == (w, h)
+    assert m["rgb_rows"] == rows  # replication keeps blocks uniform
+
+
+def test_real_image_codec_dispatches_on_jpeg_soi():
+    from codex_data_products_spark.operators.codecs import encode_jpeg
+    from codex_data_products_spark.operators.multimodal import (
+        real_image_codec,
+    )
+
+    rows = [bytes([100] * 24) for _ in range(8)]
+    m = real_image_codec(encode_jpeg(8, 8, rows))
+    assert (m["width"], m["height"], m["channels"]) == (8, 8, 3)
+
+
+def test_jpeg_decode_rejects_unsupported_profiles():
+    import struct
+
+    import pytest
+
+    from codex_data_products_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(8, 8, [bytes([100] * 24) for _ in range(8)])
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00" + good)
+    # flip SOF0 -> SOF2 (progressive): must raise, not emit garbage
+    prog = bytearray(good)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
