@@ -538,6 +538,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_simhash_incremental — the maintained-view twin of dedup_simhash
+# (streaming/dedup_ivm.apply_simhash_batch): three modulo batches
+# through the incremental maintainer (row-local delta signatures,
+# broadcast candidate join against the persisted signature table — no
+# re-sign path because SimHash has no cross-corpus dependency), final
+# pair snapshot returned. The oracle is the SAME from-scratch SQL as
+# dedup_simhash, so the driver's hash comparison certifies
+# incremental == from-scratch equality end to end.
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_simhash_incremental", sql=_SIMHASH_SQL)
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_simhash_batch,
+        bootstrap_simhash_state,
+        simhash_pairs_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="simhash_ivm_")
+    bootstrap_simhash_state(spark, state)
+    for k in range(3):
+        apply_simhash_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
+    return simhash_pairs_snapshot(spark, state)
+
+
+# ---------------------------------------------------------------------------
 # dedup_embedding_cosine — embedding near-dup pairs within an IVF-style
 # coarse partition (the `label` column = cluster assignment), cosine ≥
 # threshold. Partition-local pairing keeps the join linear in cluster

@@ -303,3 +303,128 @@ def dedup_pairs_snapshot(
     ``dedup_minhash_lsh`` recomputed from scratch over every document
     ingested up to ``version``."""
     return read_table(spark, DedupStateDirs(state_dir).pairs, version)
+
+
+# --- SimHash incremental maintenance (VERDICT r6 #7) --------------------------
+# The SimHash family's signatures are ROW-LOCAL — a document's simhash
+# is a pure function of its own tokens, with no cross-corpus dependency
+# like the MinHash stop-shingle DF cap above. That makes the maintainer
+# strictly simpler: signatures never change once computed (no re-sign
+# path), the pair set only ever GROWS on an append-only corpus, and a
+# batch costs O(|delta| + |delta x band-collisions|):
+#
+#   * delta signatures: simhash_frame over the batch (one codegen
+#     stage, no shuffle);
+#   * candidates: the tiny delta broadcast against the persisted
+#     signature table on the SAME two 16-bit band keys as the batch
+#     query (band 1 requires the band-0 halves to differ — the
+#     first-match-band discipline, so the incremental set is set-equal
+#     to the from-scratch output with no wide distinct);
+#   * verification is free: the signature IS the state, hamming =
+#     bit_count(xor) on the joined row.
+#
+# State under ``state_dir``: ``sim/v=<k>`` (doc_id, simhash) and
+# ``sim_pairs/v=<k>`` (doc_a, doc_b, hamming), same v=batch_id
+# anchoring contract as every maintainer in this package.
+
+_SIM_SCHEMA = "doc_id long, simhash long"
+_SIM_PAIRS_SCHEMA = "doc_a long, doc_b long, hamming long"
+
+
+def bootstrap_simhash_state(spark: SparkSession, state_dir: str) -> None:
+    """v=0 snapshots (empty corpus; an existing corpus is just a big
+    first batch)."""
+    _empty(spark, _SIM_SCHEMA).write.mode("overwrite").parquet(
+        f"{state_dir}/sim/v=0"
+    )
+    _empty(spark, _SIM_PAIRS_SCHEMA).write.mode("overwrite").parquet(
+        f"{state_dir}/sim_pairs/v=0"
+    )
+
+
+def apply_simhash_batch(
+    batch_docs: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """Fold one batch of NEW documents into the maintained SimHash pair
+    view: read v=batch_id, write v=batch_id+1. Plan shape (guarded in
+    tests/test_plans.py): the persisted signature table is scanned and
+    broadcast-joined against the delta — never shuffled."""
+    from codex_data_products_spark.queries.dedup import (
+        SIMHASH_MAX_HAMMING,
+        simhash_frame,
+    )
+
+    spark = batch_docs.sparkSession
+    sim_state = read_table(spark, f"{state_dir}/sim", version=batch_id)
+    pairs_state = read_table(
+        spark, f"{state_dir}/sim_pairs", version=batch_id
+    )
+
+    delta = simhash_frame(batch_docs).persist()
+    new_sim = sim_state.unionByName(delta)
+
+    # candidates touch at least one delta doc (r = delta side), so they
+    # are disjoint from pairs_state by construction; within-delta pairs
+    # surface from both directions -> normalize + distinct over the
+    # delta-proportional candidate set only.
+    r, s = delta.alias("r"), new_sim.alias("s")
+    hi = lambda side: F.shiftrightunsigned(F.col(f"{side}.simhash"), 16)  # noqa: E731
+    lo = lambda side: F.col(f"{side}.simhash") % 65536  # noqa: E731
+    ne = F.col("r.doc_id") != F.col("s.doc_id")
+    ham = F.bit_count(
+        F.col("r.simhash").bitwiseXOR(F.col("s.simhash"))
+    ).cast("long")
+    sel = [
+        F.least(F.col("r.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+        F.greatest(F.col("r.doc_id"), F.col("s.doc_id")).alias("doc_b"),
+        ham.alias("hamming"),
+    ]
+    band0 = s.join(F.broadcast(r), (hi("r") == hi("s")) & ne).select(*sel)
+    band1 = s.join(
+        F.broadcast(r),
+        (lo("r") == lo("s")) & (hi("r") != hi("s")) & ne,
+    ).select(*sel)
+    fresh = (
+        band0.unionByName(band1)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+    new_pairs = pairs_state.unionByName(fresh)
+    v = batch_id + 1
+    new_sim.write.mode("overwrite").parquet(f"{state_dir}/sim/v={v}")
+    new_pairs.write.mode("overwrite").parquet(
+        f"{state_dir}/sim_pairs/v={v}"
+    )
+    delta.unpersist()
+
+
+def run_simhash_maintenance(
+    docs: DataFrame, state_dir: str, checkpoint_dir: str
+) -> None:
+    """availableNow foreachBatch drain onto the maintained SimHash pair
+    view — same replay contract as run_dedup_maintenance: batch k reads
+    v=k, overwrites v=k+1, so a crash between state write and
+    checkpoint commit re-derives identical snapshots."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        apply_simhash_batch(batch, state_dir, batch_id)
+
+    (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def simhash_pairs_snapshot(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
+    """The maintained view: (doc_a, doc_b, hamming) — equal to
+    ``dedup_simhash`` recomputed from scratch over every document
+    ingested up to ``version`` (modulo the batch query's asymmetric
+    doc_a < doc_b orientation, which the maintainer preserves via
+    least/greatest normalization)."""
+    return read_table(spark, f"{state_dir}/sim_pairs", version)

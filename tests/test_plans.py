@@ -993,6 +993,48 @@ def test_dedup_incremental_persisted_bands_never_shuffle(
     assert cand.count() >= 0  # the plan actually executes
 
 
+def test_simhash_incremental_persisted_signatures_never_shuffle(
+    spark, sf_dir, tmp_path
+):
+    """SimHash maintenance (streaming/dedup_ivm.apply_simhash_batch):
+    same no-shuffle contract as the MinHash maintainer — the delta
+    signatures broadcast against the persisted signature table, whose
+    scan branch carries no Exchange, so the O(|corpus|) side never
+    moves at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.dedup import simhash_frame
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    persisted_dir = str(tmp_path / "sim")
+    simhash_frame(docs.filter(F.col("doc_id") % 3 > 0)).write.parquet(
+        persisted_dir
+    )
+    delta_dir = str(tmp_path / "sim_delta")
+    simhash_frame(docs.filter(F.col("doc_id") % 3 == 0)).write.parquet(
+        delta_dir
+    )
+    persisted = spark.read.parquet(persisted_dir)
+    delta = spark.read.parquet(delta_dir)
+    r, s = delta.alias("r"), persisted.alias("s")
+    cand = s.join(
+        F.broadcast(r),
+        (
+            F.shiftrightunsigned(F.col("r.simhash"), 16)
+            == F.shiftrightunsigned(F.col("s.simhash"), 16)
+        )
+        & (F.col("r.doc_id") != F.col("s.doc_id")),
+    ).select(
+        F.least(F.col("r.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+        F.greatest(F.col("r.doc_id"), F.col("s.doc_id")).alias("doc_b"),
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert cand.count() >= 0
+
+
 def test_ivf_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     """SCALE.md's IVF claim, promoted from asserted to plan-guarded:
     the corpus written partitionBy(cell) + a probe filter on the cell
