@@ -171,21 +171,53 @@ def main() -> None:
         for name in HEADLINE
     }
     median_total = round(sum(median_queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": median_total,
-                "unit": "sec",
-                "queries": median_queries,
-                "sf": sf,
-                "runs": run_totals,
-                "median_run_sec": round(statistics.median(run_totals), 3),
-                "steal_pct": steal_pct,
-                "load_avg_start": load_start,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": median_total,
+        "unit": "sec",
+        "queries": median_queries,
+        "sf": sf,
+        "runs": run_totals,
+        "median_run_sec": round(statistics.median(run_totals), 3),
+        "steal_pct": steal_pct,
+        "load_avg_start": load_start,
+    }
+
+    # Second suite at sf0.5 (VERDICT r6 #6): the ~0.3-0.7 s per-query
+    # constant dominates sf0.1 timings, hiding plan-level differences —
+    # the 5x SF makes them visible. Same queries, same N-run median
+    # protocol, reported under "sf0.5" in the SAME JSON line. Skipped
+    # (with a marker) when the stress directory hasn't been generated.
+    sf05_dir = os.environ.get("SPARK_GRAFT_SF05_DIR", ".stressdata/sf0.5")
+    if os.path.isdir(sf05_dir) and sf_dir.rstrip("/") != sf05_dir.rstrip("/"):
+        per_run05: list[dict[str, float]] = []
+        for run in range(n_runs):
+            timings = {}
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, sf05_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 3)
+                spark.catalog.clearCache()
+            total = round(sum(timings.values()), 3)
+            print(f"  sf0.5 run {run + 1}/{n_runs}: {total:.1f}s", file=sys.stderr)
+            per_run05.append(timings)
+        totals05 = [round(sum(t.values()), 3) for t in per_run05]
+        med05 = {
+            name: round(statistics.median(t[name] for t in per_run05), 3)
+            for name in HEADLINE
+        }
+        result["sf0.5"] = {
+            "queries": med05,
+            "value": round(sum(med05.values()), 3),
+            "runs": totals05,
+            "median_run_sec": round(statistics.median(totals05), 3),
+        }
+    else:
+        result["sf0.5"] = "skipped: generate with tools/gen_stress.py --sf 0.5"
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
