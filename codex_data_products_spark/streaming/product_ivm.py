@@ -189,6 +189,23 @@ def apply_product_delta(
 
     root = _state_root(out_dir)
     ds_channels = read_table(spark, f"{root}/ds_channels", version=batch_id)
+    # In-place REPLACE is rejected: dynamic partition overwrite only
+    # touches partitions present in the new block, so a re-added
+    # dataset whose new build lacks rows for some table (e.g. no edges)
+    # would silently keep the stale partition. Replace = remove in one
+    # batch, add in the next — each step crash-safe on its own.
+    # (Replaying this batch is fine: the check reads state v=batch_id,
+    # which still excludes the datasets this batch adds.)
+    existing = {
+        r["dataset"]
+        for r in ds_channels.select("dataset").distinct().collect()
+    }
+    re_added = sorted(set(added) & existing)
+    if re_added:
+        raise ValueError(
+            f"datasets already in the product: {re_added}; remove them "
+            "in a prior batch before re-adding"
+        )
     ds_stats = read_table(spark, f"{root}/ds_stats", version=batch_id)
     ds_varm_raw = read_table(spark, f"{root}/ds_varm_raw", version=batch_id)
     with open(f"{out_dir}/uns.json") as f:

@@ -272,3 +272,20 @@ def test_write_product_crash_atomicity(spark, bundle, tmp_path):
     write_product(product, out)
     assert read_commit_marker(out)["dataset_uuids"] == [DS[0]]
     assert read_product_table(spark, out, "x_long").count() > 0
+
+
+def test_in_place_replace_is_rejected(spark, bundle, tmp_path):
+    """Dynamic partition overwrite only touches partitions present in
+    the new block, so re-adding a live dataset could silently keep a
+    stale partition (e.g. old edges) — the maintainer rejects it and
+    requires remove-then-add across batches."""
+    out = str(tmp_path / "product")
+    data = os.path.join(bundle, "data")
+    cat = os.path.join(bundle, "uuids.tsv")
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
+    with pytest.raises(ValueError, match="already in the product"):
+        apply_product_delta(spark, out, data, cat, 0, add=[DS[1]])
+    # remove then add in separate batches works
+    apply_product_delta(spark, out, data, cat, 0, remove=[DS[1]])
+    apply_product_delta(spark, out, data, cat, 1, add=[DS[1]])
+    _assert_equals_from_scratch(spark, bundle, out, DS[:2], tmp_path, "readd")
