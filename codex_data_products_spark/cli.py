@@ -44,6 +44,48 @@ def _cmd_product(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_product_bootstrap(args: argparse.Namespace) -> int:
+    from codex_data_products_spark.plans.codex_pipeline import build_product
+    from codex_data_products_spark.streaming.product_ivm import (
+        bootstrap_product_maintenance,
+    )
+
+    spark = get_spark(app_name="codex-product-bootstrap")
+    product = build_product(
+        spark,
+        args.data_dir,
+        args.uuids_tsv,
+        tissue=args.tissue,
+        product_uuid=args.product_uuid,
+        creation_time=args.creation_time,
+    )
+    manifest = bootstrap_product_maintenance(product, args.out)
+    json.dump(manifest, sys.stdout, indent=2)
+    print()
+    return 0
+
+
+def _cmd_product_delta(args: argparse.Namespace) -> int:
+    from codex_data_products_spark.streaming.product_ivm import (
+        apply_product_delta,
+    )
+
+    spark = get_spark(app_name="codex-product-delta")
+    manifest = apply_product_delta(
+        spark,
+        args.out,
+        args.data_dir,
+        args.uuids_tsv,
+        args.batch_id,
+        add=args.add or (),
+        remove=args.remove or (),
+        tissue=args.tissue,
+    )
+    json.dump(manifest, sys.stdout, indent=2)
+    print()
+    return 0
+
+
 def _cmd_catalog(args: argparse.Namespace) -> int:
     from codex_data_products_spark.plans.catalog import (
         build_catalog,
@@ -173,6 +215,32 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--product-uuid", default=None)
     pp.add_argument("--creation-time", default=None)
     pp.set_defaults(fn=_cmd_product)
+
+    pb = sub.add_parser(
+        "product-bootstrap",
+        help="build + write the product AND the v=0 maintenance state",
+    )
+    pb.add_argument("--data-dir", required=True)
+    pb.add_argument("--uuids-tsv", required=True)
+    pb.add_argument("--tissue", default=None)
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--product-uuid", default=None)
+    pb.add_argument("--creation-time", default=None)
+    pb.set_defaults(fn=_cmd_product_bootstrap)
+
+    pd = sub.add_parser(
+        "product-delta",
+        help="apply one O(delta) release batch (add/remove datasets) to a "
+        "maintained product",
+    )
+    pd.add_argument("--out", required=True, help="maintained product dir")
+    pd.add_argument("--data-dir", required=True)
+    pd.add_argument("--uuids-tsv", required=True)
+    pd.add_argument("--batch-id", type=int, required=True)
+    pd.add_argument("--add", nargs="*", default=[])
+    pd.add_argument("--remove", nargs="*", default=[])
+    pd.add_argument("--tissue", default=None)
+    pd.set_defaults(fn=_cmd_product_delta)
 
     pc = sub.add_parser("catalog", help="build the uuids catalog TSV")
     pc.add_argument("--hits-json", required=True, help="recorded search hits (JSON list)")
