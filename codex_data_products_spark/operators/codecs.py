@@ -853,7 +853,7 @@ def _magnitude(v: int) -> tuple[int, int]:
     v - 1 in ones-complement of the category width."""
     if v == 0:
         return 0, 0
-    size = max(abs(v)).bit_length() if False else abs(v).bit_length()
+    size = abs(v).bit_length()
     return size, v if v > 0 else v + (1 << size) - 1
 
 
