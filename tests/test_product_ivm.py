@@ -289,3 +289,18 @@ def test_in_place_replace_is_rejected(spark, bundle, tmp_path):
     apply_product_delta(spark, out, data, cat, 0, remove=[DS[1]])
     apply_product_delta(spark, out, data, cat, 1, add=[DS[1]])
     _assert_equals_from_scratch(spark, bundle, out, DS[:2], tmp_path, "readd")
+
+
+def test_committed_read_gates_via_partition_pruning(spark, bundle, tmp_path):
+    """read_product_table's marker gating must compile to
+    PartitionFilters on the dataset-partitioned tables — uncommitted
+    partitions are eliminated at planning time, not row-filtered."""
+    out = str(tmp_path / "product")
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
+    df = read_product_table(spark, out, "x_long")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [dataset" in plan or (
+        "PartitionFilters: [" in plan and "dataset" in plan.split(
+            "PartitionFilters: ["
+        )[1].split("]")[0]
+    )
