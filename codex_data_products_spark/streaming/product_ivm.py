@@ -311,6 +311,72 @@ def apply_product_delta(
     return manifest
 
 
+def apply_metadata_refresh(
+    spark: SparkSession,
+    out_dir: str,
+    data_dir: str,
+    uuids_tsv: str,
+    batch_id: int,
+    datasets: Iterable[str],
+    *,
+    decoder=None,
+) -> dict:
+    """The second delta class: an ancestor's antibodies.tsv was
+    corrected (metadata fix, no expression data changed). Only the varm
+    relation of the affected datasets changes — so the batch rebuilds
+    JUST their ds_varm_raw state rows and rewrites the channel-grain
+    varm_long table. Cost is METADATA-grain: the block build's varm
+    plan reads only the CSV headers and the antibodies TSV; the HDF5
+    expression scan is never executed (nothing materializes obs or
+    x_long — pinned by test_metadata_refresh_never_decodes_hdf5), and
+    no dataset partition is touched. Returns the (re-committed, content-
+    identical) manifest."""
+    from codex_data_products_spark.sources.hdf5 import h5py_decoder
+
+    targets = list(dict.fromkeys(datasets))
+    root = _state_root(out_dir)
+    ds_channels = read_table(spark, f"{root}/ds_channels", version=batch_id)
+    ds_stats = read_table(spark, f"{root}/ds_stats", version=batch_id)
+    ds_varm_raw = read_table(spark, f"{root}/ds_varm_raw", version=batch_id)
+    with open(f"{out_dir}/uns.json") as f:
+        uns = json.load(f)
+    known = set(uns["dataset_uuids"])
+    missing = [d for d in targets if d not in known]
+    if missing:
+        raise ValueError(f"not in the committed product: {missing}")
+
+    block = build_product(
+        spark,
+        data_dir,
+        uuids_tsv,
+        tissue=uns.get("tissue"),
+        decoder=decoder or h5py_decoder,
+        product_uuid=uns["uuid"],
+        creation_time=uns["creation_data_time"],
+        only_datasets=targets,
+    )
+    new_varm_raw = ds_varm_raw.filter(
+        ~F.col("dataset").isin(targets)
+    ).unionByName(block.varm_raw)
+
+    v = batch_id + 1
+    ds_channels.write.mode("overwrite").parquet(f"{root}/ds_channels/v={v}")
+    ds_stats.write.mode("overwrite").parquet(f"{root}/ds_stats/v={v}")
+    new_varm_raw.write.mode("overwrite").parquet(f"{root}/ds_varm_raw/v={v}")
+    new_varm_raw = spark.read.parquet(f"{root}/ds_varm_raw/v={v}")
+
+    var = spark.read.parquet(f"{out_dir}/var")
+    new_varm = new_varm_raw.join(F.broadcast(var), "channel", "left_semi")
+    new_varm.write.mode("overwrite").parquet(f"{out_dir}/varm_long")
+
+    with open(f"{out_dir}/{uns['uuid']}.json") as f:
+        manifest = json.load(f)
+    write_commit_marker(
+        out_dir, uns["uuid"], v, list(PRODUCT_TABLES), uns["dataset_uuids"]
+    )
+    return manifest
+
+
 def run_product_maintenance(
     changes: DataFrame,
     out_dir: str,

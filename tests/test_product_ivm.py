@@ -304,3 +304,68 @@ def test_committed_read_gates_via_partition_pruning(spark, bundle, tmp_path):
             "PartitionFilters: ["
         )[1].split("]")[0]
     )
+
+
+def test_metadata_refresh_never_decodes_hdf5(spark, bundle, tmp_path):
+    """Correcting an ancestor's antibodies.tsv refreshes varm through
+    the maintainer WITHOUT executing the HDF5 expression scan (a
+    raising decoder proves nothing materializes obs/x_long) and WITHOUT
+    touching any dataset partition; the result equals a from-scratch
+    build over the corrected bundle."""
+    import shutil
+
+    from codex_data_products_spark.streaming.product_ivm import (
+        apply_metadata_refresh,
+    )
+
+    b2 = str(tmp_path / "bundle2")
+    shutil.copytree(bundle, b2)
+    out = str(tmp_path / "product")
+    data = os.path.join(b2, "data")
+    cat = os.path.join(b2, "uuids.tsv")
+    bootstrap_product_maintenance(
+        build_product(
+            spark, data, cat, tissue="Spleen",
+            product_uuid="ivm-product", creation_time="2026-08-15 00:00:00",
+            only_datasets=DS[:2],
+        ),
+        out,
+    )
+
+    # corrupt-the-world decoder: any HDF5 decode call fails the test
+    def no_decode(payload, path):
+        raise AssertionError("metadata refresh must not decode HDF5")
+
+    # correct the ancestor TSV that DS[0] points at (uniprot fix)
+    anc = codex_stress._ancestor_uuid(0)
+    tsv = os.path.join(data, anc, "foo-antibodies.tsv")
+    with open(tsv) as f:
+        content = f.read()
+    with open(tsv, "w") as f:
+        f.write(content.replace("P12830", "P99999"))
+
+    before = {
+        t: _part_files(out, t, DS[0]) for t in ("x_long", "obs", "edges")
+    }
+    apply_metadata_refresh(
+        spark, out, data, cat, 0, [DS[0]], decoder=no_decode
+    )
+    after = {
+        t: _part_files(out, t, DS[0]) for t in ("x_long", "obs", "edges")
+    }
+    assert before == after  # no partition rewritten
+
+    fresh = str(tmp_path / "fresh")
+    write_product(
+        build_product(
+            spark, data, cat, tissue="Spleen",
+            product_uuid="ivm-product", creation_time="2026-08-15 00:00:00",
+            only_datasets=DS[:2],
+        ),
+        fresh,
+    )
+    got = _table_rows(spark, out, "varm_long")
+    want = _table_rows(spark, fresh, "varm_long")
+    assert got == want
+    assert any("P99999" in str(r) for r in got)  # the fix landed
+    assert read_commit_marker(out)["version"] == 1
