@@ -93,3 +93,36 @@ def sql_dsum(expr: str, scale: int = 2) -> str:
 
 def sql_davg(expr: str, scale: int = 6) -> str:
     return f"round(CAST(sum({expr}) AS DOUBLE) / count(*), {scale})"
+
+
+def dratio(numer: Column, denom: Column, scale: int = 6) -> Column:
+    """Exact half-up rounding of a NON-NEGATIVE integer ratio → double.
+
+    ``round(numer/denom, s)`` on the DOUBLE quotient ties at real
+    boundaries whenever the reduced denominator's decimal expansion
+    terminates exactly at scale s+1 (e.g. 14616/230400 = 0.0634375) —
+    and the engines break the tie differently: Spark ROUND rounds the
+    shortest decimal repr HALF_UP, DuckDB rounds the scaled binary
+    value (caught live by the sf1.0 fingerprint sweep on
+    supplier_concentration). This computes the rounding in exact
+    integer arithmetic instead: half_up(a/b, s) = (2·a·10^s + b) div
+    (2·b), then one exact int→double division — bit-identical on both
+    engines. Magnitude contract: 2·numer·10^s + denom < 2^53 (the long
+    values pass through an exact double division), i.e. numer below
+    ~4.5e(15-s).
+    """
+    p = 10 ** scale
+    a = numer.cast("long") * F.lit(2 * p) + denom.cast("long")
+    b = denom.cast("long") * F.lit(2)
+    q = (a - a % b) / b  # exact: a - a%b = q·b with q·b < 2^53
+    return (q / F.lit(float(p))).cast("double")
+
+
+def sql_dratio(numer: str, denom: str, scale: int = 6) -> str:
+    """DuckDB twin of ``dratio`` (integral // then one exact division)."""
+    p = 10 ** scale
+    return (
+        f"CAST((2 * CAST(({numer}) AS BIGINT) * {p} "
+        f"+ CAST(({denom}) AS BIGINT)) "
+        f"// (2 * CAST(({denom}) AS BIGINT)) AS DOUBLE) / {p}.0"
+    )

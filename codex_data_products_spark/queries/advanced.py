@@ -799,6 +799,15 @@ def join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join; the supply-chain-risk sweep a procurement pipeline runs.
 # ---------------------------------------------------------------------------
 
+# Rounding the quotient DOUBLE ties at real boundaries: HHI is a ratio
+# of small exact integers, so 6-decimal midpoints (e.g. 14616/230400 =
+# 0.0634375 exactly) genuinely occur — Spark's ROUND rounds the
+# shortest decimal repr HALF_UP (-> ...438) while DuckDB rounds the
+# scaled binary value (-> ...437). Caught by the sf1.0 fingerprint
+# sweep. The fix rounds in EXACT integer arithmetic on both engines:
+# half_up(a/b, 6) = (2*a*10^6 + b) intdiv (2*b), then one exact
+# int->double division — bit-identical everywhere. Magnitudes: 2*a*10^6
+# <= 2e18 while per-part quantities stay under ~1e6, inside int64.
 _HHI_SQL = """
 WITH q AS (
   SELECT l_partkey, l_suppkey,
@@ -813,8 +822,8 @@ tot AS (
   FROM q GROUP BY l_partkey
 )
 SELECT l_partkey, n_suppliers, total_qty,
-       round(CAST(sum_sq AS DOUBLE)
-             / (CAST(total_qty AS DOUBLE) * CAST(total_qty AS DOUBLE)), 6)
+       CAST((2 * sum_sq * 1000000 + total_qty * total_qty)
+            // (2 * total_qty * total_qty) AS DOUBLE) / 1000000.0
          AS hhi
 FROM tot
 WHERE n_suppliers >= 2
@@ -835,12 +844,20 @@ def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").cast("long").alias("total_qty"),
         F.sum(F.col("qty") * F.col("qty")).cast("long").alias("sum_sq"),
     )
-    t = F.col("total_qty").cast("double")
+    # exact integer half-up at scale 6 (see the oracle SQL note): the
+    # double round ties on real midpoints because HHI is a small-integer
+    # ratio, and the two engines break the tie differently
     return tot.filter(F.col("n_suppliers") >= 2).select(
         "l_partkey",
         "n_suppliers",
         "total_qty",
-        F.round(F.col("sum_sq").cast("double") / (t * t), 6).alias("hhi"),
+        (
+            F.expr(
+                "(2 * sum_sq * 1000000 + total_qty * total_qty)"
+                " div (2 * total_qty * total_qty)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("hhi"),
     )
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from codex_data_products_spark.functions.compat import dratio
 from codex_data_products_spark.registry import register
 from codex_data_products_spark.tables import table as T
 
@@ -2020,8 +2021,8 @@ wide AS (
   FROM arms
 )
 SELECT n_a, c_a, n_b, c_b,
-       round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
-       round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+       CAST((2 * CAST((c_a) AS BIGINT) * 1000000 + CAST((n_a) AS BIGINT)) // (2 * CAST((n_a) AS BIGINT)) AS DOUBLE) / 1000000.0 AS rate_a,
+       CAST((2 * CAST((c_b) AS BIGINT) * 1000000 + CAST((n_b) AS BIGINT)) // (2 * CAST((n_b) AS BIGINT)) AS DOUBLE) / 1000000.0 AS rate_b,
        round(
          (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
          / NULLIF(sqrt(
@@ -2073,8 +2074,10 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_a",
         "n_b",
         "c_b",
-        F.round(c_a.cast("double") / n_a, 6).alias("rate_a"),
-        F.round(c_b.cast("double") / n_b, 6).alias("rate_b"),
+        # integer-ratio rounds go through the exact half-up helper:
+        # the double round ties on terminating expansions (compat.dratio)
+        dratio(c_a, n_a, 6).alias("rate_a"),
+        dratio(c_b, n_b, 6).alias("rate_b"),
         F.round(
             (c_a.cast("double") / n_a - c_b.cast("double") / n_b)
             / F.nullif(se, F.lit(0.0)),

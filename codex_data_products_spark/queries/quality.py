@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from codex_data_products_spark.functions.compat import dratio
 from codex_data_products_spark.registry import register
 from codex_data_products_spark.tables import table as T
 
@@ -202,8 +203,8 @@ def _skew_audit_sql(label: str, table: str, key: str) -> str:
          CAST(sum(g) AS BIGINT)                             AS n_keys,
          CAST(sum(cnt * g) AS BIGINT)                       AS n_rows,
          CAST(max(cnt) AS BIGINT)                           AS max_rows,
-         round(CAST(max(cnt) AS DOUBLE) / sum(cnt * g), 6)  AS top_share,
-         round(CAST(max(cnt) AS DOUBLE) * sum(g) / sum(cnt * g), 6)
+         CAST((2 * CAST((max(cnt)) AS BIGINT) * 1000000 + CAST((sum(cnt * g)) AS BIGINT)) // (2 * CAST((sum(cnt * g)) AS BIGINT)) AS DOUBLE) / 1000000.0  AS top_share,
+         CAST((2 * CAST((max(cnt) * sum(g)) AS BIGINT) * 1000000 + CAST((sum(cnt * g)) AS BIGINT)) // (2 * CAST((sum(cnt * g)) AS BIGINT)) AS DOUBLE) / 1000000.0
                                                             AS skew_ratio,
          round((sum(cnt * (2 * g * before + g * (g + 1)))
                 - (sum(g) + 1.0) * sum(cnt * g))
@@ -255,10 +256,10 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.cast("long").alias("n_keys"),
             s.cast("long").alias("n_rows"),
             F.max(cnt).cast("long").alias("max_rows"),
-            F.round(F.max(cnt).cast("double") / s, 6).alias("top_share"),
-            F.round(
-                F.max(cnt).cast("double") * n / s, 6
-            ).alias("skew_ratio"),
+            # integer ratios -> exact half-up (compat.dratio): the
+            # double round ties on terminating expansions
+            dratio(F.max(cnt), s, 6).alias("top_share"),
+            dratio(F.max(cnt) * n, s, 6).alias("skew_ratio"),
             F.round(
                 (s1x2 - (n + F.lit(1.0)) * s) / (n.cast("double") * s),
                 6,
@@ -299,9 +300,9 @@ tot AS (
 SELECT priority,
        CAST(n_early AS BIGINT) AS n_early,
        CAST(n_late AS BIGINT)  AS n_late,
-       round(CAST(n_early AS DOUBLE) / NULLIF(tot_early, 0), 6)
+       CAST((2 * CAST((n_early) AS BIGINT) * 1000000 + CAST((NULLIF(tot_early, 0)) AS BIGINT)) // (2 * CAST((NULLIF(tot_early, 0)) AS BIGINT)) AS DOUBLE) / 1000000.0
          AS share_early,
-       round(CAST(n_late AS DOUBLE) / NULLIF(tot_late, 0), 6)
+       CAST((2 * CAST((n_late) AS BIGINT) * 1000000 + CAST((NULLIF(tot_late, 0)) AS BIGINT)) // (2 * CAST((NULLIF(tot_late, 0)) AS BIGINT)) AS DOUBLE) / 1000000.0
          AS share_late,
        round(
          pow(n_early - CAST((n_early + n_late) * tot_early AS DOUBLE)
@@ -353,8 +354,8 @@ def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         n_e.cast("long").alias("n_early"),
         n_l.cast("long").alias("n_late"),
-        F.round(n_e.cast("double") / nz(t_e), 6).alias("share_early"),
-        F.round(n_l.cast("double") / nz(t_l), 6).alias("share_late"),
+        dratio(n_e, nz(t_e), 6).alias("share_early"),
+        dratio(n_l, nz(t_l), 6).alias("share_late"),
         F.round(
             F.pow(n_e - e_early, 2) / nz(e_early)
             + F.pow(n_l - e_late, 2) / nz(e_late),
@@ -606,7 +607,7 @@ t AS (
 SELECT CAST(digit AS BIGINT)                                AS digit,
        CAST(n_obs AS BIGINT)                                AS n_obs,
        round(log10(1 + 1.0 / CAST(digit AS BIGINT)), 6)     AS benford_share,
-       round(CAST(n_obs AS DOUBLE) / n_total, 6)            AS observed_share,
+       CAST((2 * CAST((n_obs) AS BIGINT) * 1000000 + CAST((n_total) AS BIGINT)) // (2 * CAST((n_total) AS BIGINT)) AS DOUBLE) / 1000000.0            AS observed_share,
        round(pow(n_obs - n_total * log10(1 + 1.0 / CAST(digit AS BIGINT)), 2)
              / (n_total * log10(1 + 1.0 / CAST(digit AS BIGINT))), 6)
                                                             AS chi2_contrib
@@ -638,7 +639,7 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         dig.alias("digit"),
         F.col("n_obs").cast("long").alias("n_obs"),
         F.round(share, 6).alias("benford_share"),
-        F.round(F.col("n_obs").cast("double") / F.col("n_total"), 6).alias(
+        dratio(F.col("n_obs"), F.col("n_total"), 6).alias(
             "observed_share"
         ),
         F.round(F.pow(F.col("n_obs") - exp_n, 2) / exp_n, 6).alias(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codex_data_products_spark.functions.compat import (
+    dratio,
     davg,
     dsum,
     money,
@@ -306,8 +307,8 @@ _JSON_SQL = """
 SELECT
   event_type,
   count(*) AS n_events,
-  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-        / count(*), 6)                                                AS avg_k,
+  CAST((2 * CAST((sum(CAST(json_extract_string(props, '$.k') AS BIGINT))) AS BIGINT) * 1000000 + CAST((count(*)) AS BIGINT)) // (2 * CAST((count(*)) AS BIGINT)) AS DOUBLE) / 1000000.0
+                                                                      AS avg_k,
   max(CAST(json_extract_string(props, '$.k') AS BIGINT))              AS max_k
 FROM events
 GROUP BY event_type
@@ -320,7 +321,7 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("long")
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+        dratio(F.sum(k), F.count(F.lit(1)), 6).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
 
