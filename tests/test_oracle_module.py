@@ -151,3 +151,39 @@ def test_fingerprint_compare_agrees_with_exact(spark, sf_dir):
     salted = f"SELECT * FROM ({registry.ORACLES['agg_collect_sorted']}) LIMIT 1"
     problems = fingerprint_compare(sdf, salted, sf_dir)
     assert problems and "differ" in problems[0]
+
+
+def test_dratio_half_up_ties_cross_engine(spark):
+    """compat.dratio must break 6-decimal midpoints HALF_UP identically
+    on both engines — including the live sf1.0 catch (14616/230400 =
+    0.0634375, which Spark ROUND and DuckDB round() disagree on) — and
+    propagate NULL denominators."""
+    import duckdb
+
+    from codex_data_products_spark.functions.compat import dratio, sql_dratio
+    from pyspark.sql import functions as F
+
+    rows = [
+        (14616, 230400),  # the sf1.0 divergence: tie -> 0.063438
+        (203, 3200),      # same value, reduced
+        (1, 3), (7, 10), (0, 5), (999999, 1000000), (1, 2),
+        (5, 10000000),    # 0.0000005: tie at scale 6 -> 0.000001
+        (1, None),        # null denominator -> null
+    ]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = [
+        r[0] for r in df.select(dratio(F.col("a"), F.col("b"), 6)).collect()
+    ]
+    con = duckdb.connect()
+    vals = ",".join(
+        f"({a},{'NULL' if b is None else b})" for a, b in rows
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_dratio('a', 'b', 6)} FROM (VALUES {vals}) t(a,b)"
+        ).fetchall()
+    ]
+    assert got == want
+    assert got[0] == 0.063438 and got[1] == 0.063438  # HALF_UP at the tie
+    assert got[7] == 1e-06 and got[8] is None
