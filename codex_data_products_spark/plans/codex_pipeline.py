@@ -333,6 +333,17 @@ def build_product(
     )
 
 
+def write_json_atomic(path: str, obj) -> None:
+    """Temp-write + atomic rename: a crash mid-write can never leave a
+    torn JSON behind — uns.json is READ by every maintenance batch
+    (streaming/product_ivm.py), so a corrupt file would make batch
+    replay unrecoverable, which the plain open/write allowed."""
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+    os.replace(tmp, path)
+
+
 PRODUCT_TABLES = ("x_long", "obs", "var", "varm_long", "edges")
 COMMIT_MARKER = "_PRODUCT_COMMIT.json"
 
@@ -430,8 +441,7 @@ def write_product(
             f"{out_dir}/edges"
         )
     _checkpoint("tables")
-    with open(f"{out_dir}/uns.json", "w") as f:
-        json.dump(product.uns, f, indent=2)
+    write_json_atomic(f"{out_dir}/uns.json", product.uns)
     _checkpoint("uns")
 
     # K2 manifest (create_json, bin/concatenate.py:154-177): counts are
@@ -452,8 +462,7 @@ def write_product(
         "Total Cell Count": total_cells,
         "Raw File Size": size,
     }
-    with open(f"{out_dir}/{product.uns['uuid']}.json", "w") as f:
-        json.dump(manifest, f, indent=2)
+    write_json_atomic(f"{out_dir}/{product.uns['uuid']}.json", manifest)
     _checkpoint("manifest")
     write_commit_marker(
         out_dir,

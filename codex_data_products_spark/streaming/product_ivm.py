@@ -81,6 +81,7 @@ from codex_data_products_spark.plans.codex_pipeline import (
     build_product,
     read_catalog,
     write_commit_marker,
+    write_json_atomic,
     write_product,
 )
 from codex_data_products_spark.streaming.merge import read_table
@@ -275,8 +276,7 @@ def apply_product_delta(
     surviving += [u for u in stats_rows if u not in set(catalog_order)]
     uns["dataset_uuids"] = surviving
     uns["datasets"] = [stats_rows[u]["hubmap_id"] for u in surviving]
-    with open(f"{out_dir}/uns.json", "w") as f:
-        json.dump(uns, f, indent=2)
+    write_json_atomic(f"{out_dir}/uns.json", uns)
 
     total_cells = sum(int(stats_rows[u]["n_cells"]) for u in surviving)
     size = sum(
@@ -294,8 +294,7 @@ def apply_product_delta(
         "Total Cell Count": total_cells,
         "Raw File Size": size,
     }
-    with open(f"{out_dir}/{uns['uuid']}.json", "w") as f:
-        json.dump(manifest, f, indent=2)
+    write_json_atomic(f"{out_dir}/{uns['uuid']}.json", manifest)
 
     # -- 5. COMMIT POINT (atomic rename), then post-commit GC of the
     #       removed datasets' now-unreferenced partition files.
