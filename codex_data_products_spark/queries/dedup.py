@@ -1111,6 +1111,36 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup_simhash_wide_incremental — the maintained-view twin of the WIDE
+# banding (the production setting): same maintainer, banding='4x8'.
+# Shares dedup_simhash_wide's oracle SQL, so the driver hash certifies
+# incremental == from-scratch for the setting users actually run.
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_simhash_wide_incremental", sql=_SIMHASH_WIDE_SQL)
+def dedup_simhash_wide_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_simhash_batch,
+        bootstrap_simhash_state,
+        simhash_pairs_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="simhash_wide_ivm_")
+    bootstrap_simhash_state(spark, state)
+    for k in range(3):
+        apply_simhash_batch(
+            docs.filter(F.col("doc_id") % 3 == k), state, k, banding="4x8"
+        )
+    return simhash_pairs_snapshot(spark, state)
+
+
+# ---------------------------------------------------------------------------
 # dedup_simhash_wide_summary — the PRODUCTION-grain terminal for the
 # wide banding (VERDICT r6 "what's wrong" #1): the raw pair list is
 # quadratic in duplicate-class size (250M rows at sf1.0 — computable,

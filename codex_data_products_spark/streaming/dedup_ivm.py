@@ -342,11 +342,28 @@ def bootstrap_simhash_state(spark: SparkSession, state_dir: str) -> None:
     )
 
 
+def _sim_band_keys(side: str, banding: str) -> list:
+    """Band-key columns for one aliased side. '2x16' = dedup_simhash's
+    two 16-bit halves; '4x8' = dedup_simhash_wide's four 8-bit bands
+    (the production setting — pigeonhole recall 1.0 up to Hamming 3)."""
+    col = F.col(f"{side}.simhash")
+    if banding == "2x16":
+        return [F.shiftrightunsigned(col, 16), col % 65536]
+    if banding == "4x8":
+        return [F.shiftrightunsigned(col, 8 * i) % 256 for i in range(4)]
+    raise ValueError(f"unknown banding {banding!r}")
+
+
 def apply_simhash_batch(
-    batch_docs: DataFrame, state_dir: str, batch_id: int
+    batch_docs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    banding: str = "2x16",
 ) -> None:
     """Fold one batch of NEW documents into the maintained SimHash pair
-    view: read v=batch_id, write v=batch_id+1. Plan shape (guarded in
+    view: read v=batch_id, write v=batch_id+1. ``banding`` selects the
+    batch query being maintained: '2x16' (dedup_simhash) or '4x8'
+    (dedup_simhash_wide, the production width). Plan shape (guarded in
     tests/test_plans.py): the persisted signature table is scanned and
     broadcast-joined against the delta — never shuffled."""
     from codex_data_products_spark.queries.dedup import (
@@ -366,10 +383,11 @@ def apply_simhash_batch(
     # candidates touch at least one delta doc (r = delta side), so they
     # are disjoint from pairs_state by construction; within-delta pairs
     # surface from both directions -> normalize + distinct over the
-    # delta-proportional candidate set only.
+    # delta-proportional candidate set only. Band i's join requires all
+    # earlier bands to differ (first-match-band, same discipline as the
+    # batch queries), so the union below has no cross-band duplicates.
     r, s = delta.alias("r"), new_sim.alias("s")
-    hi = lambda side: F.shiftrightunsigned(F.col(f"{side}.simhash"), 16)  # noqa: E731
-    lo = lambda side: F.col(f"{side}.simhash") % 65536  # noqa: E731
+    rk, sk = _sim_band_keys("r", banding), _sim_band_keys("s", banding)
     ne = F.col("r.doc_id") != F.col("s.doc_id")
     ham = F.bit_count(
         F.col("r.simhash").bitwiseXOR(F.col("s.simhash"))
@@ -379,16 +397,14 @@ def apply_simhash_batch(
         F.greatest(F.col("r.doc_id"), F.col("s.doc_id")).alias("doc_b"),
         ham.alias("hamming"),
     ]
-    band0 = s.join(F.broadcast(r), (hi("r") == hi("s")) & ne).select(*sel)
-    band1 = s.join(
-        F.broadcast(r),
-        (lo("r") == lo("s")) & (hi("r") != hi("s")) & ne,
-    ).select(*sel)
-    fresh = (
-        band0.unionByName(band1)
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .distinct()
-    )
+    fresh = None
+    for i in range(len(rk)):
+        cond = (rk[i] == sk[i]) & ne
+        for j in range(i):
+            cond = cond & (rk[j] != sk[j])
+        piece = s.join(F.broadcast(r), cond).select(*sel)
+        fresh = piece if fresh is None else fresh.unionByName(piece)
+    fresh = fresh.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING).distinct()
 
     new_pairs = pairs_state.unionByName(fresh)
     v = batch_id + 1
@@ -400,7 +416,10 @@ def apply_simhash_batch(
 
 
 def run_simhash_maintenance(
-    docs: DataFrame, state_dir: str, checkpoint_dir: str
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    banding: str = "2x16",
 ) -> None:
     """availableNow foreachBatch drain onto the maintained SimHash pair
     view — same replay contract as run_dedup_maintenance: batch k reads
@@ -408,7 +427,7 @@ def run_simhash_maintenance(
     checkpoint commit re-derives identical snapshots."""
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        apply_simhash_batch(batch, state_dir, batch_id)
+        apply_simhash_batch(batch, state_dir, batch_id, banding=banding)
 
     (
         docs.writeStream.foreachBatch(fold)

@@ -1329,3 +1329,37 @@ def test_simhash_ivm_replay_is_idempotent(spark, sf_dir, tmp_path):
     )
     run_simhash_maintenance(stream, state2, str(tmp_path / "sim_ckpt"))
     assert _simhash_ivm(spark, state2) == want
+
+
+def test_simhash_wide_ivm_matches_from_scratch(spark, sf_dir, tmp_path):
+    """The 4x8 wide banding (the production setting) maintained
+    incrementally equals from-scratch dedup_simhash_wide after every
+    batch."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.dedup import dedup_simhash_wide
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_simhash_batch,
+        bootstrap_simhash_state,
+        simhash_pairs_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "sim_wide_state")
+    bootstrap_simhash_state(spark, state)
+    for k in range(2):
+        apply_simhash_batch(
+            docs.filter(F.col("doc_id") % 2 == k), state, k, banding="4x8"
+        )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs_snapshot(spark, state).collect()
+    }
+    d = str(tmp_path / "wide_scratch")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    want = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]),
+         r["hamming"])
+        for r in dedup_simhash_wide(spark, d).collect()
+    }
+    assert got == want
