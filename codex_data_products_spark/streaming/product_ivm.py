@@ -386,8 +386,13 @@ def run_product_maintenance(
 ) -> None:
     """availableNow foreachBatch drain of a release-change stream onto
     the maintained product. ``changes`` rows: (op string in
-    {'add','remove'}, dataset string). The per-batch collect is catalog-
-    grain (releases touch a handful of datasets), bounded by design.
+    {'add','remove','refresh'}, dataset string) — 'refresh' is the
+    metadata-only delta class (``apply_metadata_refresh``). A batch is
+    either a release batch (add/remove) or a metadata batch (refresh),
+    never both: each class bumps the state version once, so mixing them
+    in one batch_id would break the v=k → v=k+1 anchoring. The
+    per-batch collect is catalog-grain (releases touch a handful of
+    datasets), bounded by design.
 
     Standard replay contract: a batch anchored to v=batch_id overwrites
     v=batch_id+1 and its own partitions, so a crash between the commit
@@ -396,14 +401,33 @@ def run_product_maintenance(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         rows = batch.select("op", "dataset").collect()
+        refresh = [r["dataset"] for r in rows if r["op"] == "refresh"]
+        add = [r["dataset"] for r in rows if r["op"] == "add"]
+        remove = [r["dataset"] for r in rows if r["op"] == "remove"]
+        if refresh and (add or remove):
+            raise ValueError(
+                "a change batch must be release-only (add/remove) or "
+                "metadata-only (refresh) — split them across batches"
+            )
+        if refresh:
+            apply_metadata_refresh(
+                batch.sparkSession,
+                out_dir,
+                data_dir,
+                uuids_tsv,
+                batch_id,
+                refresh,
+                decoder=build_kwargs.get("decoder"),
+            )
+            return
         apply_product_delta(
             batch.sparkSession,
             out_dir,
             data_dir,
             uuids_tsv,
             batch_id,
-            add=[r["dataset"] for r in rows if r["op"] == "add"],
-            remove=[r["dataset"] for r in rows if r["op"] == "remove"],
+            add=add,
+            remove=remove,
             **build_kwargs,
         )
 
