@@ -600,18 +600,21 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 _EMB_SQL = f"""
 WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  -- squared norm precomputed ONCE per vector: the pair stage then runs
+  -- one dot-product fold per pair instead of three (3x at sf0.5, where
+  -- this query dominated the bench suite)
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS nsq
+  FROM embeddings
 )
 SELECT
   a.vec_id AS vec_a,
   b.vec_id AS vec_b,
-  round(list_dot_product(a.v, b.v)
-        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
-        6) AS cosine
+  round(list_dot_product(a.v, b.v) / sqrt(a.nsq * b.nsq), 6) AS cosine
 FROM e a
 JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6)
+WHERE round(list_dot_product(a.v, b.v) / sqrt(a.nsq * b.nsq), 6)
       >= {_SYNTHETIC_EMB_THRESHOLD}
 """
 
@@ -623,12 +626,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    # squared norm ONCE per vector (same fold order as the per-pair form,
+    # so the doubles are bit-identical) — the pair stage drops from three
+    # aggregate folds to one, 3x on the sf0.5 bench where this query
+    # dominated the suite
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    emb = emb.withColumn("nsq", dot(F.col("v"), F.col("v")))
     # Broadcast one side: the pair generation then runs partition-parallel
     # on the spread side with no shuffle — and no skew from the tiny
     # label-key space (10 labels would otherwise occupy ≤10 reducers).
     a = spread(emb, "vec_id").alias("a")
     b = F.broadcast(emb).alias("b")
-    cos = F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
+    cos = F.round(
+        dot(F.col("a.v"), F.col("b.v"))
+        / F.sqrt(F.col("a.nsq") * F.col("b.nsq")),
+        6,
+    )
     return (
         a.join(
             b,
