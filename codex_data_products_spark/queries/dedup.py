@@ -585,17 +585,23 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SYNTHETIC_EMB_THRESHOLD = 0.38
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns, sequential fold
-    (deterministic order, matches DuckDB's list_dot_product ordering)."""
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+def dot_expr(x: Column, y: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns
+    (deterministic order, matches DuckDB's list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
-    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns. NOTE: computes
+    both norms inline (three folds per invocation) — pair-scoring hot
+    paths should precompute squared norms per vector and combine with
+    ``dot_expr`` instead (see dedup_embedding_cosine / knn_brute_force,
+    3x at sf0.5)."""
+    return dot_expr(a, b) / F.sqrt(dot_expr(a, a) * dot_expr(b, b))
 
 
 _EMB_SQL = f"""

@@ -34,9 +34,19 @@ _SQL_COS = (
     " / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6)"
 )
 
+# squared norms precomputed once per vector (same fold order as the
+# inline form -> bit-identical doubles); the scoring stage then runs one
+# dot-product fold per pair instead of three
+_SQL_COS_PRE = (
+    "round(list_dot_product(q.v, c.v) / sqrt(q.nsq * c.nsq), 6)"
+)
+
 _BRUTE_SQL = f"""
 WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS nsq
+  FROM embeddings
 ),
 q AS (SELECT * FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
 c AS (SELECT * FROM e),
@@ -44,10 +54,10 @@ scored AS (
   SELECT
     q.vec_id AS query_id,
     c.vec_id AS neighbor_id,
-    {_SQL_COS} AS cosine,
+    {_SQL_COS_PRE} AS cosine,
     row_number() OVER (
       PARTITION BY q.vec_id
-      ORDER BY {_SQL_COS} DESC, c.vec_id
+      ORDER BY {_SQL_COS_PRE} DESC, c.vec_id
     ) AS rn
   FROM q JOIN c ON q.vec_id <> c.vec_id
 )
@@ -58,15 +68,23 @@ FROM scored WHERE rn <= {TOP_K}
 
 @register("knn_brute_force", sql=_BRUTE_SQL)
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.queries.dedup import dot_expr
+
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("nsq", dot_expr(F.col("v"), F.col("v")))
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nsq").alias("qnsq"),
     )
-    cos = F.round(cosine_expr(F.col("qv"), F.col("v")), 6)
+    cos = F.round(
+        dot_expr(F.col("qv"), F.col("v"))
+        / F.sqrt(F.col("qnsq") * F.col("nsq")),
+        6,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
