@@ -1502,20 +1502,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMANTIC_SQL = f"""
 WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS nsq
+  FROM embeddings
 ),
 pairs AS (
   SELECT
     a.vec_id AS va,
     b.vec_id AS vb,
     a.label  AS label,
-    round(list_dot_product(a.v, b.v)
-          / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
-          6) AS c
+    round(list_dot_product(a.v, b.v) / sqrt(a.nsq * b.nsq), 6) AS c
   FROM e a
   JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE round(list_dot_product(a.v, b.v)
-        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6)
+  WHERE round(list_dot_product(a.v, b.v) / sqrt(a.nsq * b.nsq), 6)
         >= {_SYNTHETIC_EMB_THRESHOLD}
 )
 SELECT vb                             AS dropped_vec_id,
@@ -1534,10 +1534,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("nsq", dot_expr(F.col("v"), F.col("v")))
     a = spread(emb, "vec_id").alias("a")
     b = F.broadcast(emb).alias("b")
-    cos = F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
+    cos = F.round(
+        dot_expr(F.col("a.v"), F.col("b.v"))
+        / F.sqrt(F.col("a.nsq") * F.col("b.nsq")),
+        6,
+    )
     pairs = (
         a.join(
             b,

@@ -717,21 +717,21 @@ from codex_data_products_spark.queries.dedup import (  # noqa: E402
 _SEM_CONTAM_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS nsq,
          ((vec_id * 2654435761) % 4294967296) % 100 AS h
   FROM embeddings
 ),
-tr AS (SELECT vec_id, label, v FROM e WHERE h < 90),
-te AS (SELECT vec_id, label, v FROM e WHERE h >= 90),
+tr AS (SELECT vec_id, label, v, nsq FROM e WHERE h < 90),
+te AS (SELECT vec_id, label, v, nsq FROM e WHERE h >= 90),
 pairs AS (
   SELECT te.vec_id AS test_vec_id,
          tr.vec_id AS train_vec_id,
          round(list_dot_product(te.v, tr.v)
-               / sqrt(list_dot_product(te.v, te.v)
-                      * list_dot_product(tr.v, tr.v)), 6) AS c
+               / sqrt(te.nsq * tr.nsq), 6) AS c
   FROM te JOIN tr ON te.label = tr.label
   WHERE round(list_dot_product(te.v, tr.v)
-        / sqrt(list_dot_product(te.v, te.v)
-               * list_dot_product(tr.v, tr.v)), 6)
+        / sqrt(te.nsq * tr.nsq), 6)
         >= {_SEM_THRESHOLD}
 )
 SELECT test_vec_id,
@@ -750,16 +750,22 @@ def split_contamination_semantic(
     from codex_data_products_spark.queries.dedup import cosine_expr
     from codex_data_products_spark.tables import spread
 
+    from codex_data_products_spark.queries.dedup import dot_expr
+
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         ((F.col("vec_id") * F.lit(2654435761)) % F.lit(4294967296) % 100)
         .alias("h"),
-    )
+    ).withColumn("nsq", dot_expr(F.col("v"), F.col("v")))
     tr = spread(emb.filter(F.col("h") < 90), "vec_id").alias("tr")
     te = F.broadcast(emb.filter(F.col("h") >= 90)).alias("te")
-    cos = F.round(cosine_expr(F.col("te.v"), F.col("tr.v")), 6)
+    cos = F.round(
+        dot_expr(F.col("te.v"), F.col("tr.v"))
+        / F.sqrt(F.col("te.nsq") * F.col("tr.nsq")),
+        6,
+    )
     pairs = (
         tr.join(te, F.col("te.label") == F.col("tr.label"))
         .select(
