@@ -636,21 +636,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the doubles are bit-identical) — the pair stage drops from three
     # aggregate folds to one, 3x on the sf0.5 bench where this query
     # dominated the suite
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    emb = emb.withColumn("nsq", dot(F.col("v"), F.col("v")))
+    emb = emb.withColumn("nsq", dot_expr(F.col("v"), F.col("v")))
     # Broadcast one side: the pair generation then runs partition-parallel
     # on the spread side with no shuffle — and no skew from the tiny
     # label-key space (10 labels would otherwise occupy ≤10 reducers).
     a = spread(emb, "vec_id").alias("a")
     b = F.broadcast(emb).alias("b")
     cos = F.round(
-        dot(F.col("a.v"), F.col("b.v"))
+        dot_expr(F.col("a.v"), F.col("b.v"))
         / F.sqrt(F.col("a.nsq") * F.col("b.nsq")),
         6,
     )
