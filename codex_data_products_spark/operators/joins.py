@@ -308,6 +308,36 @@ def estimate_join(left: DataFrame, right: DataFrame, key: str) -> JoinEstimate:
     )
 
 
+def estimate_from_stats(left: dict, right: dict, key: str) -> JoinEstimate:
+    """Build the ``JoinEstimate`` from PERSISTED table statistics alone
+    — the dicts a committed product's marker carries per table
+    (``plans.codex_pipeline.product_table_stats``: ``{"rows": N,
+    "columns": {col: {"ndv": n, "max_rows": m}}}``). Zero Spark jobs: a
+    freshly-opened product can feed ``plan_join`` straight from its
+    commit metadata, the way a warehouse CBO plans from catalog stats
+    instead of scanning (ANALYZE TABLE's sizeInBytes/rowCount, persisted
+    at write time instead of on demand).
+
+    Estimation under the standard uniformity assumption:
+    ``predicted_rows = |L|·|R| / max(ndv)`` (each side's keys spread
+    evenly over its ndv, containment of the smaller key set);
+    ``max_key_product`` upper-bounds the hot joined key by pairing each
+    side's hottest key.
+    """
+    lc = left["columns"][key]
+    rc = right["columns"][key]
+    lr, rr = int(left["rows"]), int(right["rows"])
+    denom = max(int(lc["ndv"]), int(rc["ndv"]), 1)
+    return JoinEstimate(
+        left_rows=lr,
+        right_rows=rr,
+        n_keys_matched=min(int(lc["ndv"]), int(rc["ndv"])),
+        predicted_rows=lr * rr // denom,
+        max_key_product=int(lc["max_rows"]) * int(rc["max_rows"]),
+        max_left_key_rows=int(lc["max_rows"]),
+    )
+
+
 def auto_salts(
     max_left_key_rows: int,
     target_rows_per_task: int = 1_000_000,

@@ -345,42 +345,59 @@ def write_json_atomic(path: str, obj) -> None:
 
 
 PRODUCT_TABLES = ("x_long", "obs", "var", "varm_long", "edges")
+PARTITIONED_TABLES = ("x_long", "obs", "edges")  # dataset-partitioned
+VERSIONED_TABLES = ("var", "varm_long")  # channel-grain, written at v=<k>
 COMMIT_MARKER = "_PRODUCT_COMMIT.json"
+COMMIT_DIR = "_commits"
+
+
+def _commit_path(out_dir: str, version: int) -> str:
+    return os.path.join(out_dir, COMMIT_DIR, f"v={version}.json")
 
 
 def write_commit_marker(
-    out_dir: str,
-    uuid: str,
-    version: int,
-    tables: list[str],
-    dataset_uuids: list[str],
+    out_dir: str, commit: dict, *, _fail_after: str | None = None
 ) -> None:
-    """The commit point of the manifest-last protocol: the marker is the
-    LAST file written, via write-temp + atomic rename (POSIX rename is
+    """The commit point of the versioned snapshot protocol. ``commit``
+    is the full snapshot descriptor: uuid, version, dataset_uuids,
+    table_versions (var/varm_long), uns content, manifest content, and
+    per-table stats — everything a reader needs, so the marker rename is
+    the ONLY reader-visible transition (no live file is overwritten
+    before it).
+
+    Order: (1) the versioned commit file ``_commits/v=<k>.json``
+    (invisible to readers — they resolve through the live marker); (2)
+    the live marker via write-temp + atomic rename (POSIX rename is
     atomic within a filesystem; object stores substitute a conditional
-    PUT). A reader that doesn't see the marker must treat the directory
-    as uncommitted garbage — so a crash anywhere earlier leaves no
-    readable half-product. The marker carries the COMMITTED dataset
-    list: readers gate partition visibility on it, so uncommitted
-    partitions written by an in-flight maintenance batch stay invisible
-    until this single rename."""
+    PUT) — the COMMIT POINT; (3) post-commit convenience mirrors
+    ``uns.json`` and ``<uuid>.json`` for reference-parity consumers
+    (bin/concatenate.py writes those files; engine reads use
+    ``read_uns``/``read_manifest``, which resolve through the marker). A
+    crash before (2) leaves the previous snapshot fully committed; a
+    crash between (2) and (3) leaves stale mirrors that the batch replay
+    rewrites.
+
+    ``_fail_after='commit_file'`` is the failure-injection seam between
+    (1) and (2)."""
+    os.makedirs(os.path.join(out_dir, COMMIT_DIR), exist_ok=True)
+    write_json_atomic(_commit_path(out_dir, commit["version"]), commit)
+    if _fail_after == "commit_file":
+        raise RuntimeError("injected crash after commit_file")
     tmp = os.path.join(out_dir, f".{COMMIT_MARKER}.tmp")
     with open(tmp, "w") as f:
-        json.dump(
-            {
-                "uuid": uuid,
-                "version": version,
-                "tables": tables,
-                "dataset_uuids": dataset_uuids,
-            },
-            f,
-        )
-    os.replace(tmp, os.path.join(out_dir, COMMIT_MARKER))
+        json.dump(commit, f)
+    os.replace(tmp, os.path.join(out_dir, COMMIT_MARKER))  # COMMIT POINT
+    write_json_atomic(os.path.join(out_dir, "uns.json"), commit["uns"])
+    write_json_atomic(
+        os.path.join(out_dir, f"{commit['uuid']}.json"), commit["manifest"]
+    )
 
 
-def read_commit_marker(out_dir: str) -> dict:
-    """Raise if the product was never committed (or a write crashed
-    before its commit point)."""
+def read_commit_marker(out_dir: str, version: int | None = None) -> dict:
+    """The committed snapshot descriptor — live by default, or any
+    retained historical version (time travel). Raise if the product was
+    never committed (or a write crashed before its commit point), or if
+    ``version`` was never committed / already expired."""
     path = os.path.join(out_dir, COMMIT_MARKER)
     if not os.path.exists(path):
         raise FileNotFoundError(
@@ -388,38 +405,308 @@ def read_commit_marker(out_dir: str) -> dict:
             "(a build crashed mid-write, or never ran) — re-run the build"
         )
     with open(path) as f:
+        live = json.load(f)
+    if version is None or version == live["version"]:
+        return live
+    if version > live["version"]:
+        raise FileNotFoundError(
+            f"version {version} is not committed (live version is "
+            f"{live['version']}) — a commit file above the marker is an "
+            "uncommitted replay artifact, not a snapshot"
+        )
+    vpath = _commit_path(out_dir, version)
+    if not os.path.exists(vpath):
+        raise FileNotFoundError(
+            f"version {version} has been expired (retention GC) — "
+            "raise keep_last on expire_snapshots to retain more history"
+        )
+    with open(vpath) as f:
         return json.load(f)
 
 
-def read_product_table(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
-    """Committed read: consult the marker first, and filter the
-    dataset-partitioned tables to the marker's COMMITTED dataset list
-    (the simplified Iceberg/Delta snapshot pattern) — a partition
+def read_product_table(
+    spark: SparkSession, out_dir: str, table: str, version: int | None = None
+) -> DataFrame:
+    """Committed read: resolve the snapshot through the marker first.
+    Dataset-partitioned tables are filtered to the snapshot's COMMITTED
+    dataset list (partition pruning, not a row filter — a partition
     written by an in-flight maintenance batch that hasn't reached its
-    commit point is invisible, via partition pruning, not a row filter."""
-    marker = read_commit_marker(out_dir)
-    df = spark.read.parquet(f"{out_dir}/{table}")
-    if table in ("x_long", "obs", "edges"):
-        df = df.filter(F.col("dataset").isin(marker["dataset_uuids"]))
-    return df
+    commit point is invisible); the channel-grain axis tables read the
+    snapshot's pinned ``v=<k>`` directory, so a delta batch writing
+    ``v=k+1`` never disturbs a committed (or historical) read.
+
+    Time travel (``version=k``) is exact for the axis tables and exact
+    for partitioned tables up to partition overwrites: a dataset removed
+    in one batch and re-added in a later one shares the partition path,
+    so the historical read of the interval between sees the re-added
+    bytes. Retention (``expire_snapshots``) bounds how far back reads go.
+    """
+    marker = read_commit_marker(out_dir, version)
+    if table in PARTITIONED_TABLES:
+        df = spark.read.parquet(f"{out_dir}/{table}")
+        return df.filter(F.col("dataset").isin(marker["dataset_uuids"]))
+    tv = marker["table_versions"][table]
+    return spark.read.parquet(f"{out_dir}/{table}/v={tv}")
+
+
+def read_uns(out_dir: str, version: int | None = None) -> dict:
+    """uns metadata resolved through the commit marker (the root-level
+    ``uns.json`` is a post-commit mirror, not the source of truth)."""
+    return read_commit_marker(out_dir, version)["uns"]
+
+
+def read_manifest(out_dir: str, version: int | None = None) -> dict:
+    """K2 manifest resolved through the commit marker."""
+    return read_commit_marker(out_dir, version)["manifest"]
+
+
+def product_table_stats(out_dir: str, version: int | None = None) -> dict:
+    """Per-table statistics persisted AT COMMIT (rows + join-key
+    ndv/hottest-key counts) — ``operators.joins.estimate_from_stats``
+    turns a pair of these into a ``JoinEstimate`` so ``plan_join`` picks
+    broadcast-vs-salted-vs-shuffle on a freshly-opened product without
+    running a stats job."""
+    return read_commit_marker(out_dir, version)["stats"]
+
+
+def _committed_size(
+    out_dir: str, dataset_uuids: list[str], table_versions: dict
+) -> int:
+    """Manifest 'Raw File Size' over exactly the COMMITTED snapshot's
+    files: surviving datasets' partitions plus the pinned axis-table
+    versions — never ``_state`` version history, expired axis versions,
+    or removed datasets' not-yet-expired partitions, so the maintained
+    manifest matches a from-scratch build's and doesn't grow with batch
+    count."""
+    bases = [
+        os.path.join(out_dir, t, f"dataset={ds}")
+        for t in PARTITIONED_TABLES
+        for ds in dataset_uuids
+    ] + [
+        os.path.join(out_dir, t, f"v={table_versions[t]}")
+        for t in VERSIONED_TABLES
+    ]
+    return sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for base in bases
+        for dp, _, fns in os.walk(base)
+        for fn in fns
+    )
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 2) -> dict:
+    """Retention-based GC (the Iceberg/Delta 'expire snapshots' step,
+    replacing GC-at-commit): keep the newest ``keep_last`` committed
+    snapshots and delete everything no retained snapshot references —
+    dataset partitions, axis-table versions, maintenance-state versions
+    and commit files. Because the previous snapshot stays whole until
+    expiry, a reader that resolved the marker before a delta committed
+    can finish its scan without losing files mid-read.
+
+    Single-writer: call from the maintenance writer (post-commit), never
+    concurrently with an in-flight batch — an uncommitted batch's
+    freshly-written partitions are referenced by no snapshot yet and
+    would be collected. Returns what was deleted."""
+    import shutil
+
+    live = read_commit_marker(out_dir)
+    cdir = os.path.join(out_dir, COMMIT_DIR)
+    committed = sorted(
+        v
+        for fn in os.listdir(cdir)
+        if fn.startswith("v=") and fn.endswith(".json")
+        for v in [int(fn[2:-5])]
+        if v <= live["version"]
+    )
+    retained = committed[-max(keep_last, 1) :]
+    markers = [read_commit_marker(out_dir, v) for v in retained]
+    keep_ds = set().union(*[set(m["dataset_uuids"]) for m in markers])
+    removed: dict = {"partitions": [], "axis_versions": [], "commits": [],
+                     "state_versions": []}
+    for t in PARTITIONED_TABLES:
+        base = os.path.join(out_dir, t)
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            if d.startswith("dataset=") and d[len("dataset="):] not in keep_ds:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                removed["partitions"].append(f"{t}/{d}")
+    for t in VERSIONED_TABLES:
+        base = os.path.join(out_dir, t)
+        keep_v = {m["table_versions"][t] for m in markers}
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            if d.startswith("v=") and int(d[2:]) not in keep_v:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                removed["axis_versions"].append(f"{t}/{d}")
+    for v in committed:
+        if v not in retained:
+            os.remove(_commit_path(out_dir, v))
+            removed["commits"].append(v)
+    # state v=k is the input that replays batch k (which commits k+1):
+    # keep versions >= the oldest retained snapshot's version
+    state_root = os.path.join(out_dir, "_state")
+    if os.path.isdir(state_root) and retained:
+        floor = min(retained)
+        for name in os.listdir(state_root):
+            tdir = os.path.join(state_root, name)
+            for d in os.listdir(tdir):
+                if d.startswith("v=") and int(d[2:]) < floor:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                    removed["state_versions"].append(f"{name}/{d}")
+    return removed
+
+
+def derive_product_state(product: CodexProduct) -> dict[str, DataFrame]:
+    """The per-dataset maintenance-state relations (channel×dataset
+    grain — tiny at any corpus size), derived from the product frames.
+    Used at bootstrap (full build) and per delta (block build) by the
+    incremental maintainer, so the maintained state is the same function
+    of the same code path — and used by ``write_product`` to derive the
+    commit-time table stats.
+
+      * ``ds_channels`` (dataset, channel, n_rows): surviving channels
+        per dataset with their x_long row counts — var = distinct
+        channel; x_long stats are additive over it.
+      * ``ds_stats`` (dataset, hubmap_id, n_cells, n_edges): the
+        additive manifest + stats inputs.
+      * ``ds_varm_raw``: per-dataset varm rows BEFORE the var semi-join.
+    """
+    spark = product.x_long.sparkSession
+    ds_channels = product.x_long.groupBy("dataset", "channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    hbm = spark.createDataFrame(
+        list(zip(product.uns["dataset_uuids"], product.uns["datasets"])),
+        "dataset string, hubmap_id string",
+    )
+    cells = product.obs.groupBy("dataset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    if product.edges is not None:
+        edge_counts = product.edges.groupBy("dataset").agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges")
+        )
+    else:
+        edge_counts = spark.createDataFrame([], "dataset string, n_edges long")
+    ds_stats = (
+        cells.join(F.broadcast(hbm), "dataset")
+        .join(F.broadcast(edge_counts), "dataset", "left")
+        .select(
+            "dataset",
+            "hubmap_id",
+            "n_cells",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+        )
+    )
+    varm_raw = (
+        product.varm_raw if product.varm_raw is not None else product.varm_long
+    )
+    return {
+        "ds_channels": ds_channels,
+        "ds_stats": ds_stats,
+        "ds_varm_raw": varm_raw,
+    }
+
+
+def _col_stats(df: DataFrame, col: str, weight: str | None = None) -> dict:
+    """ndv + hottest-key row count for one join-key column of a
+    STATE-GRAIN frame (channel×dataset rows — never a corpus scan)."""
+    w = F.sum(weight) if weight else F.count(F.lit(1))
+    r = (
+        df.groupBy(col)
+        .agg(w.cast("long").alias("n"))
+        .agg(F.count(F.lit(1)).alias("ndv"), F.max("n").alias("max_rows"))
+        .collect()[0]
+    )
+    return {"ndv": int(r["ndv"] or 0), "max_rows": int(r["max_rows"] or 0)}
+
+
+def product_stats_from_state(
+    ds_channels: DataFrame, ds_stats: DataFrame, varm_long: DataFrame
+) -> dict:
+    """Commit-time table statistics, computed ADDITIVELY from the
+    maintenance state (every aggregation here is channel×dataset-grain):
+    rows per table plus ndv/hottest-key counts for the join-key columns
+    — what ``estimate_from_stats`` + ``plan_join`` consume to pick a
+    physical join strategy on a freshly-opened product with no stats
+    job. At 100 TB this is the difference between 'open and plan' and
+    'scan the corpus to plan'."""
+    s = ds_stats.agg(
+        F.coalesce(F.sum("n_cells"), F.lit(0)).alias("cells"),
+        F.coalesce(F.max("n_cells"), F.lit(0)).alias("max_cells"),
+        F.count(F.lit(1)).alias("n_datasets"),
+        F.coalesce(F.sum("n_edges"), F.lit(0)).alias("edges"),
+        F.coalesce(F.max("n_edges"), F.lit(0)).alias("max_edges"),
+    ).collect()[0]
+    x_rows = int(
+        ds_channels.agg(F.coalesce(F.sum("n_rows"), F.lit(0))).collect()[0][0]
+    )
+    x_ds = _col_stats(ds_channels, "dataset", "n_rows")
+    x_ch = _col_stats(ds_channels, "channel", "n_rows")
+    varm_rows = varm_long.count()
+    n_ds = int(s["n_datasets"])
+    return {
+        "x_long": {
+            "rows": x_rows,
+            "columns": {"dataset": x_ds, "channel": x_ch},
+        },
+        "obs": {
+            "rows": int(s["cells"]),
+            "columns": {
+                "dataset": {"ndv": n_ds, "max_rows": int(s["max_cells"])}
+            },
+        },
+        "edges": {
+            "rows": int(s["edges"]),
+            "columns": {
+                "dataset": {"ndv": n_ds, "max_rows": int(s["max_edges"])}
+            },
+        },
+        "var": {
+            "rows": x_ch["ndv"],
+            "columns": {"channel": {"ndv": x_ch["ndv"], "max_rows": 1}},
+        },
+        "varm_long": {
+            "rows": int(varm_rows),
+            "columns": {
+                "channel": _col_stats(varm_long, "channel"),
+                "dataset": _col_stats(varm_long, "dataset"),
+            },
+        },
+    }
 
 
 def write_product(
-    product: CodexProduct, out_dir: str, *, _fail_after: str | None = None
+    product: CodexProduct,
+    out_dir: str,
+    *,
+    _fail_after: str | None = None,
+    stats: dict | None = None,
 ) -> dict:
     """K1 + K2: parquet product directory + manifest, committed with the
-    manifest-LAST protocol: tables → uns.json → manifest → commit
-    marker. A crash at any point leaves no marker, so readers (through
+    marker-LAST protocol: tables (axis tables at their versioned v=0
+    paths) → commit marker carrying uns + manifest + stats. A crash at
+    any point leaves no marker, so readers (through
     ``read_product_table``) refuse the half-product, and a re-run
     converges — every table write is mode=overwrite.
 
     x_long/obs/edges partitioned by dataset → partition pruning for
     per-dataset consumers AND O(delta) incremental maintenance
-    (streaming/product_ivm.py); var/varm are channel-grain tables.
+    (streaming/product_ivm.py); var/varm_long are channel-grain tables
+    written at ``v=0`` so delta batches can commit ``v=k`` snapshots
+    without ever overwriting a committed reader's files.
 
-    ``_fail_after`` is the failure-injection seam for the atomicity
-    test: crash immediately after writing the named step.
-    """
+    Bootstrap writer: writes snapshot version 0 into a NEW directory.
+    Re-running over a LIVE committed product is not reader-safe (the
+    partitioned tables are overwritten in place) — evolve a committed
+    product through ``apply_product_delta`` instead.
+
+    ``stats`` lets a caller that already derived the maintenance state
+    (``bootstrap_product_maintenance``) pass the commit stats in instead
+    of re-running the state aggregation; ``_fail_after`` is the
+    failure-injection seam for the atomicity test."""
 
     def _checkpoint(step: str) -> None:
         if _fail_after == step:
@@ -434,24 +721,24 @@ def write_product(
         f"{out_dir}/obs"
     )
     _checkpoint("obs")
-    product.var.write.mode("overwrite").parquet(f"{out_dir}/var")
-    product.varm_long.write.mode("overwrite").parquet(f"{out_dir}/varm_long")
+    product.var.write.mode("overwrite").parquet(f"{out_dir}/var/v=0")
+    product.varm_long.write.mode("overwrite").parquet(
+        f"{out_dir}/varm_long/v=0"
+    )
     if product.edges is not None:
         product.edges.write.mode("overwrite").partitionBy("dataset").parquet(
             f"{out_dir}/edges"
         )
     _checkpoint("tables")
-    write_json_atomic(f"{out_dir}/uns.json", product.uns)
-    _checkpoint("uns")
 
-    # K2 manifest (create_json, bin/concatenate.py:154-177): counts are
-    # DataFrame actions; file size measured on the written product.
-    total_cells = product.obs.count()
-    size = sum(
-        os.path.getsize(os.path.join(dp, fn))
-        for dp, _, fns in os.walk(out_dir)
-        for fn in fns
-    )
+    if stats is None:
+        state = derive_product_state(product)
+        stats = product_stats_from_state(
+            state["ds_channels"], state["ds_stats"], product.varm_long
+        )
+    table_versions = {"var": 0, "varm_long": 0}
+    # K2 manifest (create_json, bin/concatenate.py:154-177): cell count
+    # from the commit stats; file size over exactly the committed files.
     manifest = {
         "Data Product UUID": product.uns["uuid"],
         "Tissue": product.uns.get("tissue"),
@@ -459,17 +746,25 @@ def write_product(
         "Creation Time": product.uns["creation_data_time"],
         "Dataset UUIDs": product.uns["dataset_uuids"],
         "Dataset HBMIDs": product.uns["datasets"],
-        "Total Cell Count": total_cells,
-        "Raw File Size": size,
+        "Total Cell Count": stats["obs"]["rows"],
+        "Raw File Size": _committed_size(
+            out_dir, list(product.uns["dataset_uuids"]), table_versions
+        ),
     }
-    write_json_atomic(f"{out_dir}/{product.uns['uuid']}.json", manifest)
     _checkpoint("manifest")
     write_commit_marker(
         out_dir,
-        product.uns["uuid"],
-        0,
-        list(PRODUCT_TABLES),
-        list(product.uns["dataset_uuids"]),
+        {
+            "uuid": product.uns["uuid"],
+            "version": 0,
+            "tables": list(PRODUCT_TABLES),
+            "dataset_uuids": list(product.uns["dataset_uuids"]),
+            "table_versions": table_versions,
+            "uns": product.uns,
+            "manifest": manifest,
+            "stats": stats,
+        },
+        _fail_after=_fail_after,
     )
     return manifest
 

@@ -27,6 +27,29 @@ from pyspark.sql import functions as F
 from codex_data_products_spark.registry import register
 from codex_data_products_spark.tables import spread, table as T
 
+
+def _ivm_state_dir(name: str) -> str:
+    """Deterministic per-process state dir for the incremental-twin
+    registry wrappers (ADVICE r7): wiped on (re)use within a process and
+    removed at interpreter exit, so repeated verify/bench sweeps no
+    longer leak parquet state into the temp area — the prior
+    ``tempfile.mkdtemp`` per invocation was never cleaned up."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark-graft-ivm-{os.getpid()}"
+    )
+    if not getattr(_ivm_state_dir, "_registered", False):
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _ivm_state_dir._registered = True  # type: ignore[attr-defined]
+    path = os.path.join(base, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
 SHINGLE_K = 5  # tokens per shingle
 SHINGLE_DF_CAP = 100  # drop shingles appearing in more docs than this
 JACCARD_THRESHOLD = 0.4
@@ -415,8 +438,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_incremental", sql=_MINHASH_SQL)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from codex_data_products_spark.streaming.dedup_ivm import (
         apply_dedup_batch,
         bootstrap_dedup_state,
@@ -424,7 +445,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = T(spark, sf_dir, "documents")
-    state = tempfile.mkdtemp(prefix="dedup_ivm_")
+    state = _ivm_state_dir("dedup_ivm")
     bootstrap_dedup_state(spark, state)
     for k in range(3):
         apply_dedup_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
@@ -551,8 +572,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash_incremental", sql=_SIMHASH_SQL)
 def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from codex_data_products_spark.streaming.dedup_ivm import (
         apply_simhash_batch,
         bootstrap_simhash_state,
@@ -560,7 +579,7 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = T(spark, sf_dir, "documents")
-    state = tempfile.mkdtemp(prefix="simhash_ivm_")
+    state = _ivm_state_dir("simhash_ivm")
     bootstrap_simhash_state(spark, state)
     for k in range(3):
         apply_simhash_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
@@ -1140,8 +1159,6 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_wide_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
-
     from codex_data_products_spark.streaming.dedup_ivm import (
         apply_simhash_batch,
         bootstrap_simhash_state,
@@ -1149,7 +1166,7 @@ def dedup_simhash_wide_incremental(
     )
 
     docs = T(spark, sf_dir, "documents")
-    state = tempfile.mkdtemp(prefix="simhash_wide_ivm_")
+    state = _ivm_state_dir("simhash_wide_ivm")
     bootstrap_simhash_state(spark, state)
     for k in range(3):
         apply_simhash_batch(

@@ -35,23 +35,33 @@ same anchoring contract as every maintainer in ``streaming.merge``:
 batch k reads v=k, writes v=k+1, so a foreachBatch replay re-derives
 identical snapshots):
 
-  * ``ds_channels/v=<k>`` — (dataset, channel): surviving channels per
-    dataset.  var = distinct channel.
-  * ``ds_stats/v=<k>``    — (dataset, hubmap_id, n_cells): the additive
-    manifest inputs (total cells = sum, dataset lists = keys).
+  * ``ds_channels/v=<k>`` — (dataset, channel, n_rows): surviving
+    channels per dataset with x_long row counts. var = distinct
+    channel; commit-time x_long/var stats are additive over it.
+  * ``ds_stats/v=<k>``    — (dataset, hubmap_id, n_cells, n_edges):
+    the additive manifest + stats inputs (total cells = sum, dataset
+    lists = keys, obs/edges stats = sums and maxes).
   * ``ds_varm_raw/v=<k>`` — per-dataset varm rows BEFORE the var
     semi-join.
 
-Commit protocol (single-writer): added partitions are written first —
-invisible to committed readers because ``read_product_table`` gates the
-dataset-partitioned tables on the COMMITTED uns dataset list — then
-state, axis tables, uns.json and the manifest, then the commit marker
-(the commit point, atomic rename), and only AFTER the commit point are
-removed datasets' partition files physically deleted (post-commit GC,
-the Iceberg/Delta "commit the snapshot, then expire unreferenced
-files" order). A crash anywhere before the marker leaves the previous
-committed product fully readable; a crash after it leaves at worst
-already-unreferenced files that the batch replay GCs.
+Commit protocol (single-writer): EVERY pre-marker write lands at a path
+no committed reader resolves — added datasets' partitions (invisible
+because ``read_product_table`` gates the dataset-partitioned tables on
+the COMMITTED dataset list), state ``v=k+1``, and the axis tables at
+their own versioned ``var/v=k+1`` / ``varm_long/v=k+1`` directories
+(committed readers stay pinned to the versions named in the live
+marker). uns, manifest and table stats travel INSIDE the commit file,
+so no live JSON is overwritten before the commit point either. The
+marker rename is therefore the ONLY reader-visible transition: a crash
+anywhere before it leaves the previous committed product byte-intact
+(property-tested with a failure seam at every write step), and the
+root-level ``uns.json``/``<uuid>.json`` mirrors are refreshed
+post-commit. Removed datasets' partitions and superseded axis/state
+versions are NOT deleted at commit — ``expire_snapshots`` applies
+retention-based GC afterwards (keep the newest N snapshots), so a
+concurrent reader that resolved the previous marker can finish its scan
+without losing files mid-read, and historical versions stay readable
+(time travel) until expired.
 
 Invariants (tests/test_product_ivm.py): after any sequence of
 add/remove batches, every product table equals the from-scratch
@@ -67,9 +77,7 @@ corpus — at 100 TB the full rebuild is days, the delta is minutes.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,49 +86,27 @@ from pyspark.sql import functions as F
 from codex_data_products_spark.plans.codex_pipeline import (
     CodexProduct,
     PRODUCT_TABLES,
+    _committed_size,
     build_product,
+    derive_product_state,
+    expire_snapshots,
+    product_stats_from_state,
     read_catalog,
+    read_commit_marker,
     write_commit_marker,
-    write_json_atomic,
     write_product,
 )
 from codex_data_products_spark.streaming.merge import read_table
 
 _PARTITIONED = ("x_long", "obs", "edges")  # dataset-partitioned tables
-_DS_CHANNELS_SCHEMA = "dataset string, channel string"
-_DS_STATS_SCHEMA = "dataset string, hubmap_id string, n_cells long"
+_DS_CHANNELS_SCHEMA = "dataset string, channel string, n_rows long"
+_DS_STATS_SCHEMA = (
+    "dataset string, hubmap_id string, n_cells long, n_edges long"
+)
 
 
 def _state_root(out_dir: str) -> str:
     return os.path.join(out_dir, "_state")
-
-
-def _derive_state(product: CodexProduct) -> dict[str, DataFrame]:
-    """The per-dataset state relations, derived from product frames —
-    used both at bootstrap (full build) and per delta (block build), so
-    the maintained state is the same function of the same code path."""
-    spark = product.x_long.sparkSession
-    ds_channels = product.x_long.select("dataset", "channel").distinct()
-    hbm = spark.createDataFrame(
-        list(zip(product.uns["dataset_uuids"], product.uns["datasets"])),
-        "dataset string, hubmap_id string",
-    )
-    ds_stats = (
-        product.obs.groupBy("dataset")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
-        .join(F.broadcast(hbm), "dataset")
-        .select("dataset", "hubmap_id", "n_cells")
-    )
-    varm_raw = (
-        product.varm_raw
-        if product.varm_raw is not None
-        else product.varm_long
-    )
-    return {
-        "ds_channels": ds_channels,
-        "ds_stats": ds_stats,
-        "ds_varm_raw": varm_raw,
-    }
 
 
 def bootstrap_product_maintenance(
@@ -128,12 +114,20 @@ def bootstrap_product_maintenance(
 ) -> dict:
     """Write the initial committed product plus the v=0 maintenance
     state. An existing corpus is the base snapshot; every subsequent
-    release flows through ``apply_product_delta``."""
-    manifest = write_product(product, out_dir)
+    release flows through ``apply_product_delta``. The state parquet is
+    written FIRST (invisible until the marker) and read back, so the
+    commit stats come from the same persisted relations the deltas will
+    fold — and the state aggregation runs once, not twice."""
+    spark = product.x_long.sparkSession
     root = _state_root(out_dir)
-    for name, df in _derive_state(product).items():
+    persisted: dict[str, DataFrame] = {}
+    for name, df in derive_product_state(product).items():
         df.write.mode("overwrite").parquet(f"{root}/{name}/v=0")
-    return manifest
+        persisted[name] = spark.read.parquet(f"{root}/{name}/v=0")
+    stats = product_stats_from_state(
+        persisted["ds_channels"], persisted["ds_stats"], product.varm_long
+    )
+    return write_product(product, out_dir, stats=stats)
 
 
 def _write_block_partitions(block: CodexProduct, out_dir: str) -> None:
@@ -159,6 +153,45 @@ def _write_block_partitions(block: CodexProduct, out_dir: str) -> None:
         spark.conf.set(key, prev)
 
 
+def _commit_snapshot(
+    out_dir: str,
+    uns: dict,
+    version: int,
+    surviving: list[str],
+    table_versions: dict,
+    stats: dict,
+    *,
+    _fail_after: str | None = None,
+) -> dict:
+    """Assemble manifest + commit descriptor (pure driver-side dict math
+    over the already-collected stats) and commit. Returns the manifest."""
+    manifest = {
+        "Data Product UUID": uns["uuid"],
+        "Tissue": uns.get("tissue"),
+        "Assay": "codex",
+        "Creation Time": uns["creation_data_time"],
+        "Dataset UUIDs": uns["dataset_uuids"],
+        "Dataset HBMIDs": uns["datasets"],
+        "Total Cell Count": stats["obs"]["rows"],
+        "Raw File Size": _committed_size(out_dir, surviving, table_versions),
+    }
+    write_commit_marker(
+        out_dir,
+        {
+            "uuid": uns["uuid"],
+            "version": version,
+            "tables": list(PRODUCT_TABLES),
+            "dataset_uuids": surviving,
+            "table_versions": table_versions,
+            "uns": uns,
+            "manifest": manifest,
+            "stats": stats,
+        },
+        _fail_after=_fail_after,
+    )
+    return manifest
+
+
 def apply_product_delta(
     spark: SparkSession,
     out_dir: str,
@@ -171,23 +204,40 @@ def apply_product_delta(
     tissue: str | None = None,
     tissue_by_uuid: dict[str, str] | None = None,
     decoder=None,
+    retain_snapshots: int | None = 2,
+    _fail_after: str | None = None,
 ) -> dict:
     """Fold one release batch (datasets added and/or removed) into the
-    committed product: read state v=batch_id, write v=batch_id+1, touch
-    only the delta's partitions. Returns the updated manifest.
+    committed product: read snapshot + state anchored at v=batch_id,
+    commit v=batch_id+1, touch only the delta's partitions. Returns the
+    updated manifest.
 
-    Replay-safe: the state read is anchored to the batch id, block
-    builds are deterministic, partition writes are overwrites, and the
-    GC of removed partitions is idempotent — a crashed batch re-runs to
-    the identical committed snapshot.
-    """
+    Replay-safe: the snapshot/state reads are anchored to the batch id
+    (``read_commit_marker(..., version=batch_id)`` resolves the
+    versioned commit file even after this batch's own commit), block
+    builds are deterministic, and every write is an overwrite at a
+    version-addressed path — a crashed batch re-runs to the identical
+    committed snapshot.
+
+    ``retain_snapshots`` runs post-commit retention GC
+    (``expire_snapshots``); None skips it (retain everything).
+    ``_fail_after`` ∈ {partitions, state, var, varm_long, manifest,
+    commit_file} is the failure-injection seam: the atomicity property
+    (crash before the marker rename ⇒ previous snapshot byte-intact) is
+    tested at EVERY write step."""
     from codex_data_products_spark.sources.hdf5 import h5py_decoder
+
+    def _checkpoint(step: str) -> None:
+        if _fail_after == step:
+            raise RuntimeError(f"injected crash after {step}")
 
     added = list(dict.fromkeys(add))
     removed = list(dict.fromkeys(remove))
     if set(added) & set(removed):
         raise ValueError("a dataset cannot be both added and removed")
 
+    base = read_commit_marker(out_dir, version=batch_id)
+    uns = dict(base["uns"])
     root = _state_root(out_dir)
     ds_channels = read_table(spark, f"{root}/ds_channels", version=batch_id)
     # In-place REPLACE is rejected: dynamic partition overwrite only
@@ -209,8 +259,6 @@ def apply_product_delta(
         )
     ds_stats = read_table(spark, f"{root}/ds_stats", version=batch_id)
     ds_varm_raw = read_table(spark, f"{root}/ds_varm_raw", version=batch_id)
-    with open(f"{out_dir}/uns.json") as f:
-        uns = json.load(f)
 
     touched = added + removed
 
@@ -231,6 +279,7 @@ def apply_product_delta(
             only_datasets=added,
         )
         _write_block_partitions(block, out_dir)
+    _checkpoint("partitions")
 
     # -- 2. fold the per-dataset state: drop touched datasets' rows,
     #       union the block's freshly-derived rows (re-adding a dataset
@@ -239,7 +288,7 @@ def apply_product_delta(
         kept = state.filter(~F.col("dataset").isin(touched))
         return kept.unionByName(fresh) if fresh is not None else kept
 
-    block_state = _derive_state(block) if block is not None else {}
+    block_state = derive_product_state(block) if block is not None else {}
     new_channels = fold(ds_channels, block_state.get("ds_channels"))
     new_stats = fold(ds_stats, block_state.get("ds_stats"))
     new_varm_raw = fold(ds_varm_raw, block_state.get("ds_varm_raw"))
@@ -251,19 +300,26 @@ def apply_product_delta(
     new_channels = spark.read.parquet(f"{root}/ds_channels/v={v}")
     new_stats = spark.read.parquet(f"{root}/ds_stats/v={v}")
     new_varm_raw = spark.read.parquet(f"{root}/ds_varm_raw/v={v}")
+    _checkpoint("state")
 
     # -- 3. re-derive the channel-grain axis tables from state (tiny:
-    #       channels x datasets rows). var = union of per-dataset
-    #       surviving sets; varm survivorship against the NEW global
-    #       axis — the one place a block-local view would be wrong.
+    #       channels x datasets rows) at their OWN versioned paths —
+    #       committed readers stay pinned to the marker's versions, so
+    #       nothing they resolve is ever overwritten. var = union of
+    #       per-dataset surviving sets; varm survivorship against the
+    #       NEW global axis — the one place a block-local view would be
+    #       wrong.
     new_var = new_channels.select("channel").distinct()
     new_varm = new_varm_raw.join(F.broadcast(new_var), "channel", "left_semi")
-    new_var.write.mode("overwrite").parquet(f"{out_dir}/var")
-    new_varm.write.mode("overwrite").parquet(f"{out_dir}/varm_long")
+    new_var.write.mode("overwrite").parquet(f"{out_dir}/var/v={v}")
+    _checkpoint("var")
+    new_varm.write.mode("overwrite").parquet(f"{out_dir}/varm_long/v={v}")
+    new_varm = spark.read.parquet(f"{out_dir}/varm_long/v={v}")
+    _checkpoint("varm_long")
 
-    # -- 4. uns + manifest from the additive state (never a corpus
-    #       scan): dataset lists in catalog leaf order — identical to
-    #       what a from-scratch build over the surviving set emits.
+    # -- 4. uns + stats from the additive state (never a corpus scan):
+    #       dataset lists in catalog leaf order — identical to what a
+    #       from-scratch build over the surviving set emits.
     stats_rows = {r["dataset"]: r for r in new_stats.collect()}
     catalog_order = [
         r["uuid"]
@@ -273,40 +329,28 @@ def apply_product_delta(
         if r["immediate_descendant_ids"] is None
     ]
     surviving = [u for u in catalog_order if u in stats_rows]
-    surviving += [u for u in stats_rows if u not in set(catalog_order)]
+    surviving += sorted(u for u in stats_rows if u not in set(catalog_order))
     uns["dataset_uuids"] = surviving
     uns["datasets"] = [stats_rows[u]["hubmap_id"] for u in surviving]
-    write_json_atomic(f"{out_dir}/uns.json", uns)
+    stats = product_stats_from_state(new_channels, new_stats, new_varm)
+    _checkpoint("manifest")
 
-    total_cells = sum(int(stats_rows[u]["n_cells"]) for u in surviving)
-    size = sum(
-        os.path.getsize(os.path.join(dp, fn))
-        for dp, _, fns in os.walk(out_dir)
-        for fn in fns
+    # -- 5. COMMIT POINT (atomic rename), then retention-based GC: the
+    #       removed datasets' partitions and superseded axis/state
+    #       versions outlive this commit until no retained snapshot
+    #       references them (expire_snapshots), so concurrent readers of
+    #       the previous snapshot never lose files mid-scan.
+    manifest = _commit_snapshot(
+        out_dir,
+        uns,
+        v,
+        surviving,
+        {"var": v, "varm_long": v},
+        stats,
+        _fail_after=_fail_after,
     )
-    manifest = {
-        "Data Product UUID": uns["uuid"],
-        "Tissue": uns.get("tissue"),
-        "Assay": "codex",
-        "Creation Time": uns["creation_data_time"],
-        "Dataset UUIDs": uns["dataset_uuids"],
-        "Dataset HBMIDs": uns["datasets"],
-        "Total Cell Count": total_cells,
-        "Raw File Size": size,
-    }
-    write_json_atomic(f"{out_dir}/{uns['uuid']}.json", manifest)
-
-    # -- 5. COMMIT POINT (atomic rename), then post-commit GC of the
-    #       removed datasets' now-unreferenced partition files.
-    write_commit_marker(
-        out_dir, uns["uuid"], v, list(PRODUCT_TABLES), surviving
-    )
-    for ds in removed:
-        for table in _PARTITIONED:
-            shutil.rmtree(
-                os.path.join(out_dir, table, f"dataset={ds}"),
-                ignore_errors=True,
-            )
+    if retain_snapshots is not None:
+        expire_snapshots(out_dir, keep_last=retain_snapshots)
     return manifest
 
 
@@ -319,27 +363,28 @@ def apply_metadata_refresh(
     datasets: Iterable[str],
     *,
     decoder=None,
+    retain_snapshots: int | None = 2,
 ) -> dict:
     """The second delta class: an ancestor's antibodies.tsv was
     corrected (metadata fix, no expression data changed). Only the varm
     relation of the affected datasets changes — so the batch rebuilds
-    JUST their ds_varm_raw state rows and rewrites the channel-grain
-    varm_long table. Cost is METADATA-grain: the block build's varm
-    plan reads only the CSV headers and the antibodies TSV; the HDF5
+    JUST their ds_varm_raw state rows and commits a new varm_long
+    version against the CARRIED-FORWARD var version (the axis itself is
+    untouched). Cost is METADATA-grain: the block build's varm plan
+    reads only the CSV headers and the antibodies TSV; the HDF5
     expression scan is never executed (nothing materializes obs or
     x_long — pinned by test_metadata_refresh_never_decodes_hdf5), and
-    no dataset partition is touched. Returns the (re-committed, content-
-    identical) manifest."""
+    no dataset partition is touched. Returns the manifest."""
     from codex_data_products_spark.sources.hdf5 import h5py_decoder
 
     targets = list(dict.fromkeys(datasets))
+    base = read_commit_marker(out_dir, version=batch_id)
+    uns = dict(base["uns"])
     root = _state_root(out_dir)
     ds_channels = read_table(spark, f"{root}/ds_channels", version=batch_id)
     ds_stats = read_table(spark, f"{root}/ds_stats", version=batch_id)
     ds_varm_raw = read_table(spark, f"{root}/ds_varm_raw", version=batch_id)
-    with open(f"{out_dir}/uns.json") as f:
-        uns = json.load(f)
-    known = set(uns["dataset_uuids"])
+    known = set(base["dataset_uuids"])
     missing = [d for d in targets if d not in known]
     if missing:
         raise ValueError(f"not in the committed product: {missing}")
@@ -363,16 +408,26 @@ def apply_metadata_refresh(
     ds_stats.write.mode("overwrite").parquet(f"{root}/ds_stats/v={v}")
     new_varm_raw.write.mode("overwrite").parquet(f"{root}/ds_varm_raw/v={v}")
     new_varm_raw = spark.read.parquet(f"{root}/ds_varm_raw/v={v}")
+    new_channels = spark.read.parquet(f"{root}/ds_channels/v={v}")
+    new_stats = spark.read.parquet(f"{root}/ds_stats/v={v}")
 
-    var = spark.read.parquet(f"{out_dir}/var")
+    var_version = base["table_versions"]["var"]
+    var = spark.read.parquet(f"{out_dir}/var/v={var_version}")
     new_varm = new_varm_raw.join(F.broadcast(var), "channel", "left_semi")
-    new_varm.write.mode("overwrite").parquet(f"{out_dir}/varm_long")
+    new_varm.write.mode("overwrite").parquet(f"{out_dir}/varm_long/v={v}")
+    new_varm = spark.read.parquet(f"{out_dir}/varm_long/v={v}")
 
-    with open(f"{out_dir}/{uns['uuid']}.json") as f:
-        manifest = json.load(f)
-    write_commit_marker(
-        out_dir, uns["uuid"], v, list(PRODUCT_TABLES), uns["dataset_uuids"]
+    stats = product_stats_from_state(new_channels, new_stats, new_varm)
+    manifest = _commit_snapshot(
+        out_dir,
+        uns,
+        v,
+        list(base["dataset_uuids"]),
+        {"var": var_version, "varm_long": v},
+        stats,
     )
+    if retain_snapshots is not None:
+        expire_snapshots(out_dir, keep_last=retain_snapshots)
     return manifest
 
 

@@ -2,8 +2,12 @@
 streaming/product_ivm.py): K-batch delta application must equal the
 from-scratch ``build_product`` + ``write_product`` over the surviving
 dataset set, a replayed batch must be a no-op, a crash before the
-commit marker must leave the previous snapshot fully readable, and
-untouched datasets' partition files must never be rewritten.
+commit marker — at EVERY write step of the delta — must leave the
+previous snapshot byte-intact (full-snapshot comparison: all five
+tables + uns + manifest), untouched datasets' partition files must
+never be rewritten, historical snapshots stay readable (time travel)
+until retention expires them, and the commit-time stats feed
+``plan_join`` without a stats job.
 
 The bundle is the production-shaped stress generator
 (tools/codex_stress.py) at miniature size: real minihdf5 expression
@@ -22,8 +26,12 @@ import pytest
 from codex_data_products_spark.plans.codex_pipeline import (
     COMMIT_MARKER,
     build_product,
+    expire_snapshots,
+    product_table_stats,
     read_commit_marker,
+    read_manifest,
     read_product_table,
+    read_uns,
     write_product,
 )
 from codex_data_products_spark.streaming.product_ivm import (
@@ -63,21 +71,21 @@ def _build(spark, bundle, datasets):
     )
 
 
-def _table_rows(spark, out_dir, table):
-    df = read_product_table(spark, out_dir, table)
+def _table_rows(spark, out_dir, table, version=None):
+    df = read_product_table(spark, out_dir, table, version=version)
     return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
 
 
-def _snapshot_product(spark, out_dir):
+def _snapshot_product(spark, out_dir, version=None):
+    """The FULL committed snapshot through the canonical (marker-
+    resolved) read path: every table, uns, and manifest."""
     snap = {
-        t: _table_rows(spark, out_dir, t)
+        t: _table_rows(spark, out_dir, t, version)
         for t in ("x_long", "obs", "var", "varm_long", "edges")
     }
-    with open(f"{out_dir}/uns.json") as f:
-        uns = json.load(f)
+    uns = read_uns(out_dir, version)
     snap["uns_datasets"] = (uns["dataset_uuids"], uns["datasets"])
-    with open(f"{out_dir}/ivm-product.json") as f:
-        m = json.load(f)
+    m = read_manifest(out_dir, version)
     snap["manifest"] = (
         m["Total Cell Count"],
         m["Dataset UUIDs"],
@@ -158,8 +166,11 @@ def test_untouched_partition_files_never_rewritten(maintained):
 
 
 def test_replayed_batch_is_idempotent(spark, bundle, maintained):
-    """Crash-replay anchoring: re-running batch 2 (state v=2 is still
-    retained) re-derives the identical committed snapshot."""
+    """Crash-replay anchoring: re-running batch 2 (commit v=2 and state
+    v=2 are still retained) re-derives the identical committed
+    snapshot — even though batch 2 already committed, because the
+    snapshot read is anchored to the versioned commit file, not the
+    live marker."""
     out, _, _, _ = maintained
     want = _snapshot_product(spark, out)
     apply_product_delta(
@@ -175,13 +186,77 @@ def test_replayed_batch_is_idempotent(spark, bundle, maintained):
     assert read_commit_marker(out)["version"] == 3
 
 
-def test_crash_before_commit_keeps_previous_snapshot(
+def test_time_travel_reads_previous_snapshot(spark, bundle, maintained):
+    """Retention keeps the previous snapshot addressable: with the live
+    marker at v=3 ({2,3,4,5}), version=2 still reads the {0,2,3,4}
+    product — axis tables from their pinned v=2 paths, partitions gated
+    on commit v=2's dataset list."""
+    out, _, _, _ = maintained
+    old = _snapshot_product(spark, out, version=2)
+    want_ds = sorted([DS[0], DS[2], DS[3], DS[4]])
+    assert sorted(old["uns_datasets"][0]) == want_ds
+    obs_ds = {
+        str(r["dataset"])
+        for r in read_product_table(spark, out, "obs", version=2)
+        .select("dataset")
+        .distinct()
+        .collect()
+    }
+    # partition-column type inference parses the all-digit stress uuids
+    # as ints (pre-existing layout behavior) — compare value-wise
+    assert obs_ds == {str(int(u)) for u in want_ds}
+    # DS[5] (added in batch 2) is invisible at version 2
+    x = read_product_table(spark, out, "x_long", version=2)
+    assert x.filter(f"dataset = '{DS[5]}'").count() == 0
+    # expired versions raise with a retention hint
+    with pytest.raises(FileNotFoundError, match="expired"):
+        read_commit_marker(out, version=0)
+    # versions above the live marker are uncommitted
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        read_commit_marker(out, version=99)
+
+
+_DELTA_STEPS = ["partitions", "state", "var", "varm_long", "manifest",
+                "commit_file"]
+
+
+@pytest.mark.parametrize("step", _DELTA_STEPS)
+def test_crash_at_every_write_step_keeps_previous_snapshot(
+    spark, bundle, tmp_path, step
+):
+    """The atomicity property, at EVERY write step of the delta: a
+    batch that dies before the marker rename leaves the PREVIOUS
+    committed snapshot byte-intact — ALL five tables, uns, and manifest
+    (the round-7 hole was exactly that var/varm_long/uns were
+    overwritten in place pre-marker and only x_long/obs were asserted).
+    The re-run then converges to the from-scratch product."""
+    out = str(tmp_path / "product")
+    data = os.path.join(bundle, "data")
+    cat = os.path.join(bundle, "uuids.tsv")
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
+    base = _snapshot_product(spark, out)
+
+    with pytest.raises(RuntimeError, match=f"injected crash after {step}"):
+        apply_product_delta(
+            spark, out, data, cat, 0,
+            add=[DS[2]], remove=[DS[1]], _fail_after=step,
+        )
+    assert read_commit_marker(out)["version"] == 0
+    assert _snapshot_product(spark, out) == base
+
+    # replaying the batch converges to the from-scratch result
+    apply_product_delta(spark, out, data, cat, 0, add=[DS[2]], remove=[DS[1]])
+    _assert_equals_from_scratch(
+        spark, bundle, out, [DS[0], DS[2]], tmp_path, "recovered"
+    )
+
+
+def test_crash_at_marker_rename_keeps_previous_snapshot(
     spark, bundle, tmp_path, monkeypatch
 ):
-    """A batch that dies before the marker rename leaves the PREVIOUS
-    committed product fully readable: the added dataset's partitions
-    are on disk but invisible to committed reads, and the re-run
-    converges."""
+    """Same property with the crash at the commit call itself (the
+    marker rename never happens): the added dataset's partitions are on
+    disk but invisible to committed reads, and the re-run converges."""
     import codex_data_products_spark.streaming.product_ivm as ivm
 
     out = str(tmp_path / "product")
@@ -201,7 +276,7 @@ def test_crash_before_commit_keeps_previous_snapshot(
     # uncommitted partition exists on disk but committed reads hide it
     assert os.path.isdir(f"{out}/x_long/dataset={DS[1]}")
     assert read_commit_marker(out)["version"] == 0
-    assert _snapshot_product(spark, out)["x_long"] == base["x_long"]
+    assert _snapshot_product(spark, out) == base
     obs = read_product_table(spark, out, "obs")
     assert obs.filter(f"dataset = '{DS[1]}'").count() == 0
 
@@ -214,7 +289,10 @@ def test_crash_before_commit_keeps_previous_snapshot(
 
 def test_removal_retracts_private_channels_from_var(spark, bundle, tmp_path):
     """Removing a dataset retracts its private channels from the var
-    axis and its varm rows — the cross-dataset retraction case."""
+    axis and its varm rows — the cross-dataset retraction case. The
+    removed partitions OUTLIVE the commit (retention keeps the previous
+    snapshot whole for concurrent readers) and are collected only when
+    expire_snapshots drops the last snapshot referencing them."""
     out = str(tmp_path / "product")
     data = os.path.join(bundle, "data")
     cat = os.path.join(bundle, "uuids.tsv")
@@ -228,8 +306,95 @@ def test_removal_retracts_private_channels_from_var(spark, bundle, tmp_path):
     assert any(c.startswith("PRIV0_") for c in var1)  # survivor intact
     varm = read_product_table(spark, out, "varm_long")
     assert varm.filter(f"dataset = '{DS[1]}'").count() == 0
-    # physical GC happened post-commit
+    # retention (default keep_last=2) still references snapshot v=0, so
+    # the removed partition and the superseded axis version survive …
+    assert os.path.isdir(f"{out}/x_long/dataset={DS[1]}")
+    assert os.path.isdir(f"{out}/var/v=0")
+    # … until expiry drops snapshot v=0
+    removed = expire_snapshots(out, keep_last=1)
     assert not os.path.isdir(f"{out}/x_long/dataset={DS[1]}")
+    assert not os.path.isdir(f"{out}/var/v=0")
+    assert f"x_long/dataset={DS[1]}" in removed["partitions"]
+    assert 0 in removed["commits"]
+    # the live snapshot is untouched by expiry
+    assert read_commit_marker(out)["version"] == 1
+    assert read_product_table(spark, out, "x_long").count() > 0
+
+
+def test_concurrent_reader_survives_delta_commit(spark, bundle, tmp_path):
+    """A reader that resolved the marker BEFORE a delta commits (and
+    removes a dataset) can still finish its scan: retention keeps every
+    file its snapshot references — nothing it resolved is overwritten
+    (axis tables are version-pinned) or deleted (GC is expiry-based,
+    not at-commit)."""
+    out = str(tmp_path / "product")
+    data = os.path.join(bundle, "data")
+    cat = os.path.join(bundle, "uuids.tsv")
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
+    # reader opens snapshot v=0 (plans pinned to v=0 axis paths + the
+    # v=0 dataset list) but does NOT execute yet
+    reader_x = read_product_table(spark, out, "x_long")
+    reader_var = read_product_table(spark, out, "var")
+    want_x, want_var = reader_x.count(), reader_var.count()
+
+    apply_product_delta(
+        spark, out, data, cat, 0, add=[DS[2]], remove=[DS[1]]
+    )
+    # post-commit, the pre-commit reader's plans still execute correctly
+    assert reader_x.count() == want_x
+    assert reader_var.count() == want_var
+    assert reader_x.filter(f"dataset = '{DS[1]}'").count() > 0
+
+
+def test_mirror_files_match_committed_snapshot(spark, bundle, tmp_path):
+    """The root-level uns.json and <uuid>.json are post-commit mirrors
+    of the marker's canonical content (reference-parity files,
+    bin/concatenate.py:454-468)."""
+    out = str(tmp_path / "product")
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
+    apply_product_delta(
+        spark, out, os.path.join(bundle, "data"),
+        os.path.join(bundle, "uuids.tsv"), 0, add=[DS[2]],
+    )
+    with open(f"{out}/uns.json") as f:
+        assert json.load(f) == read_uns(out)
+    with open(f"{out}/ivm-product.json") as f:
+        assert json.load(f) == read_manifest(out)
+
+
+def test_commit_stats_feed_plan_join_without_a_stats_job(
+    spark, bundle, tmp_path
+):
+    """VERDICT r7 #7: the marker carries per-table stats, and
+    estimate_from_stats + plan_join pick BROADCAST for the x_long ⋈ var
+    join on a freshly-opened product from the stored stats alone — the
+    estimate is pure dict arithmetic (zero Spark jobs), and the physical
+    plan carries the BroadcastHashJoin."""
+    from codex_data_products_spark.operators.joins import (
+        estimate_from_stats,
+        plan_join,
+    )
+
+    out = str(tmp_path / "product")
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
+    stats = product_table_stats(out)
+    # exact values, persisted additively at commit
+    x = read_product_table(spark, out, "x_long")
+    var = read_product_table(spark, out, "var")
+    assert stats["x_long"]["rows"] == x.count()
+    assert stats["var"]["rows"] == var.count()
+    assert stats["obs"]["rows"] == read_product_table(spark, out, "obs").count()
+    assert stats["edges"]["rows"] == read_product_table(
+        spark, out, "edges"
+    ).count()
+    assert stats["x_long"]["columns"]["channel"]["ndv"] == stats["var"]["rows"]
+
+    est = estimate_from_stats(stats["x_long"], stats["var"], "channel")
+    joined, strategy = plan_join(x, var, "channel", est)
+    assert strategy == "broadcast"
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert joined.count() == x.count()  # var keys cover surviving x rows
 
 
 def test_streaming_drain_applies_change_feed(spark, bundle, tmp_path):
@@ -306,12 +471,46 @@ def test_committed_read_gates_via_partition_pruning(spark, bundle, tmp_path):
     )
 
 
+def test_manifest_size_excludes_state_and_unreferenced_files(
+    spark, bundle, tmp_path
+):
+    """ADVICE r7: 'Raw File Size' must cover exactly the committed
+    snapshot's files — not the _state version history (which grows with
+    batch count) or removed datasets' not-yet-expired partitions — so
+    the maintained manifest equals the from-scratch one."""
+    out = str(tmp_path / "product")
+    data = os.path.join(bundle, "data")
+    cat = os.path.join(bundle, "uuids.tsv")
+    from codex_data_products_spark.plans.codex_pipeline import _committed_size
+
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
+    apply_product_delta(spark, out, data, cat, 0, add=[DS[2]], remove=[DS[1]])
+    size_after_batch = read_manifest(out)["Raw File Size"]
+
+    marker = read_commit_marker(out)
+    committed_only = _committed_size(
+        out, marker["dataset_uuids"], marker["table_versions"]
+    )
+    assert size_after_batch == committed_only
+    # the r7 bug: a whole-directory walk — it counts _state history, the
+    # removed-but-retained DS[1] partitions, superseded axis versions and
+    # the JSON metadata, so it MUST be strictly larger
+    whole_walk = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _, fns in os.walk(out)
+        for fn in fns
+    )
+    assert whole_walk > size_after_batch
+    assert os.path.isdir(f"{out}/_state/ds_channels/v=0")  # history exists
+
+
 def test_metadata_refresh_never_decodes_hdf5(spark, bundle, tmp_path):
     """Correcting an ancestor's antibodies.tsv refreshes varm through
     the maintainer WITHOUT executing the HDF5 expression scan (a
     raising decoder proves nothing materializes obs/x_long) and WITHOUT
     touching any dataset partition; the result equals a from-scratch
-    build over the corrected bundle."""
+    build over the corrected bundle. The var axis version is CARRIED
+    FORWARD (the refresh commits a new varm_long version only)."""
     import shutil
 
     from codex_data_products_spark.streaming.product_ivm import (
@@ -368,4 +567,6 @@ def test_metadata_refresh_never_decodes_hdf5(spark, bundle, tmp_path):
     want = _table_rows(spark, fresh, "varm_long")
     assert got == want
     assert any("P99999" in str(r) for r in got)  # the fix landed
-    assert read_commit_marker(out)["version"] == 1
+    marker = read_commit_marker(out)
+    assert marker["version"] == 1
+    assert marker["table_versions"] == {"var": 0, "varm_long": 1}

@@ -179,6 +179,7 @@ def run(out: str, n_datasets: int, n_cells: int) -> dict:
 
     from codex_data_products_spark.plans.codex_pipeline import (
         build_product,
+        read_product_table,
         write_product,
     )
     from codex_data_products_spark.session import get_spark
@@ -197,10 +198,11 @@ def run(out: str, n_datasets: int, n_cells: int) -> dict:
     build_sec = round(time.perf_counter() - t0, 1)
 
     t1 = time.perf_counter()
-    obs = spark.read.parquet(f"{out}/product/obs")
-    x = spark.read.parquet(f"{out}/product/x_long")
-    var = spark.read.parquet(f"{out}/product/var")
-    edges = spark.read.parquet(f"{out}/product/edges")
+    pdir = os.path.join(out, "product")
+    obs = read_product_table(spark, pdir, "obs")
+    x = read_product_table(spark, pdir, "x_long")
+    var = read_product_table(spark, pdir, "var")
+    edges = read_product_table(spark, pdir, "edges")
 
     n_obs = obs.count()
     n_obs_distinct = obs.select("cell_id").distinct().count()
