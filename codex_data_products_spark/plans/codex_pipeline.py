@@ -114,6 +114,180 @@ def read_catalog(spark: SparkSession, uuids_tsv: str) -> DataFrame:
     return df.select(*keep)
 
 
+def _dataset_parts(
+    spark: SparkSession,
+    data_dir: str,
+    ds: str,
+    ds_tissue: str,
+    ancestor_of: dict,
+    decoder: Decoder,
+) -> dict | None:
+    """The per-dataset plan fragments (x/obs/varm/edges) for ONE leaf
+    dataset — the unit both the single-product and the multi-tissue
+    fleet build compose from, so a fleet build's per-tissue product is
+    STRUCTURALLY the same plan as an individual build's. Returns None
+    for incomplete dataset dirs (skip-sparse-dirs guard,
+    bin/concatenate.py:358-359). Nothing executes here except tiny
+    driver-side metadata reads (CSV headers, file globs)."""
+    files = discover_dataset_files(data_dir, ds)
+    if files is None:
+        return None
+
+    # Channel names: CSV header (S3), canonicalized BEFORE the union
+    # (J4 on var names: find_antibody_key only, bin/concatenate.py:246).
+    raw_channels = read_channel_names(files["expression_csv"])
+    channels = [canonical_channel_py(c) for c in raw_channels]
+    channel_map = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(channels)], "channel_idx int, channel string"
+    )
+
+    # S4: HDF5 decode (one task per file) → long rows; channel names
+    # joined on position.
+    expr = read_hdf5_expression(spark, files["hdf5"], decoder=decoder)
+    global_id = F.concat_ws("-", F.col("dataset"), F.col("original_obs_id"))
+    x = expr.join(F.broadcast(channel_map), "channel_idx").select(
+        "dataset",
+        global_id.alias("cell_id"),
+        "channel",
+        "total",
+        "mean",
+    )
+
+    # obs: one row per cell + centers coordinates (F4/J3 semi
+    # semantics via left join on the cell's own id set).
+    cells = expr.select("dataset", "original_obs_id").distinct()
+    centers = read_centers(spark, files["centers"])
+    obs = cells.join(centers, "original_obs_id", "left").select(
+        F.concat_ws("-", "dataset", "original_obs_id").alias("cell_id"),
+        "dataset",
+        "original_obs_id",
+        F.lit(ds_tissue).alias("tissue"),
+        "x",
+        "y",
+    )
+
+    # varm: parent antibodies.tsv (J2 ancestor lookup) ∩ var channels
+    # (U2), first match per name (A5), tidy long form (P1 internal).
+    parent = ancestor_of.get(ds)
+    antibodies_path = None
+    if parent:
+        hits = sorted(
+            glob.glob(os.path.join(data_dir, parent, "*antibodies.tsv"))
+        )
+        antibodies_path = hits[0] if hits else None
+    varm = None
+    if antibodies_path:
+        antb = first_match_per_antibody(
+            read_antibodies(spark, antibodies_path)
+        )
+        ds_channels = spark.createDataFrame(
+            [(c,) for c in channels], "channel string"
+        )
+        varm = antb.join(
+            ds_channels, antb.antibody_name == ds_channels.channel, "inner"
+        ).select(
+            "channel",
+            F.lit(ds).alias("dataset"),
+            F.col("uniprot_accession_number").alias("uniprot"),
+            F.col("rr_id").alias("rrid"),
+            F.col("channel_id").alias("antibodies_tsv_id"),
+        )
+
+    # Adjacency: MM positions → cell ids, edges kept only when both
+    # endpoints exist in obs (W1 + J3, bin/concatenate.py:310-330),
+    # then globalized — U3 block-diagonal union for free.
+    mm = read_matrix_market(spark, files["adjacency"])
+    labels = read_labels(spark, files["labels"])
+    keep = cells.select(F.col("original_obs_id").alias("cell_id"))
+    local_edges = remap_edges_to_cell_ids(mm, labels, keep=keep)
+    edges = local_edges.select(
+        F.lit(ds).alias("dataset"),
+        F.concat_ws("-", F.lit(ds), "src_cell_id").alias("src_cell_id"),
+        F.concat_ws("-", F.lit(ds), "dst_cell_id").alias("dst_cell_id"),
+        "weight",
+    )
+    return {"x": x, "obs": obs, "varm": varm, "edges": edges}
+
+
+def _assemble_product(
+    spark: SparkSession, catalog: DataFrame, parts: list[dict], uns: dict
+) -> CodexProduct:
+    """Union the per-dataset fragments and apply the cross-dataset
+    finishing steps (F5 channel axis, varm survivorship, donor join) —
+    shared verbatim by ``build_product`` and the fleet build, so their
+    outputs are the same function of the same fragments."""
+    if not parts:
+        raise ValueError("no complete datasets found")
+
+    def union_all(frames: list[DataFrame]) -> DataFrame:
+        out = frames[0]
+        for p in frames[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # U1: outer union-by-name across datasets (anndata.concat(join="outer"),
+    # bin/concatenate.py:412). Long form: missing (cell, channel) pairs are
+    # simply absent — documented null-vs-absent choice (SURVEY §7 hard #5).
+    x_long = union_all([p["x"] for p in parts])
+    obs = union_all([p["obs"] for p in parts])
+    edge_parts = [p["edges"] for p in parts if p["edges"] is not None]
+    edges = union_all(edge_parts) if edge_parts else None
+    varm_parts = [p["varm"] for p in parts if p["varm"] is not None]
+    varm_long = (
+        union_all(varm_parts)
+        if varm_parts
+        else spark.createDataFrame(
+            [],
+            "channel string, dataset string, uniprot string, rrid string, "
+            "antibodies_tsv_id string",
+        )
+    )
+
+    # F5: unidentifiable-channel filter, pushed (by us, once) below every
+    # consumer instead of running after full materialization.
+    var = (
+        x_long.select("channel")
+        .distinct()
+        .filter(
+            ~F.col("channel").rlike(CHANNEL_DROP_REGEX)
+            & ~F.lower(F.col("channel")).contains("blank")
+        )
+    )
+    x_long = x_long.join(F.broadcast(var), "channel", "left_semi").select(
+        "dataset", "cell_id", "channel", "total", "mean"
+    )
+    # J5: varm re-indexed to the surviving channel axis. The pre-join
+    # relation is kept on the product (varm_raw) for the incremental
+    # maintainer, which must re-derive survivorship against the
+    # maintained global axis rather than this build's block-local one.
+    varm_raw = varm_long
+    varm_long = varm_long.join(F.broadcast(var), "channel", "left_semi")
+
+    # J1: donor metadata broadcast join + E5 age cast + F7 Epic literals.
+    donor_cols = ["age", "sex", "height", "weight", "bmi", "cause_of_death", "race"]
+    cat_donor = catalog.select(
+        F.col("uuid"),
+        *[F.col(c) for c in donor_cols if c in catalog.columns],
+    )
+    obs = (
+        obs.join(F.broadcast(cat_donor), obs.dataset == cat_donor.uuid, "inner")
+        .drop("uuid")
+        .withColumn("age", F.col("age").cast("double"))
+        .withColumn("object_type", F.lit("ftu"))
+        .withColumn("analyte_class", F.lit("Protein"))
+    )
+
+    return CodexProduct(
+        x_long=x_long,
+        obs=obs,
+        var=var,
+        varm_long=varm_long,
+        edges=edges,
+        uns=uns,
+        varm_raw=varm_raw,
+    )
+
+
 def build_product(
     spark: SparkSession,
     data_dir: str,
@@ -160,158 +334,15 @@ def build_product(
     processed_hbmids = [r["hubmap_id"] for r in leaves]
     ancestor_of = {r["uuid"]: r["immediate_ancestor_ids"] for r in cat_rows}
 
-    x_parts: list[DataFrame] = []
-    obs_parts: list[DataFrame] = []
-    varm_parts: list[DataFrame] = []
-    edge_parts: list[DataFrame] = []
-
+    parts = []
     for ds in processed_uuids:
-        files = discover_dataset_files(data_dir, ds)
-        if files is None:  # skip-sparse-dirs guard (bin/concatenate.py:358-359)
-            continue
         ds_tissue = tissue or (tissue_by_uuid or {}).get(ds, "unknown")
-
-        # Channel names: CSV header (S3), canonicalized BEFORE the union
-        # (J4 on var names: find_antibody_key only, bin/concatenate.py:246).
-        raw_channels = read_channel_names(files["expression_csv"])
-        channels = [canonical_channel_py(c) for c in raw_channels]
-        channel_map = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(channels)], "channel_idx int, channel string"
-        )
-
-        # S4: HDF5 decode (one task per file) → long rows; channel names
-        # joined on position.
-        expr = read_hdf5_expression(spark, files["hdf5"], decoder=decoder)
-        global_id = F.concat_ws("-", F.col("dataset"), F.col("original_obs_id"))
-        x_parts.append(
-            expr.join(F.broadcast(channel_map), "channel_idx")
-            .select(
-                "dataset",
-                global_id.alias("cell_id"),
-                "channel",
-                "total",
-                "mean",
-            )
-        )
-
-        # obs: one row per cell + centers coordinates (F4/J3 semi
-        # semantics via left join on the cell's own id set).
-        cells = expr.select("dataset", "original_obs_id").distinct()
-        centers = read_centers(spark, files["centers"])
-        obs_parts.append(
-            cells.join(centers, "original_obs_id", "left")
-            .select(
-                F.concat_ws("-", "dataset", "original_obs_id").alias("cell_id"),
-                "dataset",
-                "original_obs_id",
-                F.lit(ds_tissue).alias("tissue"),
-                "x",
-                "y",
-            )
-        )
-
-        # varm: parent antibodies.tsv (J2 ancestor lookup) ∩ var channels
-        # (U2), first match per name (A5), tidy long form (P1 internal).
-        parent = ancestor_of.get(ds)
-        antibodies_path = None
-        if parent:
-            hits = sorted(
-                glob.glob(os.path.join(data_dir, parent, "*antibodies.tsv"))
-            )
-            antibodies_path = hits[0] if hits else None
-        if antibodies_path:
-            antb = first_match_per_antibody(
-                read_antibodies(spark, antibodies_path)
-            )
-            ds_channels = spark.createDataFrame(
-                [(c,) for c in channels], "channel string"
-            )
-            varm_parts.append(
-                antb.join(
-                    ds_channels, antb.antibody_name == ds_channels.channel, "inner"
-                ).select(
-                    "channel",
-                    F.lit(ds).alias("dataset"),
-                    F.col("uniprot_accession_number").alias("uniprot"),
-                    F.col("rr_id").alias("rrid"),
-                    F.col("channel_id").alias("antibodies_tsv_id"),
-                )
-            )
-
-        # Adjacency: MM positions → cell ids, edges kept only when both
-        # endpoints exist in obs (W1 + J3, bin/concatenate.py:310-330),
-        # then globalized — U3 block-diagonal union for free.
-        mm = read_matrix_market(spark, files["adjacency"])
-        labels = read_labels(spark, files["labels"])
-        keep = cells.select(F.col("original_obs_id").alias("cell_id"))
-        local_edges = remap_edges_to_cell_ids(mm, labels, keep=keep)
-        edge_parts.append(
-            local_edges.select(
-                F.lit(ds).alias("dataset"),
-                F.concat_ws("-", F.lit(ds), "src_cell_id").alias("src_cell_id"),
-                F.concat_ws("-", F.lit(ds), "dst_cell_id").alias("dst_cell_id"),
-                "weight",
-            )
-        )
-
-    if not x_parts:
+        p = _dataset_parts(spark, data_dir, ds, ds_tissue, ancestor_of, decoder)
+        if p is None:
+            continue
+        parts.append(p)
+    if not parts:
         raise ValueError(f"no complete datasets found under {data_dir}")
-
-    def union_all(parts: list[DataFrame]) -> DataFrame:
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    # U1: outer union-by-name across datasets (anndata.concat(join="outer"),
-    # bin/concatenate.py:412). Long form: missing (cell, channel) pairs are
-    # simply absent — documented null-vs-absent choice (SURVEY §7 hard #5).
-    x_long = union_all(x_parts)
-    obs = union_all(obs_parts)
-    edges = union_all(edge_parts) if edge_parts else None
-    varm_long = (
-        union_all(varm_parts)
-        if varm_parts
-        else spark.createDataFrame(
-            [],
-            "channel string, dataset string, uniprot string, rrid string, "
-            "antibodies_tsv_id string",
-        )
-    )
-
-    # F5: unidentifiable-channel filter, pushed (by us, once) below every
-    # consumer instead of running after full materialization.
-    var = (
-        x_long.select("channel")
-        .distinct()
-        .filter(
-            ~F.col("channel").rlike(CHANNEL_DROP_REGEX)
-            & ~F.lower(F.col("channel")).contains("blank")
-        )
-    )
-    x_long = x_long.join(F.broadcast(var), "channel", "left_semi").select(
-        "dataset", "cell_id", "channel", "total", "mean"
-    )
-    # J5: varm re-indexed to the surviving channel axis. The pre-join
-    # relation is kept on the product (varm_raw) for the incremental
-    # maintainer, which must re-derive survivorship against the
-    # maintained global axis rather than this build's block-local one.
-    varm_raw = varm_long
-    varm_long = varm_long.join(F.broadcast(var), "channel", "left_semi")
-
-    # J1: donor metadata broadcast join + E5 age cast + F7 Epic literals.
-    donor_cols = ["age", "sex", "height", "weight", "bmi", "cause_of_death", "race"]
-    cat_donor = catalog.select(
-        F.col("uuid"),
-        *[F.col(c) for c in donor_cols if c in catalog.columns],
-    )
-    obs = (
-        obs.join(F.broadcast(cat_donor), obs.dataset == cat_donor.uuid, "inner")
-        .drop("uuid")
-        .withColumn("age", F.col("age").cast("double"))
-        .withColumn("object_type", F.lit("ftu"))
-        .withColumn("analyte_class", F.lit("Protein"))
-    )
 
     uns = {
         "creation_data_time": creation_time or str(datetime.now()),
@@ -322,15 +353,104 @@ def build_product(
         "epic_type": "analyses",
         "tissue": tissue,
     }
-    return CodexProduct(
-        x_long=x_long,
-        obs=obs,
-        var=var,
-        varm_long=varm_long,
-        edges=edges,
-        uns=uns,
-        varm_raw=varm_raw,
-    )
+    return _assemble_product(spark, catalog, parts, uns)
+
+
+def build_products(
+    spark: SparkSession,
+    data_dir: str,
+    uuids_tsv: str,
+    *,
+    decoder: Decoder = h5py_decoder,
+    tissue_by_uuid: dict[str, str] | None = None,
+    product_uuid_by_tissue: dict[str, str] | None = None,
+    creation_time: str | None = None,
+) -> dict[str, CodexProduct]:
+    """The single-invocation FLEET build: every tissue's product from
+    one pass over the shared catalog (VERDICT r7 #2).
+
+    The reference runs one CWL invocation per tissue (pipeline.cwl:32-47
+    — ``make_uuids_tsv.py`` is invoked per organ, then the whole
+    concatenation re-runs per product); here tissue is just a column.
+    One catalog read + one driver-side discovery pass builds the
+    per-dataset plan fragments ONCE (``_dataset_parts``); each fragment
+    belongs to exactly one tissue, so writing the fleet reads each
+    dataset's files exactly once in total, and the per-tissue finishing
+    (``_assemble_product``) is the SAME function an individual
+    ``build_product`` applies — property-tested equal per tissue.
+
+    Tissue resolution: a ``tissue`` column in the catalog TSV if
+    present, else ``tissue_by_uuid``; datasets with no resolvable tissue
+    raise (a silent 'unknown' bucket would merge tissues into one
+    product). ``creation_time`` defaults to ONE shared timestamp so the
+    fleet's products are mutually consistent."""
+    import uuid as uuidlib
+    from datetime import datetime
+
+    catalog = read_catalog(spark, uuids_tsv)
+    has_tissue_col = "tissue" in catalog.columns
+    cols = ["uuid", "hubmap_id", "immediate_ancestor_ids",
+            "immediate_descendant_ids"] + (["tissue"] if has_tissue_col else [])
+    cat_rows = catalog.select(*cols).collect()
+    leaves = [r for r in cat_rows if r["immediate_descendant_ids"] is None]
+    ancestor_of = {r["uuid"]: r["immediate_ancestor_ids"] for r in cat_rows}
+
+    def tissue_of(row) -> str | None:
+        if has_tissue_col and row["tissue"]:
+            return row["tissue"]
+        return (tissue_by_uuid or {}).get(row["uuid"])
+
+    unresolved = [r["uuid"] for r in leaves if tissue_of(r) is None]
+    if unresolved:
+        raise ValueError(
+            f"no tissue for leaf datasets {unresolved}: add a 'tissue' "
+            "catalog column or pass tissue_by_uuid"
+        )
+    # group in catalog leaf order, tissues in first-appearance order —
+    # per-tissue dataset lists match an individual only_datasets build
+    groups: dict[str, list] = {}
+    for r in leaves:
+        groups.setdefault(tissue_of(r), []).append(r)
+
+    shared_time = creation_time or str(datetime.now())
+    products: dict[str, CodexProduct] = {}
+    for t, rows in groups.items():
+        parts = []
+        for r in rows:
+            p = _dataset_parts(
+                spark, data_dir, r["uuid"], t, ancestor_of, decoder
+            )
+            if p is None:
+                continue
+            parts.append(p)
+        if not parts:
+            continue
+        uns = {
+            "creation_data_time": shared_time,
+            "uuid": (product_uuid_by_tissue or {}).get(t)
+            or str(uuidlib.uuid4()),
+            "datasets": [r["hubmap_id"] for r in rows],
+            "dataset_uuids": [r["uuid"] for r in rows],
+            "protocol": "https://github.com/hubmapconsortium/codex-data-products",
+            "epic_type": "analyses",
+            "tissue": t,
+        }
+        products[t] = _assemble_product(spark, catalog, parts, uns)
+    if not products:
+        raise ValueError(f"no complete datasets found under {data_dir}")
+    return products
+
+
+def write_products(products: dict[str, CodexProduct], root: str) -> dict:
+    """Commit the fleet: one product directory per tissue under
+    ``root/<tissue>``, each with its own marker (independent snapshot
+    lineage — a tissue's maintenance deltas never touch another's).
+    Datasets are disjoint across tissues, so the fleet write reads each
+    dataset's files exactly once in total. Returns manifests by tissue."""
+    return {
+        t: write_product(p, os.path.join(root, t))
+        for t, p in sorted(products.items())
+    }
 
 
 def write_json_atomic(path: str, obj) -> None:

@@ -1,0 +1,199 @@
+"""Single-invocation multi-tissue fleet build (VERDICT r7 #2,
+plans/codex_pipeline.py build_products/write_products): one pass over
+the shared catalog builds EVERY tissue's product; each per-tissue
+output equals an individual ``build_product`` run over that tissue's
+datasets, each tissue's write reads only its own datasets' files (the
+shared inputs are never re-read across tissues), and the committed
+directories are independent snapshot lineages (one marker each).
+
+The reference runs one CWL invocation per tissue (pipeline.cwl:32-47 —
+make_uuids_tsv.py per organ, full concatenation re-run per product);
+here tissue is a grouping column over one catalog read + one
+driver-side discovery pass.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+from codex_data_products_spark.plans.codex_pipeline import (
+    build_product,
+    build_products,
+    read_commit_marker,
+    read_manifest,
+    read_product_table,
+    read_uns,
+    write_product,
+    write_products,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "codex_stress", os.path.join(REPO, "tools", "codex_stress.py")
+)
+codex_stress = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and codex_stress)
+
+N_DATASETS, N_CELLS = 4, 12
+DS = [codex_stress._ds_uuid(i) for i in range(N_DATASETS)]
+# interleave tissues across catalog order: Spleen gets DS[0], DS[2];
+# Thymus gets DS[1], DS[3] — exercises the grouping, not just a split
+TISSUE_OF = {DS[0]: "Spleen", DS[1]: "Thymus", DS[2]: "Spleen", DS[3]: "Thymus"}
+GROUPS = {
+    "Spleen": [DS[0], DS[2]],
+    "Thymus": [DS[1], DS[3]],
+}
+UUIDS = {"Spleen": "fleet-spleen", "Thymus": "fleet-thymus"}
+T0 = "2026-08-15 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fleet_bundle"))
+    codex_stress.generate(out, N_DATASETS, N_CELLS)
+    return out
+
+
+def _table_rows(spark, out_dir, table):
+    df = read_product_table(spark, out_dir, table)
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def _snapshot(spark, out_dir):
+    snap = {
+        t: _table_rows(spark, out_dir, t)
+        for t in ("x_long", "obs", "var", "varm_long", "edges")
+    }
+    uns = read_uns(out_dir)
+    snap["uns"] = (uns["dataset_uuids"], uns["datasets"], uns["tissue"])
+    m = read_manifest(out_dir)
+    snap["manifest"] = (
+        m["Total Cell Count"],
+        m["Dataset UUIDs"],
+        m["Dataset HBMIDs"],
+        m["Tissue"],
+    )
+    return snap
+
+
+@pytest.fixture(scope="module")
+def fleet(spark, bundle, tmp_path_factory):
+    """One build_products + write_products invocation; a decode-logging
+    decoder records which dataset's HDF5 each tissue's write touched."""
+    from codex_data_products_spark.sources.hdf5 import h5py_decoder
+
+    tmp = tmp_path_factory.mktemp("fleet_out")
+    root = str(tmp / "fleet")
+    log = str(tmp / "decodes.log")
+
+    def logging_decoder(payload, path):
+        # O_APPEND single-write is atomic for short lines — safe across
+        # the local-mode Python workers
+        fd = os.open(log, os.O_WRONLY | os.O_CREAT | os.O_APPEND)
+        try:
+            os.write(fd, (path + "\n").encode())
+        finally:
+            os.close(fd)
+        return h5py_decoder(payload, path)
+
+    products = build_products(
+        spark,
+        os.path.join(bundle, "data"),
+        os.path.join(bundle, "uuids.tsv"),
+        tissue_by_uuid=TISSUE_OF,
+        product_uuid_by_tissue=UUIDS,
+        creation_time=T0,
+        decoder=logging_decoder,
+    )
+    # write per tissue, snapshotting the decode log between tissues so
+    # each write's input footprint is attributable
+    decoded_by_tissue = {}
+    for t in sorted(products):
+        start = (
+            open(log).read().splitlines() if os.path.exists(log) else []
+        )
+        write_product(products[t], os.path.join(root, t))
+        end = open(log).read().splitlines()
+        decoded_by_tissue[t] = end[len(start):]
+    return root, tmp, products, decoded_by_tissue
+
+
+def test_each_tissue_product_equals_individual_build(spark, bundle, fleet):
+    root, tmp, products, _ = fleet
+    assert sorted(products) == ["Spleen", "Thymus"]
+    for t, group in GROUPS.items():
+        solo = str(tmp / f"solo_{t}")
+        write_product(
+            build_product(
+                spark,
+                os.path.join(bundle, "data"),
+                os.path.join(bundle, "uuids.tsv"),
+                tissue=t,
+                product_uuid=UUIDS[t],
+                creation_time=T0,
+                only_datasets=group,
+            ),
+            solo,
+        )
+        got = _snapshot(spark, os.path.join(root, t))
+        want = _snapshot(spark, solo)
+        for key in got:
+            assert got[key] == want[key], f"{t}: {key} diverged"
+
+
+def test_fleet_write_reads_only_own_tissue_inputs(fleet):
+    """The shared-input guarantee: tissue A's write never decodes
+    tissue B's HDF5 files — across the whole fleet write, each
+    dataset's expression file is read by exactly one tissue's jobs."""
+    _, _, _, decoded_by_tissue = fleet
+    for t, paths in decoded_by_tissue.items():
+        datasets_touched = {
+            seg
+            for p in paths
+            for seg in p.split(os.sep)
+            if seg in set(DS)
+        }
+        assert datasets_touched == set(GROUPS[t]), t
+
+
+def test_fleet_products_are_independent_snapshots(spark, fleet):
+    """Each tissue directory carries its own commit lineage: distinct
+    uuids, version 0, and committed reads gated per tissue."""
+    root, _, _, _ = fleet
+    for t in GROUPS:
+        marker = read_commit_marker(os.path.join(root, t))
+        assert marker["uuid"] == UUIDS[t]
+        assert marker["version"] == 0
+        assert sorted(marker["dataset_uuids"]) == sorted(GROUPS[t])
+        obs = read_product_table(spark, os.path.join(root, t), "obs")
+        tissues = {r["tissue"] for r in obs.select("tissue").distinct().collect()}
+        assert tissues == {t}
+
+
+def test_write_products_returns_manifests_by_tissue(spark, bundle, tmp_path):
+    products = build_products(
+        spark,
+        os.path.join(bundle, "data"),
+        os.path.join(bundle, "uuids.tsv"),
+        tissue_by_uuid=TISSUE_OF,
+        product_uuid_by_tissue=UUIDS,
+        creation_time=T0,
+    )
+    manifests = write_products(products, str(tmp_path / "root"))
+    assert sorted(manifests) == ["Spleen", "Thymus"]
+    for t, m in manifests.items():
+        assert m["Tissue"] == t
+        assert m["Total Cell Count"] == len(GROUPS[t]) * N_CELLS
+
+
+def test_unresolved_tissue_raises(spark, bundle):
+    with pytest.raises(ValueError, match="no tissue for leaf datasets"):
+        build_products(
+            spark,
+            os.path.join(bundle, "data"),
+            os.path.join(bundle, "uuids.tsv"),
+            tissue_by_uuid={DS[0]: "Spleen"},  # DS[1..3] unresolved
+        )
