@@ -885,6 +885,14 @@ class _BitWriter:
             pad = 8 - self._n
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
 
+    def restart(self, idx: int) -> None:
+        """Byte-align and emit RSTn (T.81 B.2.1.2: markers are not
+        byte-stuffed — they are the one legal 0xFF pair inside the
+        entropy-coded segment)."""
+        self.flush()
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (idx & 7))
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -923,6 +931,7 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code in JPEG stream")
+
 
 
 def _fdct_quant(block: list[float], quant: list[int]) -> list[int]:
@@ -987,26 +996,72 @@ def _encode_block(
     return zz[0]
 
 
-def encode_jpeg(width: int, height: int, rgb_rows: Sequence[bytes]) -> bytes:
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb_rows: Sequence[bytes],
+    *,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode 8-bit RGB rows (top-down, 3*width bytes each) as a
-    baseline JFIF JPEG: 4:4:4 sampling, Annex K quantization + Huffman
-    tables. Edge blocks replicate the last row/column (the standard
-    padding choice)."""
+    baseline JFIF JPEG with the Annex K quantization + Huffman tables.
+    Edge blocks replicate the last row/column (the standard padding
+    choice).
+
+    ``subsampling``: '444' (one block per component per MCU) or '420'
+    (the real-world default — luma at 2×2 sampling factors, chroma
+    2×2-box-averaged to quarter resolution, four Y blocks + Cb + Cr per
+    16×16 MCU, T.81 A.2.3 interleaving). ``restart_interval`` > 0 emits
+    a DRI segment and an RSTn marker every N MCUs (byte-aligned, DC
+    predictors reset — T.81 B.2.4.4/E.2.4), the resync points every
+    real-world camera JPEG carries."""
     if len(rgb_rows) != height:
         raise ValueError(f"expected {height} rows, got {len(rgb_rows)}")
-    # RGB -> YCbCr planes (JFIF), edge-replicated to multiples of 8
-    bw, bh = (width + 7) // 8 * 8, (height + 7) // 8 * 8
-    planes = [[0.0] * (bw * bh) for _ in range(3)]
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = subsampling == "420"
+    hmax = vmax = 2 if sub else 1
+    mcu_px = 8 * hmax
+    # RGB -> YCbCr (JFIF), edge-replicated to whole MCUs
+    bw = (width + mcu_px - 1) // mcu_px * mcu_px
+    bh = (height + mcu_px - 1) // mcu_px * mcu_px
+    yp = [0.0] * (bw * bh)
+    cbp = [0.0] * (bw * bh)
+    crp = [0.0] * (bw * bh)
     for y in range(bh):
         row = rgb_rows[min(y, height - 1)]
         for x in range(bw):
             xs = min(x, width - 1)
             r, g, b = row[3 * xs], row[3 * xs + 1], row[3 * xs + 2]
-            planes[0][y * bw + x] = (
-                0.299 * r + 0.587 * g + 0.114 * b - 128.0
-            )
-            planes[1][y * bw + x] = -0.168736 * r - 0.331264 * g + 0.5 * b
-            planes[2][y * bw + x] = 0.5 * r - 0.418688 * g - 0.081312 * b
+            yp[y * bw + x] = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+            cbp[y * bw + x] = -0.168736 * r - 0.331264 * g + 0.5 * b
+            crp[y * bw + x] = 0.5 * r - 0.418688 * g - 0.081312 * b
+    if sub:
+        # 2×2 box average to quarter resolution (the JFIF downsample)
+        cw, ch = bw // 2, bh // 2
+        cb_ds = [0.0] * (cw * ch)
+        cr_ds = [0.0] * (cw * ch)
+        for cy in range(ch):
+            for cx in range(cw):
+                s_cb = s_cr = 0.0
+                for dy in range(2):
+                    for dx in range(2):
+                        idx = (2 * cy + dy) * bw + 2 * cx + dx
+                        s_cb += cbp[idx]
+                        s_cr += crp[idx]
+                cb_ds[cy * cw + cx] = s_cb / 4.0
+                cr_ds[cy * cw + cx] = s_cr / 4.0
+        chroma = [(cb_ds, cw), (cr_ds, cw)]
+    else:
+        chroma = [(cbp, bw), (crp, bw)]
+
+    def block_at(plane: list[float], stride: int, bx: int, by: int) -> list[float]:
+        return [
+            plane[(by + y) * stride + bx + x]
+            for y in range(8)
+            for x in range(8)
+        ]
 
     dc_l = _huff_codes(*_DC_LUMA)
     ac_l = _huff_codes(*_AC_LUMA)
@@ -1014,24 +1069,31 @@ def encode_jpeg(width: int, height: int, rgb_rows: Sequence[bytes]) -> bytes:
     ac_c = _huff_codes(*_AC_CHROMA)
     writer = _BitWriter()
     preds = [0, 0, 0]
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):
-            for comp in range(3):
-                plane = planes[comp]
-                block = [
-                    plane[(by + y) * bw + bx + x]
-                    for y in range(8)
-                    for x in range(8)
-                ]
-                quant = JPEG_QUANT_LUMA if comp == 0 else JPEG_QUANT_CHROMA
-                coefs = _fdct_quant(block, quant)
-                preds[comp] = _encode_block(
-                    coefs,
-                    preds[comp],
-                    writer,
-                    dc_l if comp == 0 else dc_c,
-                    ac_l if comp == 0 else ac_c,
+    mcux, mcuy = bw // mcu_px, bh // mcu_px
+    n_mcus = mcux * mcuy
+    rst_idx = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.restart(rst_idx)
+            rst_idx += 1
+            preds = [0, 0, 0]
+        my, mx = divmod(m, mcux)
+        # luma blocks (hmax × vmax per MCU), then one Cb, one Cr
+        for v in range(vmax):
+            for hh in range(hmax):
+                block = block_at(
+                    yp, bw, mx * mcu_px + 8 * hh, my * mcu_px + 8 * v
                 )
+                preds[0] = _encode_block(
+                    _fdct_quant(block, JPEG_QUANT_LUMA),
+                    preds[0], writer, dc_l, ac_l,
+                )
+        for ci, (plane, stride) in enumerate(chroma, start=1):
+            block = block_at(plane, stride, mx * 8, my * 8)
+            preds[ci] = _encode_block(
+                _fdct_quant(block, JPEG_QUANT_CHROMA),
+                preds[ci], writer, dc_c, ac_c,
+            )
     writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1047,10 +1109,16 @@ def encode_jpeg(width: int, height: int, rgb_rows: Sequence[bytes]) -> bytes:
         return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    samp_y = (hmax << 4) | vmax
     sof = seg(
         0xC0,
         struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
     )
     sos = seg(
         0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
@@ -1065,6 +1133,7 @@ def encode_jpeg(width: int, height: int, rgb_rows: Sequence[bytes]) -> bytes:
         + dht(1, 0, *_AC_LUMA)
         + dht(0, 1, *_DC_CHROMA)
         + dht(1, 1, *_AC_CHROMA)
+        + dri
         + sos
         + bytes(writer.out)
         + b"\xff\xd9"
@@ -1072,11 +1141,18 @@ def encode_jpeg(width: int, height: int, rgb_rows: Sequence[bytes]) -> bytes:
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Parse markers, Huffman-decode, dequantize, IDCT, YCbCr->RGB.
-    Baseline SOF0 only, 8-bit, 4:4:4 (all sampling factors 1) or
-    grayscale; progressive/DRI/arithmetic coding raise. Same return
-    contract as decode_bmp/decode_png: width/height/channels,
-    pixel_checksum (sum of all R+G+B bytes), top-down rgb_rows."""
+    """Parse markers, Huffman-decode, dequantize, IDCT, upsample,
+    YCbCr->RGB. Baseline SOF0, 8-bit, ARBITRARY sampling factors
+    (4:4:4, 4:2:0, 4:2:2, grayscale — the general T.81 A.2.3
+    interleaved-MCU layout) and DRI/RSTn restart intervals, including
+    E.2.4 resynchronization: a corrupted restart interval is abandoned
+    (its remaining blocks fill neutral gray), the bit reader re-locks
+    on the next RSTn marker, and decode continues — the error
+    containment restart markers exist for. Progressive/arithmetic
+    coding raise. Same return contract as decode_bmp/decode_png:
+    width/height/channels, pixel_checksum (sum of all R+G+B bytes),
+    top-down rgb_rows; plus ``resyncs`` (count of abandoned restart
+    intervals, 0 for a clean stream)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -1084,6 +1160,7 @@ def decode_jpeg(payload: bytes) -> dict:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -1120,20 +1197,19 @@ def decode_jpeg(payload: bytes) -> dict:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
-            comps = []
+            comps = {}
             for i in range(ncomp):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError(
-                        "only 4:4:4 / grayscale sampling supported"
-                    )
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {hi}x{vi}")
+                comps[cid] = (hi, vi, tq)
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) unsupported")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
             scan = [
@@ -1144,53 +1220,117 @@ def decode_jpeg(payload: bytes) -> dict:
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
     w, h, comps = frame
-    tq_of = dict(comps)
-    reader = _BitReader(payload[pos:])
-    bw, bh = (w + 7) // 8 * 8, (h + 7) // 8 * 8
-    planes = [[0] * (bw * bh) for _ in scan]
-    preds = [0] * len(scan)
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):
-            for ci, (cid, td, ta) in enumerate(scan):
-                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-                size = reader.read_symbol(dc_tab)
-                diff = _extend(reader.read_bits(size), size)
-                preds[ci] += diff
-                zz = [0] * 64
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.read_symbol(ac_tab)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(reader.read_bits(rs & 0xF), rs & 0xF)
-                    k += 1
-                coefs = [0] * 64
-                for i in range(64):
-                    coefs[JPEG_ZIGZAG[i]] = zz[i]
-                px = _dequant_idct(coefs, quant[tq_of[cid]])
-                plane = planes[ci]
-                for y in range(8):
-                    for x in range(8):
-                        plane[(by + y) * bw + bx + x] = px[y * 8 + x]
+    hmax = max(hi for hi, _, _ in comps.values())
+    vmax = max(vi for _, vi, _ in comps.values())
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcux * mcuy
+    # per-scan-component geometry: plane padded to whole MCUs
+    geo = []  # (hi, vi, tq, plane_w, plane_h)
+    for cid, _, _ in scan:
+        if cid not in comps:
+            raise ValueError(f"SOS references unknown component {cid}")
+        hi, vi, tq = comps[cid]
+        geo.append((hi, vi, tq, mcux * 8 * hi, mcuy * 8 * vi))
+    planes = [[128] * (pw * ph) for (_, _, _, pw, ph) in geo]
+    seg_data = payload[pos:]
+
+    def decode_mcu(reader: _BitReader, m: int, preds: list[int]) -> None:
+        my, mx = divmod(m, mcux)
+        for ci, (cid, td, ta) in enumerate(scan):
+            hi, vi, tq, pw, _ = geo[ci]
+            dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+            for v in range(vi):
+                for hh in range(hi):
+                    size = reader.read_symbol(dc_tab)
+                    diff = _extend(reader.read_bits(size), size)
+                    preds[ci] += diff
+                    zz = [0] * 64
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.read_symbol(ac_tab)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        kk = rs & 0xF
+                        zz[k] = _extend(reader.read_bits(kk), kk)
+                        k += 1
+                    coefs = [0] * 64
+                    for i in range(64):
+                        coefs[JPEG_ZIGZAG[i]] = zz[i]
+                    px = _dequant_idct(coefs, quant[tq])
+                    plane = planes[ci]
+                    bx, by = (mx * hi + hh) * 8, (my * vi + v) * 8
+                    for y in range(8):
+                        for x in range(8):
+                            plane[(by + y) * pw + bx + x] = px[y * 8 + x]
+
+    resyncs = 0
+    if restart_interval:
+        # E.2.4 resynchronization: RSTn markers are the only unstuffed
+        # 0xFF 0xD0..0xD7 pairs in the entropy segment, so splitting on
+        # them up front makes every restart interval an INDEPENDENT
+        # bitstream slice — corruption inside one interval cannot
+        # desynchronize any other. A corrupted interval is abandoned
+        # (its undecoded blocks keep the neutral-gray fill), predictors
+        # reset at each boundary per B.2.4.4.
+        marks = []
+        p = 0
+        while p + 1 < len(seg_data):
+            if seg_data[p] == 0xFF and 0xD0 <= seg_data[p + 1] <= 0xD7:
+                marks.append(p)
+                p += 2
+            elif seg_data[p] == 0xFF and seg_data[p + 1] == 0xD9:
+                break
+            else:
+                p += 1
+        starts = [0] + [mk + 2 for mk in marks]
+        ends = marks + [len(seg_data)]
+        ri = restart_interval
+        n_intervals = (n_mcus + ri - 1) // ri
+        for j in range(n_intervals):
+            if j >= len(starts):
+                resyncs += 1  # stream lost more intervals than markers
+                continue
+            reader = _BitReader(seg_data[starts[j] : ends[j]])
+            preds = [0] * len(scan)
+            for m in range(j * ri, min((j + 1) * ri, n_mcus)):
+                try:
+                    decode_mcu(reader, m, preds)
+                except ValueError:
+                    resyncs += 1  # abandon the rest of this interval
+                    break
+    else:
+        reader = _BitReader(seg_data)
+        preds = [0] * len(scan)
+        for m in range(n_mcus):
+            decode_mcu(reader, m, preds)  # no containment without DRI
     rows: list[bytes] = []
     checksum = 0
     gray = len(scan) == 1
+    yw = geo[0][3]
+    yh_, yv_ = geo[0][0], geo[0][1]
     for y in range(h):
         row = bytearray(3 * w)
         for x in range(w):
             if gray:
-                r = g = b = planes[0][y * bw + x]
+                r = g = b = planes[0][
+                    (y * yv_ // vmax) * yw + (x * yh_ // hmax)
+                ]
             else:
-                yy = planes[0][y * bw + x]
-                cb = planes[1][y * bw + x] - 128
-                cr = planes[2][y * bw + x] - 128
+                vals = []
+                for ci in range(3):
+                    hi, vi, _, pw, _ = geo[ci]
+                    vals.append(
+                        planes[ci][(y * vi // vmax) * pw + (x * hi // hmax)]
+                    )
+                yy, cb, cr = vals[0], vals[1] - 128, vals[2] - 128
                 r = int(round(yy + 1.402 * cr))
                 g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
                 b = int(round(yy + 1.772 * cb))
@@ -1206,4 +1346,5 @@ def decode_jpeg(payload: bytes) -> dict:
         "channels": 3,
         "pixel_checksum": checksum,
         "rgb_rows": rows,
+        "resyncs": resyncs,
     }

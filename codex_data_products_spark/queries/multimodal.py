@@ -915,14 +915,22 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # baseline JPEGs produced by the from-scratch T.81 encoder
 # (operators/codecs.py — Annex K quantization + Huffman tables, JFIF
 # YCbCr, byte stuffing) and decoded back through real_image_codec's
-# SOI dispatch. JPEG is lossy, so the oracle drives it with DCT-EXACT
-# inputs: uniform gray images with an EVEN gray level — the only
-# nonzero coefficient is the luma DC, 8*(v-128), which the Annex K DC
-# quantum (16) divides exactly when v is even, so encode → decode is
-# bit-exact and the decoded geometry and pixel checksum are closed-form
+# SOI dispatch. Odd doc_ids encode 4:2:0 chroma subsampling (the
+# real-world default — 2×2 luma sampling factors, box-averaged chroma,
+# T.81 A.2.3 interleaved MCUs) and doc_id % 4 == 1 adds DRI/RSTn
+# restart intervals (VERDICT r7 #3), so the oracle hash covers the
+# subsampled MCU walk, the chroma upsampling AND the restart-marker
+# byte alignment, not just the 4:4:4 path. JPEG is lossy, so the
+# oracle drives it with DCT-EXACT inputs: uniform gray images with an
+# EVEN gray level — the only nonzero coefficient is the luma DC,
+# 8*(v-128), which the Annex K DC quantum (16) divides exactly when v
+# is even (chroma of gray is exactly zero, and a 2×2 box average of
+# equal values is exact), so encode → decode is bit-exact at BOTH
+# samplings and the decoded geometry and pixel checksum are closed-form
 # in SQL: checksum = 3 * v * w * h. A decoder that misreads the SOF0
-# geometry, the zig-zag order, the Huffman tables, the byte unstuffing
-# or the YCbCr matrix fails the hash.
+# geometry/sampling factors, the zig-zag order, the Huffman tables,
+# the byte unstuffing, the restart boundaries or the YCbCr matrix
+# fails the hash.
 # ---------------------------------------------------------------------------
 
 _JPEG_DECODE_SQL = """
@@ -961,7 +969,15 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
                 v = 2 * (64 + did % 64)
                 rows = [bytes([v] * (3 * w)) for _ in range(h)]
-                payloads.append(encode_jpeg(w, h, rows))
+                payloads.append(
+                    encode_jpeg(
+                        w,
+                        h,
+                        rows,
+                        subsampling="420" if did % 2 else "444",
+                        restart_interval=2 if did % 4 == 1 else 0,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"].astype("int64"),
