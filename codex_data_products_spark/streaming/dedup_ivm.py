@@ -354,39 +354,22 @@ def _sim_band_keys(side: str, banding: str) -> list:
     raise ValueError(f"unknown banding {banding!r}")
 
 
-def apply_simhash_batch(
-    batch_docs: DataFrame,
-    state_dir: str,
-    batch_id: int,
-    banding: str = "2x16",
-) -> None:
-    """Fold one batch of NEW documents into the maintained SimHash pair
-    view: read v=batch_id, write v=batch_id+1. ``banding`` selects the
-    batch query being maintained: '2x16' (dedup_simhash) or '4x8'
-    (dedup_simhash_wide, the production width). Plan shape (guarded in
-    tests/test_plans.py): the persisted signature table is scanned and
-    broadcast-joined against the delta — never shuffled."""
-    from codex_data_products_spark.queries.dedup import (
-        SIMHASH_MAX_HAMMING,
-        simhash_frame,
-    )
+def _fresh_sim_pairs(
+    delta: DataFrame, corpus_sim: DataFrame, banding: str
+) -> DataFrame:
+    """The delta's new pairs: band-join the (broadcast) delta signatures
+    against the corpus signature table. Candidates touch at least one
+    delta doc (r = delta side), so they are disjoint from the persisted
+    pair state by construction; within-delta pairs surface from both
+    directions -> normalize + distinct over the delta-proportional
+    candidate set only. Band i's join requires all earlier bands to
+    differ (first-match-band, same discipline as the batch queries), so
+    the union below has no cross-band duplicates. Plan shape (guarded in
+    tests/test_plans.py): the persisted side is scanned and broadcast-
+    joined against the delta — never shuffled."""
+    from codex_data_products_spark.queries.dedup import SIMHASH_MAX_HAMMING
 
-    spark = batch_docs.sparkSession
-    sim_state = read_table(spark, f"{state_dir}/sim", version=batch_id)
-    pairs_state = read_table(
-        spark, f"{state_dir}/sim_pairs", version=batch_id
-    )
-
-    delta = simhash_frame(batch_docs).persist()
-    new_sim = sim_state.unionByName(delta)
-
-    # candidates touch at least one delta doc (r = delta side), so they
-    # are disjoint from pairs_state by construction; within-delta pairs
-    # surface from both directions -> normalize + distinct over the
-    # delta-proportional candidate set only. Band i's join requires all
-    # earlier bands to differ (first-match-band, same discipline as the
-    # batch queries), so the union below has no cross-band duplicates.
-    r, s = delta.alias("r"), new_sim.alias("s")
+    r, s = delta.alias("r"), corpus_sim.alias("s")
     rk, sk = _sim_band_keys("r", banding), _sim_band_keys("s", banding)
     ne = F.col("r.doc_id") != F.col("s.doc_id")
     ham = F.bit_count(
@@ -404,7 +387,30 @@ def apply_simhash_batch(
             cond = cond & (rk[j] != sk[j])
         piece = s.join(F.broadcast(r), cond).select(*sel)
         fresh = piece if fresh is None else fresh.unionByName(piece)
-    fresh = fresh.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING).distinct()
+    return fresh.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING).distinct()
+
+
+def apply_simhash_batch(
+    batch_docs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    banding: str = "2x16",
+) -> None:
+    """Fold one batch of NEW documents into the maintained SimHash pair
+    view: read v=batch_id, write v=batch_id+1. ``banding`` selects the
+    batch query being maintained: '2x16' (dedup_simhash) or '4x8'
+    (dedup_simhash_wide, the production width)."""
+    from codex_data_products_spark.queries.dedup import simhash_frame
+
+    spark = batch_docs.sparkSession
+    sim_state = read_table(spark, f"{state_dir}/sim", version=batch_id)
+    pairs_state = read_table(
+        spark, f"{state_dir}/sim_pairs", version=batch_id
+    )
+
+    delta = simhash_frame(batch_docs).persist()
+    new_sim = sim_state.unionByName(delta)
+    fresh = _fresh_sim_pairs(delta, new_sim, banding)
 
     new_pairs = pairs_state.unionByName(fresh)
     v = batch_id + 1
@@ -447,3 +453,320 @@ def simhash_pairs_snapshot(
     doc_a < doc_b orientation, which the maintainer preserves via
     least/greatest normalization)."""
     return read_table(spark, f"{state_dir}/sim_pairs", version)
+
+
+# ---------------------------------------------------------------------------
+# Incremental CLUSTER-grain dedup (VERDICT r7 #4): the production
+# terminals — connected components / keep-best — maintained per batch
+# instead of recomputed from scratch. The eleventh IVM class.
+#
+# Why this decomposes: component labels are the min doc_id of each
+# component, so
+#   * ADDITIONS are monotone — a new pair can only MERGE components
+#     (never split one), and a merge is a label-grain contraction: run
+#     connected components on the tiny graph whose nodes are the
+#     CURRENT labels touched by the delta's fresh pairs, then relabel.
+#     The corpus-scale cluster table is scanned once and broadcast-
+#     joined against the delta-grain merge map — untouched components'
+#     rows stream through without a shuffle (plan-guarded).
+#   * REMOVALS can split — but only the components that contained a
+#     removed doc. Those (and only those) are recomputed from the
+#     pruned pair set restricted to their members; every other
+#     component's rows pass through untouched. Bounded by the affected
+#     components' sizes, never the corpus.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SCHEMA = "doc_id long, component_id long"
+
+# label-edge count above which the merge contraction switches from the
+# driver-side union-find to the distributed min-label loop — the
+# contracted graph is delta-grain (<= 2 labels per fresh pair), so this
+# bounds driver memory explicitly rather than by assumption
+CLUSTER_MERGE_DRIVER_CAP = 200_000
+
+
+def bootstrap_cluster_state(spark: SparkSession, state_dir: str) -> None:
+    """v=0 snapshots for the cluster maintainer: the SimHash signature +
+    pair state (shared with apply_simhash_batch) plus the cluster
+    table — one row per ingested doc, component_id = min doc_id of its
+    component (singletons carry their own id, matching the batch
+    ``dedup_connected_components`` view)."""
+    bootstrap_simhash_state(spark, state_dir)
+    _empty(spark, _CLUSTER_SCHEMA).write.mode("overwrite").parquet(
+        f"{state_dir}/clusters/v=0"
+    )
+
+
+def _cc_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distributed min-label propagation to fixpoint — the same
+    bulk-synchronous loop as queries/dedup.dedup_connected_components
+    (lineage truncated per round via localCheckpoint), over an
+    arbitrary seed: ``nodes`` (col ``node``), ``edges`` (cols ``a``,
+    ``b``, both directions supplied by the caller). Returns
+    (node, label) with label = min node of the component."""
+    comp = nodes.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+    edges = edges.localCheckpoint()
+    for _ in range(50):
+        nbr = (
+            edges.join(
+                comp.select(
+                    F.col("node").alias("a"), F.col("label").alias("nl")
+                ),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("nl").alias("nmin"))
+        )
+        new = (
+            comp.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    return comp
+
+
+def merge_map_for_fresh_pairs(
+    clusters: DataFrame, fresh: DataFrame
+) -> DataFrame:
+    """The label-grain contraction for a batch's fresh pairs:
+    (component_id, new_component_id) for every existing label that a
+    merge relabels. Delta-proportional end to end — endpoint labels are
+    looked up by broadcasting the (small) endpoint set against the
+    cluster table (scan, no shuffle of the corpus side), and the CC
+    runs on the contracted label graph, whose size is bounded by
+    2 x |fresh pairs|, not by any component's member count."""
+    ends = (
+        fresh.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(fresh.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    known = clusters.join(F.broadcast(ends), "doc_id", "left_semi")
+    id_lbl = ends.join(known, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).alias("lbl"),
+    )
+    la = id_lbl.select(
+        F.col("doc_id").alias("doc_a"), F.col("lbl").alias("la")
+    )
+    lb = id_lbl.select(
+        F.col("doc_id").alias("doc_b"), F.col("lbl").alias("lb")
+    )
+    label_edges = (
+        fresh.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("la") != F.col("lb"))
+        .select("la", "lb")
+        .distinct()
+    )
+    label_edges = label_edges.persist()
+    n_edges = label_edges.count()
+    spark = clusters.sparkSession
+    if n_edges <= CLUSTER_MERGE_DRIVER_CAP:
+        # the common case: a release-grain delta touches a handful of
+        # labels — a driver-side union-find over the CONTRACTED label
+        # graph (never the member docs) beats 2 Spark jobs per
+        # propagation round by orders of magnitude in fixed cost. The
+        # collect is delta-grain by construction (<= 2 rows per fresh
+        # pair, post-contraction), capped explicitly; past the cap the
+        # bulk-synchronous distributed loop takes over.
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in label_edges.collect():
+            ra, rb = find(row["la"]), find(row["lb"])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # min label is always the root
+        mapping = [
+            (x, find(x)) for x in list(parent) if find(x) != x
+        ]
+        label_edges.unpersist()
+        return spark.createDataFrame(
+            mapping, "component_id long, new_component_id long"
+        )
+    lab_nodes = (
+        label_edges.select(F.col("la").alias("node"))
+        .unionByName(label_edges.select(F.col("lb").alias("node")))
+        .distinct()
+    )
+    both = label_edges.select(
+        F.col("la").alias("a"), F.col("lb").alias("b")
+    ).unionByName(
+        label_edges.select(F.col("lb").alias("a"), F.col("la").alias("b"))
+    )
+    cc = _cc_labels(lab_nodes, both)
+    label_edges.unpersist()
+    return cc.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("component_id"),
+        F.col("label").alias("new_component_id"),
+    )
+
+
+def apply_cluster_batch(
+    batch_docs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    *,
+    remove: list[int] | tuple[int, ...] = (),
+    banding: str = "2x16",
+) -> None:
+    """Fold one batch (NEW documents and/or removed doc_ids) into the
+    maintained signature + pair + CLUSTER state: read v=batch_id, write
+    v=batch_id+1 (standard replay anchoring — a crashed batch re-runs
+    to identical snapshots).
+
+    Order inside a batch: removals first (prune signatures and pairs,
+    recompute ONLY the components that contained a removed doc from the
+    pruned member-local pair set), then additions (delta signatures,
+    fresh pairs, label-grain merge). A fresh pair attaching to a
+    just-split component therefore merges against the post-split
+    labels. The removed-label collect is release-grain (labels of the
+    removed docs), bounded by design."""
+    from codex_data_products_spark.queries.dedup import simhash_frame
+
+    spark = batch_docs.sparkSession
+    sim_state = read_table(spark, f"{state_dir}/sim", version=batch_id)
+    pairs_state = read_table(
+        spark, f"{state_dir}/sim_pairs", version=batch_id
+    )
+    clusters = read_table(spark, f"{state_dir}/clusters", version=batch_id)
+    removed = list(dict.fromkeys(remove))
+
+    if removed:
+        dead_labels = [
+            r["component_id"]
+            for r in clusters.filter(F.col("doc_id").isin(removed))
+            .select("component_id")
+            .distinct()
+            .collect()
+        ]
+        sim_state = sim_state.filter(~F.col("doc_id").isin(removed))
+        touch = F.col("doc_a").isin(removed) | F.col("doc_b").isin(removed)
+        pairs_state = pairs_state.filter(~touch)
+        # recompute the affected components from their members' pruned
+        # pairs (pairs never cross components, so the doc_a semi-join
+        # captures exactly the member-local subgraph)
+        members = clusters.filter(
+            F.col("component_id").isin(dead_labels)
+            & ~F.col("doc_id").isin(removed)
+        )
+        sub = pairs_state.join(
+            F.broadcast(members.select(F.col("doc_id").alias("doc_a"))),
+            "doc_a",
+            "left_semi",
+        )
+        both = sub.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ).unionByName(
+            sub.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        recomputed = _cc_labels(
+            members.select(F.col("doc_id").alias("node")), both
+        ).select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("component_id"),
+        )
+        clusters = clusters.filter(
+            ~F.col("component_id").isin(dead_labels)
+        ).unionByName(recomputed)
+
+    # additions: delta signatures + fresh pairs (broadcast against the
+    # persisted state — same no-shuffle candidate plan as
+    # apply_simhash_batch), then the label-grain merge
+    delta = simhash_frame(batch_docs).persist()
+    new_sim = sim_state.unionByName(delta)
+    fresh = _fresh_sim_pairs(delta, new_sim, banding).persist()
+
+    merge_map = merge_map_for_fresh_pairs(clusters, fresh)
+    relabeled = clusters.join(
+        F.broadcast(merge_map), "component_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("new_component_id", F.col("component_id")).alias(
+            "component_id"
+        ),
+    )
+    delta_rows = (
+        delta.select("doc_id")
+        .join(
+            F.broadcast(
+                merge_map.select(
+                    F.col("component_id").alias("doc_id"),
+                    "new_component_id",
+                )
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("new_component_id", F.col("doc_id")).alias(
+                "component_id"
+            ),
+        )
+    )
+    new_clusters = relabeled.unionByName(delta_rows)
+
+    v = batch_id + 1
+    new_sim.write.mode("overwrite").parquet(f"{state_dir}/sim/v={v}")
+    pairs_state.unionByName(fresh).write.mode("overwrite").parquet(
+        f"{state_dir}/sim_pairs/v={v}"
+    )
+    new_clusters.write.mode("overwrite").parquet(
+        f"{state_dir}/clusters/v={v}"
+    )
+    delta.unpersist()
+    fresh.unpersist()
+
+
+def run_cluster_maintenance(
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    banding: str = "2x16",
+) -> None:
+    """availableNow foreachBatch drain of an insert stream onto the
+    maintained cluster view (same replay contract as the other
+    maintainers). Removals are release-grain control operations —
+    apply them directly via ``apply_cluster_batch(remove=...)``."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        apply_cluster_batch(batch, state_dir, batch_id, banding=banding)
+
+    (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def cluster_snapshot(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
+    """The maintained view: (doc_id, component_id) for every live doc —
+    equal to ``dedup_connected_components`` recomputed from scratch
+    over the surviving corpus (singletons carry their own id)."""
+    return read_table(spark, f"{state_dir}/clusters", version)

@@ -1790,3 +1790,38 @@ def test_plan_filtered_join_missing_stats_falls_back_to_shuffle(spark, sf_dir):
         "o_orderkey",
     ).count()
     assert joined.count() == expect
+
+
+def test_cluster_ivm_relabel_never_shuffles_cluster_state(
+    spark, sf_dir, tmp_path
+):
+    """Cluster-grain dedup maintenance (streaming/dedup_ivm.
+    apply_cluster_batch): the merge step relabels by scanning the
+    persisted cluster table ONCE and broadcast-joining the delta-grain
+    merge map — untouched components' rows stream through with no
+    Exchange on the state branch, so the O(|corpus|) side never moves
+    at 100 TB."""
+    from pyspark.sql import functions as F
+
+    state_dir = str(tmp_path / "clusters")
+    spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") - F.col("id") % 5).alias("component_id"),
+    ).write.parquet(state_dir)
+    clusters = spark.read.parquet(state_dir)
+    merge_map = spark.createDataFrame(
+        [(10, 5), (20, 5)], "component_id long, new_component_id long"
+    )
+    relabeled = clusters.join(
+        F.broadcast(merge_map), "component_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("new_component_id", F.col("component_id")).alias(
+            "component_id"
+        ),
+    )
+    plan = relabeled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert relabeled.count() == 5000

@@ -1363,3 +1363,142 @@ def test_simhash_wide_ivm_matches_from_scratch(spark, sf_dir, tmp_path):
         for r in dedup_simhash_wide(spark, d).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Cluster-grain dedup IVM (streaming/dedup_ivm.apply_cluster_batch,
+# VERDICT r7 #4): the maintained (doc_id, component_id) view must equal
+# from-scratch dedup_connected_components over the surviving corpus
+# after any sequence of add/remove batches; additions merge via the
+# label-grain contraction, removals recompute ONLY the affected
+# components; a replayed batch is a no-op.
+# ---------------------------------------------------------------------------
+
+
+def _cc_from_scratch(spark, docs_df, tmp_path, tag):
+    from codex_data_products_spark.queries.dedup import (
+        dedup_connected_components,
+    )
+
+    d = str(tmp_path / f"cc_scratch_{tag}")
+    docs_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    return {
+        (r["doc_id"], r["component_id"])
+        for r in dedup_connected_components(spark, d).collect()
+    }
+
+
+def _cc_ivm(spark, state):
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        cluster_snapshot,
+    )
+
+    return {
+        (r["doc_id"], r["component_id"])
+        for r in cluster_snapshot(spark, state).collect()
+    }
+
+
+def test_cluster_ivm_additions_match_from_scratch(spark, sf_dir, tmp_path):
+    """Three modulo add-batches: the maintained labels equal the batch
+    CC after EVERY batch (cross-batch pairs must merge components that
+    were separate in earlier snapshots)."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "cluster_state")
+    bootstrap_cluster_state(spark, state)
+    for k in range(3):
+        apply_cluster_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
+        assert _cc_ivm(spark, state) == _cc_from_scratch(
+            spark, docs.filter(F.col("doc_id") % 3 <= k), tmp_path, f"b{k}"
+        )
+
+
+def test_cluster_ivm_removal_splits_only_affected_components(
+    spark, sf_dir, tmp_path
+):
+    """Remove members of real multi-doc components: the maintained view
+    must equal from-scratch CC over the survivors (splits included),
+    and rows of components that contained no removed doc must be
+    untouched."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        cluster_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "cluster_state")
+    bootstrap_cluster_state(spark, state)
+    apply_cluster_batch(docs, state, 0)
+
+    before = dict(_cc_ivm(spark, state))
+    # pick removal targets from real multi-doc components
+    by_comp = {}
+    for d, c in before.items():
+        by_comp.setdefault(c, []).append(d)
+    multi = sorted(c for c, ms in by_comp.items() if len(ms) >= 3)
+    assert multi, "fixture needs at least one 3+ member component"
+    # remove one non-label member from the first, and the LABEL doc of
+    # the second (forces a label change even without a split)
+    removed = [sorted(by_comp[multi[0]])[1]]
+    if len(multi) > 1:
+        removed.append(multi[1])
+    empty = spark.createDataFrame([], docs.schema)
+    apply_cluster_batch(empty, state, 1, remove=removed)
+
+    survivors = docs.filter(~F.col("doc_id").isin(removed))
+    assert _cc_ivm(spark, state) == _cc_from_scratch(
+        spark, survivors, tmp_path, "postrm"
+    )
+    # untouched components keep their exact labeling
+    touched_labels = {before[d] for d in removed}
+    got = dict(_cc_ivm(spark, state))
+    for d, c in before.items():
+        if c not in touched_labels and d not in removed:
+            assert got[d] == c, f"untouched doc {d} relabeled"
+
+
+def test_cluster_ivm_replay_and_drain(spark, sf_dir, tmp_path):
+    """Replaying a batch (anchored reads) is a no-op, and the
+    foreachBatch drain lands the same snapshots as direct applies."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        run_cluster_maintenance,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "cluster_state")
+    bootstrap_cluster_state(spark, state)
+    apply_cluster_batch(docs.filter("doc_id % 2 = 0"), state, 0)
+    apply_cluster_batch(docs.filter("doc_id % 2 = 1"), state, 1)
+    want = _cc_ivm(spark, state)
+    apply_cluster_batch(docs.filter("doc_id % 2 = 1"), state, 1)  # replay
+    assert _cc_ivm(spark, state) == want
+
+    src = str(tmp_path / "cluster_feed")
+    docs.filter("doc_id % 2 = 0").write.parquet(f"{src}/d0")
+    state2 = str(tmp_path / "cluster_state2")
+    bootstrap_cluster_state(spark, state2)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    run_cluster_maintenance(stream, state2, str(tmp_path / "cluster_ckpt"))
+    assert _cc_ivm(spark, state2) == _cc_from_scratch(
+        spark, docs.filter("doc_id % 2 = 0"), tmp_path, "drain"
+    )
