@@ -216,8 +216,31 @@ def main() -> None:
     load_start = round(os.getloadavg()[0], 2)
     stat_start = read_proc_stat()
 
-    def run_suite(names: list[str], data_dir: str, label: str) -> dict:
+    def run_suite(
+        names: list[str], data_dir: str, label: str, discard_first: bool = False
+    ) -> dict:
         per_run: list[dict[str, float]] = []
+        warmup_sec = None
+        if discard_first:
+            # Root-caused in round 8 (SCALE.md): on an idle host the
+            # suite's runs converge 55.4 -> 45.9 -> 39.9 -> 38.0 ->
+            # 38.3 s — the first two runs pay per-plan JIT/codegen
+            # warm-up (each query's generated classes compile on first
+            # execution; C2 keeps optimizing through run 2), NOT plan
+            # cost. One discarded pass moves the timed runs onto the
+            # steady state; its total is recorded so the artifact shows
+            # what was discarded. Generated code is cached by source
+            # text, so one pass also warms the later suites' shared
+            # plans.
+            t0 = time.perf_counter()
+            for name in names:
+                registry.QUERIES[name](spark, data_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                spark.catalog.clearCache()
+            warmup_sec = round(time.perf_counter() - t0, 3)
+            print(f"  {label} warm-up (discarded): {warmup_sec:.1f}s",
+                  file=sys.stderr)
         for run in range(n_runs):
             timings: dict[str, float] = {}
             for name in names:
@@ -241,14 +264,17 @@ def main() -> None:
             name: round(statistics.median(t[name] for t in per_run), 3)
             for name in names
         }
-        return {
+        out = {
             "queries": med,
             "value": round(sum(med.values()), 3),
             "runs": run_totals,
             "median_run_sec": round(statistics.median(run_totals), 3),
         }
+        if warmup_sec is not None:
+            out["warmup_discarded_sec"] = warmup_sec
+        return out
 
-    head = run_suite(HEADLINE, sf_dir, f"sf{sf}")
+    head = run_suite(HEADLINE, sf_dir, f"sf{sf}", discard_first=True)
     result = {
         "metric": "headline_queries_total_sec",
         "value": head["value"],
@@ -257,6 +283,7 @@ def main() -> None:
         "sf": sf,
         "runs": head["runs"],
         "median_run_sec": head["median_run_sec"],
+        "warmup_discarded_sec": head.get("warmup_discarded_sec"),
         "load_avg_start": load_start,
         "load_wait_sec": waited,
     }
@@ -278,7 +305,9 @@ def main() -> None:
     # data, so this is where a residual-join regression surfaces.
     skew_dir = os.environ.get("SPARK_GRAFT_SKEW_DIR", ".stressdata/sf1.0")
     skew_runs = int(os.environ.get("SPARK_GRAFT_SKEW_RUNS", str(n_runs)))
-    if _ensure_stress_dir(1.0, skew_dir):
+    if skew_runs <= 0:
+        result["skew_sf1.0"] = "skipped: SPARK_GRAFT_SKEW_RUNS=0"
+    elif _ensure_stress_dir(1.0, skew_dir):
         saved, n_runs = n_runs, skew_runs
         result["skew_sf1.0"] = run_suite(SKEW, skew_dir, "skew")
         n_runs = saved
