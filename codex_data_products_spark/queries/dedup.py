@@ -769,60 +769,28 @@ _CC_SQL = _cc_sql()
 
 @register("dedup_connected_components", sql=_CC_SQL)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.operators.graphs import (
+        min_label_components,
+    )
+
     docs = T(spark, sf_dir, "documents")
     pairs = dedup_simhash(spark, sf_dir)
-    # localCheckpoint (not persist): iterative algorithms must TRUNCATE
-    # lineage each round, or the logical plan grows with the iteration
-    # count and planning itself OOMs the driver long before the data
-    # does. Eager checkpoint = materialize now, forget the plan.
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
-        .localCheckpoint()
+    # Min-label propagation to fixpoint — the bulk-synchronous CC
+    # pattern that scales to billions of edges (vs a driver-side
+    # union-find, which doesn't). min_label_components shuffles the
+    # edge table once, propagates only the changed-label frontier
+    # after round 1, and reads convergence off the checkpointed frame
+    # (operators/graphs.py for the full scale notes).
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
-    comp = docs.select(
-        "doc_id", F.col("doc_id").alias("component_id")
-    ).localCheckpoint()
-
-    # Min-label propagation to fixpoint. Each round: every node takes
-    # the min of its own label and its neighbors' labels. Converges in
-    # O(component diameter) rounds; each round is one shuffle join +
-    # one hash agg — the bulk-synchronous CC pattern that scales to
-    # billions of edges (vs. a driver-side union-find, which doesn't).
-    for _ in range(50):
-        neighbor_min = (
-            edges.join(
-                comp.select(
-                    F.col("doc_id").alias("a"),
-                    F.col("component_id").alias("nbr_comp"),
-                ),
-                "a",
-            )
-            .groupBy(F.col("b").alias("doc_id"))
-            .agg(F.min("nbr_comp").alias("nbr_min"))
-        )
-        new_comp = (
-            comp.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "component_id", F.coalesce("nbr_min", "component_id")
-                ).alias("component_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        comp = new_comp
-        if changed == 0:
-            break
-    return comp
+    return min_label_components(
+        docs.select(F.col("doc_id").alias("node")), edges
+    ).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -498,45 +498,17 @@ def bootstrap_cluster_state(spark: SparkSession, state_dir: str) -> None:
 
 
 def _cc_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Distributed min-label propagation to fixpoint — the same
-    bulk-synchronous loop as queries/dedup.dedup_connected_components
-    (lineage truncated per round via localCheckpoint), over an
-    arbitrary seed: ``nodes`` (col ``node``), ``edges`` (cols ``a``,
-    ``b``, both directions supplied by the caller). Returns
-    (node, label) with label = min node of the component."""
-    comp = nodes.select(
-        "node", F.col("node").alias("label")
-    ).localCheckpoint()
-    edges = edges.localCheckpoint()
-    for _ in range(50):
-        nbr = (
-            edges.join(
-                comp.select(
-                    F.col("node").alias("a"), F.col("label").alias("nl")
-                ),
-                "a",
-            )
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("nl").alias("nmin"))
-        )
-        new = (
-            comp.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least("label", F.coalesce("nmin", "label")).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n")
-            .join(comp.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        comp = new
-        if changed == 0:
-            break
-    return comp
+    """Distributed min-label propagation to fixpoint — the shared
+    bulk-synchronous loop (operators/graphs.min_label_components:
+    edges shuffled once, frontier propagation, scan-based convergence
+    test), over an arbitrary seed: ``nodes`` (col ``node``), ``edges``
+    (cols ``a``, ``b``, both directions supplied by the caller).
+    Returns (node, label) with label = min node of the component."""
+    from codex_data_products_spark.operators.graphs import (
+        min_label_components,
+    )
+
+    return min_label_components(nodes.select("node"), edges)
 
 
 def merge_map_for_fresh_pairs(
