@@ -536,8 +536,13 @@ WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
 
 @register("dedup_simhash", sql=_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = T(spark, sf_dir, "documents")
-    sim = simhash_frame(docs)
+    # persist the doc-grain signature table: the two band self-joins
+    # would otherwise re-evaluate the 32-bit-majority expression per
+    # side (4x) — 40% of the query at stress SF, 4x at any scale
+    sim = simhash_frame(docs).persist(StorageLevel.MEMORY_AND_DISK)
     hi = lambda side: F.shiftrightunsigned(F.col(f"{side}.simhash"), 16)  # noqa: E731
     lo = lambda side: F.col(f"{side}.simhash") % 65536  # noqa: E731
     a, b = sim.alias("a"), sim.alias("b")
@@ -1106,8 +1111,11 @@ def _wide_candidate_pairs(sim: DataFrame, with_sig: bool = False) -> DataFrame:
 
 @register("dedup_simhash_wide", sql=_SIMHASH_WIDE_SQL)
 def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = T(spark, sf_dir, "documents")
-    sim = simhash_frame(docs)
+    # the 4 band self-joins would evaluate the signature expression 8x
+    sim = simhash_frame(docs).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = _wide_candidate_pairs(sim, with_sig=True)
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
     return pairs.filter(hamming <= SIMHASH_MAX_HAMMING).select(
@@ -1189,8 +1197,11 @@ GROUP BY doc_id
 
 @register("dedup_simhash_wide_summary", sql=_SIMHASH_WIDE_SUMMARY_SQL)
 def dedup_simhash_wide_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = T(spark, sf_dir, "documents")
-    sim = simhash_frame(docs)
+    # the 4 band self-joins would evaluate the signature expression 8x
+    sim = simhash_frame(docs).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = _wide_candidate_pairs(sim, with_sig=True)
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
     kept = pairs.filter(hamming <= SIMHASH_MAX_HAMMING).select(
