@@ -323,23 +323,78 @@ def dedup_pairs_snapshot(
 #   * verification is free: the signature IS the state, hamming =
 #     bit_count(xor) on the joined row.
 #
-# State under ``state_dir``: ``sim/v=<k>`` (doc_id, simhash) and
-# ``sim_pairs/v=<k>`` (doc_a, doc_b, hamming), same v=batch_id
-# anchoring contract as every maintainer in this package.
+# State under ``state_dir``: ``sim/v=<k>`` (doc_id, simhash) versioned
+# snapshots (doc-grain — rewriting it per batch is metadata-sized), and
+# an APPEND-STRUCTURED pair log: ``sim_pairs/batch=<k>`` holds ONLY the
+# pairs batch k added and ``sim_removed/batch=<k>`` only the doc_ids it
+# removed. The pair-grain state — the one table that grows with
+# corpus x duplicate density, 28M rows at the sf1.0 stress corpus — is
+# therefore never rewritten: a batch's pair-state write is O(delta),
+# closing the honest-accounting gap SCALE.md recorded for round 8's
+# cluster maintainer (snapshot writes dominated the delta wall time).
+# Snapshot reads are by explicit batch-dir listing pinned to
+# <= version (a crashed future attempt's partition can never leak in —
+# the _prior_shingles discipline), with removals applied as tombstones:
+# a pair dies iff an endpoint has a removal at batch >= the pair's own
+# batch, which keeps remove-then-re-add (the documented two-batch
+# replace protocol) correct: the re-added doc's new pairs postdate the
+# tombstone. The removal set is release-grain, so the anti-join
+# broadcasts it and never shuffles the pair log. Long-lived logs trade
+# write amplification for read fan-in (one parquet scan per batch dir);
+# compacting ranges of batch dirs into one is an offline concern the
+# replay contract already permits (rewrite dirs 0..k as one, keep ids).
 
 _SIM_SCHEMA = "doc_id long, simhash long"
 _SIM_PAIRS_SCHEMA = "doc_a long, doc_b long, hamming long"
+_SIM_REMOVED_SCHEMA = "doc_id long"
 
 
 def bootstrap_simhash_state(spark: SparkSession, state_dir: str) -> None:
-    """v=0 snapshots (empty corpus; an existing corpus is just a big
-    first batch)."""
+    """v=0 / batch=0 state (empty corpus; an existing corpus is just a
+    big first batch)."""
     _empty(spark, _SIM_SCHEMA).write.mode("overwrite").parquet(
         f"{state_dir}/sim/v=0"
     )
     _empty(spark, _SIM_PAIRS_SCHEMA).write.mode("overwrite").parquet(
-        f"{state_dir}/sim_pairs/v=0"
+        f"{state_dir}/sim_pairs/batch=0"
     )
+
+
+def _log_union(
+    spark: SparkSession,
+    root: str,
+    schema: str,
+    upto: int | None = None,
+) -> DataFrame:
+    """Union of an append-only log's ``batch=<k>`` partitions with
+    k <= ``upto`` (all when None), read by EXPLICIT path with an
+    explicit schema — a torn partition from a crashed future attempt
+    is never listed, let alone schema-probed. Adds ``log_batch`` so
+    readers can order additions against tombstones."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(root)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    full = schema + ", log_batch long"
+    if not fs.exists(jvm_path):
+        return _empty(spark, full)
+    frames = []
+    for status in fs.listStatus(jvm_path):
+        name = status.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        k = int(name[6:])
+        if upto is not None and k > upto:
+            continue
+        frames.append(
+            spark.read.schema(schema)
+            .parquet(f"{root}/{name}")
+            .withColumn("log_batch", F.lit(k).cast("long"))
+        )
+    if not frames:
+        return _empty(spark, full)
+    out = frames[0]
+    for frame in frames[1:]:
+        out = out.unionByName(frame)
+    return out
 
 
 def _sim_band_keys(side: str, banding: str) -> list:
@@ -397,26 +452,25 @@ def apply_simhash_batch(
     banding: str = "2x16",
 ) -> None:
     """Fold one batch of NEW documents into the maintained SimHash pair
-    view: read v=batch_id, write v=batch_id+1. ``banding`` selects the
-    batch query being maintained: '2x16' (dedup_simhash) or '4x8'
-    (dedup_simhash_wide, the production width)."""
+    view: read sim at v=batch_id, write sim v=batch_id+1 and APPEND the
+    batch's fresh pairs as ``sim_pairs/batch=<batch_id+1>`` — the
+    pair-grain state is a log, so the write is O(delta), never
+    O(corpus pairs). ``banding`` selects the batch query being
+    maintained: '2x16' (dedup_simhash) or '4x8' (dedup_simhash_wide,
+    the production width)."""
     from codex_data_products_spark.queries.dedup import simhash_frame
 
     spark = batch_docs.sparkSession
     sim_state = read_table(spark, f"{state_dir}/sim", version=batch_id)
-    pairs_state = read_table(
-        spark, f"{state_dir}/sim_pairs", version=batch_id
-    )
 
     delta = simhash_frame(batch_docs).persist()
     new_sim = sim_state.unionByName(delta)
     fresh = _fresh_sim_pairs(delta, new_sim, banding)
 
-    new_pairs = pairs_state.unionByName(fresh)
     v = batch_id + 1
     new_sim.write.mode("overwrite").parquet(f"{state_dir}/sim/v={v}")
-    new_pairs.write.mode("overwrite").parquet(
-        f"{state_dir}/sim_pairs/v={v}"
+    fresh.write.mode("overwrite").parquet(
+        f"{state_dir}/sim_pairs/batch={v}"
     )
     delta.unpersist()
 
@@ -448,11 +502,32 @@ def simhash_pairs_snapshot(
     spark: SparkSession, state_dir: str, version: int | None = None
 ) -> DataFrame:
     """The maintained view: (doc_a, doc_b, hamming) — equal to
-    ``dedup_simhash`` recomputed from scratch over every document
+    ``dedup_simhash`` recomputed from scratch over every LIVE document
     ingested up to ``version`` (modulo the batch query's asymmetric
     doc_a < doc_b orientation, which the maintainer preserves via
-    least/greatest normalization)."""
-    return read_table(spark, f"{state_dir}/sim_pairs", version)
+    least/greatest normalization). Assembled from the append-only pair
+    log minus removal tombstones: a pair is dead iff an endpoint was
+    removed at a batch >= the pair's own batch (so a re-added doc's
+    post-removal pairs survive). The removal set is broadcast — the
+    pair log itself is never shuffled here."""
+    pairs = _log_union(
+        spark, f"{state_dir}/sim_pairs", _SIM_PAIRS_SCHEMA, version
+    )
+    rem = _log_union(
+        spark, f"{state_dir}/sim_removed", _SIM_REMOVED_SCHEMA, version
+    )
+    rmax = rem.groupBy("doc_id").agg(F.max("log_batch").alias("rb"))
+    for side in ("doc_a", "doc_b"):
+        pairs = (
+            pairs.join(
+                F.broadcast(rmax.withColumnRenamed("doc_id", side)),
+                side,
+                "left",
+            )
+            .filter(F.col("rb").isNull() | (F.col("rb") < F.col("log_batch")))
+            .drop("rb")
+        )
+    return pairs.drop("log_batch")
 
 
 # ---------------------------------------------------------------------------
@@ -478,11 +553,14 @@ def simhash_pairs_snapshot(
 
 _CLUSTER_SCHEMA = "doc_id long, component_id long"
 
-# label-edge count above which the merge contraction switches from the
-# driver-side union-find to the distributed min-label loop — the
-# contracted graph is delta-grain (<= 2 labels per fresh pair), so this
-# bounds driver memory explicitly rather than by assumption
-CLUSTER_MERGE_DRIVER_CAP = 200_000
+# label-edge count above which the merge contraction escalates from
+# the driver-side union-find (first over the raw label edges; past the
+# cap, retried over the star-contracted graph) to the distributed
+# min-label loop. Bounds driver memory explicitly: 2M edges is ~32MB
+# of longs plus dict overhead — trivial for any driver — while a merge
+# wave past even the CONTRACTED cap is corpus-scale work that belongs
+# on the executors.
+CLUSTER_MERGE_DRIVER_CAP = 2_000_000
 
 
 def bootstrap_cluster_state(spark: SparkSession, state_dir: str) -> None:
@@ -525,17 +603,24 @@ def merge_map_for_fresh_pairs(
         fresh.select(F.col("doc_a").alias("doc_id"))
         .unionByName(fresh.select(F.col("doc_b").alias("doc_id")))
         .distinct()
+        .persist()
     )
     known = clusters.join(F.broadcast(ends), "doc_id", "left_semi")
     id_lbl = ends.join(known, "doc_id", "left").select(
         "doc_id",
         F.coalesce("component_id", F.col("doc_id")).alias("lbl"),
     )
-    la = id_lbl.select(
-        F.col("doc_id").alias("doc_a"), F.col("lbl").alias("la")
+    # the endpoint-label map is derived (no stats), so without the
+    # explicit hint both lookups sort-merge the fresh-pair frame — two
+    # full sorts of the delta's pair set; broadcast keeps the pairs
+    # streaming with zero shuffles, and the map is endpoint-grain by
+    # construction (same bound the ends broadcast above already relies
+    # on)
+    la = F.broadcast(
+        id_lbl.select(F.col("doc_id").alias("doc_a"), F.col("lbl").alias("la"))
     )
-    lb = id_lbl.select(
-        F.col("doc_id").alias("doc_b"), F.col("lbl").alias("lb")
+    lb = F.broadcast(
+        id_lbl.select(F.col("doc_id").alias("doc_b"), F.col("lbl").alias("lb"))
     )
     label_edges = (
         fresh.join(la, "doc_a")
@@ -546,37 +631,97 @@ def merge_map_for_fresh_pairs(
     )
     label_edges = label_edges.persist()
     n_edges = label_edges.count()
+    ends.unpersist()
     spark = clusters.sparkSession
-    if n_edges <= CLUSTER_MERGE_DRIVER_CAP:
-        # the common case: a release-grain delta touches a handful of
-        # labels — a driver-side union-find over the CONTRACTED label
-        # graph (never the member docs) beats 2 Spark jobs per
-        # propagation round by orders of magnitude in fixed cost. The
-        # collect is delta-grain by construction (<= 2 rows per fresh
-        # pair, post-contraction), capped explicitly; past the cap the
-        # bulk-synchronous distributed loop takes over.
-        parent: dict[int, int] = {}
 
-        def find(x: int) -> int:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = r, parent[x]
-            return r
+    parent: dict[int, int] = {}
 
-        for row in label_edges.collect():
-            ra, rb = find(row["la"]), find(row["lb"])
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    def union_all(edge_iter) -> DataFrame:
+        for na, nb in edge_iter:
+            ra, rb = find(na), find(nb)
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo  # min label is always the root
-        mapping = [
-            (x, find(x)) for x in list(parent) if find(x) != x
-        ]
-        label_edges.unpersist()
+        mapping = [(x, find(x)) for x in list(parent) if find(x) != x]
         return spark.createDataFrame(
             mapping, "component_id long, new_component_id long"
         )
+
+    if n_edges <= CLUSTER_MERGE_DRIVER_CAP:
+        # the common case: a release-grain delta touches a bounded set
+        # of labels — a driver-side union-find over the CONTRACTED
+        # label graph (never the member docs) beats 2 Spark jobs per
+        # propagation round by orders of magnitude in fixed cost. The
+        # collect is delta-grain by construction, capped explicitly.
+        rows = label_edges.collect()
+        label_edges.unpersist()
+        return union_all((r["la"], r["lb"]) for r in rows)
+
+    # Past the cap, star-contract once before giving up on the driver:
+    # a batch whose new docs form a near-dup group among THEMSELVES is
+    # a clique of singleton labels — edge-quadratic in the group size
+    # (a 250-doc group alone is 31k label edges). One min-neighbor pass
+    # (m(x) = min over x's label neighborhood) collapses every clique
+    # to a star; the star map is label-NODE-grain and the cross-star
+    # edge set drops by the clique density, which usually brings the
+    # graph back under the cap. Connectivity is preserved (each star is
+    # a connected subset contracted to its min). Only when even the
+    # contracted graph exceeds the cap — a genuinely huge merge wave —
+    # does the bulk-synchronous distributed loop take over.
+    und = label_edges.select(
+        F.col("la").alias("a"), F.col("lb").alias("b")
+    ).unionByName(
+        label_edges.select(F.col("lb").alias("a"), F.col("la").alias("b"))
+    )
+    star = (
+        und.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("node"), F.least("a", "mb").alias("parent"))
+        .persist()
+    )
+    contracted = (
+        label_edges.join(
+            F.broadcast(
+                star.select(
+                    F.col("node").alias("la"), F.col("parent").alias("pa")
+                )
+            ),
+            "la",
+        )
+        .join(
+            F.broadcast(
+                star.select(
+                    F.col("node").alias("lb"), F.col("parent").alias("pb")
+                )
+            ),
+            "lb",
+        )
+        .filter(F.col("pa") != F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+        .persist()
+    )
+    n_driver = star.count() + contracted.count()
+    if n_driver <= CLUSTER_MERGE_DRIVER_CAP:
+        star_rows = star.filter(F.col("node") != F.col("parent")).collect()
+        contracted_rows = contracted.collect()
+        label_edges.unpersist()
+        star.unpersist()
+        contracted.unpersist()
+        return union_all(
+            [(r["node"], r["parent"]) for r in star_rows]
+            + [(r["pa"], r["pb"]) for r in contracted_rows]
+        )
+    star.unpersist()
+    contracted.unpersist()
     lab_nodes = (
         label_edges.select(F.col("la").alias("node"))
         .unionByName(label_edges.select(F.col("lb").alias("node")))
@@ -619,9 +764,7 @@ def apply_cluster_batch(
 
     spark = batch_docs.sparkSession
     sim_state = read_table(spark, f"{state_dir}/sim", version=batch_id)
-    pairs_state = read_table(
-        spark, f"{state_dir}/sim_pairs", version=batch_id
-    )
+    pairs_state = simhash_pairs_snapshot(spark, state_dir, batch_id)
     clusters = read_table(spark, f"{state_dir}/clusters", version=batch_id)
     removed = list(dict.fromkeys(remove))
 
@@ -702,9 +845,15 @@ def apply_cluster_batch(
 
     v = batch_id + 1
     new_sim.write.mode("overwrite").parquet(f"{state_dir}/sim/v={v}")
-    pairs_state.unionByName(fresh).write.mode("overwrite").parquet(
-        f"{state_dir}/sim_pairs/v={v}"
+    # pair-grain state is an append-only log: this batch writes ONLY its
+    # fresh pairs and its removal tombstones — O(delta), the corpus-
+    # proportional snapshot rewrite is gone (SCALE.md round 8)
+    fresh.write.mode("overwrite").parquet(
+        f"{state_dir}/sim_pairs/batch={v}"
     )
+    spark.createDataFrame(
+        [(d,) for d in removed], _SIM_REMOVED_SCHEMA
+    ).write.mode("overwrite").parquet(f"{state_dir}/sim_removed/batch={v}")
     new_clusters.write.mode("overwrite").parquet(
         f"{state_dir}/clusters/v={v}"
     )

@@ -1502,3 +1502,74 @@ def test_cluster_ivm_replay_and_drain(spark, sf_dir, tmp_path):
     assert _cc_ivm(spark, state2) == _cc_from_scratch(
         spark, docs.filter("doc_id % 2 = 0"), tmp_path, "drain"
     )
+
+
+def test_cluster_ivm_remove_then_readd_two_batch_replace(
+    spark, sf_dir, tmp_path
+):
+    """The documented two-batch replace protocol over the APPEND-ONLY
+    pair log: remove a multi-component's member docs in one batch,
+    re-add them in the next. The removal tombstone must kill the doc's
+    OLD pairs but not the re-add batch's NEW pairs (tombstones apply
+    only to pairs from batches <= the removal batch), so the final view
+    equals from-scratch CC over the final corpus — including the
+    re-added docs back in their components."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        simhash_pairs_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "cluster_state")
+    bootstrap_cluster_state(spark, state)
+    apply_cluster_batch(docs, state, 0)
+
+    by_comp = {}
+    for d, c in _cc_ivm(spark, state):
+        by_comp.setdefault(c, []).append(d)
+    multi = sorted(c for c, ms in by_comp.items() if len(ms) >= 2)
+    assert multi, "fixture needs a multi-doc component"
+    target = sorted(by_comp[multi[0]])[0]  # the label doc itself
+
+    empty = spark.createDataFrame([], docs.schema)
+    apply_cluster_batch(empty, state, 1, remove=[target])
+    assert not simhash_pairs_snapshot(spark, state).filter(
+        (F.col("doc_a") == target) | (F.col("doc_b") == target)
+    ).take(1), "tombstone must kill the removed doc's pairs"
+
+    apply_cluster_batch(docs.filter(F.col("doc_id") == target), state, 2)
+    assert simhash_pairs_snapshot(spark, state).filter(
+        (F.col("doc_a") == target) | (F.col("doc_b") == target)
+    ).take(1), "re-added doc's post-removal pairs must survive tombstone"
+    assert _cc_ivm(spark, state) == _cc_from_scratch(
+        spark, docs, tmp_path, "readd"
+    )
+
+
+def test_cluster_pair_state_writes_are_delta_sized(spark, sf_dir, tmp_path):
+    """The O(delta) property the append-structured log exists for: a
+    batch's sim_pairs/batch=<k> partition holds ONLY pairs involving
+    that batch's docs — never a rewrite of the accumulated pair set."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        simhash_pairs_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "cluster_state")
+    bootstrap_cluster_state(spark, state)
+    apply_cluster_batch(docs.filter("doc_id % 2 = 0"), state, 0)
+    apply_cluster_batch(docs.filter("doc_id % 2 = 1"), state, 1)
+
+    batch2 = spark.read.parquet(f"{state}/sim_pairs/batch=2")
+    assert not batch2.filter(
+        (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0)
+    ).take(1), "batch 2's partition must not re-write batch 1's pairs"
+    total = simhash_pairs_snapshot(spark, state).count()
+    assert total > batch2.count(), "snapshot unions the log partitions"
