@@ -35,7 +35,14 @@ foreachBatch replay re-derives the same snapshots):
   * ``df/v=<k>`` — (shingle, df) corpus document frequencies.
   * ``bands/v=<k>`` — (doc_id, b0, b1) MinHash band signatures
     (one row per doc — the small state).
-  * ``pairs/v=<k>`` — (doc_a, doc_b, jaccard) the maintained view.
+  * ``pairs/batch=<k>`` — APPEND-ONLY (doc_a, doc_b, jaccard) pairs
+    first verified by batch k, with ``pairs_removed/batch=<k>`` doc
+    tombstones for the DF-cap re-sign repair: a re-signed doc's
+    pre-repair pairs die (tombstone batch > pair batch), its same-
+    batch re-verified pairs survive. The maintained view is the
+    tombstone-filtered union (``_tombstoned_pairs``) — the ONE table
+    that grows with corpus x duplicate density is never rewritten, so
+    a batch's pair-state write is O(delta).
 
 Invariants (property-tested in tests/test_streaming.py): after any
 sequence of insert batches with fresh doc_ids, ``pairs`` equals the
@@ -105,7 +112,7 @@ def bootstrap_dedup_state(spark: SparkSession, state_dir: str) -> DedupStateDirs
         f"{dirs.bands}/v=0"
     )
     _empty(spark, _PAIRS_SCHEMA).write.mode("overwrite").parquet(
-        f"{dirs.pairs}/v=0"
+        f"{dirs.pairs}/batch=0"
     )
     return dirs
 
@@ -149,7 +156,6 @@ def apply_dedup_batch(
 
     df_state = read_table(spark, dirs.df, version=batch_id)
     bands_state = read_table(spark, dirs.bands, version=batch_id)
-    pairs_state = read_table(spark, dirs.pairs, version=batch_id)
     old_sh = _prior_shingles(spark, dirs, batch_id)
 
     # -- 1. shingle the delta; append (idempotently) to the shingle log
@@ -187,6 +193,7 @@ def apply_dedup_batch(
         old_sh.join(F.broadcast(newly_capped), "shingle", "left_semi")
         .select("doc_id")
         .distinct()
+        .persist()
     )
     resign = (
         delta_sh.select("doc_id")
@@ -249,28 +256,26 @@ def apply_dedup_batch(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
-    # -- 8. repair the pair set only where an endpoint was re-signed
-    kept = pairs_state.join(
-        F.broadcast(resign.select(F.col("doc_id").alias("doc_a"))),
-        "doc_a",
-        "left_anti",
-    ).join(
-        F.broadcast(resign.select(F.col("doc_id").alias("doc_b"))),
-        "doc_b",
-        "left_anti",
-    )
-    new_pairs = kept.select("doc_a", "doc_b", "jaccard").unionByName(
-        verified
-    )
-
+    # -- 8. repair the pair set only where an endpoint was re-signed:
+    #       the pair log appends this batch's verified pairs and
+    #       tombstones ONLY the DF-cap-affected OLD docs (delta docs
+    #       have no prior pairs to retract, keeping the accumulated
+    #       tombstone set release-grain — it must stay broadcastable
+    #       forever). A re-signed doc's pre-repair pairs die (tombstone
+    #       batch > pair batch); its re-verified pairs, written in the
+    #       SAME batch, survive the strict rule. The corpus-scale pair
+    #       set is never rewritten — the write is O(delta).
     new_df.write.mode("overwrite").parquet(f"{dirs.df}/v={batch_id + 1}")
     new_bands.write.mode("overwrite").parquet(
         f"{dirs.bands}/v={batch_id + 1}"
     )
-    new_pairs.write.mode("overwrite").parquet(
-        f"{dirs.pairs}/v={batch_id + 1}"
+    verified.write.mode("overwrite").parquet(
+        f"{dirs.pairs}/batch={batch_id + 1}"
     )
-    for frame in (delta_sh, folded, resign, bands_r, cand):
+    affected.select("doc_id").write.mode("overwrite").parquet(
+        f"{dirs.root}/pairs_removed/batch={batch_id + 1}"
+    )
+    for frame in (delta_sh, folded, affected, resign, bands_r, cand):
         frame.unpersist()
 
 
@@ -301,8 +306,16 @@ def dedup_pairs_snapshot(
 ) -> DataFrame:
     """The maintained view: (doc_a, doc_b, jaccard) — equal to
     ``dedup_minhash_lsh`` recomputed from scratch over every document
-    ingested up to ``version``."""
-    return read_table(spark, DedupStateDirs(state_dir).pairs, version)
+    ingested up to ``version``. Assembled from the append-only pair
+    log minus the DF-cap re-sign tombstones (``_tombstoned_pairs``)."""
+    dirs = DedupStateDirs(state_dir)
+    return _tombstoned_pairs(
+        spark,
+        dirs.pairs,
+        f"{dirs.root}/pairs_removed",
+        _PAIRS_SCHEMA,
+        version,
+    )
 
 
 # --- SimHash incremental maintenance (VERDICT r6 #7) --------------------------
@@ -395,6 +408,37 @@ def _log_union(
     for frame in frames[1:]:
         out = out.unionByName(frame)
     return out
+
+
+def _tombstoned_pairs(
+    spark: SparkSession,
+    pairs_root: str,
+    removed_root: str,
+    schema: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Assemble a pair snapshot from an append-only pair log minus doc
+    tombstones: a pair is dead iff an endpoint has a tombstone at a
+    batch STRICTLY AFTER the pair's own batch — so a batch that
+    re-signs a doc (MinHash DF-cap repair) or re-adds a removed one
+    (the two-batch replace protocol) keeps its own batch's pairs while
+    killing every earlier one. The tombstone set is release-grain by
+    construction (removed docs / DF-cap-affected docs, never the
+    delta), so it broadcasts; the pair log itself is never shuffled."""
+    pairs = _log_union(spark, pairs_root, schema, version)
+    rem = _log_union(spark, removed_root, _SIM_REMOVED_SCHEMA, version)
+    rmax = rem.groupBy("doc_id").agg(F.max("log_batch").alias("rb"))
+    for side in ("doc_a", "doc_b"):
+        pairs = (
+            pairs.join(
+                F.broadcast(rmax.withColumnRenamed("doc_id", side)),
+                side,
+                "left",
+            )
+            .filter(F.col("rb").isNull() | (F.col("rb") <= F.col("log_batch")))
+            .drop("rb")
+        )
+    return pairs.drop("log_batch")
 
 
 def _sim_band_keys(side: str, banding: str) -> list:
@@ -506,28 +550,16 @@ def simhash_pairs_snapshot(
     ingested up to ``version`` (modulo the batch query's asymmetric
     doc_a < doc_b orientation, which the maintainer preserves via
     least/greatest normalization). Assembled from the append-only pair
-    log minus removal tombstones: a pair is dead iff an endpoint was
-    removed at a batch >= the pair's own batch (so a re-added doc's
-    post-removal pairs survive). The removal set is broadcast — the
-    pair log itself is never shuffled here."""
-    pairs = _log_union(
-        spark, f"{state_dir}/sim_pairs", _SIM_PAIRS_SCHEMA, version
+    log minus removal tombstones (``_tombstoned_pairs``; removals
+    precede additions inside a batch, so the strict tombstone rule is
+    exact here too)."""
+    return _tombstoned_pairs(
+        spark,
+        f"{state_dir}/sim_pairs",
+        f"{state_dir}/sim_removed",
+        _SIM_PAIRS_SCHEMA,
+        version,
     )
-    rem = _log_union(
-        spark, f"{state_dir}/sim_removed", _SIM_REMOVED_SCHEMA, version
-    )
-    rmax = rem.groupBy("doc_id").agg(F.max("log_batch").alias("rb"))
-    for side in ("doc_a", "doc_b"):
-        pairs = (
-            pairs.join(
-                F.broadcast(rmax.withColumnRenamed("doc_id", side)),
-                side,
-                "left",
-            )
-            .filter(F.col("rb").isNull() | (F.col("rb") < F.col("log_batch")))
-            .drop("rb")
-        )
-    return pairs.drop("log_batch")
 
 
 # ---------------------------------------------------------------------------

@@ -983,8 +983,14 @@ def test_run_dedup_maintenance_replay_overwrites_same_version(
     drain(str(tmp_path / "ckpt1"))  # writes v=1, "commit lost"
     drain(str(tmp_path / "ckpt2"))  # replay of batch_id=0
 
+    import os
+
     dirs = DedupStateDirs(state)
-    assert table_versions(spark, dirs.pairs) == [0, 1]
+    # the pair state is an append-only batch log, not v= snapshots: a
+    # replayed batch overwrites its OWN partition, never adds one
+    assert sorted(
+        d for d in os.listdir(dirs.pairs) if d.startswith("batch=")
+    ) == ["batch=0", "batch=1"]
     assert table_versions(spark, dirs.df) == [0, 1]
     got = _ivm_pairs(spark, state)
     assert got == _lsh_from_scratch(docs)
