@@ -1035,6 +1035,41 @@ def test_simhash_incremental_persisted_signatures_never_shuffle(
     assert cand.count() >= 0
 
 
+def test_pair_log_snapshot_never_shuffles_the_pair_log(
+    spark, sf_dir, tmp_path
+):
+    """The append-structured pair state (streaming/dedup_ivm): the
+    snapshot is the batch-dir union filtered by tombstones, and the
+    corpus-scale pair log must only ever STREAM through the two
+    tombstone joins — broadcast build sides, no sort-merge, no hash
+    exchange of the log. The only exchanges allowed are inside the
+    release-grain tombstone aggregate's own broadcast branch."""
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        simhash_pairs_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "pairlog_state")
+    bootstrap_cluster_state(spark, state)
+    apply_cluster_batch(docs.filter("doc_id % 2 = 0"), state, 0)
+    apply_cluster_batch(
+        docs.filter("doc_id % 2 = 1"), state, 1, remove=[0]
+    )
+    snap = simhash_pairs_snapshot(spark, state)
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    # every hash exchange must feed a broadcast (the tombstone agg),
+    # never re-distribute the pair log itself
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", plan):
+        assert m.group(1) == "doc_id", plan[m.start() - 200 : m.end()]
+    assert snap.count() >= 0
+
+
 def test_ivf_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     """SCALE.md's IVF claim, promoted from asserted to plan-guarded:
     the corpus written partitionBy(cell) + a probe filter on the cell
