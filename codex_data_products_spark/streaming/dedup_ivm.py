@@ -383,23 +383,49 @@ def _log_union(
     k <= ``upto`` (all when None), read by EXPLICIT path with an
     explicit schema — a torn partition from a crashed future attempt
     is never listed, let alone schema-probed. Adds ``log_batch`` so
-    readers can order additions against tombstones."""
+    readers can order additions against tombstones.
+
+    Compaction-aware: if ``compact=<c>`` consolidated dirs exist (see
+    ``compact_pair_log``), the reader takes the HIGHEST complete one
+    with c <= upto as the floor — it already holds the
+    tombstone-filtered union of everything through batch c, labeled
+    log_batch=c — and layers only the batch dirs ABOVE the floor on
+    top. A compact dir is trusted only if its ``_SUCCESS`` marker
+    exists (Spark writes it last), so a crashed compaction attempt is
+    invisible and compaction needs no coordination with readers:
+    superseded batch dirs are pure garbage whose presence or absence
+    never changes a snapshot."""
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(root)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     full = schema + ", log_batch long"
     if not fs.exists(jvm_path):
         return _empty(spark, full)
-    frames = []
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    batch_dirs: list[int] = []
+    floor = -1
     for status in fs.listStatus(jvm_path):
         name = status.getPath().getName()
-        if not name.startswith("batch="):
-            continue
-        k = int(name[6:])
-        if upto is not None and k > upto:
+        if name.startswith("batch="):
+            batch_dirs.append(int(name[6:]))
+        elif name.startswith("compact="):
+            c = int(name[8:])
+            if (upto is None or c <= upto) and fs.exists(
+                Path(f"{root}/{name}/_SUCCESS")
+            ):
+                floor = max(floor, c)
+    frames = []
+    if floor >= 0:
+        frames.append(
+            spark.read.schema(schema)
+            .parquet(f"{root}/compact={floor}")
+            .withColumn("log_batch", F.lit(floor).cast("long"))
+        )
+    for k in sorted(batch_dirs):
+        if k <= floor or (upto is not None and k > upto):
             continue
         frames.append(
             spark.read.schema(schema)
-            .parquet(f"{root}/{name}")
+            .parquet(f"{root}/batch={k}")
             .withColumn("log_batch", F.lit(k).cast("long"))
         )
     if not frames:
@@ -408,6 +434,85 @@ def _log_union(
     for frame in frames[1:]:
         out = out.unionByName(frame)
     return out
+
+
+def compact_pair_log(
+    spark: SparkSession,
+    pairs_root: str,
+    removed_root: str,
+    schema: str,
+    upto: int,
+    gc: bool = True,
+) -> None:
+    """Collapse a pair log's history through batch ``upto`` into one
+    consolidated ``compact=<upto>`` dir (the tombstone-filtered union —
+    tombstones <= upto are fully applied, so they can be dropped: under
+    the strict rule they only ever killed pairs with batch < their own,
+    and every surviving pair is re-labeled to batch=upto, which no
+    tombstone <= upto can reach). Crash-safe without coordination: the
+    consolidated dir is trusted by readers only once its ``_SUCCESS``
+    marker exists, so a torn attempt is invisible and a restart simply
+    overwrites it; the superseded batch dirs (and older compact dirs)
+    are garbage whose presence never changes a snapshot — ``gc=True``
+    removes them after the compact dir is complete. Run between
+    maintenance batches (upto <= the committed head); snapshots pinned
+    to versions inside the compacted range are collapsed into it, reads
+    at versions >= upto are exact and unchanged."""
+    # localCheckpoint BEFORE the write: a re-compaction at the same
+    # upto reads the existing compact dir as its own floor, and
+    # overwrite deletes the target first — the eager checkpoint cuts
+    # the write's lineage from the files it is about to replace
+    snap = _tombstoned_pairs(
+        spark, pairs_root, removed_root, schema, upto
+    ).localCheckpoint()
+    snap.write.mode("overwrite").parquet(f"{pairs_root}/compact={upto}")
+    if not gc:
+        return
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    for root in (pairs_root, removed_root):
+        jvm_path = Path(root)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
+            continue
+        for status in fs.listStatus(jvm_path):
+            name = status.getPath().getName()
+            dead = (
+                name.startswith("batch=") and int(name[6:]) <= upto
+            ) or (
+                name.startswith("compact=") and int(name[8:]) < upto
+            )
+            if dead:
+                fs.delete(status.getPath(), True)
+
+
+def compact_simhash_pairs(
+    spark: SparkSession, state_dir: str, upto: int, gc: bool = True
+) -> None:
+    """``compact_pair_log`` over the SimHash/cluster maintainers'
+    shared pair state."""
+    compact_pair_log(
+        spark,
+        f"{state_dir}/sim_pairs",
+        f"{state_dir}/sim_removed",
+        _SIM_PAIRS_SCHEMA,
+        upto,
+        gc,
+    )
+
+
+def compact_dedup_pairs(
+    spark: SparkSession, state_dir: str, upto: int, gc: bool = True
+) -> None:
+    """``compact_pair_log`` over the MinHash maintainer's pair state."""
+    dirs = DedupStateDirs(state_dir)
+    compact_pair_log(
+        spark,
+        dirs.pairs,
+        f"{dirs.root}/pairs_removed",
+        _PAIRS_SCHEMA,
+        upto,
+        gc,
+    )
 
 
 def _tombstoned_pairs(

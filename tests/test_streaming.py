@@ -1555,6 +1555,63 @@ def test_cluster_ivm_remove_then_readd_two_batch_replace(
     )
 
 
+def test_pair_log_compaction_preserves_snapshot(spark, sf_dir, tmp_path):
+    """compact_pair_log collapses history <= upto into one complete
+    compact dir: the snapshot is bit-identical before and after, a
+    TORN compaction attempt (no _SUCCESS) is invisible to readers,
+    maintenance keeps working on top of a compacted log, and GC leaves
+    only the compact floor plus later batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        compact_simhash_pairs,
+        simhash_pairs_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "compact_state")
+    bootstrap_cluster_state(spark, state)
+    apply_cluster_batch(docs.filter("doc_id % 3 = 0"), state, 0)
+    apply_cluster_batch(docs.filter("doc_id % 3 = 1"), state, 1, remove=[0])
+    apply_cluster_batch(docs.filter("doc_id % 3 = 2"), state, 2)
+
+    def snap():
+        return {
+            tuple(r)
+            for r in simhash_pairs_snapshot(spark, state).collect()
+        }
+
+    want = snap()
+    assert want
+
+    # a torn compaction attempt (dir exists, no _SUCCESS) is ignored
+    torn = f"{state}/sim_pairs/compact=1"
+    os.makedirs(torn)
+    assert snap() == want
+    os.rmdir(torn)
+
+    compact_simhash_pairs(spark, state, upto=2, gc=False)
+    assert snap() == want
+    compact_simhash_pairs(spark, state, upto=2, gc=True)
+    assert snap() == want
+    names = sorted(os.listdir(f"{state}/sim_pairs"))
+    assert names == ["batch=3", "compact=2"], names
+
+    # maintenance continues on top of the compacted log
+    extra = docs.filter("doc_id = 0")  # re-add the removed doc
+    apply_cluster_batch(extra, state, 3)
+    assert simhash_pairs_snapshot(spark, state).filter(
+        (F.col("doc_a") == 0) | (F.col("doc_b") == 0)
+    ).count() >= 0
+    assert _cc_ivm(spark, state) == _cc_from_scratch(
+        spark, docs, tmp_path, "postcompact"
+    )
+
+
 def test_cluster_pair_state_writes_are_delta_sized(spark, sf_dir, tmp_path):
     """The O(delta) property the append-structured log exists for: a
     batch's sim_pairs/batch=<k> partition holds ONLY pairs involving
