@@ -485,6 +485,34 @@ def compact_pair_log(
                 fs.delete(status.getPath(), True)
 
 
+def expire_dedup_state(state_dir: str, keep_last: int = 2) -> list[str]:
+    """Retention-based GC for a maintainer's VERSIONED state tables
+    (``df/v=``, ``bands/v=``, ``sim/v=``, ``clusters/v=`` — the
+    doc-grain snapshots; the pair/shingle batch logs are reclaimed by
+    ``compact_pair_log`` instead). Keeps the newest ``keep_last``
+    versions per table and deletes the rest. Single-writer: call
+    between batches. ``keep_last=2`` (head and head-1) always covers
+    the standard replay window — a crashed batch k re-reads v=k, the
+    previous head. Returns what was deleted."""
+    import os
+    import shutil
+
+    removed: list[str] = []
+    if not os.path.isdir(state_dir):
+        return removed
+    for name in sorted(os.listdir(state_dir)):
+        tdir = os.path.join(state_dir, name)
+        if not os.path.isdir(tdir):
+            continue
+        versions = sorted(
+            int(d[2:]) for d in os.listdir(tdir) if d.startswith("v=")
+        )
+        for v in versions[: -max(keep_last, 1)]:
+            shutil.rmtree(os.path.join(tdir, f"v={v}"), ignore_errors=True)
+            removed.append(f"{name}/v={v}")
+    return removed
+
+
 def compact_simhash_pairs(
     spark: SparkSession, state_dir: str, upto: int, gc: bool = True
 ) -> None:

@@ -1612,6 +1612,35 @@ def test_pair_log_compaction_preserves_snapshot(spark, sf_dir, tmp_path):
     )
 
 
+def test_expire_dedup_state_keeps_replay_window(spark, sf_dir, tmp_path):
+    """Retention GC over the versioned doc-grain state: keep_last=2
+    keeps head and head-1 (the replay window), the snapshot is
+    unchanged, and a replay of the HEAD batch still works after
+    expiry."""
+    import os
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        expire_dedup_state,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "expire_state")
+    bootstrap_cluster_state(spark, state)
+    for k in range(3):
+        apply_cluster_batch(docs.filter(f"doc_id % 3 = {k}"), state, k)
+    want = _cc_ivm(spark, state)
+
+    removed = expire_dedup_state(state, keep_last=2)
+    assert "sim/v=0" in removed and "clusters/v=1" in removed
+    assert sorted(os.listdir(f"{state}/clusters")) == ["v=2", "v=3"]
+    assert _cc_ivm(spark, state) == want
+    # replay of the head batch (reads v=2) still works post-expiry
+    apply_cluster_batch(docs.filter("doc_id % 3 = 2"), state, 2)
+    assert _cc_ivm(spark, state) == want
+
+
 def test_cluster_pair_state_writes_are_delta_sized(spark, sf_dir, tmp_path):
     """The O(delta) property the append-structured log exists for: a
     batch's sim_pairs/batch=<k> partition holds ONLY pairs involving
