@@ -86,6 +86,26 @@ def _cmd_product_delta(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dedup_compact(args: argparse.Namespace) -> int:
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        compact_dedup_pairs,
+        compact_simhash_pairs,
+        expire_dedup_state,
+    )
+
+    spark = get_spark(app_name="dedup-compact")
+    fn = (
+        compact_simhash_pairs
+        if args.family == "simhash"
+        else compact_dedup_pairs
+    )
+    fn(spark, args.state_dir, args.upto, gc=not args.no_gc)
+    removed = expire_dedup_state(args.state_dir, keep_last=args.keep_last)
+    json.dump({"compacted_upto": args.upto, "expired": removed}, sys.stdout)
+    print()
+    return 0
+
+
 def _cmd_catalog(args: argparse.Namespace) -> int:
     from codex_data_products_spark.plans.catalog import (
         build_catalog,
@@ -241,6 +261,20 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--remove", nargs="*", default=[])
     pd.add_argument("--tissue", default=None)
     pd.set_defaults(fn=_cmd_product_delta)
+
+    pdc = sub.add_parser(
+        "dedup-compact",
+        help="compact a dedup maintainer's append-only pair log and "
+        "expire old state versions (run between maintenance batches)",
+    )
+    pdc.add_argument("state_dir")
+    pdc.add_argument("--upto", type=int, required=True)
+    pdc.add_argument(
+        "--family", choices=["simhash", "minhash"], default="simhash"
+    )
+    pdc.add_argument("--keep-last", type=int, default=2)
+    pdc.add_argument("--no-gc", action="store_true")
+    pdc.set_defaults(fn=_cmd_dedup_compact)
 
     pc = sub.add_parser("catalog", help="build the uuids catalog TSV")
     pc.add_argument("--hits-json", required=True, help="recorded search hits (JSON list)")

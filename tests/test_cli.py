@@ -119,3 +119,29 @@ def test_cli_stream_drains_incrementally(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
+
+
+def test_cli_dedup_compact(spark, tmp_path, capsys):
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        simhash_pairs_snapshot,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    state = str(tmp_path / "state")
+    bootstrap_cluster_state(spark, state)
+    apply_cluster_batch(docs.filter("doc_id % 2 = 0"), state, 0)
+    apply_cluster_batch(docs.filter("doc_id % 2 = 1"), state, 1)
+    before = {
+        tuple(r) for r in simhash_pairs_snapshot(spark, state).collect()
+    }
+    rc = main(
+        ["dedup-compact", state, "--upto", "2", "--keep-last", "2"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted_upto"] == 2
+    assert {
+        tuple(r) for r in simhash_pairs_snapshot(spark, state).collect()
+    } == before
