@@ -1031,14 +1031,27 @@ def run_cluster_maintenance(
     state_dir: str,
     checkpoint_dir: str,
     banding: str = "2x16",
+    compact_every: int | None = None,
 ) -> None:
     """availableNow foreachBatch drain of an insert stream onto the
     maintained cluster view (same replay contract as the other
     maintainers). Removals are release-grain control operations —
-    apply them directly via ``apply_cluster_batch(remove=...)``."""
+    apply them directly via ``apply_cluster_batch(remove=...)``.
+
+    ``compact_every=N`` folds the between-batch maintenance pass into
+    the drain itself: after every Nth batch commits its state, the
+    pair log is compacted through it and superseded state versions are
+    expired (keep_last=2 — the replay window). Both steps are
+    idempotent overwrites/deletes, so a foreachBatch replay that
+    re-runs them converges to the same layout."""
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         apply_cluster_batch(batch, state_dir, batch_id, banding=banding)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_simhash_pairs(
+                batch.sparkSession, state_dir, upto=batch_id + 1
+            )
+            expire_dedup_state(state_dir, keep_last=2)
 
     (
         docs.writeStream.foreachBatch(fold)

@@ -1665,3 +1665,45 @@ def test_cluster_pair_state_writes_are_delta_sized(spark, sf_dir, tmp_path):
     ).take(1), "batch 2's partition must not re-write batch 1's pairs"
     total = simhash_pairs_snapshot(spark, state).count()
     assert total > batch2.count(), "snapshot unions the log partitions"
+
+
+def test_cluster_maintenance_auto_compaction(spark, sf_dir, tmp_path):
+    """compact_every folds the maintenance pass into the drain: after
+    the run, history sits in a compact floor plus at-most-N trailing
+    batch dirs, versioned state keeps only the replay window, and the
+    maintained view still equals from-scratch CC."""
+    import os
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        bootstrap_cluster_state,
+        run_cluster_maintenance,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "feed")
+    for k in range(2):
+        docs.filter(f"doc_id % 2 = {k}").write.parquet(f"{src}/d{k}")
+    state = str(tmp_path / "auto_state")
+    bootstrap_cluster_state(spark, state)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_cluster_maintenance(
+        stream, state, str(tmp_path / "ckpt"), compact_every=1
+    )
+    pair_dirs = sorted(os.listdir(f"{state}/sim_pairs"))
+    assert any(d.startswith("compact=") for d in pair_dirs), pair_dirs
+    assert not any(
+        d.startswith("batch=") and int(d[6:]) <= max(
+            int(d2[8:]) for d2 in pair_dirs if d2.startswith("compact=")
+        )
+        for d in pair_dirs
+    ), pair_dirs
+    assert sorted(os.listdir(f"{state}/clusters"))[-1] == "v=2"
+    assert len(os.listdir(f"{state}/clusters")) == 2  # replay window
+    assert _cc_ivm(spark, state) == _cc_from_scratch(
+        spark, docs, tmp_path, "auto"
+    )
