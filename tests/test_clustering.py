@@ -245,3 +245,40 @@ def test_containment_flags_exact_subset_doc(spark, tmp_path):
     rows = dedup_containment(spark, str(d)).collect()
     got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in rows}
     assert got == {(1, 2): 1.0}
+
+
+def test_min_label_components_hand_checked(spark):
+    """Two components (a 4-chain and a 2-clique) plus an isolate; the
+    chain exercises pointer jumping and frontier propagation, the
+    isolate keeps its own label. The seeded variant relabels each
+    component by its minimum seed."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.operators.graphs import (
+        min_label_components,
+    )
+
+    und = [(10, 11), (11, 12), (12, 13), (20, 21)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "a long, b long"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (10, 11, 12, 13, 20, 21, 30)], "node long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in min_label_components(nodes, edges).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 30: 30}
+
+    seeded = spark.createDataFrame(
+        [(10, 105), (11, 101), (12, 107), (13, 102), (20, 7), (21, 9),
+         (30, 55)],
+        "node long, label long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in min_label_components(seeded, edges).collect()
+    }
+    assert got == {10: 101, 11: 101, 12: 101, 13: 101, 20: 7, 21: 7,
+                   30: 55}
