@@ -1704,6 +1704,22 @@ def test_cluster_maintenance_auto_compaction(spark, sf_dir, tmp_path):
     ), pair_dirs
     assert sorted(os.listdir(f"{state}/clusters"))[-1] == "v=2"
     assert len(os.listdir(f"{state}/clusters")) == 2  # replay window
-    assert _cc_ivm(spark, state) == _cc_from_scratch(
-        spark, docs, tmp_path, "auto"
+    want = _cc_from_scratch(spark, docs, tmp_path, "auto")
+    assert _cc_ivm(spark, state) == want
+
+    # crash-replay on top of auto-compaction: a lost checkpoint commit
+    # re-runs the LAST batch (reads state v=1, which the keep_last=2
+    # expiry retained; the pair snapshot pinned to version 1 is only
+    # consumed by the removal path, which insert drains never take) —
+    # the re-applied fold plus re-compaction must converge to the same
+    # state
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        compact_simhash_pairs,
+        expire_dedup_state,
     )
+
+    apply_cluster_batch(docs.filter("doc_id % 2 = 1"), state, 1)
+    compact_simhash_pairs(spark, state, upto=2)
+    expire_dedup_state(state, keep_last=2)
+    assert _cc_ivm(spark, state) == want
