@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from codex_data_products_spark.functions.compat import sql_dratio
 from codex_data_products_spark.registry import register
 from codex_data_products_spark.tables import spread, table as T
 
@@ -1965,3 +1966,275 @@ def dedup_keep_best_incremental(
     for k in range(3):
         apply_cluster_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
     return keep_best_from_components(cluster_snapshot(spark, state), docs)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (ExactSubstr family).
+#
+# The sixth dedup family: instead of asking "are these two DOCUMENTS
+# near-duplicates?" it asks "which TOKEN SPANS are repeated anywhere in
+# the corpus?" — the operator behind suffix-array training-data dedup
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better"). A suffix array is a single-node data structure; the
+# distributed equivalent is positional k-gram fingerprints:
+#
+#   1. (doc_id, pos, md5(k-gram)) for EVERY token position — positional,
+#      unlike the distinct shingle table above.
+#   2. A k-gram occurring >= 2 times anywhere (other docs OR elsewhere in
+#      the same doc) marks its k-token window as duplicated text.
+#   3. Per doc, the union length of the marked windows needs no interval
+#      tree: windows all have length k, so sorted by start the i-th
+#      window contributes min(k, start_i - start_{i-1}) new tokens — one
+#      window function.
+#
+# Scale: the positional table is |corpus tokens| rows, but nothing here
+# is ever pairwise — the duplicate test is a count>1 aggregate (map-side
+# combined to distinct grams) plus one shuffle hash semi-join back on the
+# gram hash, and the coverage window partitions by doc_id (bounded per
+# doc). No stop-gram cap is needed: a gram seen a million times costs
+# exactly one aggregate row, never a million^2 pair join. This is the
+# 100 TB-safe shape; the quadratic danger lives only in pair-emitting
+# families above.
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8  # tokens per duplicated-span fingerprint window
+
+
+def positional_grams(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, n, pos, g): md5 of the k-token window at every position.
+
+    Same materialize-below-the-exchange trick as ``shingle_table``: the
+    tokenizing regex runs once per doc behind the spread exchange, not
+    once per window position.
+    """
+    toks = F.col("toks")
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("g"),
+        ),
+    )
+    return (
+        spread(
+            docs.filter(F.size(_tokens()) >= k).select(
+                "doc_id", _tokens().alias("toks")
+            ),
+            "doc_id",
+        )
+        .select("doc_id", F.size(toks).alias("n"), F.explode(windows).alias("w"))
+        .select("doc_id", "n", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+    )
+
+
+def duplicated_positions(pos: DataFrame) -> DataFrame:
+    """Positions whose k-gram occurs >= 2 times corpus-wide.
+
+    ``pos`` should be persisted by the caller — it feeds both the gram
+    aggregate and the semi-join probe side.
+    """
+    dup = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("g")
+    )
+    return pos.join(dup, "g", "left_semi")
+
+
+def _coverage_per_doc(cov: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_fraction) from marked positions."""
+    from pyspark.sql import Window
+
+    from codex_data_products_spark.functions.compat import dratio
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    new_tokens = F.least(
+        F.lit(k), F.col("pos") - F.lag("pos", 1, None).over(w)
+    )
+    per_pos = cov.select(
+        "doc_id",
+        "n",
+        F.coalesce(new_tokens, F.lit(k)).alias("new_tokens"),
+    )
+    return per_pos.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.sum("new_tokens").cast("long").alias("dup_tokens"),
+        dratio(F.sum("new_tokens"), F.max("n")).alias("dup_fraction"),
+    )
+
+
+_SQL_POSITIONAL = f"""
+ptoks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+  WHERE len({_SQL_TOKENS}) >= {SUBSTR_K}
+),
+pos AS (
+  SELECT doc_id, len(t) AS n, i AS pos,
+         md5(array_to_string(list_slice(t, i, i + {SUBSTR_K - 1}), ' ')) AS g
+  FROM ptoks, unnest(generate_series(1, len(t) - {SUBSTR_K - 1})) AS u(i)
+),
+cov AS (
+  SELECT doc_id, n, pos FROM pos
+  WHERE g IN (SELECT g FROM pos GROUP BY g HAVING count(*) > 1)
+)
+"""
+
+_SUBSTR_SQL = f"""
+WITH {_SQL_POSITIONAL}
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(sum(new_tokens) AS BIGINT) AS dup_tokens,
+       {sql_dratio('sum(new_tokens)', 'max(n)')} AS dup_fraction
+FROM (
+  SELECT doc_id, n,
+         least({SUBSTR_K}, pos - lag(pos, 1, pos - {SUBSTR_K})
+               OVER (PARTITION BY doc_id ORDER BY pos)) AS new_tokens
+  FROM cov
+)
+GROUP BY doc_id
+"""
+
+
+@register("dedup_substring", sql=_SUBSTR_SQL)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: how many of each doc's
+    tokens sit inside an 8-token window that occurs >= 2 times anywhere
+    in the corpus. The doc-grain report an ExactSubstr-style pipeline
+    filters on (e.g. drop or trim docs above 80% duplicated)."""
+    from pyspark import StorageLevel
+
+    docs = T(spark, sf_dir, "documents")
+    pos = positional_grams(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    return _coverage_per_doc(duplicated_positions(pos))
+
+
+_SUBSTR_SPANS_SQL = f"""
+WITH {_SQL_POSITIONAL},
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos, 1, pos - {SUBSTR_K + 1})
+                    OVER (PARTITION BY doc_id ORDER BY pos) > {SUBSTR_K}
+              THEN 1 ELSE 0 END AS brk
+  FROM cov
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {SUBSTR_K - 1} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM islands GROUP BY doc_id, island
+"""
+
+
+@register("dedup_substring_spans", sql=_SUBSTR_SPANS_SQL)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged duplicated spans as (doc_id, span_start, span_end) token
+    intervals — the cut list an ExactSubstr trimmer applies. Classic
+    gaps-and-islands: a new island starts when the next marked position
+    no longer overlaps the previous window (gap > k); islands are then
+    one groupBy. Both the flag and the island id are windows over the
+    same (doc_id, pos) sort, so Spark plans a single shuffle + sort."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    pos = positional_grams(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cov = duplicated_positions(pos)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.coalesce(
+            F.col("pos") - F.lag("pos", 1, None).over(w), F.lit(SUBSTR_K + 1)
+        )
+        > SUBSTR_K,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = cov.select("doc_id", "pos", brk.alias("brk")).select(
+        "doc_id",
+        "pos",
+        F.sum("brk").over(w).alias("island"),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (SUBSTR_K - 1)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("island")
+
+
+_SUBSTR_SUMMARY_SQL = f"""
+WITH {_SQL_POSITIONAL},
+per_doc AS (
+  SELECT doc_id, max(n) AS n, sum(new_tokens) AS dup
+  FROM (
+    SELECT doc_id, n,
+           least({SUBSTR_K}, pos - lag(pos, 1, pos - {SUBSTR_K})
+                 OVER (PARTITION BY doc_id ORDER BY pos)) AS new_tokens
+    FROM cov
+  ) GROUP BY doc_id
+),
+universe AS (
+  SELECT count(*) AS n_docs, sum(len({_SQL_TOKENS})) AS corpus_tokens
+  FROM documents WHERE len({_SQL_TOKENS}) >= {SUBSTR_K}
+)
+SELECT CAST(u.n_docs AS BIGINT) AS n_docs,
+       CAST(count(p.doc_id) AS BIGINT) AS dup_docs,
+       CAST(u.corpus_tokens AS BIGINT) AS corpus_tokens,
+       CAST(coalesce(sum(p.dup), 0) AS BIGINT) AS dup_tokens,
+       {sql_dratio('coalesce(sum(p.dup), 0)', 'u.corpus_tokens')} AS dup_share,
+       CAST(coalesce(sum(CASE WHEN 2 * p.dup >= p.n THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS heavy_docs
+FROM universe u LEFT JOIN per_doc p ON true
+GROUP BY u.n_docs, u.corpus_tokens
+"""
+
+
+@register("dedup_substring_summary", sql=_SUBSTR_SUMMARY_SQL)
+def dedup_substring_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus report: docs touched, duplicated-token share of the
+    corpus, and docs >= 50% duplicated (trim-or-drop candidates). The
+    doc-grain intermediate collapses via map-side partial aggregation
+    before a single-row final — same terminal shape as
+    ``dedup_simhash_wide_summary``."""
+    from pyspark import StorageLevel
+
+    docs = T(spark, sf_dir, "documents")
+    pos = positional_grams(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = _coverage_per_doc(duplicated_positions(pos))
+    universe = docs.filter(F.size(_tokens()) >= SUBSTR_K).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("corpus_tokens"),
+    )
+    from codex_data_products_spark.functions.compat import dratio
+
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("dup_docs"),
+        F.coalesce(F.sum("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("dup_tokens") >= F.col("n_tokens"), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("heavy_docs"),
+    )
+    return (
+        universe.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "dup_share", dratio(F.col("dup_tokens"), F.col("corpus_tokens"))
+        )
+        .select(
+            "n_docs",
+            "dup_docs",
+            "corpus_tokens",
+            "dup_tokens",
+            "dup_share",
+            "heavy_docs",
+        )
+    )

@@ -737,3 +737,94 @@ GROUP BY f.type_now, coalesce(d.type_then, 'none')
         merge = run_oracle(registry.ORACLES["scd2_asof_lookup"], sf)
         rjoin = run_oracle(range_join_sql, sf)
         assert compare_frames(merge, rjoin) == []
+
+
+# --- exact substring-span dedup: hand-checked coverage math ----------------
+
+
+def _substring_docs(spark):
+    """Doc 1 and 2 share the 10-token prefix 'a b c d e f g h i j'; doc 3
+    is unrelated. With k=8 the shared prefix yields duplicated window
+    starts {1, 2, 3} in both docs → one island, coverage pos 1..10 = 10
+    tokens. Doc 3 has no duplicated window."""
+    shared = "a b c d e f g h i j"
+    rows = [
+        (1, shared + " unique1a unique1b unique1c unique1d"),
+        (2, shared + " other2a other2b other2c other2d other2e"),
+        (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_coverage_hand_checked(spark):
+    from codex_data_products_spark.queries.dedup import (
+        _coverage_per_doc,
+        duplicated_positions,
+        positional_grams,
+    )
+
+    pos = positional_grams(_substring_docs(spark)).persist()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in _coverage_per_doc(duplicated_positions(pos)).collect()
+    }
+    pos.unpersist()
+    # windows at pos 1..3 cover tokens 1..10 (first adds 8, next two add
+    # 1 each); doc 1 has 14 tokens, doc 2 has 15, doc 3 never appears.
+    assert got == {1: (14, 10, 0.714286), 2: (15, 10, 0.666667)}
+
+
+def test_substring_spans_merge_islands(spark):
+    """Two duplicated regions separated by a gap > k must emit two spans
+    per doc; overlapping windows within a region merge into one."""
+    from codex_data_products_spark.queries.dedup import (
+        duplicated_positions,
+        positional_grams,
+    )
+    from codex_data_products_spark.queries.dedup import SUBSTR_K
+
+    head = "h1 h2 h3 h4 h5 h6 h7 h8"          # duplicated 8-gram at pos 1
+    tail = "t1 t2 t3 t4 t5 t6 t7 t8 t9"       # duplicated windows at end
+    rows = [
+        (1, f"{head} fill1a fill1b fill1c fill1d fill1e fill1f fill1g fill1h fill1i {tail}"),
+        (2, f"{head} fill2a fill2b fill2c fill2d fill2e fill2f fill2g fill2h fill2i {tail}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = positional_grams(docs).persist()
+    cov = duplicated_positions(pos)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    # reuse the registered query's island construction via the module fn
+    from codex_data_products_spark.registry import QUERIES  # noqa: F401
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = FF.when(
+        FF.coalesce(
+            FF.col("pos") - FF.lag("pos", 1, None).over(w),
+            FF.lit(SUBSTR_K + 1),
+        )
+        > SUBSTR_K,
+        FF.lit(1),
+    ).otherwise(FF.lit(0))
+    islands = (
+        cov.select("doc_id", "pos", brk.alias("brk"))
+        .select("doc_id", "pos", FF.sum("brk").over(w).alias("island"))
+        .groupBy("doc_id", "island")
+        .agg(
+            FF.min("pos").alias("span_start"),
+            (FF.max("pos") + (SUBSTR_K - 1)).alias("span_end"),
+        )
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in islands.collect()
+    }
+    pos.unpersist()
+    # head: window at pos 1 only (pos 2 window spans into unique fill) →
+    # span 1..8. tail: 9 tokens → windows at the last two positions of a
+    # 26-token doc: pos 18..19 → span 18..26.
+    assert got == {
+        (1, 1, 8), (1, 18, 26),
+        (2, 1, 8), (2, 18, 26),
+    }
