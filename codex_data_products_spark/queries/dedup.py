@@ -2238,3 +2238,24 @@ def dedup_substring_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heavy_docs",
         )
     )
+
+
+@register("dedup_substring_incremental", sql=_SUBSTR_SQL)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin: three modulo batches through the substring
+    maintainer (``streaming.substring_ivm``), snapshot checked against
+    the SAME from-scratch SQL oracle as ``dedup_substring`` — the
+    driver hash certifies incremental == from-scratch end to end,
+    including the retroactive 1->2 occurrence-flip repair."""
+    from codex_data_products_spark.streaming.substring_ivm import (
+        apply_substring_batch,
+        bootstrap_substring_state,
+        substring_coverage_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    state = _ivm_state_dir("substring_ivm")
+    bootstrap_substring_state(spark, state)
+    for k in range(3):
+        apply_substring_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
+    return substring_coverage_snapshot(spark, state)

@@ -466,10 +466,18 @@ def compact_pair_log(
         spark, pairs_root, removed_root, schema, upto
     ).localCheckpoint()
     snap.write.mode("overwrite").parquet(f"{pairs_root}/compact={upto}")
-    if not gc:
-        return
+    if gc:
+        _gc_log_dirs(spark, (pairs_root, removed_root), upto)
+
+
+def _gc_log_dirs(
+    spark: SparkSession, roots: tuple[str, ...], upto: int
+) -> None:
+    """Delete batch dirs <= upto and compact dirs < upto — garbage
+    superseded by a completed ``compact=<upto>`` consolidation (shared
+    by every append-log compactor: pairs, coverage, grams)."""
     Path = spark._jvm.org.apache.hadoop.fs.Path
-    for root in (pairs_root, removed_root):
+    for root in roots:
         jvm_path = Path(root)
         fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(jvm_path):

@@ -1,0 +1,265 @@
+"""Incrementally-maintained exact substring-span coverage — the
+eleventh IVM class, the incremental twin of ``dedup_substring``.
+
+The maintained view is EXACTLY the batch ``dedup_substring`` output
+over all documents ingested so far: per-doc duplicated-span coverage
+``(doc_id, n_tokens, dup_tokens, dup_fraction)`` where a position is
+duplicated iff its k-token gram occurs >= 2 times corpus-wide. Each
+batch costs O(|delta| + |affected|), never O(|corpus|).
+
+The one cross-corpus dependency is the gram occurrence count: a NEW
+document can push an old gram's occurrence from 1 to >= 2, which
+retroactively marks the OLD position holding it — exactly the shape of
+the MinHash maintainer's stop-shingle DF-cap crossing
+(``dedup_ivm.apply_dedup_batch`` step 2), and handled the same way:
+occurrence counts are an incrementally-folded additive aggregate, a
+1 -> >=2 flip triggers a coverage recompute of just the docs holding a
+flipped gram, and the coverage log is repaired only for those docs. A
+gram flips at most once (the corpus is append-only), so across the
+whole history each old doc is repaired O(#flips touching it) times —
+delta-proportional in aggregate.
+
+State layout under ``state_dir`` (same ``v=<k>`` anchoring and
+``batch=<k>`` append-log contracts as every maintainer in this
+package; batch k reads v=k and overwrites v=k+1 plus its own batch
+dirs, so a foreachBatch replay re-derives identical snapshots):
+
+  * ``grams/batch=<k>``    — APPEND-ONLY positional gram rows
+    (doc_id, n, pos, g) for the batch's docs. O(|delta|) write. The
+    corpus-scale table; only ever scanned + broadcast-semi-joined.
+  * ``occ/v=<k>``          — (g, occ) corpus-wide gram occurrence
+    counts (additive fold, ``combine_agg_state`` algebra).
+  * ``coverage/batch=<k>`` — APPEND-ONLY per-doc coverage rows first
+    computed by batch k, with ``coverage_removed/batch=<k>`` doc
+    tombstones for the flip repair (strict tombstone rule shared with
+    the pair logs: a tombstone kills rows from strictly earlier
+    batches, so the same-batch re-emit survives). Compactable with
+    ``compact_pair_log``'s machinery via ``compact_substring_coverage``.
+
+Invariants (tests/test_streaming.py): after any sequence of insert
+batches with fresh doc_ids, ``substring_coverage_snapshot`` equals the
+from-scratch ``dedup_substring`` over the union of all batches, and
+``occ`` equals the from-scratch positional-gram histogram.
+
+Reference parity: the reference recomputes everything per run; this is
+the Spark-native answer to keeping an ExactSubstr-style duplicated-span
+report current over an append-heavy 100 TB corpus (suffix-array dedup
+a la Lee et al. 2022 is single-node; positional-gram fingerprints are
+its shuffle-partitionable equivalent — see queries/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.queries.dedup import (
+    _coverage_per_doc,
+    positional_grams,
+)
+from codex_data_products_spark.streaming.dedup_ivm import (
+    _empty,
+    _gc_log_dirs,
+    _log_union,
+)
+from codex_data_products_spark.streaming.merge import read_table
+
+_GRAMS_SCHEMA = "doc_id long, n int, pos int, g string"
+_OCC_SCHEMA = "g string, occ long"
+_COVERAGE_SCHEMA = (
+    "doc_id long, n_tokens long, dup_tokens long, dup_fraction double"
+)
+_REMOVED_SCHEMA = "doc_id long"
+
+
+def bootstrap_substring_state(spark: SparkSession, state_dir: str) -> None:
+    """Write the v=0 snapshots (empty corpus — an existing corpus is
+    just a big first batch)."""
+    _empty(spark, _OCC_SCHEMA).write.mode("overwrite").parquet(
+        f"{state_dir}/occ/v=0"
+    )
+    _empty(spark, _COVERAGE_SCHEMA).write.mode("overwrite").parquet(
+        f"{state_dir}/coverage/batch=0"
+    )
+
+
+def _prior_grams(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
+    """Positional gram rows of every batch BEFORE this one (compaction-
+    aware via ``_log_union``; the current batch's own dir is excluded so
+    a crashed attempt's leftovers never double-count on replay)."""
+    return _log_union(
+        spark, f"{state_dir}/grams", _GRAMS_SCHEMA, upto=batch_id - 1
+    ).drop("log_batch")
+
+
+def apply_substring_batch(
+    batch_docs: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """Fold one batch of NEW documents (fresh doc_ids, append-only
+    corpus) into the maintained coverage state: read the anchored
+    v=batch_id snapshots, write v=batch_id+1 and the batch's log dirs.
+
+    Scale shape (plan-guarded in tests/test_plans.py): the persisted
+    gram log and the occ state are only ever scanned and broadcast-
+    joined against delta-derived (tiny) frames — never shuffled. The
+    only exchanges are over delta-proportional slices: the delta's own
+    gram aggregate and the per-doc coverage window of the recompute
+    set.
+    """
+    spark = batch_docs.sparkSession
+    occ_state = read_table(spark, f"{state_dir}/occ", version=batch_id)
+    old_grams = _prior_grams(spark, state_dir, batch_id)
+
+    # -- 1. positional grams of the delta; append to the gram log
+    delta = positional_grams(batch_docs).persist()
+    delta.write.mode("overwrite").parquet(
+        f"{state_dir}/grams/batch={batch_id}"
+    )
+
+    # -- 2. fold occurrence counts and find grams the delta flipped
+    #       from unique (occ=1) to duplicated (occ>=2). Grams new in
+    #       this batch (occ_old=0) can only mark delta docs, which are
+    #       recomputed anyway; grams already duplicated (occ_old>=2)
+    #       changed nobody's status.
+    delta_occ = delta.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("_docc")
+    )
+    folded = occ_state.join(delta_occ, "g", "full_outer").select(
+        "g",
+        (
+            F.coalesce(F.col("occ"), F.lit(0))
+            + F.coalesce(F.col("_docc"), F.lit(0))
+        ).cast("long").alias("occ_new"),
+        F.coalesce(F.col("occ"), F.lit(0)).alias("occ_old"),
+    ).persist()
+    flipped = folded.filter(
+        (F.col("occ_old") == 1) & (F.col("occ_new") >= 2)
+    ).select("g")
+
+    # -- 3. recompute set: the delta itself plus every OLD doc holding
+    #       a flipped gram. A flipped gram had exactly one prior
+    #       occurrence, so |affected| <= |flipped| and both broadcast.
+    affected = (
+        old_grams.join(F.broadcast(flipped), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .persist()
+    )
+    recompute = (
+        batch_docs.select("doc_id")
+        .distinct()
+        .unionByName(affected)
+        .distinct()
+        .persist()
+    )
+
+    # -- 4. duplicated positions of the recompute set under the NEW
+    #       counts: slice the gram log to the recompute docs (broadcast
+    #       semi-join — the log streams), then mark positions whose
+    #       gram is duplicated. The dup test never shuffles the folded
+    #       occ state either: the recompute docs' distinct grams are
+    #       delta-proportional, so they broadcast INTO the occ scan and
+    #       the surviving (g) set broadcasts back onto the slice.
+    all_grams = old_grams.unionByName(delta)
+    r_pos = all_grams.join(F.broadcast(recompute), "doc_id", "left_semi")
+    r_grams = r_pos.select("g").distinct()
+    dup_r = (
+        folded.filter(F.col("occ_new") >= 2)
+        .join(F.broadcast(r_grams), "g", "left_semi")
+        .select("g")
+    )
+    cov_rows = _coverage_per_doc(
+        r_pos.join(F.broadcast(dup_r), "g", "left_semi")
+    )
+
+    # -- 5. commit: occ fold, the batch's coverage rows, and tombstones
+    #       for the flip-affected OLD docs only (delta docs have no
+    #       prior coverage rows to retract — the accumulated tombstone
+    #       set stays flip-grain, i.e. broadcastable forever).
+    folded.select(
+        "g", F.col("occ_new").alias("occ")
+    ).write.mode("overwrite").parquet(f"{state_dir}/occ/v={batch_id + 1}")
+    cov_rows.write.mode("overwrite").parquet(
+        f"{state_dir}/coverage/batch={batch_id + 1}"
+    )
+    affected.write.mode("overwrite").parquet(
+        f"{state_dir}/coverage_removed/batch={batch_id + 1}"
+    )
+    for frame in (delta, folded, affected, recompute):
+        frame.unpersist()
+
+
+def substring_coverage_snapshot(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
+    """The maintained view: per-doc duplicated-span coverage — equal to
+    ``dedup_substring`` recomputed from scratch over every document
+    ingested up to ``version``. Assembled from the append-only coverage
+    log minus the flip-repair tombstones; the log streams through one
+    broadcast tombstone join, never shuffles."""
+    rows = _log_union(
+        spark, f"{state_dir}/coverage", _COVERAGE_SCHEMA, version
+    )
+    rem = _log_union(
+        spark, f"{state_dir}/coverage_removed", _REMOVED_SCHEMA, version
+    )
+    rmax = rem.groupBy("doc_id").agg(F.max("log_batch").alias("rb"))
+    return (
+        rows.join(F.broadcast(rmax), "doc_id", "left")
+        .filter(F.col("rb").isNull() | (F.col("rb") <= F.col("log_batch")))
+        .drop("rb", "log_batch")
+    )
+
+
+def compact_substring_coverage(
+    spark: SparkSession, state_dir: str, upto: int, gc: bool = True
+) -> None:
+    """Collapse the coverage log's history through batch ``upto`` into
+    one ``compact=<upto>`` dir (same crash-safe ``_SUCCESS``-gated
+    protocol as ``compact_pair_log``; applied tombstones drop). The
+    gram log is compacted too — it carries no tombstones, so its
+    consolidation is a plain re-label union."""
+    snap = substring_coverage_snapshot(
+        spark, state_dir, version=upto
+    ).localCheckpoint()
+    snap.write.mode("overwrite").parquet(
+        f"{state_dir}/coverage/compact={upto}"
+    )
+    grams = _log_union(
+        spark, f"{state_dir}/grams", _GRAMS_SCHEMA, upto=upto
+    ).drop("log_batch").localCheckpoint()
+    grams.write.mode("overwrite").parquet(
+        f"{state_dir}/grams/compact={upto}"
+    )
+    if gc:
+        _gc_log_dirs(
+            spark,
+            (
+                f"{state_dir}/coverage",
+                f"{state_dir}/coverage_removed",
+                f"{state_dir}/grams",
+            ),
+            upto,
+        )
+
+
+def run_substring_maintenance(
+    docs: DataFrame, state_dir: str, checkpoint_dir: str
+) -> None:
+    """availableNow foreachBatch drain of a document stream onto the
+    maintained coverage view — standard replay contract (a crash
+    between state write and checkpoint commit re-derives identical
+    snapshots, since every write is keyed by the batch id)."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        apply_substring_batch(batch, state_dir, batch_id)
+
+    (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1860,3 +1860,57 @@ def test_cluster_ivm_relabel_never_shuffles_cluster_state(
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert relabeled.count() == 5000
+
+
+def test_substring_ivm_gram_log_and_occ_state_never_shuffle(
+    spark, sf_dir, tmp_path
+):
+    """Substring-coverage maintenance (streaming/substring_ivm): the
+    two corpus-scale state tables — the positional gram log and the occ
+    counts — must only ever stream through broadcast joins inside a
+    batch's recompute path. The dup test broadcasts the recompute
+    docs' grams INTO the occ scan and the surviving set back onto the
+    log slice; neither big side is hash-exchanged or sort-merge-joined.
+    The only allowed exchanges are over the delta-proportional slices
+    (the distinct-gram agg and the per-doc coverage window)."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.dedup import (
+        _coverage_per_doc,
+        positional_grams,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    log_dir = str(tmp_path / "grams")
+    positional_grams(docs.filter("doc_id % 3 > 0")).write.parquet(log_dir)
+    occ_dir = str(tmp_path / "occ")
+    positional_grams(docs).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    ).write.parquet(occ_dir)
+
+    log = spark.read.parquet(log_dir)
+    occ = spark.read.parquet(occ_dir)
+    recompute = docs.filter("doc_id % 3 = 0").select("doc_id").distinct()
+
+    r_pos = log.join(F.broadcast(recompute), "doc_id", "left_semi")
+    r_grams = r_pos.select("g").distinct()
+    dup_r = occ.filter(F.col("occ") >= 2).join(
+        F.broadcast(r_grams), "g", "left_semi"
+    ).select("g")
+    cov = _coverage_per_doc(r_pos.join(F.broadcast(dup_r), "g", "left_semi"))
+
+    plan = cov._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # 4, not 3: the log-slice branch (log ⋈ recompute) is planned twice
+    # because r_pos feeds both the distinct-gram probe and the final
+    # marking join (the maintainer persists its delta frames; this test
+    # deliberately leaves the tree raw to guard the worst-case plan)
+    assert plan.count("BroadcastHashJoin") == 4
+    # hash exchanges may partition the delta-grain slices (g for the
+    # distinct, doc_id for the coverage window) — never feed a join of
+    # the log or the occ state
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", plan):
+        assert m.group(1) in ("g", "doc_id"), plan[m.start() - 200 : m.end()]
+    assert cov.count() >= 0  # the guarded plan actually executes

@@ -1723,3 +1723,134 @@ def test_cluster_maintenance_auto_compaction(spark, sf_dir, tmp_path):
     compact_simhash_pairs(spark, state, upto=2)
     expire_dedup_state(state, keep_last=2)
     assert _cc_ivm(spark, state) == want
+
+
+# ---------------------------------------------------------------------------
+# Substring-coverage IVM (streaming/substring_ivm): the maintained
+# per-doc duplicated-span coverage must equal from-scratch
+# dedup_substring after every insert batch — including the retroactive
+# repair when a new doc flips an old gram's occurrence from 1 to >= 2;
+# a replayed batch is a no-op; compaction preserves the snapshot.
+# ---------------------------------------------------------------------------
+
+
+def _substr_from_scratch(spark, docs_df, tmp_path, tag):
+    from codex_data_products_spark.queries.dedup import dedup_substring
+
+    d = str(tmp_path / f"substr_scratch_{tag}")
+    docs_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    return {
+        (r["doc_id"], r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in dedup_substring(spark, d).collect()
+    }
+
+
+def _substr_ivm(spark, state, version=None):
+    from codex_data_products_spark.streaming.substring_ivm import (
+        substring_coverage_snapshot,
+    )
+
+    return {
+        (r["doc_id"], r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in substring_coverage_snapshot(
+            spark, state, version=version
+        ).collect()
+    }
+
+
+def test_substring_ivm_matches_from_scratch_per_batch(
+    spark, sf_dir, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.substring_ivm import (
+        apply_substring_batch,
+        bootstrap_substring_state,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "substr_state")
+    bootstrap_substring_state(spark, state)
+    for k in range(3):
+        apply_substring_batch(
+            docs.filter(F.col("doc_id") % 3 == k), state, k
+        )
+        assert _substr_ivm(spark, state) == _substr_from_scratch(
+            spark, docs.filter(F.col("doc_id") % 3 <= k), tmp_path, f"b{k}"
+        )
+
+
+def test_substring_ivm_flip_repairs_old_doc(spark, tmp_path):
+    """Batch 0's doc has zero duplicated spans; batch 1 ships a copy of
+    its prefix, flipping the shared grams 1 -> 2 — the OLD doc's
+    coverage row must appear retroactively, with the exact coverage the
+    batch query computes."""
+    from codex_data_products_spark.streaming.substring_ivm import (
+        apply_substring_batch,
+        bootstrap_substring_state,
+    )
+
+    shared = "a b c d e f g h i j"
+    b0 = spark.createDataFrame(
+        [(1, shared + " u1 u2 u3 u4")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, shared + " w1 w2 w3 w4 w5")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "substr_flip")
+    bootstrap_substring_state(spark, state)
+    apply_substring_batch(b0, state, 0)
+    assert _substr_ivm(spark, state) == set()
+    apply_substring_batch(b1, state, 1)
+    # windows at pos 1..3 are shared → coverage 1..10 in both docs
+    assert _substr_ivm(spark, state) == {
+        (1, 14, 10, 0.714286),
+        (2, 15, 10, 0.666667),
+    }
+    # time travel: the v=1 snapshot still shows the empty pre-flip view
+    assert _substr_ivm(spark, state, version=1) == set()
+
+
+def test_substring_ivm_replay_and_compaction(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.substring_ivm import (
+        apply_substring_batch,
+        bootstrap_substring_state,
+        compact_substring_coverage,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "substr_replay")
+    bootstrap_substring_state(spark, state)
+    apply_substring_batch(docs.filter("doc_id % 2 = 0"), state, 0)
+    apply_substring_batch(docs.filter("doc_id % 2 = 1"), state, 1)
+    want = _substr_ivm(spark, state)
+    apply_substring_batch(docs.filter("doc_id % 2 = 1"), state, 1)  # replay
+    assert _substr_ivm(spark, state) == want
+    compact_substring_coverage(spark, state, upto=2)
+    assert _substr_ivm(spark, state) == want
+    # the compacted state still accepts (and converges on) a next batch
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    apply_substring_batch(empty, state, 2)
+    assert _substr_ivm(spark, state) == want
+
+
+def test_substring_ivm_streaming_drain(spark, sf_dir, tmp_path):
+    from codex_data_products_spark.streaming.substring_ivm import (
+        bootstrap_substring_state,
+        run_substring_maintenance,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "substr_feed")
+    docs.write.parquet(src)
+    state = str(tmp_path / "substr_stream_state")
+    bootstrap_substring_state(spark, state)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    run_substring_maintenance(stream, state, str(tmp_path / "substr_ckpt"))
+    assert _substr_ivm(spark, state) == _substr_from_scratch(
+        spark, docs, tmp_path, "drain"
+    )
