@@ -1852,3 +1852,92 @@ def orders_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket_rows").cast("double") / F.col("n"), 6
         ).alias("refine_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline_parts — 2-D skyline (Pareto-optimal front): parts that no
+# other part dominates on (retailprice low, size low). Dominance:
+# a beats b iff a.price <= b.price AND a.size <= b.size with at least
+# one strict. The naive plan is the O(n^2) NOT EXISTS self-join (the
+# oracle below); the engine computes it in two window passes:
+#
+#   1. LOCAL skyline per price bucket — window partitioned by bucket,
+#      embarrassingly parallel, prunes almost everything (a bucket's
+#      survivors <= its distinct sizes).
+#   2. GLOBAL skyline over the survivors — the unpartitioned running-
+#      min window is fine HERE because stage 1 already shrank the
+#      input to skyline-candidate size; running it over the raw table
+#      would serialize the corpus through one partition at 100 TB.
+#
+# Survivor rule per ordered prefix: keep a row iff its size equals its
+# own price group's min AND is strictly below every cheaper price's
+# min size (<= would be dominated via strict price).
+# ---------------------------------------------------------------------------
+
+_SKYLINE_SQL = """
+SELECT p.p_partkey AS partkey,
+       p.p_retailprice AS price,
+       CAST(p.p_size AS INT) AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+"""
+
+
+def _skyline_pass(df: DataFrame, *partition: str) -> DataFrame:
+    """One skyline pass over (partkey, price, size), optionally within
+    ``partition`` columns. Keeps a row iff no row in the same scope
+    dominates it — exact within the scope.
+
+    The strict-prefix min must range over all STRICTLY cheaper prices;
+    a RANGE frame with a -1 offset is value-based (it would skip
+    cheaper prices within one currency unit), so the running min runs
+    on the distinct-price grain instead — one row per price, where a
+    ROWS frame's "previous row" IS the previous distinct price. The
+    surviving (price, min size) pairs are skyline-sized, so they
+    broadcast back onto the row grain."""
+    grp = df.groupBy(*partition, "price").agg(
+        F.min("size").alias("_gmin")
+    )
+    w = (
+        Window.partitionBy(*partition)
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    surv = (
+        grp.withColumn("_smin", F.min("_gmin").over(w))
+        .filter(F.col("_smin").isNull() | (F.col("_gmin") < F.col("_smin")))
+        .select(
+            *[F.col(c).alias(f"_s_{c}") for c in partition],
+            F.col("price").alias("_s_price"),
+            "_gmin",
+        )
+    )
+    from functools import reduce as _reduce
+
+    cond = _reduce(
+        lambda a, b: a & b,
+        [F.col(c) == F.col(f"_s_{c}") for c in partition]
+        + [
+            F.col("price") == F.col("_s_price"),
+            F.col("size") == F.col("_gmin"),
+        ],
+    )
+    return df.join(F.broadcast(surv), cond, "inner").select(
+        "partkey", "price", "size"
+    )
+
+
+@register("skyline_parts", sql=_SKYLINE_SQL)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    bucket = F.floor(F.col("price") / 100).alias("bucket")
+    local = _skyline_pass(parts.withColumn("bucket", bucket), "bucket")
+    return _skyline_pass(local.drop("bucket"))

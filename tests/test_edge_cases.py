@@ -828,3 +828,31 @@ def test_substring_spans_merge_islands(spark):
         (1, 1, 8), (1, 18, 26),
         (2, 1, 8), (2, 18, 26),
     }
+
+
+def test_skyline_tie_semantics(spark):
+    """Dominance requires at least one strict inequality: duplicate
+    (price, size) points co-survive; an equal-size but cheaper point
+    dominates; an incomparable point (cheaper price, larger size)
+    survives alongside."""
+    from codex_data_products_spark.queries.advanced import _skyline_pass
+
+    rows = [
+        (1, 10.0, 5),   # skyline
+        (2, 10.0, 5),   # exact tie of 1 → co-survives
+        (3, 12.0, 5),   # same size, pricier than 1 → dominated
+        (4, 8.0, 9),    # cheaper but larger → incomparable, survives
+        (5, 8.0, 11),   # same price as 4, larger → dominated
+        (6, 15.0, 4),   # pricier but smallest size → survives
+    ]
+    df = spark.createDataFrame(rows, "partkey long, price double, size int")
+    got = {r["partkey"] for r in _skyline_pass(df).collect()}
+    assert got == {1, 2, 4, 6}
+    # two-pass (bucketed local + global) must agree with the single pass
+    from pyspark.sql import functions as F
+
+    local = _skyline_pass(
+        df.withColumn("bucket", F.floor(F.col("price") / 5)), "bucket"
+    )
+    got2 = {r["partkey"] for r in _skyline_pass(local.drop("bucket")).collect()}
+    assert got2 == {1, 2, 4, 6}
