@@ -840,8 +840,10 @@ HAVING count(*) >= 2
 """
 
 
-@register("multimodal_image_ahash", sql=_AHASH_SQL)
-def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ahash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(asset_id, ahash) for the checkerboard corpus: two row-local
+    Arrow stages — encode real BMPs, decode + average-hash them. Shared
+    by the group-collapse query and the banded near-dup join below."""
     from codex_data_products_spark.operators.codecs import (
         decode_bmp,
         encode_bmp,
@@ -895,9 +897,14 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.mapInPandas(
         encode, schema="asset_id long, payload binary"
     )
-    sigs = payloads.mapInPandas(
+    return payloads.mapInPandas(
         ahash, schema="asset_id long, ahash string"
     )
+
+
+@register("multimodal_image_ahash", sql=_AHASH_SQL)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = ahash_signatures(spark, sf_dir)
     return (
         sigs.groupBy("ahash")
         .agg(
@@ -906,6 +913,124 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("asset_id").alias("max_asset"),
         )
         .filter(F.col("n_images") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_ahash_neardup — perceptual near-duplicate IMAGE pairs at
+# Hamming distance 1..6, computed on the DISTINCT-SIGNATURE grain.
+#
+# The quadratic danger in perceptual dedup is identical-hash groups (a
+# popular image recurs millions of times); expanding those to asset
+# pairs is never necessary — distance-0 groups already ship group-grain
+# via multimodal_image_ahash above. So this operator collapses to
+# distinct signatures FIRST (|signatures| << |images|; the corpus-scale
+# shuffle is the same signature aggregate the group query pays), then
+# runs the banded-LSH self-join on that small grain: 8 x 8-bit bands —
+# more bands than the distance cap, so a Hamming<=6 pair shares an
+# untouched band by pigeonhole (the join is EXACT, not approximate). The Hamming verify stays JVM-side:
+# each 32-char bit-half converts via conv(_,2,10) and the distance is
+# bit_count(xor) — no UDF. Cross-group multiplicity is reported as
+# n_images_a * n_images_b, which is what an expansion would produce,
+# without producing it.
+# ---------------------------------------------------------------------------
+
+AHASH_BANDS = 8
+AHASH_MAX_HAMMING = 6
+
+_AHASH_HAMMING_SQL = (
+    "("
+    + " + ".join(
+        f"CASE WHEN substring(a.ahash, {i}, 1) <> substring(b.ahash, {i}, 1)"
+        " THEN 1 ELSE 0 END"
+        for i in range(1, 65)
+    )
+    + ")"
+)
+
+_AHASH_BAND_PRED = " OR ".join(
+    f"substring(a.ahash, {1 + 8 * b}, 8) = substring(b.ahash, {1 + 8 * b}, 8)"
+    for b in range(AHASH_BANDS)
+)
+
+_AHASH_NEARDUP_SQL = f"""
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, (j * 8 + i) AS k,
+         CASE WHEN (((i * w) // 8) + ((j * h) // 8)) % 2 = 0
+              THEN 85 ELSE 170 END AS gray
+  FROM g,
+       unnest(generate_series(0, 7)) AS gi(i),
+       unnest(generate_series(0, 7)) AS gj(j)
+),
+sums AS (
+  SELECT doc_id, CAST(sum(gray) AS BIGINT) AS s FROM cells GROUP BY doc_id
+),
+hashes AS (
+  SELECT c.doc_id,
+         array_to_string(
+           list(CASE WHEN c.gray * 64 > m.s THEN '1' ELSE '0' END
+                ORDER BY c.k), '') AS ahash
+  FROM cells c JOIN sums m USING (doc_id)
+  GROUP BY c.doc_id
+),
+sig AS (
+  SELECT ahash, CAST(count(*) AS BIGINT) AS n_images FROM hashes
+  GROUP BY ahash
+)
+SELECT a.ahash AS ahash_a, b.ahash AS ahash_b,
+       CAST({_AHASH_HAMMING_SQL} AS BIGINT) AS hamming,
+       a.n_images AS n_images_a, b.n_images AS n_images_b,
+       a.n_images * b.n_images AS cross_pairs
+FROM sig a JOIN sig b
+  ON a.ahash < b.ahash AND ({_AHASH_BAND_PRED})
+WHERE {_AHASH_HAMMING_SQL} BETWEEN 1 AND {AHASH_MAX_HAMMING}
+"""
+
+
+@register("multimodal_ahash_neardup", sql=_AHASH_NEARDUP_SQL)
+def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = (
+        ahash_signatures(spark, sf_dir)
+        .groupBy("ahash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+    )
+
+    def half(side: str, k: int):
+        return F.conv(
+            F.substring(F.col(f"{side}.ahash"), 1 + 32 * k, 32), 2, 10
+        ).cast("long")
+
+    hamming = sum(
+        F.bit_count(half("a", k).bitwiseXOR(half("b", k))) for k in (0, 1)
+    )
+
+    def band(side: str, b: int):
+        return F.substring(F.col(f"{side}.ahash"), 1 + 8 * b, 8)
+
+    band_pred = band("a", 0) == band("b", 0)
+    for b in range(1, AHASH_BANDS):
+        band_pred = band_pred | (band("a", b) == band("b", b))
+
+    a, bb = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            F.broadcast(bb),
+            (F.col("a.ahash") < F.col("b.ahash")) & band_pred,
+        )
+        .select(
+            F.col("a.ahash").alias("ahash_a"),
+            F.col("b.ahash").alias("ahash_b"),
+            hamming.cast("long").alias("hamming"),
+            F.col("a.n_images").alias("n_images_a"),
+            F.col("b.n_images").alias("n_images_b"),
+            (F.col("a.n_images") * F.col("b.n_images")).alias("cross_pairs"),
+        )
+        .filter(
+            (F.col("hamming") >= 1) & (F.col("hamming") <= AHASH_MAX_HAMMING)
+        )
     )
 
 
