@@ -92,13 +92,16 @@ def _cmd_dedup_compact(args: argparse.Namespace) -> int:
         compact_simhash_pairs,
         expire_dedup_state,
     )
+    from codex_data_products_spark.streaming.substring_ivm import (
+        compact_substring_coverage,
+    )
 
     spark = get_spark(app_name="dedup-compact")
-    fn = (
-        compact_simhash_pairs
-        if args.family == "simhash"
-        else compact_dedup_pairs
-    )
+    fn = {
+        "simhash": compact_simhash_pairs,
+        "minhash": compact_dedup_pairs,
+        "substring": compact_substring_coverage,
+    }[args.family]
     fn(spark, args.state_dir, args.upto, gc=not args.no_gc)
     removed = expire_dedup_state(args.state_dir, keep_last=args.keep_last)
     json.dump({"compacted_upto": args.upto, "expired": removed}, sys.stdout)
@@ -270,7 +273,9 @@ def main(argv: list[str] | None = None) -> int:
     pdc.add_argument("state_dir")
     pdc.add_argument("--upto", type=int, required=True)
     pdc.add_argument(
-        "--family", choices=["simhash", "minhash"], default="simhash"
+        "--family",
+        choices=["simhash", "minhash", "substring"],
+        default="simhash",
     )
     pdc.add_argument("--keep-last", type=int, default=2)
     pdc.add_argument("--no-gc", action="store_true")

@@ -145,3 +145,36 @@ def test_cli_dedup_compact(spark, tmp_path, capsys):
     assert {
         tuple(r) for r in simhash_pairs_snapshot(spark, state).collect()
     } == before
+
+
+def test_cli_dedup_compact_substring_family(spark, tmp_path, capsys):
+    from codex_data_products_spark.streaming.substring_ivm import (
+        apply_substring_batch,
+        bootstrap_substring_state,
+        substring_coverage_snapshot,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    state = str(tmp_path / "substr_state")
+    bootstrap_substring_state(spark, state)
+    apply_substring_batch(docs.filter("doc_id % 2 = 0"), state, 0)
+    apply_substring_batch(docs.filter("doc_id % 2 = 1"), state, 1)
+    before = {
+        tuple(r)
+        for r in substring_coverage_snapshot(spark, state).collect()
+    }
+    rc = main(
+        [
+            "dedup-compact", state,
+            "--upto", "2",
+            "--family", "substring",
+            "--keep-last", "2",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted_upto"] == 2
+    assert {
+        tuple(r)
+        for r in substring_coverage_snapshot(spark, state).collect()
+    } == before
