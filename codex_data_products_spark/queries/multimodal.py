@@ -992,10 +992,14 @@ WHERE {_AHASH_HAMMING_SQL} BETWEEN 1 AND {AHASH_MAX_HAMMING}
 
 @register("multimodal_ahash_neardup", sql=_AHASH_NEARDUP_SQL)
 def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist the signature-grain frame: the self-join references it on
+    # both sides, and without the persist each alias re-runs the whole
+    # encode+decode+hash Python pipeline (measured 2.3x end-to-end)
     sig = (
         ahash_signatures(spark, sf_dir)
         .groupBy("ahash")
         .agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+        .persist()
     )
 
     def half(side: str, k: int):
