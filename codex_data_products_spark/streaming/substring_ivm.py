@@ -1,5 +1,5 @@
 """Incrementally-maintained exact substring-span coverage — the
-eleventh IVM class, the incremental twin of ``dedup_substring``.
+twelfth IVM class, the incremental twin of ``dedup_substring``.
 
 The maintained view is EXACTLY the batch ``dedup_substring`` output
 over all documents ingested so far: per-doc duplicated-span coverage
