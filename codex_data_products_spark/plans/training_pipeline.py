@@ -10,6 +10,10 @@ Stages (each reuses the oracle-checked operator cores):
   2. near-dup dedup     — simhash banding (row-local signatures, first-
                           match-band candidates); drops the higher
                           doc_id of every <= max_hamming pair;
+  2b. substring gate     — optional ExactSubstr-style trim-or-drop:
+                          docs whose duplicated-span coverage
+                          (queries/dedup.dedup_substring semantics)
+                          exceeds max_dup_span_frac are dropped;
   3. quality filter     — stopword ratio / type-token ratio / length
                           bounds, pure column expressions;
   4. language ID        — marker-list argmax heuristic, keeps a
@@ -55,6 +59,11 @@ class CurationConfig:
     # 4 bands over the 32-bit simhash guarantee (pigeonhole) a candidate
     # for every pair within hamming 3
     max_hamming: int = 3
+    # Drop docs whose duplicated-span token coverage (8-token windows
+    # occurring >= 2 times corpus-wide) exceeds this fraction; None
+    # disables the stage (the gate needs a corpus-wide gram aggregate,
+    # so it is pay-for-what-you-use)
+    max_dup_span_frac: float | None = None
 
 
 def _toks():
@@ -134,6 +143,22 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     surviving = surviving.join(
         neardup_losers(surviving, cfg.max_hamming), "doc_id", "left_anti"
     )
+
+    if cfg.max_dup_span_frac is not None:
+        from codex_data_products_spark.queries.dedup import (
+            _coverage_per_doc,
+            duplicated_positions,
+            positional_grams,
+        )
+
+        heavy = (
+            _coverage_per_doc(
+                duplicated_positions(positional_grams(surviving).persist())
+            )
+            .filter(F.col("dup_fraction") > cfg.max_dup_span_frac)
+            .select("doc_id")
+        )
+        surviving = surviving.join(heavy, "doc_id", "left_anti")
 
     # Materialize token/bigram arrays behind an exchange so the
     # per-element lambdas below read plain columns instead of

@@ -84,3 +84,32 @@ def test_write_training_shards_balanced_deterministic(spark, sf_dir, tmp_path):
     assert sorted(back.select("shard").distinct().toPandas()["shard"]) == list(
         range(8)
     )
+
+
+def test_curate_substring_gate_drops_span_heavy_docs(spark):
+    """With max_dup_span_frac set, a doc mostly assembled from a span
+    that recurs in another (non-near-dup) doc is dropped; the unrelated
+    good doc and the donors below the threshold survive. Off by
+    default: the same corpus without the gate keeps all three."""
+    # 12 shared tokens inside otherwise-different 30+-token docs:
+    # coverage 12/31 ≈ 0.39 for doc 1 and 12/33 ≈ 0.36 for doc 2 —
+    # below a 0.5 gate; doc 3 repeats the shared span twice plus a
+    # second span shared with doc 1, pushing its coverage over 0.7.
+    shared = "the storm rolled over a ridge and the river rose to flood"
+    tail1 = (
+        "while a shepherd counted sheep near the old stone bridge "
+        "under pale morning light"
+    )
+    tail2 = (
+        "and the town council met to plan a levy of sand bags "
+        "for the southern quarter docks"
+    )
+    doc3 = f"{shared} {shared} under pale morning light"
+    docs = _docs(
+        spark,
+        [(1, f"{shared} {tail1}"), (2, f"{shared} {tail2}"), (3, doc3)],
+    )
+    gated = curate(docs, CurationConfig(min_tokens=10, max_dup_span_frac=0.5))
+    assert sorted(r["doc_id"] for r in gated.collect()) == [1, 2]
+    ungated = curate(docs, CurationConfig(min_tokens=10))
+    assert sorted(r["doc_id"] for r in ungated.collect()) == [1, 2, 3]
