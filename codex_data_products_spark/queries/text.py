@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from codex_data_products_spark.functions.compat import sql_dratio
 from codex_data_products_spark.registry import register
 from codex_data_products_spark.tables import table as T
 
@@ -2304,4 +2305,84 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "phrase")
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage — tokenizer/vocabulary OOV audit: induce a top-V
+# vocabulary from the TRAIN split (doc_id % 5 != 0), then measure each
+# TEST doc's out-of-vocabulary token rate. The question every fixed-
+# vocab training run asks of new data ("how much of this corpus does my
+# vocabulary even cover?"), as one DataFrame.
+#
+# Determinism: vocabulary selection ranks (count DESC, term ASC) —
+# integer-only, so the induced vocab is identical across engines; the
+# OOV rate uses the exact-integer dratio.
+#
+# Scale: the train term count map-side combines to the distinct-term
+# grain; the top-V cut is a single-partition window over DISTINCT TERM
+# COUNTS (vocabulary-sized input — millions of rows at worst, not the
+# corpus; same WindowGroupLimit shape as vocab_top_terms). The V
+# survivors broadcast into the test-token scan, so the per-doc OOV agg
+# is the only corpus-grain shuffle (by doc_id, map-side combined).
+# ---------------------------------------------------------------------------
+
+VOCAB_V = 16  # top-V induced vocabulary
+
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+train AS (
+  SELECT term, count(*) AS c FROM tok WHERE doc_id % 5 <> 0 GROUP BY term
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rn FROM train
+  ) WHERE rn <= {VOCAB_V}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       {sql_dratio('sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)',
+                   'count(*)')} AS oov_rate
+FROM (SELECT doc_id, term FROM tok WHERE doc_id % 5 = 0) t
+LEFT JOIN vocab v USING (term)
+GROUP BY t.doc_id
+"""
+
+
+@register("vocab_coverage", sql=_VOCAB_COVERAGE_SQL)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.functions.compat import dratio
+
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    train = tok.filter(F.col("doc_id") % 5 != 0).groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy(F.col("c").desc(), "term")
+    vocab = (
+        train.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= VOCAB_V)
+        .select("term")
+    )
+    test = tok.filter(F.col("doc_id") % 5 == 0)
+    oov = F.sum(
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    )
+    return (
+        test.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))),
+            "term",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            oov.cast("long").alias("oov_tokens"),
+            dratio(oov, F.count(F.lit(1))).alias("oov_rate"),
+        )
     )
