@@ -821,3 +821,70 @@ def test_band_join_equals_brute_force(spark, tmp_path_factory, cs, vs):
         for r in band_join_buckets(spark, d).collect()
     }
     assert got == want
+
+
+# --- exact substring-span coverage vs a brute-force Python model -----------
+# Random tiny corpora over a 3-letter alphabet force heavy k-gram
+# collisions; the engine's window-union coverage must equal a literal
+# per-position model (mark every position whose k-gram occurs >= 2
+# times anywhere, union the fixed-length windows, count covered
+# tokens).
+
+
+@st.composite
+def _tiny_corpus(draw):
+    n_docs = draw(st.integers(2, 5))
+    return [
+        (
+            i,
+            " ".join(
+                draw(
+                    st.lists(
+                        st.sampled_from(["a", "b", "c"]),
+                        min_size=1,
+                        max_size=24,
+                    )
+                )
+            ),
+        )
+        for i in range(n_docs)
+    ]
+
+
+def _coverage_model(rows, k):
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in rows}
+    grams = Counter()
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            grams[tuple(ts[p : p + k])] += 1
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for p in range(len(ts) - k + 1):
+            if grams[tuple(ts[p : p + k])] >= 2:
+                covered.update(range(p, p + k))
+        if covered:
+            out[i] = (len(ts), len(covered))
+    return out
+
+
+@given(_tiny_corpus())
+@settings(**SPARK_SETTINGS)
+def test_substring_coverage_matches_python_model(spark, corpus):
+    from codex_data_products_spark.queries.dedup import (
+        SUBSTR_K,
+        _coverage_per_doc,
+        duplicated_positions,
+        positional_grams,
+    )
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    pos = positional_grams(docs).persist()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in _coverage_per_doc(duplicated_positions(pos)).collect()
+    }
+    pos.unpersist()
+    assert got == _coverage_model(corpus, SUBSTR_K)
