@@ -493,3 +493,125 @@ def run_product_maintenance(
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# Fleet maintenance: one release batch over EVERY tissue's product.
+#
+# build_products (plans/codex_pipeline.py) answers "build the whole
+# fleet in one invocation"; this answers the operational sequel —
+# "apply this release's adds/removes to the whole fleet in one
+# invocation". Routing is automatic: added datasets resolve to a tissue
+# through the catalog (or tissue_by_uuid), removed datasets resolve to
+# the product that actually owns them (the committed markers at the
+# anchor version), so the caller ships ONE change list, not one per
+# tissue.
+#
+# Anchoring is LOCKSTEP: every tissue — changed or not — commits
+# v=batch_id+1. A no-op tissue's commit folds metadata only (state →
+# state, axis re-derive over channel-grain rows, no HDF5 decode —
+# guarded by test_fleet_delta_noop_tissue_never_decodes; its
+# dataset-partitioned files stay byte-identical), which keeps the IVM
+# replay contract intact fleet-wide: batch k always reads version k on
+# every product, so a crashed/replayed fleet batch re-derives identical
+# snapshots without per-tissue version bookkeeping.
+# ---------------------------------------------------------------------------
+
+
+def bootstrap_fleet_maintenance(products, root: str) -> dict:
+    """Bootstrap every tissue's committed product + v=0 state under
+    ``root/<tissue>`` (the maintenance twin of write_products).
+    ``products`` is the dict build_products returns."""
+    return {
+        t: bootstrap_product_maintenance(p, os.path.join(root, t))
+        for t, p in sorted(products.items())
+    }
+
+
+def apply_fleet_delta(
+    spark: SparkSession,
+    root: str,
+    data_dir: str,
+    uuids_tsv: str,
+    batch_id: int,
+    add: Iterable[str] = (),
+    remove: Iterable[str] = (),
+    *,
+    tissue_by_uuid: dict[str, str] | None = None,
+    decoder=None,
+    retain_snapshots: int | None = 2,
+) -> dict:
+    """Fold one release batch into every product under ``root``.
+    Returns manifests by tissue (every tissue, including no-ops)."""
+    added = list(dict.fromkeys(add))
+    removed = list(dict.fromkeys(remove))
+
+    tissues = sorted(
+        d
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d))
+    )
+    if not tissues:
+        raise ValueError(f"no maintained products under {root}")
+
+    # -- route added datasets via the shared catalog (same resolution
+    #    rule as build_products: catalog 'tissue' column, else the
+    #    injected mapping; silent buckets are refused)
+    catalog = read_catalog(spark, uuids_tsv)
+    has_tissue_col = "tissue" in catalog.columns
+    cols = ["uuid"] + (["tissue"] if has_tissue_col else [])
+    cat_tissue = {r["uuid"]: (r["tissue"] if has_tissue_col else None)
+                  for r in catalog.select(*cols).collect()}
+
+    def tissue_of(u: str) -> str | None:
+        return cat_tissue.get(u) or (tissue_by_uuid or {}).get(u)
+
+    add_by_tissue: dict[str, list[str]] = {}
+    for u in added:
+        t = tissue_of(u)
+        if t is None:
+            raise ValueError(
+                f"no tissue for added dataset {u}: add a 'tissue' catalog "
+                "column or pass tissue_by_uuid"
+            )
+        if t not in tissues:
+            raise ValueError(
+                f"dataset {u} resolves to tissue {t!r} with no maintained "
+                f"product under {root}: bootstrap it first "
+                "(bootstrap_product_maintenance)"
+            )
+        add_by_tissue.setdefault(t, []).append(u)
+
+    # -- route removed datasets to their OWNING product (committed
+    #    membership at the anchor version — removed datasets may have
+    #    left the catalog entirely, so the catalog cannot route them)
+    owners: dict[str, str] = {}
+    for t in tissues:
+        marker = read_commit_marker(os.path.join(root, t), version=batch_id)
+        for u in marker["dataset_uuids"]:
+            owners[u] = t
+    rm_by_tissue: dict[str, list[str]] = {}
+    for u in removed:
+        t = owners.get(u)
+        if t is None:
+            raise ValueError(
+                f"removed dataset {u} is in no product's committed "
+                f"v={batch_id} snapshot"
+            )
+        rm_by_tissue.setdefault(t, []).append(u)
+
+    manifests = {}
+    for t in tissues:
+        manifests[t] = apply_product_delta(
+            spark,
+            os.path.join(root, t),
+            data_dir,
+            uuids_tsv,
+            batch_id,
+            add=add_by_tissue.get(t, []),
+            remove=rm_by_tissue.get(t, []),
+            tissue_by_uuid=tissue_by_uuid,
+            decoder=decoder,
+            retain_snapshots=retain_snapshots,
+        )
+    return manifests

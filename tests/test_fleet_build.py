@@ -197,3 +197,144 @@ def test_unresolved_tissue_raises(spark, bundle):
             os.path.join(bundle, "uuids.tsv"),
             tissue_by_uuid={DS[0]: "Spleen"},  # DS[1..3] unresolved
         )
+
+
+# ---------------------------------------------------------------------------
+# Fleet maintenance (streaming/product_ivm.apply_fleet_delta): one
+# release batch routed across every tissue's product — adds via the
+# catalog/tissue mapping, removes via committed ownership; lockstep
+# version anchoring (no-op tissues commit metadata-only), replay-safe.
+# ---------------------------------------------------------------------------
+
+from codex_data_products_spark.streaming.product_ivm import (  # noqa: E402
+    apply_fleet_delta,
+    bootstrap_product_maintenance,
+)
+
+
+def _build_one(spark, bundle, tissue, datasets, decoder=None):
+    from codex_data_products_spark.sources.hdf5 import h5py_decoder
+
+    return build_product(
+        spark,
+        os.path.join(bundle, "data"),
+        os.path.join(bundle, "uuids.tsv"),
+        tissue=tissue,
+        product_uuid=UUIDS[tissue],
+        creation_time=T0,
+        only_datasets=datasets,
+        decoder=decoder or h5py_decoder,
+    )
+
+
+@pytest.fixture()
+def maintained_fleet(spark, bundle, tmp_path):
+    """Bootstrap Spleen={DS0}, Thymus={DS1}; the fleet deltas add the
+    interleaved rest."""
+    root = str(tmp_path / "fleet_ivm")
+    for t, ds in (("Spleen", [DS[0]]), ("Thymus", [DS[1]])):
+        bootstrap_product_maintenance(
+            _build_one(spark, bundle, t, ds), os.path.join(root, t)
+        )
+    return root
+
+
+def test_fleet_delta_routes_adds_and_removes(
+    spark, bundle, tmp_path, maintained_fleet
+):
+    root = maintained_fleet
+    data, cat = os.path.join(bundle, "data"), os.path.join(bundle, "uuids.tsv")
+    # batch 0: one change list spanning both tissues
+    m0 = apply_fleet_delta(
+        spark, root, data, cat, 0,
+        add=[DS[2], DS[3]], tissue_by_uuid=TISSUE_OF,
+    )
+    assert sorted(m0) == ["Spleen", "Thymus"]
+    # batch 1: removal auto-routed to its owner (no tissue arg anywhere)
+    apply_fleet_delta(
+        spark, root, data, cat, 1, remove=[DS[0]], tissue_by_uuid=TISSUE_OF
+    )
+    # each tissue equals a from-scratch build over its surviving set
+    want = {"Spleen": [DS[2]], "Thymus": [DS[1], DS[3]]}
+    for t, ds in want.items():
+        fresh = str(tmp_path / f"fresh_{t}")
+        write_product(_build_one(spark, bundle, t, ds), fresh)
+        got = _snapshot(spark, os.path.join(root, t))
+        exp = _snapshot(spark, fresh)
+        for key in got:
+            assert got[key] == exp[key], f"{t}: {key} diverged"
+
+
+def test_fleet_delta_noop_tissue_lockstep_and_no_decode(
+    spark, bundle, tmp_path, maintained_fleet
+):
+    """A batch touching only Spleen: Thymus still commits v=1 (lockstep
+    anchoring), its dataset-partitioned files stay byte-identical, and
+    its HDF5 is never decoded; a later batch can then anchor at v=1 on
+    BOTH products."""
+    from codex_data_products_spark.sources.hdf5 import h5py_decoder
+
+    root = maintained_fleet
+    data, cat = os.path.join(bundle, "data"), os.path.join(bundle, "uuids.tsv")
+    log = str(tmp_path / "decodes.log")
+
+    def logging_decoder(payload, path):
+        fd = os.open(log, os.O_WRONLY | os.O_CREAT | os.O_APPEND)
+        try:
+            os.write(fd, (path + "\n").encode())
+        finally:
+            os.close(fd)
+        return h5py_decoder(payload, path)
+
+    def files(t):
+        out = []
+        base = os.path.join(root, t)
+        for table in ("x_long", "obs", "edges"):
+            for dp, _, fns in os.walk(os.path.join(base, table)):
+                for fn in fns:
+                    p = os.path.join(dp, fn)
+                    st = os.stat(p)
+                    out.append((os.path.relpath(p, base), st.st_size,
+                                st.st_mtime_ns))
+        return sorted(out)
+
+    before = files("Thymus")
+    apply_fleet_delta(
+        spark, root, data, cat, 0,
+        add=[DS[2]], tissue_by_uuid=TISSUE_OF, decoder=logging_decoder,
+    )
+    assert files("Thymus") == before
+    decoded = open(log).read() if os.path.exists(log) else ""
+    assert DS[2] in decoded and DS[1] not in decoded and DS[3] not in decoded
+    for t in ("Spleen", "Thymus"):
+        assert read_commit_marker(os.path.join(root, t))["version"] == 1
+    # lockstep holds: batch 1 anchors at v=1 on both and applies cleanly
+    apply_fleet_delta(
+        spark, root, data, cat, 1, add=[DS[3]], tissue_by_uuid=TISSUE_OF
+    )
+    assert read_commit_marker(os.path.join(root, "Thymus"))["version"] == 2
+
+
+def test_fleet_delta_replay_is_idempotent(spark, bundle, maintained_fleet):
+    root = maintained_fleet
+    data, cat = os.path.join(bundle, "data"), os.path.join(bundle, "uuids.tsv")
+    kw = dict(add=[DS[2], DS[3]], tissue_by_uuid=TISSUE_OF)
+    apply_fleet_delta(spark, root, data, cat, 0, **kw)
+    want = {t: _snapshot(spark, os.path.join(root, t))
+            for t in ("Spleen", "Thymus")}
+    apply_fleet_delta(spark, root, data, cat, 0, **kw)  # replay
+    got = {t: _snapshot(spark, os.path.join(root, t))
+           for t in ("Spleen", "Thymus")}
+    assert got == want
+
+
+def test_fleet_delta_unroutable_raises(spark, bundle, maintained_fleet):
+    root = maintained_fleet
+    data, cat = os.path.join(bundle, "data"), os.path.join(bundle, "uuids.tsv")
+    with pytest.raises(ValueError, match="no tissue for added"):
+        apply_fleet_delta(spark, root, data, cat, 0, add=[DS[2]])
+    with pytest.raises(ValueError, match="in no product"):
+        apply_fleet_delta(
+            spark, root, data, cat, 0, remove=["not-a-dataset"],
+            tissue_by_uuid=TISSUE_OF,
+        )
