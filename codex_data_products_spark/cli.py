@@ -86,6 +86,26 @@ def _cmd_product_delta(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_fleet_delta(args: argparse.Namespace) -> int:
+    from codex_data_products_spark.streaming.product_ivm import (
+        apply_fleet_delta,
+    )
+
+    spark = get_spark(app_name="codex-fleet-delta")
+    manifests = apply_fleet_delta(
+        spark,
+        args.root,
+        args.data_dir,
+        args.uuids_tsv,
+        args.batch_id,
+        add=args.add or (),
+        remove=args.remove or (),
+    )
+    json.dump(manifests, sys.stdout, indent=2)
+    print()
+    return 0
+
+
 def _cmd_dedup_compact(args: argparse.Namespace) -> int:
     from codex_data_products_spark.streaming.dedup_ivm import (
         compact_dedup_pairs,
@@ -264,6 +284,20 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--remove", nargs="*", default=[])
     pd.add_argument("--tissue", default=None)
     pd.set_defaults(fn=_cmd_product_delta)
+
+    pf = sub.add_parser(
+        "fleet-delta",
+        help="apply one release batch (adds routed via the catalog, "
+        "removes via committed ownership) to every maintained tissue "
+        "product under --root, lockstep-anchored",
+    )
+    pf.add_argument("--root", required=True, help="fleet root (one product dir per tissue)")
+    pf.add_argument("--data-dir", required=True)
+    pf.add_argument("--uuids-tsv", required=True)
+    pf.add_argument("--batch-id", type=int, required=True)
+    pf.add_argument("--add", nargs="*", default=[])
+    pf.add_argument("--remove", nargs="*", default=[])
+    pf.set_defaults(fn=_cmd_fleet_delta)
 
     pdc = sub.add_parser(
         "dedup-compact",
