@@ -162,6 +162,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     cfg = CurationConfig(
         min_tokens=args.min_tokens,
         keep_langs=tuple(args.langs.split(",")),
+        max_dup_span_frac=args.max_dup_span_frac,
     )
     manifest = write_curated(docs, args.out, cfg)
     json.dump(manifest, sys.stdout, indent=2)
@@ -327,6 +328,13 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--out", required=True)
     pu.add_argument("--min-tokens", type=int, default=10)
     pu.add_argument("--langs", default="en")
+    pu.add_argument(
+        "--max-dup-span-frac",
+        type=float,
+        default=None,
+        help="drop docs whose duplicated-span token coverage exceeds "
+        "this fraction (ExactSubstr gate; default: stage disabled)",
+    )
     pu.set_defaults(fn=_cmd_curate)
 
     pq = sub.add_parser("query", help="run a registered query")
