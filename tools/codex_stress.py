@@ -337,6 +337,117 @@ def run_delta(out: str, n_datasets: int, n_cells: int, n_add: int, n_remove: int
     }
 
 
+def run_fleet(
+    out: str, n_datasets: int, n_cells: int, n_tissues: int,
+    n_add: int, n_remove: int,
+) -> dict:
+    """Fleet-maintenance stress (round-8 second wave): datasets split
+    round-robin across ``n_tissues`` tissue products, bootstrapped via
+    bootstrap_fleet_maintenance, then TWO fleet batches are timed:
+
+      * batch 0 — a real release touching ONLY tissue T0 (add n_add,
+        remove n_remove); the other tissues ride the lockstep no-op
+        commit path.
+      * batch 1 — a fleet-wide pure no-op (empty change list): its wall
+        time / n_tissues is the marginal per-tissue cost of lockstep
+        anchoring, the number that decides whether lockstep is
+        affordable at fleet scale.
+
+    Invariants: the touched tissue AND one untouched tissue both equal
+    from-scratch builds over their surviving sets (count compare)."""
+    from codex_data_products_spark.plans.codex_pipeline import (
+        build_product,
+        read_product_table,
+        write_product,
+    )
+    from codex_data_products_spark.session import get_spark
+    from codex_data_products_spark.streaming.product_ivm import (
+        apply_fleet_delta,
+        bootstrap_fleet_maintenance,
+    )
+
+    spark = get_spark(app_name="codex-stress-fleet")
+    data = os.path.join(out, "data")
+    cat = os.path.join(out, "uuids.tsv")
+    all_ds = [_ds_uuid(i) for i in range(n_datasets)]
+    tissue_of = {u: f"T{i % n_tissues}" for i, u in enumerate(all_ds)}
+    base = [u for i, u in enumerate(all_ds) if i < n_datasets - n_add]
+    added = all_ds[n_datasets - n_add:]
+    # keep the touched tissue consistent: added datasets all map to T0
+    for u in added:
+        tissue_of[u] = "T0"
+    removed = [u for u in base if tissue_of[u] == "T0"][:n_remove]
+
+    t0 = time.perf_counter()
+    products = {}
+    for t in sorted({tissue_of[u] for u in base}):
+        products[t] = build_product(
+            spark, data, cat, tissue=t,
+            product_uuid=f"stress-fleet-{t}",
+            creation_time="2026-08-15 00:00:00",
+            only_datasets=[u for u in base if tissue_of[u] == t],
+            tissue_by_uuid=tissue_of,
+        )
+    root = os.path.join(out, "fleet")
+    bootstrap_fleet_maintenance(products, root)
+    bootstrap_sec = round(time.perf_counter() - t0, 1)
+
+    t1 = time.perf_counter()
+    apply_fleet_delta(
+        spark, root, data, cat, 0,
+        add=added, remove=removed, tissue_by_uuid=tissue_of,
+    )
+    fleet_delta_sec = round(time.perf_counter() - t1, 1)
+
+    t2 = time.perf_counter()
+    apply_fleet_delta(spark, root, data, cat, 1, tissue_by_uuid=tissue_of)
+    noop_batch_sec = round(time.perf_counter() - t2, 1)
+
+    surviving_t0 = [
+        u for u in base + added
+        if tissue_of[u] == "T0" and u not in set(removed)
+    ]
+    untouched = "T1" if n_tissues > 1 else "T0"
+    surviving_un = [u for u in base if tissue_of[u] == untouched]
+
+    t3 = time.perf_counter()
+    counts = {}
+    for t, surv in (("T0", surviving_t0), (untouched, surviving_un)):
+        fresh = build_product(
+            spark, data, cat, tissue=t,
+            product_uuid=f"stress-fleet-{t}",
+            creation_time="2026-08-15 00:00:00",
+            only_datasets=surv, tissue_by_uuid=tissue_of,
+        )
+        write_product(fresh, os.path.join(out, f"fresh_{t}"))
+        for table in ("x_long", "obs", "var", "varm_long", "edges"):
+            m = read_product_table(spark, os.path.join(root, t), table).count()
+            f = read_product_table(
+                spark, os.path.join(out, f"fresh_{t}"), table
+            ).count()
+            counts[f"{t}.{table}"] = {
+                "maintained": m, "fresh": f, "match": m == f
+            }
+    check_sec = round(time.perf_counter() - t3, 1)
+
+    ok = all(v["match"] for v in counts.values())
+    return {
+        "mode": "fleet",
+        "tissues": n_tissues,
+        "datasets_base": len(base),
+        "added": len(added),
+        "removed": len(removed),
+        "cells_per_dataset": n_cells,
+        "bootstrap_sec": bootstrap_sec,
+        "fleet_delta_sec": fleet_delta_sec,
+        "noop_batch_sec": noop_batch_sec,
+        "noop_per_tissue_sec": round(noop_batch_sec / n_tissues, 2),
+        "invariant_check_sec": check_sec,
+        "counts": counts,
+        "ok": ok,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--datasets", type=int, default=50)
@@ -347,12 +458,21 @@ def main() -> None:
                     help="incremental-maintenance stress: add/remove vs rebuild")
     ap.add_argument("--delta-add", type=int, default=5)
     ap.add_argument("--delta-remove", type=int, default=2)
+    ap.add_argument("--fleet", action="store_true",
+                    help="fleet-maintenance stress: one batch across "
+                    "N tissue products + a pure no-op lockstep batch")
+    ap.add_argument("--tissues", type=int, default=3)
     args = ap.parse_args()
     if not args.skip_gen:
         t0 = time.perf_counter()
         generate(args.out, args.datasets, args.cells)
         print(f"generated in {time.perf_counter() - t0:.1f}s", flush=True)
-    if args.delta:
+    if args.fleet:
+        result = run_fleet(
+            args.out, args.datasets, args.cells, args.tissues,
+            args.delta_add, args.delta_remove,
+        )
+    elif args.delta:
         result = run_delta(
             args.out, args.datasets, args.cells, args.delta_add, args.delta_remove
         )
