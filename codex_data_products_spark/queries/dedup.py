@@ -2259,3 +2259,108 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(3):
         apply_substring_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
     return substring_coverage_snapshot(spark, state)
+
+
+_SUBSTR_TRIM_SQL = f"""
+WITH {_SQL_POSITIONAL},
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos, 1, pos - {SUBSTR_K + 1})
+                    OVER (PARTITION BY doc_id ORDER BY pos) > {SUBSTR_K}
+              THEN 1 ELSE 0 END AS brk
+  FROM cov
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id,
+         list(struct_pack(s := span_start, e := span_end)) AS cuts
+  FROM (
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + {SUBSTR_K - 1} AS span_end
+    FROM islands GROUP BY doc_id, island
+  ) GROUP BY doc_id
+),
+trimmed AS (
+  SELECT t.doc_id,
+         len(t.t) AS n,
+         [t.t[i] FOR i IN generate_series(1, len(t.t))
+          IF len(list_filter(s.cuts,
+                             c -> i BETWEEN c.s AND c.e)) = 0] AS kept
+  FROM ptoks t JOIN spans s ON t.doc_id = s.doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS kept_tokens,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS trimmed_md5
+FROM trimmed
+"""
+
+
+@register("dedup_substring_trim", sql=_SUBSTR_TRIM_SQL)
+def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the ExactSubstr cut list: docs with duplicated spans get
+    their covered tokens REMOVED (the trim variant of drop-the-doc
+    dedup — Lee et al. 2022 remove the repeated substring, not the
+    document). The spans collapse to a per-doc array (bounded: spans
+    per doc <= n/k), broadcast-join back onto the doc grain, and the
+    trim itself is one row-local higher-order filter over token
+    positions — no explode, no per-token shuffle. The trimmed text
+    ships as md5 so the result stays hash-checkable without moving
+    full text through the comparator."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    pos = positional_grams(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cov = duplicated_positions(pos)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.coalesce(
+            F.col("pos") - F.lag("pos", 1, None).over(w), F.lit(SUBSTR_K + 1)
+        )
+        > SUBSTR_K,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    spans = (
+        cov.select("doc_id", "pos", brk.alias("brk"))
+        .select("doc_id", "pos", F.sum("brk").over(w).alias("island"))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (SUBSTR_K - 1)).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("cuts"))
+    )
+    toks = F.col("toks")
+    cut_hits = lambda i: F.exists(  # noqa: E731
+        F.col("cuts"), lambda c: (i >= c["s"]) & (i <= c["e"])
+    )
+    kept = F.filter(
+        F.transform(F.sequence(F.lit(1), F.size(toks)), lambda i: i),
+        lambda i: ~cut_hits(i),
+    )
+    trimmed = (
+        docs.filter(F.size(_tokens()) >= SUBSTR_K)
+        .select("doc_id", _tokens().alias("toks"))
+        .join(spans, "doc_id")
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.transform(
+                kept, lambda i: F.element_at(toks, i.cast("int"))
+            ).alias("kept_toks"),
+        )
+    )
+    return trimmed.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept_toks").cast("long").alias("kept_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.col("kept_toks")).cast("binary")
+        ).alias("trimmed_md5"),
+    )

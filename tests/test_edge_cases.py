@@ -856,3 +856,32 @@ def test_skyline_tie_semantics(spark):
     )
     got2 = {r["partkey"] for r in _skyline_pass(local.drop("bucket")).collect()}
     assert got2 == {1, 2, 4, 6}
+
+
+def test_substring_trim_removes_exactly_the_spans(spark, tmp_path):
+    """Trim applied to the hand-built corpus: the shared 10-token
+    prefix disappears from both docs, the unique tails survive
+    verbatim (checked by md5 of the expected tail string)."""
+    import hashlib
+
+    from codex_data_products_spark.queries.dedup import (
+        dedup_substring_trim,
+    )
+
+    d = str(tmp_path / "trim_docs")
+    _substring_docs(spark).coalesce(1).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["kept_tokens"], r["trimmed_md5"])
+        for r in dedup_substring_trim(spark, d).collect()
+    }
+    want_tail = {
+        1: "unique1a unique1b unique1c unique1d",
+        2: "other2a other2b other2c other2d other2e",
+    }
+    assert set(got) == {1, 2}  # doc 3 has no spans → no trim row
+    for doc, tail in want_tail.items():
+        n, kept, md5 = got[doc]
+        assert kept == n - 10
+        assert md5 == hashlib.md5(tail.encode()).hexdigest()
