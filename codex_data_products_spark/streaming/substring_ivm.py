@@ -220,29 +220,38 @@ def compact_substring_coverage(
     one ``compact=<upto>`` dir (same crash-safe ``_SUCCESS``-gated
     protocol as ``compact_pair_log``; applied tombstones drop). The
     gram log is compacted too — it carries no tombstones, so its
-    consolidation is a plain re-label union."""
+    consolidation is a plain re-label union.
+
+    The two logs are keyed on OFFSET numbering: batch k appends
+    ``grams/batch=<k>`` but ``coverage/batch=<k+1>`` (coverage batch 0
+    is the bootstrap row-set). So a compaction anchored at the coverage
+    head ``upto`` must consolidate grams at ``upto - 1`` — its own head
+    — or the grams floor would be labeled one batch in the future,
+    making ``_prior_grams`` (which reads ``upto=batch_id-1``) reject it
+    and silently lose every prior gram, breaking 1 -> >=2 occurrence-
+    flip repairs of old docs, while permanently shadowing the NEXT
+    batch's own ``grams/batch=<upto>`` dir."""
     snap = substring_coverage_snapshot(
         spark, state_dir, version=upto
     ).localCheckpoint()
     snap.write.mode("overwrite").parquet(
         f"{state_dir}/coverage/compact={upto}"
     )
-    grams = _log_union(
-        spark, f"{state_dir}/grams", _GRAMS_SCHEMA, upto=upto
-    ).drop("log_batch").localCheckpoint()
-    grams.write.mode("overwrite").parquet(
-        f"{state_dir}/grams/compact={upto}"
-    )
+    if upto >= 1:
+        grams = _log_union(
+            spark, f"{state_dir}/grams", _GRAMS_SCHEMA, upto=upto - 1
+        ).drop("log_batch").localCheckpoint()
+        grams.write.mode("overwrite").parquet(
+            f"{state_dir}/grams/compact={upto - 1}"
+        )
     if gc:
         _gc_log_dirs(
             spark,
-            (
-                f"{state_dir}/coverage",
-                f"{state_dir}/coverage_removed",
-                f"{state_dir}/grams",
-            ),
+            (f"{state_dir}/coverage", f"{state_dir}/coverage_removed"),
             upto,
         )
+        if upto >= 1:
+            _gc_log_dirs(spark, (f"{state_dir}/grams",), upto - 1)
 
 
 def run_substring_maintenance(

@@ -1832,10 +1832,73 @@ def test_substring_ivm_replay_and_compaction(spark, sf_dir, tmp_path):
     assert _substr_ivm(spark, state) == want
     compact_substring_coverage(spark, state, upto=2)
     assert _substr_ivm(spark, state) == want
-    # the compacted state still accepts (and converges on) a next batch
-    empty = spark.createDataFrame([], "doc_id long, text string")
-    apply_substring_batch(empty, state, 2)
-    assert _substr_ivm(spark, state) == want
+    # the compacted state still accepts (and converges on) a NON-EMPTY
+    # next batch — one that copies an existing doc wholesale, so the
+    # compacted gram log must be consulted for the 1 -> >=2 flip repair
+    # of that old doc (an empty batch can never catch a lost-grams
+    # compaction bug: no delta, no flips, prior grams never read).
+    first = docs.orderBy("doc_id").select("doc_id", "text").first()
+    new_id = docs.agg(F.max("doc_id")).first()[0] + 1
+    copy = spark.createDataFrame(
+        [(new_id, first["text"])], "doc_id long, text string"
+    )
+    apply_substring_batch(copy, state, 2)
+    assert _substr_ivm(spark, state) == _substr_from_scratch(
+        spark,
+        docs.select("doc_id", "text").unionByName(copy),
+        tmp_path,
+        "postcompact",
+    )
+
+
+def test_substring_ivm_flip_after_compaction(spark, tmp_path):
+    """Compaction must not lose the gram log's history: a batch applied
+    AFTER compact_substring_coverage that copies a pre-compaction doc's
+    k-gram window still has to repair that old doc's coverage. Guards
+    the grams/coverage OFFSET numbering (grams are keyed batch=<k>,
+    coverage batch=<k+1>): compacting both at the coverage head used to
+    leave a future-labeled grams floor that _prior_grams rejected,
+    silently dropping every prior gram."""
+    from codex_data_products_spark.streaming.substring_ivm import (
+        apply_substring_batch,
+        bootstrap_substring_state,
+        compact_substring_coverage,
+    )
+
+    shared = "a b c d e f g h i j"
+    b0 = spark.createDataFrame(
+        [(1, shared + " u1 u2 u3 u4")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "x1 x2 x3 x4 x5 x6 x7 x8")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, shared + " w1 w2 w3 w4 w5")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "substr_flip_compact")
+    bootstrap_substring_state(spark, state)
+    apply_substring_batch(b0, state, 0)
+    apply_substring_batch(b1, state, 1)
+    assert _substr_ivm(spark, state) == set()
+    compact_substring_coverage(spark, state, upto=2)
+    assert _substr_ivm(spark, state) == set()
+    # batch 2 copies doc 1's prefix: the shared grams flip 1 -> 2 and
+    # doc 1 must be repaired retroactively from the COMPACTED gram log
+    apply_substring_batch(b2, state, 2)
+    assert _substr_ivm(spark, state) == {
+        (1, 14, 10, 0.714286),
+        (3, 15, 10, 0.666667),
+    }
+    # and batch 2's own gram dir is not shadowed by the compact floor:
+    # a later batch copying doc 3's pos-8 window ("h i j w1..w5", an
+    # 8-gram unique to doc 3) must repair doc 3 retroactively
+    b3 = spark.createDataFrame(
+        [(4, "h i j w1 w2 w3 w4 w5 y1")], "doc_id long, text string"
+    )
+    apply_substring_batch(b3, state, 3)
+    snap = _substr_ivm(spark, state)
+    assert (4, 9, 8, 0.888889) in snap
+    assert {r for r in snap if r[0] == 3} == {(3, 15, 15, 1.0)}
 
 
 def test_substring_ivm_streaming_drain(spark, sf_dir, tmp_path):
