@@ -1014,27 +1014,37 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def band(side: str, b: int):
         return F.substring(F.col(f"{side}.ahash"), 1 + 8 * b, 8)
 
-    band_pred = band("a", 0) == band("b", 0)
-    for b in range(1, AHASH_BANDS):
-        band_pred = band_pred | (band("a", b) == band("b", b))
-
+    # Pigeonhole banding as 8 per-band EQUI self-joins unioned (the
+    # _wide_candidate_pairs shape, queries/dedup.py): each piece joins
+    # on band i equality — a key Catalyst can hash-partition on — with
+    # band_j(a) != band_j(b) for j < i as first-match disambiguation,
+    # so the union is duplicate-free without a post-union dedup. The
+    # former single join on (a.ahash < b.ahash) & (band0=band0 OR ...)
+    # had no extractable equi key and compiled to a
+    # BroadcastNestedLoopJoin — quadratic in distinct signatures, a
+    # scale-killer at a real image corpus's 1e8+ distinct aHashes
+    # (plan-guarded in tests/test_plans.py: no BNLJ node; AQE picks
+    # BHJ at bench SF and degrades to shuffle joins at scale).
     a, bb = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(
-            F.broadcast(bb),
-            (F.col("a.ahash") < F.col("b.ahash")) & band_pred,
+    cols = [
+        F.col("a.ahash").alias("ahash_a"),
+        F.col("b.ahash").alias("ahash_b"),
+        hamming.cast("long").alias("hamming"),
+        F.col("a.n_images").alias("n_images_a"),
+        F.col("b.n_images").alias("n_images_b"),
+        (F.col("a.n_images") * F.col("b.n_images")).alias("cross_pairs"),
+    ]
+    out = None
+    for i in range(AHASH_BANDS):
+        cond = (band("a", i) == band("b", i)) & (
+            F.col("a.ahash") < F.col("b.ahash")
         )
-        .select(
-            F.col("a.ahash").alias("ahash_a"),
-            F.col("b.ahash").alias("ahash_b"),
-            hamming.cast("long").alias("hamming"),
-            F.col("a.n_images").alias("n_images_a"),
-            F.col("b.n_images").alias("n_images_b"),
-            (F.col("a.n_images") * F.col("b.n_images")).alias("cross_pairs"),
-        )
-        .filter(
-            (F.col("hamming") >= 1) & (F.col("hamming") <= AHASH_MAX_HAMMING)
-        )
+        for j in range(i):
+            cond = cond & (band("a", j) != band("b", j))
+        piece = a.join(bb, cond).select(*cols)
+        out = piece if out is None else out.unionByName(piece)
+    return out.filter(
+        (F.col("hamming") >= 1) & (F.col("hamming") <= AHASH_MAX_HAMMING)
     )
 
 

@@ -1914,3 +1914,23 @@ def test_substring_ivm_gram_log_and_occ_state_never_shuffle(
     for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", plan):
         assert m.group(1) in ("g", "doc_id"), plan[m.start() - 200 : m.end()]
     assert cov.count() >= 0  # the guarded plan actually executes
+
+
+def test_ahash_neardup_per_band_equi_joins_no_bnlj(spark, sf_dir):
+    """The perceptual-hash near-dup pair query must compile its 8-way
+    pigeonhole banding as per-band EQUI self-joins (hash-joinable keys
+    Catalyst can partition on), never the OR-of-band-equalities single
+    join that falls back to BroadcastNestedLoopJoin — quadratic in
+    distinct signatures, invisible at bench SF (~1e2 signatures) and
+    fatal at a real image corpus's 1e8+."""
+    from codex_data_products_spark.queries.multimodal import AHASH_BANDS
+
+    plan = _plan(spark, sf_dir, "multimodal_ahash_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one hash-strategy join per band survives in the physical plan
+    n_joins = sum(
+        plan.count(k)
+        for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == AHASH_BANDS, plan
