@@ -119,10 +119,33 @@ SKEW = [
     "graph_triangles",
     "events_ewma",
     "sessionize",
+    # r9: popular-image multiplicity stress — the stress documents give
+    # ~91 distinct aHash signatures x ~550 images each at sf1.0, so this
+    # guards the distinct-signature grain + cross_pairs arithmetic (and
+    # the per-band equi-join shape) under a band-key hot spot
+    "multimodal_ahash_neardup",
+]
+
+# The SUBSTRING suite (VERDICT r8 #8): the substring family's scale
+# claim is its aggregate shape — a gram shared by 50% of the corpus is
+# ONE count row, where any pairwise family sees ~n^2/8 candidate pairs.
+# Proven where the pair families are proven: a documents-only corpus
+# with a fixed 16-token boilerplate sentence in half the docs
+# (tools/gen_stress.py --boilerplate), kept separate from the skew dir
+# so the skew suite's bytes stay round-over-round comparable.
+# dedup_minhash_lsh rides along as the pair-family comparator — its
+# stop-shingle DF cap is what keeps IT finite on this corpus.
+SUBSTR = [
+    "dedup_substring",
+    "dedup_substring_summary",
+    "dedup_substring_incremental",
+    "dedup_minhash_lsh",
 ]
 
 
-def _ensure_stress_dir(sf: float, path: str) -> bool:
+def _ensure_stress_dir(
+    sf: float, path: str, generator: str = "generate"
+) -> bool:
     """Generate the stress parquet on first use (deterministic seed —
     every round benches the same bytes). Returns False if generation
     isn't possible (read-only checkout)."""
@@ -139,7 +162,7 @@ def _ensure_stress_dir(sf: float, path: str) -> bool:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         print(f"  generating stress data sf={sf} -> {path}", file=sys.stderr)
-        mod.generate(sf, path)
+        getattr(mod, generator)(sf, path)
         return True
     except Exception as exc:  # pragma: no cover - env-dependent
         print(f"  stress generation failed: {exc}", file=sys.stderr)
@@ -314,6 +337,23 @@ def main() -> None:
     else:
         result["skew_sf1.0"] = "skipped: generate with tools/gen_stress.py --sf 1.0"
 
+    # Fourth suite: the repeated-boilerplate substring stress (VERDICT
+    # r8 #8) — documents-only corpus, one gram in 50% of docs.
+    substr_dir = os.environ.get(
+        "SPARK_GRAFT_SUBSTR_DIR", ".stressdata/substr1.0"
+    )
+    substr_runs = int(os.environ.get("SPARK_GRAFT_SUBSTR_RUNS", str(n_runs)))
+    if substr_runs <= 0:
+        result["substr_sf1.0"] = "skipped: SPARK_GRAFT_SUBSTR_RUNS=0"
+    elif _ensure_stress_dir(1.0, substr_dir, generator="generate_boilerplate"):
+        saved, n_runs = n_runs, substr_runs
+        result["substr_sf1.0"] = run_suite(SUBSTR, substr_dir, "substr")
+        n_runs = saved
+    else:
+        result["substr_sf1.0"] = (
+            "skipped: generate with tools/gen_stress.py --boilerplate"
+        )
+
     stat_end = read_proc_stat()
     steal_pct = None
     if stat_start and stat_end and stat_end[1] > stat_start[1]:
@@ -339,6 +379,7 @@ def main() -> None:
         "headline_runs": head["runs"],
         "sf0.5_sec": _suite_sec(result["sf0.5"]),
         "skew_sf1.0_sec": _suite_sec(result["skew_sf1.0"]),
+        "substr_sf1.0_sec": _suite_sec(result["substr_sf1.0"]),
         "sf": sf,
         "load_avg_start": load_start,
         "steal_pct": steal_pct,

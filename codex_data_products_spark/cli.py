@@ -91,6 +91,17 @@ def _cmd_fleet_delta(args: argparse.Namespace) -> int:
         apply_fleet_delta,
     )
 
+    tissue_map = None
+    if getattr(args, "tissue_map", None):
+        with open(args.tissue_map) as fh:
+            if args.tissue_map.endswith((".tsv", ".txt")):
+                tissue_map = dict(
+                    line.rstrip("\n").split("\t", 1)
+                    for line in fh
+                    if line.strip()
+                )
+            else:
+                tissue_map = json.load(fh)
     spark = get_spark(app_name="codex-fleet-delta")
     manifests = apply_fleet_delta(
         spark,
@@ -100,6 +111,7 @@ def _cmd_fleet_delta(args: argparse.Namespace) -> int:
         args.batch_id,
         add=args.add or (),
         remove=args.remove or (),
+        tissue_by_uuid=tissue_map,
     )
     json.dump(manifests, sys.stdout, indent=2)
     print()
@@ -298,6 +310,13 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("--batch-id", type=int, required=True)
     pf.add_argument("--add", nargs="*", default=[])
     pf.add_argument("--remove", nargs="*", default=[])
+    pf.add_argument(
+        "--tissue-map",
+        default=None,
+        help="uuid -> tissue mapping for catalogs without a tissue "
+        "column: a JSON object file, or a 2-column TSV (uuid<TAB>"
+        "tissue); mirrors the library's tissue_by_uuid",
+    )
     pf.set_defaults(fn=_cmd_fleet_delta)
 
     pdc = sub.add_parser(

@@ -13,7 +13,11 @@ Stages (each reuses the oracle-checked operator cores):
   2b. substring gate     — optional ExactSubstr-style trim-or-drop:
                           docs whose duplicated-span coverage
                           (queries/dedup.dedup_substring semantics)
-                          exceeds max_dup_span_frac are dropped;
+                          exceeds max_dup_span_frac are dropped, or —
+                          with trim_dup_spans — keep the doc and CUT
+                          the spans (Lee et al. 2022), one row-local
+                          higher-order filter reusing the gate's gram
+                          aggregate;
   3. quality filter     — stopword ratio / type-token ratio / length
                           bounds, pure column expressions;
   4. language ID        — marker-list argmax heuristic, keeps a
@@ -64,6 +68,13 @@ class CurationConfig:
     # disables the stage (the gate needs a corpus-wide gram aggregate,
     # so it is pay-for-what-you-use)
     max_dup_span_frac: float | None = None
+    # Trim instead of drop (Lee et al. 2022's production ExactSubstr
+    # operator removes the repeated span, not the document): gated docs
+    # have their duplicated spans CUT from the text — one row-local
+    # higher-order filter over token positions, reusing the gate's own
+    # gram aggregate — and continue through the quality stages. Only
+    # meaningful with max_dup_span_frac set.
+    trim_dup_spans: bool = False
 
 
 def _toks():
@@ -135,6 +146,101 @@ def neardup_losers(docs: DataFrame, max_hamming: int) -> DataFrame:
     return out.distinct()
 
 
+def _substring_gate(surviving: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Stage 2b: the ExactSubstr coverage gate — and, with
+    ``trim_dup_spans``, the trim terminal (queries/dedup.
+    dedup_substring_trim's row-local cut-list filter) instead of the
+    drop.
+
+    ONE positional-gram aggregate feeds both the gate and the trim: the
+    gram table is persisted, the duplicated-gram set (the aggregate's
+    survivors) is persisted, and both the per-doc coverage and the
+    span/cut-list derivations re-scan those caches — never the corpus.
+    The gate's verdict (heavy doc_ids, or their cut lists) is
+    eagerly materialized via localCheckpoint so the caches can be
+    RELEASED here instead of lingering in executor storage for the
+    application lifetime (a reusable pipeline must not leak its
+    intermediates)."""
+    from codex_data_products_spark.queries.dedup import (
+        SUBSTR_K,
+        _coverage_per_doc,
+        _tokens,
+        positional_grams,
+    )
+
+    pos = positional_grams(surviving).persist()
+    dup = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("g")
+        .persist()
+    )
+    try:
+        cov = pos.join(dup, "g", "left_semi")
+        heavy = (
+            _coverage_per_doc(cov)
+            .filter(F.col("dup_fraction") > cfg.max_dup_span_frac)
+            .select("doc_id")
+        )
+        if not cfg.trim_dup_spans:
+            return surviving.join(
+                heavy.localCheckpoint(), "doc_id", "left_anti"
+            )
+
+        # cut lists for the gated docs only — same island/span collapse
+        # as dedup_substring_trim, restricted by the heavy semi-join
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        brk = F.when(
+            F.coalesce(
+                F.col("pos") - F.lag("pos", 1, None).over(w),
+                F.lit(SUBSTR_K + 1),
+            )
+            > SUBSTR_K,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        cuts = (
+            cov.join(F.broadcast(heavy), "doc_id", "left_semi")
+            .select("doc_id", "pos", brk.alias("brk"))
+            .select("doc_id", "pos", F.sum("brk").over(w).alias("island"))
+            .groupBy("doc_id", "island")
+            .agg(
+                F.min("pos").alias("s"),
+                (F.max("pos") + (SUBSTR_K - 1)).alias("e"),
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("s", "e")).alias("cuts"))
+            .localCheckpoint()
+        )
+        toks = _tokens()
+        in_cut = lambda i: F.exists(  # noqa: E731
+            F.col("cuts"), lambda c: (i >= c["s"]) & (i <= c["e"])
+        )
+        kept = F.filter(
+            F.transform(F.sequence(F.lit(1), F.size(toks)), lambda i: i),
+            lambda i: ~in_cut(i),
+        )
+        trimmed_text = F.concat_ws(
+            " ",
+            F.transform(kept, lambda i: F.element_at(toks, i.cast("int"))),
+        )
+        return (
+            surviving.join(F.broadcast(cuts), "doc_id", "left")
+            .withColumn(
+                "text",
+                F.when(F.col("cuts").isNull(), F.col("text")).otherwise(
+                    trimmed_text
+                ),
+            )
+            .drop("cuts")
+        )
+    finally:
+        pos.unpersist()
+        dup.unpersist()
+
+
 def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     """The full curation DAG → surviving docs with curation columns."""
     cfg = cfg or CurationConfig()
@@ -145,20 +251,7 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     )
 
     if cfg.max_dup_span_frac is not None:
-        from codex_data_products_spark.queries.dedup import (
-            _coverage_per_doc,
-            duplicated_positions,
-            positional_grams,
-        )
-
-        heavy = (
-            _coverage_per_doc(
-                duplicated_positions(positional_grams(surviving).persist())
-            )
-            .filter(F.col("dup_fraction") > cfg.max_dup_span_frac)
-            .select("doc_id")
-        )
-        surviving = surviving.join(heavy, "doc_id", "left_anti")
+        surviving = _substring_gate(surviving, cfg)
 
     # Materialize token/bigram arrays behind an exchange so the
     # per-element lambdas below read plain columns instead of

@@ -113,3 +113,46 @@ def test_curate_substring_gate_drops_span_heavy_docs(spark):
     assert sorted(r["doc_id"] for r in gated.collect()) == [1, 2]
     ungated = curate(docs, CurationConfig(min_tokens=10))
     assert sorted(r["doc_id"] for r in ungated.collect()) == [1, 2, 3]
+
+
+def test_curate_trim_dup_spans_keeps_doc_minus_spans(spark):
+    """trim_dup_spans routes the gate's cut list through the row-local
+    trim (Lee et al. 2022: remove the span, keep the doc): the gated
+    doc survives with exactly its non-duplicated tokens — kept count ==
+    n_tokens - span coverage — while below-threshold docs pass through
+    with their text untouched."""
+    shared = "the storm rolled over a ridge and the river rose to flood"
+    tail1 = (
+        "while a shepherd counted sheep near the old stone bridge "
+        "under pale morning light"
+    )
+    tail2 = (
+        "and the town council met to plan a levy of sand bags "
+        "for the southern quarter docks"
+    )
+    # doc 3: two copies of the 12-token span + a 9-token unique suffix.
+    # Duplicated windows flag positions 1..5 and 13..17; the 8-token
+    # gap (13-5) does not break the island, so ONE cut [1, 24] covers
+    # both copies: coverage 24/33 > 0.5 gates it, and the trim must
+    # keep exactly tokens 25..33.
+    suffix = "a cat sat near the mat of a hill"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{shared} {tail1}"),
+            (2, f"{shared} {tail2}"),
+            (3, f"{shared} {shared} {suffix}"),
+        ],
+    )
+    cfg = CurationConfig(
+        min_tokens=1, max_dup_span_frac=0.5, trim_dup_spans=True
+    )
+    rows = {r["doc_id"]: r for r in curate(docs, cfg).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    # the gated doc kept its doc_id but lost the covered span: token
+    # accounting sees n_tokens - dup_tokens = 33 - 24 = 9
+    assert rows[3]["text"] == suffix
+    assert rows[3]["n_tokens"] == 9
+    # below-threshold docs are NOT trimmed (byte-identical text)
+    assert rows[1]["text"] == f"{shared} {tail1}"
+    assert rows[2]["text"] == f"{shared} {tail2}"

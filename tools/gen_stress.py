@@ -328,14 +328,75 @@ def generate(sf: float, out: str, seed: int = 1337) -> None:
     )
 
 
+def generate_boilerplate(sf: float, out: str, seed: int = 4242) -> None:
+    """Documents-only stress table for the exact-substring dedup family
+    (VERDICT r8 #8): ONE fixed 16-token boilerplate sentence prepended
+    to 50% of the docs — the repeated-licence-header pattern that makes
+    every pairwise dedup family quadratic (25k docs sharing a gram =
+    3*10^8 candidate pairs) while the aggregate-shaped substring family
+    stays flat (the hot gram is one count row). The base corpus keeps
+    gen_stress's exact/near-dup structure so the pair families run on
+    comparable semantics. Kept SEPARATE from the sf1.0 skew dir so the
+    round-over-round skew numbers stay byte-stable."""
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_doc = int(50_000 * sf)
+    vocab = np.array(VOCAB)
+    boiler = (
+        "this document is provided under the standard public licence "
+        "terms and conditions apply to all"
+    )
+    lengths = rng.integers(8, 120, n_doc)
+    texts = [
+        " ".join(vocab[rng.integers(0, len(vocab), ln)]) for ln in lengths
+    ]
+    n_dup = int(0.05 * n_doc)
+    n_near = int(0.03 * n_doc)
+    for i in range(n_dup):
+        texts[n_doc - 1 - i] = texts[i]
+    for i in range(n_near):
+        toks = texts[n_dup + i].split()
+        toks[len(toks) // 2] = "variant"
+        texts[n_doc - n_dup - 1 - i] = " ".join(toks)
+    texts = [
+        f"{boiler} {t}" if i % 2 == 0 else t for i, t in enumerate(texts)
+    ]
+    _write(
+        out,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_doc), pa.int64()),
+                "text": texts,
+                "lang": pa.array(
+                    np.array(LANGS)[
+                        rng.choice(5, n_doc, p=[0.6, 0.1, 0.1, 0.1, 0.1])
+                    ]
+                ),
+                "source": [f"src{i % 20}" for i in range(n_doc)],
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=1337)
+    ap.add_argument(
+        "--boilerplate",
+        action="store_true",
+        help="documents-only corpus with a 16-token boilerplate "
+        "sentence in 50%% of docs (substring-family stress)",
+    )
     args = ap.parse_args()
     print(f"generating sf={args.sf} into {args.out}")
-    generate(args.sf, args.out, args.seed)
+    if args.boilerplate:
+        generate_boilerplate(args.sf, args.out)
+    else:
+        generate(args.sf, args.out, args.seed)
 
 
 if __name__ == "__main__":
