@@ -555,14 +555,33 @@ def read_product_table(
     snapshot's pinned ``v=<k>`` directory, so a delta batch writing
     ``v=k+1`` never disturbs a committed (or historical) read.
 
-    Time travel (``version=k``) is exact for the axis tables and exact
-    for partitioned tables up to partition overwrites: a dataset removed
-    in one batch and re-added in a later one shares the partition path,
-    so the historical read of the interval between sees the re-added
-    bytes. Retention (``expire_snapshots``) bounds how far back reads go.
+    Time travel (``version=k``) is EXACT for every table since round 9:
+    the commit records its file-level manifest, partitioned reads load
+    exactly those files (delta batches APPEND new files — they never
+    overwrite a committed file), so a dataset removed then re-added
+    reads its era-correct bytes at every version. Retention
+    (``expire_snapshots``) bounds how far back reads go.
     """
     marker = read_commit_marker(out_dir, version)
     if table in PARTITIONED_TABLES:
+        per_ds = marker.get("files", {}).get(table)
+        if per_ds is not None:
+            paths = [
+                os.path.join(out_dir, rel)
+                for ds in marker["dataset_uuids"]
+                for rel, _ in per_ds.get(ds, [])
+            ]
+            if paths:
+                return spark.read.option(
+                    "basePath", f"{out_dir}/{table}"
+                ).parquet(*paths)
+            # the snapshot references NO files for this table: schema
+            # from the directory footer, zero rows — never the dir scan
+            # (which could surface a crashed append attempt's orphans)
+            return spark.read.parquet(f"{out_dir}/{table}").filter(
+                F.lit(False)
+            )
+        # legacy pre-file-manifest marker
         df = spark.read.parquet(f"{out_dir}/{table}")
         return df.filter(F.col("dataset").isin(marker["dataset_uuids"]))
     tv = marker["table_versions"][table]
@@ -589,29 +608,56 @@ def product_table_stats(out_dir: str, version: int | None = None) -> dict:
     return read_commit_marker(out_dir, version)["stats"]
 
 
-def _committed_size(
-    out_dir: str, dataset_uuids: list[str], table_versions: dict
-) -> int:
-    """Manifest 'Raw File Size' over exactly the COMMITTED snapshot's
-    files: surviving datasets' partitions plus the pinned axis-table
-    versions — never ``_state`` version history, expired axis versions,
-    or removed datasets' not-yet-expired partitions, so the maintained
-    manifest matches a from-scratch build's and doesn't grow with batch
-    count."""
-    bases = [
-        os.path.join(out_dir, t, f"dataset={ds}")
-        for t in PARTITIONED_TABLES
-        for ds in dataset_uuids
-    ] + [
-        os.path.join(out_dir, t, f"v={table_versions[t]}")
-        for t in VERSIONED_TABLES
-    ]
-    return sum(
-        os.path.getsize(os.path.join(dp, fn))
-        for base in bases
-        for dp, _, fns in os.walk(base)
-        for fn in fns
-    )
+def _list_files(base: str, rel_to: str) -> list[list]:
+    """[[relpath, size], ...] for every DATA file under ``base``
+    (sorted; Spark metadata files like _SUCCESS excluded). The unit of
+    the file-level commit manifest."""
+    out = []
+    for dp, _, fns in os.walk(base):
+        for fn in fns:
+            if fn.startswith(("_", ".")):
+                continue
+            full = os.path.join(dp, fn)
+            out.append([os.path.relpath(full, rel_to), os.path.getsize(full)])
+    return sorted(out)
+
+
+def snapshot_files(out_dir: str, marker: dict) -> dict:
+    """The commit's file-level manifest — ``{table: {dataset: [[relpath,
+    size], ...]}}`` for the dataset-partitioned tables plus ``{table:
+    [[relpath, size], ...]}`` for the pinned axis versions. Read from
+    the marker (every commit since round 9 records it — the Iceberg
+    move: the snapshot IS its file list); synthesized by directory
+    listing for a legacy pre-round-9 marker."""
+    if "files" in marker:
+        return marker["files"]
+    files: dict = {}
+    for t in PARTITIONED_TABLES:
+        files[t] = {
+            ds: _list_files(
+                os.path.join(out_dir, t, f"dataset={ds}"), out_dir
+            )
+            for ds in marker["dataset_uuids"]
+        }
+    for t in VERSIONED_TABLES:
+        files[t] = _list_files(
+            os.path.join(out_dir, t, f"v={marker['table_versions'][t]}"),
+            out_dir,
+        )
+    return files
+
+
+def _files_size(files: dict) -> int:
+    """Manifest 'Raw File Size' as a pure dict sum over the commit's
+    file-level manifest — no os.walk at read time, and exactly the
+    committed snapshot's bytes by construction."""
+    total = 0
+    for t in PARTITIONED_TABLES:
+        for entries in files.get(t, {}).values():
+            total += sum(size for _, size in entries)
+    for t in VERSIONED_TABLES:
+        total += sum(size for _, size in files.get(t, []))
+    return total
 
 
 def expire_snapshots(out_dir: str, keep_last: int = 2) -> dict:
@@ -640,17 +686,53 @@ def expire_snapshots(out_dir: str, keep_last: int = 2) -> dict:
     )
     retained = committed[-max(keep_last, 1) :]
     markers = [read_commit_marker(out_dir, v) for v in retained]
-    keep_ds = set().union(*[set(m["dataset_uuids"]) for m in markers])
-    removed: dict = {"partitions": [], "axis_versions": [], "commits": [],
-                     "state_versions": []}
-    for t in PARTITIONED_TABLES:
-        base = os.path.join(out_dir, t)
-        if not os.path.isdir(base):
-            continue
-        for d in os.listdir(base):
-            if d.startswith("dataset=") and d[len("dataset="):] not in keep_ds:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-                removed["partitions"].append(f"{t}/{d}")
+    removed: dict = {"partitions": [], "files": [], "axis_versions": [],
+                     "commits": [], "state_versions": []}
+    # file-grain GC (round 9): delete exactly the data files no
+    # retained snapshot's manifest references — a file shared by two
+    # retained snapshots (the common case: an untouched dataset)
+    # survives because EVERY referencing commit names it. Legacy
+    # markers without a file manifest fall back to the partition-grain
+    # rule (delete dataset dirs absent from every retained snapshot).
+    all_filed = all("files" in m for m in markers)
+    if all_filed:
+        referenced: set[str] = set()
+        for m in markers:
+            for t in PARTITIONED_TABLES:
+                for entries in m["files"].get(t, {}).values():
+                    referenced.update(rel for rel, _ in entries)
+        for t in PARTITIONED_TABLES:
+            base = os.path.join(out_dir, t)
+            if not os.path.isdir(base):
+                continue
+            for dp, _, fns in os.walk(base):
+                for fn in fns:
+                    if fn.startswith(("_", ".")):
+                        continue
+                    rel = os.path.relpath(os.path.join(dp, fn), out_dir)
+                    if rel not in referenced:
+                        os.remove(os.path.join(dp, fn))
+                        removed["files"].append(rel)
+            # prune partition dirs emptied of data files
+            for d in sorted(os.listdir(base)):
+                pdir = os.path.join(base, d)
+                if d.startswith("dataset=") and os.path.isdir(pdir) and not any(
+                    not fn.startswith(("_", "."))
+                    for _, _, fns in os.walk(pdir)
+                    for fn in fns
+                ):
+                    shutil.rmtree(pdir, ignore_errors=True)
+                    removed["partitions"].append(f"{t}/{d}")
+    else:
+        keep_ds = set().union(*[set(m["dataset_uuids"]) for m in markers])
+        for t in PARTITIONED_TABLES:
+            base = os.path.join(out_dir, t)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                if d.startswith("dataset=") and d[len("dataset="):] not in keep_ds:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                    removed["partitions"].append(f"{t}/{d}")
     for t in VERSIONED_TABLES:
         base = os.path.join(out_dir, t)
         keep_v = {m["table_versions"][t] for m in markers}
@@ -857,6 +939,19 @@ def write_product(
             state["ds_channels"], state["ds_stats"], product.varm_long
         )
     table_versions = {"var": 0, "varm_long": 0}
+    # file-level manifest (the Iceberg move, VERDICT r8 #3): the commit
+    # names its exact data files, so historical reads, GC and the size
+    # sum all resolve by file reference, not directory membership
+    datasets = list(product.uns["dataset_uuids"])
+    files: dict = {
+        t: {
+            ds: _list_files(os.path.join(out_dir, t, f"dataset={ds}"), out_dir)
+            for ds in datasets
+        }
+        for t in PARTITIONED_TABLES
+    }
+    for t in VERSIONED_TABLES:
+        files[t] = _list_files(os.path.join(out_dir, t, "v=0"), out_dir)
     # K2 manifest (create_json, bin/concatenate.py:154-177): cell count
     # from the commit stats; file size over exactly the committed files.
     manifest = {
@@ -867,9 +962,7 @@ def write_product(
         "Dataset UUIDs": product.uns["dataset_uuids"],
         "Dataset HBMIDs": product.uns["datasets"],
         "Total Cell Count": stats["obs"]["rows"],
-        "Raw File Size": _committed_size(
-            out_dir, list(product.uns["dataset_uuids"]), table_versions
-        ),
+        "Raw File Size": _files_size(files),
     }
     _checkpoint("manifest")
     write_commit_marker(
@@ -878,11 +971,12 @@ def write_product(
             "uuid": product.uns["uuid"],
             "version": 0,
             "tables": list(PRODUCT_TABLES),
-            "dataset_uuids": list(product.uns["dataset_uuids"]),
+            "dataset_uuids": datasets,
             "table_versions": table_versions,
             "uns": product.uns,
             "manifest": manifest,
             "stats": stats,
+            "files": files,
         },
         _fail_after=_fail_after,
     )

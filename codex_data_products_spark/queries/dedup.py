@@ -702,7 +702,7 @@ CC_ROUNDS = 16  # propagate+jump doubles the label radius per round:
 # fixpoint loop is the same bound, reached earlier via early exit)
 
 
-def _cc_sql() -> str:
+def _cc_sql(where: str = "") -> str:
     """Exact connected components as UNROLLED min-label propagation +
     pointer jumping. The previous recursive-reachability oracle
     enumerated every (node, reachable-label) pair — correct, but on the
@@ -711,7 +711,10 @@ def _cc_sql() -> str:
     pairs (>10 min). Propagate+jump needs only O(log n) rounds of
     linear-size joins (~25 s on the same graph) and produces the same
     labels: component_id = min doc_id of the component, algorithm-
-    independent, so it still equals the Spark fixpoint loop."""
+    independent, so it still equals the Spark fixpoint loop.
+
+    ``where`` (e.g. ``"WHERE doc_id % 17 <> 3"``) restricts the corpus
+    — the oracle twin for the maintainer's REMOVAL path."""
     parts = [
         f"""
 WITH t AS (
@@ -721,7 +724,7 @@ WITH t AS (
            tok -> CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
          ) AS hs,
          len(list_distinct({_SQL_TOKENS})) AS n
-  FROM documents
+  FROM documents {where}
 ),
 sim AS MATERIALIZED (
   SELECT doc_id, {_sql_simhash()} AS simhash FROM t
@@ -744,7 +747,7 @@ edges AS MATERIALIZED (
   UNION ALL
   SELECT doc_b, doc_a FROM pairs
 ),
-l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents)"""
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents {where})"""
     ]
     for k in range(1, CC_ROUNDS + 1):
         parts.append(
@@ -1966,6 +1969,40 @@ def dedup_keep_best_incremental(
     for k in range(3):
         apply_cluster_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
     return keep_best_from_components(cluster_snapshot(spark, state), docs)
+
+
+@register("dedup_cluster_removal_incremental", sql=_cc_sql("WHERE doc_id % 17 <> 3"))
+def dedup_cluster_removal_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintainer's REMOVAL path under the driver hash (round 9 —
+    previously pytest-only): three insert batches, then a pure removal
+    batch retracting every ``doc_id % 17 == 3`` document. Splits must
+    recompute exactly the affected components (bounded by their member
+    sets) and, since the round-9 log conversion, the batch writes only
+    tombstones + re-emitted post-split rows, never the corpus-scale
+    cluster table (``streaming/dedup_ivm.apply_cluster_batch``). The
+    oracle is the SAME from-scratch CC SQL restricted to the surviving
+    corpus, so the hash certifies remove == never-ingested."""
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        cluster_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    state = _ivm_state_dir("cluster_ivm_rm")
+    bootstrap_cluster_state(spark, state)
+    for k in range(3):
+        apply_cluster_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
+    removed = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 17 == 3)
+        .select("doc_id")
+        .collect()
+    ]
+    apply_cluster_batch(docs.limit(0), state, 3, remove=removed)
+    return cluster_snapshot(spark, state)
 
 
 # ---------------------------------------------------------------------------

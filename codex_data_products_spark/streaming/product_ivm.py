@@ -45,23 +45,26 @@ identical snapshots):
     semi-join.
 
 Commit protocol (single-writer): EVERY pre-marker write lands at a path
-no committed reader resolves — added datasets' partitions (invisible
-because ``read_product_table`` gates the dataset-partitioned tables on
-the COMMITTED dataset list), state ``v=k+1``, and the axis tables at
-their own versioned ``var/v=k+1`` / ``varm_long/v=k+1`` directories
-(committed readers stay pinned to the versions named in the live
-marker). uns, manifest and table stats travel INSIDE the commit file,
-so no live JSON is overwritten before the commit point either. The
-marker rename is therefore the ONLY reader-visible transition: a crash
-anywhere before it leaves the previous committed product byte-intact
-(property-tested with a failure seam at every write step), and the
-root-level ``uns.json``/``<uuid>.json`` mirrors are refreshed
-post-commit. Removed datasets' partitions and superseded axis/state
-versions are NOT deleted at commit — ``expire_snapshots`` applies
-retention-based GC afterwards (keep the newest N snapshots), so a
-concurrent reader that resolved the previous marker can finish its scan
-without losing files mid-read, and historical versions stay readable
-(time travel) until expired.
+no committed reader resolves — added datasets' partition files are
+APPENDED under new names and become visible only through the commit's
+FILE-LEVEL MANIFEST (since round 9 each commit names its exact data
+files; ``read_product_table`` loads precisely those), state ``v=k+1``,
+and the axis tables at their own versioned ``var/v=k+1`` /
+``varm_long/v=k+1`` directories (committed readers stay pinned to the
+versions named in the live marker). uns, manifest and table stats
+travel INSIDE the commit file, so no live JSON is overwritten before
+the commit point either. The marker rename is therefore the ONLY
+reader-visible transition: a crash anywhere before it leaves the
+previous committed product byte-intact (property-tested with a failure
+seam at every write step), and the root-level
+``uns.json``/``<uuid>.json`` mirrors are refreshed post-commit. No
+committed file is ever overwritten — removed/re-added datasets write
+NEW files, so time travel is exact at every retained version — and
+nothing is deleted at commit: ``expire_snapshots`` applies
+retention-based file-grain GC afterwards (delete exactly the files no
+retained snapshot references), so a concurrent reader that resolved
+the previous marker can finish its scan without losing files mid-read,
+and historical versions stay readable until expired.
 
 Invariants (tests/test_product_ivm.py): after any sequence of
 add/remove batches, every product table equals the from-scratch
@@ -86,8 +89,10 @@ from pyspark.sql import functions as F
 from codex_data_products_spark.plans.codex_pipeline import (
     CodexProduct,
     PRODUCT_TABLES,
-    _committed_size,
+    _files_size,
+    _list_files,
     build_product,
+    snapshot_files,
     derive_product_state,
     expire_snapshots,
     product_stats_from_state,
@@ -130,27 +135,51 @@ def bootstrap_product_maintenance(
     return write_product(product, out_dir, stats=stats)
 
 
-def _write_block_partitions(block: CodexProduct, out_dir: str) -> None:
-    """Write ONLY the added datasets' partitions into the three
-    dataset-partitioned tables: dynamic partition overwrite replaces
-    exactly the partitions present in the frame and leaves every other
-    dataset's files untouched (the no-rewrite guard asserts this at the
-    filesystem level)."""
-    spark = block.x_long.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        frames = {"x_long": block.x_long, "obs": block.obs, "edges": block.edges}
-        for table in _PARTITIONED:
-            df = frames[table]
-            if df is None:
-                continue
-            df.write.mode("overwrite").partitionBy("dataset").parquet(
-                f"{out_dir}/{table}"
-            )
-    finally:
-        spark.conf.set(key, prev)
+def _write_block_partitions(block: CodexProduct, out_dir: str) -> dict:
+    """APPEND the added datasets' partitions into the three dataset-
+    partitioned tables and return the written files per table/dataset
+    (``{table: {dataset: [[relpath, size], ...]}}``) by pre/post
+    listing diff — append never rewrites an existing file, so the diff
+    is exactly this write's output even when a crashed earlier attempt
+    left files in the same partitions (those orphans stay unreferenced
+    by every commit and are swept by ``expire_snapshots``). Appending
+    instead of dynamic-partition-overwrite is what makes time travel
+    EXACT across remove→re-add: the re-added dataset's new files get
+    new names, the old commit's manifest keeps resolving the old bytes
+    until retention expires them. Also trivially safe under
+    apply_fleet_delta's concurrent per-tissue threads — no session-conf
+    juggling, and sibling tissues write disjoint partitions."""
+    frames = {"x_long": block.x_long, "obs": block.obs, "edges": block.edges}
+    datasets = list(block.uns["dataset_uuids"])
+    written: dict = {}
+    for table in _PARTITIONED:
+        df = frames[table]
+        if df is None:
+            written[table] = {ds: [] for ds in datasets}
+            continue
+        pre = {
+            ds: {
+                rel
+                for rel, _ in _list_files(
+                    os.path.join(out_dir, table, f"dataset={ds}"), out_dir
+                )
+            }
+            for ds in datasets
+        }
+        df.write.mode("append").partitionBy("dataset").parquet(
+            f"{out_dir}/{table}"
+        )
+        written[table] = {
+            ds: [
+                [rel, size]
+                for rel, size in _list_files(
+                    os.path.join(out_dir, table, f"dataset={ds}"), out_dir
+                )
+                if rel not in pre[ds]
+            ]
+            for ds in datasets
+        }
+    return written
 
 
 def _commit_snapshot(
@@ -160,11 +189,13 @@ def _commit_snapshot(
     surviving: list[str],
     table_versions: dict,
     stats: dict,
+    files: dict,
     *,
     _fail_after: str | None = None,
 ) -> dict:
     """Assemble manifest + commit descriptor (pure driver-side dict math
-    over the already-collected stats) and commit. Returns the manifest."""
+    over the already-collected stats and the file-level manifest — the
+    size is a dict sum, no os.walk) and commit. Returns the manifest."""
     manifest = {
         "Data Product UUID": uns["uuid"],
         "Tissue": uns.get("tissue"),
@@ -173,7 +204,7 @@ def _commit_snapshot(
         "Dataset UUIDs": uns["dataset_uuids"],
         "Dataset HBMIDs": uns["datasets"],
         "Total Cell Count": stats["obs"]["rows"],
-        "Raw File Size": _committed_size(out_dir, surviving, table_versions),
+        "Raw File Size": _files_size(files),
     }
     write_commit_marker(
         out_dir,
@@ -186,6 +217,7 @@ def _commit_snapshot(
             "uns": uns,
             "manifest": manifest,
             "stats": stats,
+            "files": files,
         },
         _fail_after=_fail_after,
     )
@@ -240,13 +272,12 @@ def apply_product_delta(
     uns = dict(base["uns"])
     root = _state_root(out_dir)
     ds_channels = read_table(spark, f"{root}/ds_channels", version=batch_id)
-    # In-place REPLACE is rejected: dynamic partition overwrite only
-    # touches partitions present in the new block, so a re-added
-    # dataset whose new build lacks rows for some table (e.g. no edges)
-    # would silently keep the stale partition. Replace = remove in one
-    # batch, add in the next — each step crash-safe on its own.
-    # (Replaying this batch is fine: the check reads state v=batch_id,
-    # which still excludes the datasets this batch adds.)
+    # In-place REPLACE is rejected: the state fold and the file-manifest
+    # carry-forward both assume an added dataset has no committed
+    # contribution yet. Replace = remove in one batch, add in the next —
+    # each step crash-safe on its own. (Replaying this batch is fine:
+    # the check reads state v=batch_id, which still excludes the
+    # datasets this batch adds.)
     existing = {
         r["dataset"]
         for r in ds_channels.select("dataset").distinct().collect()
@@ -266,6 +297,7 @@ def apply_product_delta(
     #       EXACTLY the full build's rows for them) and write only their
     #       partitions. Uncommitted until the marker flips.
     block = None
+    block_files: dict = {t: {} for t in _PARTITIONED}
     if added:
         block = build_product(
             spark,
@@ -278,7 +310,7 @@ def apply_product_delta(
             creation_time=uns["creation_data_time"],
             only_datasets=added,
         )
-        _write_block_partitions(block, out_dir)
+        block_files = _write_block_partitions(block, out_dir)
     _checkpoint("partitions")
 
     # -- 2. fold the per-dataset state: drop touched datasets' rows,
@@ -333,6 +365,26 @@ def apply_product_delta(
     uns["dataset_uuids"] = surviving
     uns["datasets"] = [stats_rows[u]["hubmap_id"] for u in surviving]
     stats = product_stats_from_state(new_channels, new_stats, new_varm)
+
+    # file-level manifest for the new snapshot: carried-forward entries
+    # for untouched datasets (their files are immutable), the block's
+    # freshly-appended files for added datasets, removed datasets
+    # dropped, and the new axis versions listed. Pure dict math plus
+    # one listing of the delta's own writes.
+    base_files = snapshot_files(out_dir, base)
+    files: dict = {}
+    for t in _PARTITIONED:
+        files[t] = {
+            ds: base_files.get(t, {}).get(ds, [])
+            for ds in surviving
+            if ds not in set(added)
+        }
+        for ds in added:
+            files[t][ds] = block_files[t].get(ds, [])
+    files["var"] = _list_files(os.path.join(out_dir, "var", f"v={v}"), out_dir)
+    files["varm_long"] = _list_files(
+        os.path.join(out_dir, "varm_long", f"v={v}"), out_dir
+    )
     _checkpoint("manifest")
 
     # -- 5. COMMIT POINT (atomic rename), then retention-based GC: the
@@ -347,6 +399,7 @@ def apply_product_delta(
         surviving,
         {"var": v, "varm_long": v},
         stats,
+        files,
         _fail_after=_fail_after,
     )
     if retain_snapshots is not None:
@@ -418,6 +471,12 @@ def apply_metadata_refresh(
     new_varm = spark.read.parquet(f"{out_dir}/varm_long/v={v}")
 
     stats = product_stats_from_state(new_channels, new_stats, new_varm)
+    # metadata-only delta: every partitioned file carries forward; only
+    # the varm_long axis version is new
+    files = dict(snapshot_files(out_dir, base))
+    files["varm_long"] = _list_files(
+        os.path.join(out_dir, "varm_long", f"v={v}"), out_dir
+    )
     manifest = _commit_snapshot(
         out_dir,
         uns,
@@ -425,6 +484,7 @@ def apply_metadata_refresh(
         list(base["dataset_uuids"]),
         {"var": var_version, "varm_long": v},
         stats,
+        files,
     )
     if retain_snapshots is not None:
         expire_snapshots(out_dir, keep_last=retain_snapshots)
@@ -540,9 +600,20 @@ def apply_fleet_delta(
     tissue_by_uuid: dict[str, str] | None = None,
     decoder=None,
     retain_snapshots: int | None = 2,
+    max_parallel: int = 8,
 ) -> dict:
     """Fold one release batch into every product under ``root``.
-    Returns manifests by tissue (every tissue, including no-ops)."""
+    Returns manifests by tissue (every tissue, including no-ops).
+
+    Tissues apply CONCURRENTLY (``max_parallel`` driver threads over
+    the shared SparkSession — Spark's scheduler interleaves the jobs):
+    per-tissue deltas are independent by construction (disjoint
+    datasets, per-product state and commit dirs), and the lockstep
+    version contract is per-product metadata, so at a many-hundred-
+    tissue fleet the wall time is bounded by the widest tissue's work
+    plus the no-op commits' metadata folds — not 2-3 s x N serial
+    driver time (VERDICT r8 #4). ``max_parallel=1`` restores the
+    sequential order exactly."""
     added = list(dict.fromkeys(add))
     removed = list(dict.fromkeys(remove))
 
@@ -600,9 +671,8 @@ def apply_fleet_delta(
             )
         rm_by_tissue.setdefault(t, []).append(u)
 
-    manifests = {}
-    for t in tissues:
-        manifests[t] = apply_product_delta(
+    def one(t: str) -> dict:
+        return apply_product_delta(
             spark,
             os.path.join(root, t),
             data_dir,
@@ -614,4 +684,19 @@ def apply_fleet_delta(
             decoder=decoder,
             retain_snapshots=retain_snapshots,
         )
-    return manifests
+
+    if max_parallel <= 1 or len(tissues) == 1:
+        return {t: one(t) for t in tissues}
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_parallel, len(tissues)),
+        thread_name_prefix="fleet-delta",
+    ) as pool:
+        futures = {t: pool.submit(one, t) for t in tissues}
+        # .result() re-raises the first failing tissue's exception; the
+        # with-block still drains the rest, so every tissue either
+        # committed v=batch_id+1 or crashed before its marker rename —
+        # per-product atomicity makes a partial fleet batch replayable
+        return {t: futures[t].result() for t in tissues}

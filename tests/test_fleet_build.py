@@ -338,3 +338,36 @@ def test_fleet_delta_unroutable_raises(spark, bundle, maintained_fleet):
             spark, root, data, cat, 0, remove=["not-a-dataset"],
             tissue_by_uuid=TISSUE_OF,
         )
+
+
+def test_fleet_delta_cli_tissue_map(spark, bundle, tmp_path, maintained_fleet):
+    """The fleet-delta CLI exposes tissue_by_uuid via --tissue-map
+    (ADVICE r8): a stress catalog has no 'tissue' column, so without
+    the flag every --add raises the no-tissue ValueError; with a JSON
+    (batch 0) or TSV (batch 1) map the adds route to their owners."""
+    import json as _json
+
+    from codex_data_products_spark.cli import main
+
+    root = maintained_fleet
+    data, cat = os.path.join(bundle, "data"), os.path.join(bundle, "uuids.tsv")
+    base = ["fleet-delta", "--root", root, "--data-dir", data,
+            "--uuids-tsv", cat]
+
+    jmap = tmp_path / "tissue_map.json"
+    jmap.write_text(_json.dumps(TISSUE_OF))
+    rc = main(base + ["--batch-id", "0", "--add", DS[2],
+                      "--tissue-map", str(jmap)])
+    assert rc == 0
+    from codex_data_products_spark.plans.codex_pipeline import read_uns
+
+    assert sorted(read_uns(os.path.join(root, "Spleen"))["dataset_uuids"]) \
+        == sorted([DS[0], DS[2]])
+
+    tmap = tmp_path / "tissue_map.tsv"
+    tmap.write_text("".join(f"{u}\t{t}\n" for u, t in TISSUE_OF.items()))
+    rc = main(base + ["--batch-id", "1", "--add", DS[3],
+                      "--tissue-map", str(tmap)])
+    assert rc == 0
+    assert sorted(read_uns(os.path.join(root, "Thymus"))["dataset_uuids"]) \
+        == sorted([DS[1], DS[3]])

@@ -456,19 +456,51 @@ def test_in_place_replace_is_rejected(spark, bundle, tmp_path):
     _assert_equals_from_scratch(spark, bundle, out, DS[:2], tmp_path, "readd")
 
 
-def test_committed_read_gates_via_partition_pruning(spark, bundle, tmp_path):
-    """read_product_table's marker gating must compile to
-    PartitionFilters on the dataset-partitioned tables — uncommitted
-    partitions are eliminated at planning time, not row-filtered."""
+def test_committed_read_scans_exactly_the_manifest_files(
+    spark, bundle, tmp_path
+):
+    """read_product_table's marker gating on the dataset-partitioned
+    tables is planning-time FILE SELECTION (round 9: the commit's
+    file-level manifest IS the scan's file list — stronger than the
+    former PartitionFilters pruning): uncommitted/orphan files in the
+    same directory tree are never listed, let alone row-filtered, and
+    the partition column survives via basePath."""
+    from pyspark.sql import functions as F
+
     out = str(tmp_path / "product")
     bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
-    df = read_product_table(spark, out, "x_long")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [dataset" in plan or (
-        "PartitionFilters: [" in plan and "dataset" in plan.split(
-            "PartitionFilters: ["
-        )[1].split("]")[0]
+    # plant an orphan data file inside a committed partition dir (what
+    # a crashed append attempt leaves behind) — a dir-scan would read it
+    part = f"{out}/x_long/dataset={DS[0]}"
+    src = next(
+        fn for fn in os.listdir(part)
+        if not fn.startswith(("_", "."))
     )
+    import shutil
+
+    shutil.copy(
+        os.path.join(part, src), os.path.join(part, "part-orphan.parquet")
+    )
+    df = read_product_table(spark, out, "x_long")
+    scanned = {
+        os.path.relpath(r["f"].removeprefix("file://"), out)
+        for r in df.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    marker = read_commit_marker(out)
+    expected = {
+        rel
+        for ds in marker["dataset_uuids"]
+        for rel, _ in marker["files"]["x_long"][ds]
+    }
+    assert scanned == expected
+    assert not any("orphan" in p for p in scanned)
+    # the duplicated rows in the orphan file are invisible
+    n_committed = sum(1 for _ in df.collect())
+    assert n_committed == marker["stats"]["x_long"]["rows"]
+    # partition column still materializes from the dir layout
+    assert "dataset" in df.columns
 
 
 def test_manifest_size_excludes_state_and_unreferenced_files(
@@ -481,17 +513,21 @@ def test_manifest_size_excludes_state_and_unreferenced_files(
     out = str(tmp_path / "product")
     data = os.path.join(bundle, "data")
     cat = os.path.join(bundle, "uuids.tsv")
-    from codex_data_products_spark.plans.codex_pipeline import _committed_size
+    from codex_data_products_spark.plans.codex_pipeline import _files_size
 
     bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
     apply_product_delta(spark, out, data, cat, 0, add=[DS[2]], remove=[DS[1]])
     size_after_batch = read_manifest(out)["Raw File Size"]
 
     marker = read_commit_marker(out)
-    committed_only = _committed_size(
-        out, marker["dataset_uuids"], marker["table_versions"]
-    )
-    assert size_after_batch == committed_only
+    # round 9: the size is the commit's file-manifest dict sum — data
+    # files only (no checksum/_SUCCESS noise), exactly the snapshot
+    assert size_after_batch == _files_size(marker["files"])
+    # every referenced file exists with the recorded size
+    for t in ("x_long", "obs", "edges"):
+        for entries in marker["files"][t].values():
+            for rel, size in entries:
+                assert os.path.getsize(os.path.join(out, rel)) == size
     # the r7 bug: a whole-directory walk — it counts _state history, the
     # removed-but-retained DS[1] partitions, superseded axis versions and
     # the JSON metadata, so it MUST be strictly larger
@@ -570,3 +606,80 @@ def test_metadata_refresh_never_decodes_hdf5(spark, bundle, tmp_path):
     marker = read_commit_marker(out)
     assert marker["version"] == 1
     assert marker["table_versions"] == {"var": 0, "varm_long": 1}
+
+
+def test_time_travel_exact_across_remove_then_readd(
+    spark, bundle, tmp_path
+):
+    """Round-9 file-level manifests: remove a dataset, then RE-ADD it
+    (new files appended — nothing overwritten), and every retained
+    version's FULL snapshot still equals a from-scratch build over that
+    version's dataset set. Pre-round-9 this was the documented
+    partition-overwrite caveat: the historical read of the interval
+    saw the re-added bytes."""
+    out = str(tmp_path / "product")
+    data = os.path.join(bundle, "data")
+    cat = os.path.join(bundle, "uuids.tsv")
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
+    apply_product_delta(
+        spark, out, data, cat, 0, remove=[DS[1]], retain_snapshots=None
+    )
+    apply_product_delta(
+        spark, out, data, cat, 1, add=[DS[1]], retain_snapshots=None
+    )
+
+    fresh = {}
+    for tag, ds in (("both", DS[:2]), ("solo", DS[:1])):
+        fdir = str(tmp_path / f"fresh_{tag}")
+        write_product(_build(spark, bundle, ds), fdir)
+        fresh[tag] = _snapshot_product(spark, fdir)
+    # v=0 (pre-remove) and v=2 (post-re-add) carry the same dataset set
+    # but DIFFERENT file generations — both must be exact
+    assert _snapshot_product(spark, out, version=0) == fresh["both"]
+    assert _snapshot_product(spark, out, version=1) == fresh["solo"]
+    assert _snapshot_product(spark, out, version=2) == fresh["both"]
+    # and the interval version really references the OLD files only:
+    # commit v=0's x_long files for DS[1] are disjoint from v=2's
+    f0 = read_commit_marker(out, version=0)["files"]["x_long"][DS[1]]
+    f2 = read_commit_marker(out, version=2)["files"]["x_long"][DS[1]]
+    assert f0 and f2
+    assert not ({p for p, _ in f0} & {p for p, _ in f2})
+
+
+def test_expire_keeps_files_shared_by_retained_snapshots(
+    spark, bundle, tmp_path
+):
+    """File-grain GC: a data file referenced by TWO retained snapshots
+    (an untouched dataset across a delta) survives expiry; files only
+    the EXPIRED snapshot references are deleted, and 'Raw File Size' is
+    the manifest's dict sum over exactly the live files."""
+    out = str(tmp_path / "product")
+    data = os.path.join(bundle, "data")
+    cat = os.path.join(bundle, "uuids.tsv")
+    bootstrap_product_maintenance(_build(spark, bundle, DS[:2]), out)
+    apply_product_delta(
+        spark, out, data, cat, 0, remove=[DS[1]], retain_snapshots=None
+    )
+    apply_product_delta(
+        spark, out, data, cat, 1, add=[DS[1]], retain_snapshots=None
+    )
+    # retain v=1 and v=2: DS[0]'s files are shared by both (untouched
+    # since bootstrap), v=0's only-reference to DS[1]'s ORIGINAL files
+    # expires with it
+    m0 = read_commit_marker(out, version=0)
+    old_ds1 = [p for p, _ in m0["files"]["x_long"][DS[1]]]
+    shared_ds0 = [p for p, _ in m0["files"]["x_long"][DS[0]]]
+    removed = expire_snapshots(out, keep_last=2)
+    for p in old_ds1:
+        assert not os.path.exists(os.path.join(out, p)), p
+        assert p in removed["files"]
+    for p in shared_ds0:
+        assert os.path.exists(os.path.join(out, p)), p
+    # live + historical retained reads still work end-to-end
+    assert read_product_table(spark, out, "x_long").count() > 0
+    assert read_product_table(spark, out, "x_long", version=1).count() > 0
+    # manifest size equals the dict sum of the live manifest
+    from codex_data_products_spark.plans.codex_pipeline import _files_size
+
+    live = read_commit_marker(out)
+    assert live["manifest"]["Raw File Size"] == _files_size(live["files"])

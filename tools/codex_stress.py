@@ -403,6 +403,16 @@ def run_fleet(
     apply_fleet_delta(spark, root, data, cat, 1, tissue_by_uuid=tissue_of)
     noop_batch_sec = round(time.perf_counter() - t2, 1)
 
+    # batch 2: the same fleet-wide no-op applied SEQUENTIALLY
+    # (max_parallel=1) — the round-9 concurrency claim in one number:
+    # parallel wall time should sit near the widest tissue's commit,
+    # not near noop_seq_sec (which grows linearly in n_tissues)
+    t2b = time.perf_counter()
+    apply_fleet_delta(
+        spark, root, data, cat, 2, tissue_by_uuid=tissue_of, max_parallel=1
+    )
+    noop_seq_sec = round(time.perf_counter() - t2b, 1)
+
     surviving_t0 = [
         u for u in base + added
         if tissue_of[u] == "T0" and u not in set(removed)
@@ -442,6 +452,10 @@ def run_fleet(
         "fleet_delta_sec": fleet_delta_sec,
         "noop_batch_sec": noop_batch_sec,
         "noop_per_tissue_sec": round(noop_batch_sec / n_tissues, 2),
+        "noop_seq_sec": noop_seq_sec,
+        "noop_parallel_speedup": round(noop_seq_sec / noop_batch_sec, 2)
+        if noop_batch_sec
+        else None,
         "invariant_check_sec": check_sec,
         "counts": counts,
         "ok": ok,
