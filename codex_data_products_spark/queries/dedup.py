@@ -1860,9 +1860,13 @@ def dedup_prefix_jaccard_eval(
 # At 100 TB this is the exact production job: label, elect, reclaim.
 # ---------------------------------------------------------------------------
 
-_KEEP_BEST_SQL = f"""
+def _keep_best_sql(where: str = "") -> str:
+    """Keeper election over the (optionally corpus-restricted) CC
+    labeling — ``where`` threads through to ``_cc_sql`` so the removal
+    twin's oracle elects over exactly the surviving corpus."""
+    return f"""
 WITH comp AS (
-  SELECT * FROM ({_CC_SQL}) c
+  SELECT * FROM ({_cc_sql(where)}) c
 ),
 j AS (
   SELECT comp.component_id, d.doc_id, d.n_chars
@@ -1884,6 +1888,9 @@ SELECT CAST(component_id AS BIGINT) AS component_id,
 FROM r
 WHERE rn = 1 AND n_members >= 2
 """
+
+
+_KEEP_BEST_SQL = _keep_best_sql()
 
 
 def keep_best_from_components(comp: DataFrame, docs: DataFrame) -> DataFrame:
@@ -2003,6 +2010,43 @@ def dedup_cluster_removal_incremental(
     ]
     apply_cluster_batch(docs.limit(0), state, 3, remove=removed)
     return cluster_snapshot(spark, state)
+
+
+@register(
+    "dedup_keep_best_removal_incremental",
+    sql=_keep_best_sql("WHERE doc_id % 17 <> 3"),
+)
+def dedup_keep_best_removal_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The keep-best terminal elected over the post-removal maintained
+    labels — same batch sequence as ``dedup_cluster_removal_incremental``
+    (shares its state dir ordering but re-runs the maintainer so each
+    registry entry is self-contained); oracle = the election SQL over
+    the surviving corpus. Certifies that split components re-elect
+    their keepers correctly after retraction."""
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        cluster_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    state = _ivm_state_dir("cluster_ivm_kb_rm")
+    bootstrap_cluster_state(spark, state)
+    for k in range(3):
+        apply_cluster_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
+    removed = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 17 == 3)
+        .select("doc_id")
+        .collect()
+    ]
+    apply_cluster_batch(docs.limit(0), state, 3, remove=removed)
+    survivors = docs.filter(F.col("doc_id") % 17 != 3)
+    return keep_best_from_components(
+        cluster_snapshot(spark, state), survivors
+    )
 
 
 # ---------------------------------------------------------------------------
