@@ -1,0 +1,246 @@
+"""Incremental ANN index queries — the registry surface for
+``streaming/ann_ivm.py`` (incremental IVF maintenance).
+
+Batch protocol shared by all three queries: the coarse quantizer is
+FROZEN on the bootstrap subset (``vec_id % 3 == 0`` — exact-decimal
+per-label component means, the embedding_centroids recipe), then the
+corpus arrives as three add batches (modulo-3 residues) and one pure
+removal batch retracting every ``vec_id % 7 == 3``. The oracles
+re-derive the frozen quantizer, the assignment, and the probe path in
+plain SQL over the base table — so the driver's hash certifies
+incremental maintenance == from-scratch index end to end:
+
+  * ``ann_ivf_assign_incremental`` — the maintained posting table's
+    (vec_id, cell, min_d2): frozen-centroid argmin assignment of the
+    surviving corpus, exactly.
+  * ``ann_ivf_incremental`` — full-probe (nprobe = all cells) top-k
+    cosine search over the maintained index == brute force over the
+    surviving corpus (cell routing cannot change a full probe, so any
+    divergence is a maintenance bug: a lost posting, a leaked
+    tombstone, a wrong re-add).
+  * ``ann_ivf_pruned_incremental`` — the nprobe=2 probe path (cell
+    ranking → partition-pruned scan → top-k), certifying the PRUNED
+    read over the maintained layout, not just the exhaustive one.
+
+Determinism: DECIMAL(20,8) centroid sums, 6-dp-rounded L2/cosine,
+lowest-cell / lowest-vec_id tie-breaks — the similarity module's
+cross-engine discipline throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.queries.dedup import _ivm_state_dir
+from codex_data_products_spark.registry import register
+from codex_data_products_spark.tables import table as T
+
+TRAIN_MOD = 3  # vec_id % 3 == 0 trains + arrives in batch 0
+REMOVE_MOD = 7  # vec_id % 7 == 3 retracted by the removal batch
+REMOVE_RESIDUE = 3
+QUERY_STRIDE = 50
+TOP_K = 5
+N_PROBES = 2
+
+# frozen quantizer + surviving corpus, shared by every oracle
+_FROZEN_CENT = f"""
+cent_long AS (
+  SELECT label AS cell, g.i - 1 AS dim,
+         CAST(round(CAST(embedding[g.i] AS DOUBLE), 8) AS DECIMAL(20,8)) AS c
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+  WHERE vec_id % {TRAIN_MOD} = 0
+),
+cent AS (
+  SELECT cell, dim, CAST(round(sum(c), 8) AS DOUBLE) / count(*) AS cv
+  FROM cent_long GROUP BY cell, dim
+),
+cent_vec AS (
+  SELECT CAST(cell AS BIGINT) AS cell, list(cv ORDER BY dim) AS cvec
+  FROM cent GROUP BY cell
+),
+surv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS nsq
+  FROM embeddings
+  WHERE vec_id % {REMOVE_MOD} <> {REMOVE_RESIDUE}
+)"""
+
+
+def _maintained_state(spark: SparkSession, sf_dir: str) -> str:
+    """Build the maintained index: bootstrap-train, three add batches,
+    one removal batch. Returns the state dir (head version = 3)."""
+    from codex_data_products_spark.streaming.ann_ivm import (
+        apply_ann_batch,
+        bootstrap_ann_state,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    state = _ivm_state_dir("ann_ivm")
+    train = emb.filter(F.col("vec_id") % TRAIN_MOD == 0)
+    bootstrap_ann_state(spark, state, train)
+    for k in range(TRAIN_MOD):
+        apply_ann_batch(
+            spark,
+            state,
+            k,
+            adds=emb.filter(F.col("vec_id") % TRAIN_MOD == k).select(
+                "vec_id", "embedding"
+            ),
+        )
+    apply_ann_batch(
+        spark,
+        state,
+        TRAIN_MOD,
+        removes=emb.filter(
+            F.col("vec_id") % REMOVE_MOD == REMOVE_RESIDUE
+        ).select("vec_id"),
+    )
+    return state
+
+
+def _query_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+    )
+
+
+_ASSIGN_INC_SQL = f"""
+WITH {_FROZEN_CENT},
+dists AS (
+  SELECT surv.vec_id, c.cell,
+         round(list_dot_product(surv.v, surv.v)
+               - 2 * list_dot_product(surv.v, c.cvec)
+               + list_dot_product(c.cvec, c.cvec), 6) AS d2
+  FROM surv CROSS JOIN cent_vec c
+)
+SELECT vec_id, cell, d2 AS min_d2
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY d2, cell
+  ) AS rn FROM dists
+) WHERE rn = 1
+"""
+
+
+@register("ann_ivf_assign_incremental", sql=_ASSIGN_INC_SQL)
+def ann_ivf_assign_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from codex_data_products_spark.streaming.ann_ivm import (
+        ann_postings_snapshot,
+    )
+
+    state = _maintained_state(spark, sf_dir)
+    return ann_postings_snapshot(spark, state).select(
+        "vec_id", "cell", "min_d2"
+    )
+
+
+_SEARCH_INC_SQL = f"""
+WITH {_FROZEN_CENT},
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS nsq
+  FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / sqrt(q.nsq * c.nsq), 6)
+           AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_dot_product(q.v, c.v)
+                          / sqrt(q.nsq * c.nsq), 6) DESC, c.vec_id
+         ) AS rn
+  FROM q JOIN surv c ON q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM scored WHERE rn <= {TOP_K}
+"""
+
+
+@register("ann_ivf_incremental", sql=_SEARCH_INC_SQL)
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codex_data_products_spark.streaming.ann_ivm import search_ann
+
+    state = _maintained_state(spark, sf_dir)
+    return search_ann(
+        spark, state, _query_set(spark, sf_dir), top_k=TOP_K, nprobe=None
+    )
+
+
+_PRUNED_INC_SQL = f"""
+WITH {_FROZEN_CENT},
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS nsq
+  FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+),
+probes AS (
+  SELECT q.query_id, cv.cell,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_dot_product(q.v, cv.cvec)
+                    / sqrt(q.nsq * list_dot_product(cv.cvec, cv.cvec)), 6)
+                    DESC,
+                    cv.cell
+         ) AS cell_rank
+  FROM q CROSS JOIN cent_vec cv
+),
+probed AS (
+  SELECT query_id, cell FROM probes WHERE cell_rank <= {N_PROBES}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT surv.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY surv.vec_id
+             ORDER BY round(list_dot_product(surv.v, surv.v)
+                   - 2 * list_dot_product(surv.v, c.cvec)
+                   + list_dot_product(c.cvec, c.cvec), 6), c.cell
+           ) AS rn
+    FROM surv CROSS JOIN cent_vec c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / sqrt(q.nsq * c.nsq), 6)
+           AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_dot_product(q.v, c.v)
+                          / sqrt(q.nsq * c.nsq), 6) DESC, c.vec_id
+         ) AS rn
+  FROM q
+  JOIN probed p ON p.query_id = q.query_id
+  JOIN assign a ON a.cell = p.cell
+  JOIN surv c ON c.vec_id = a.vec_id AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM scored WHERE rn <= {TOP_K}
+"""
+
+
+@register("ann_ivf_pruned_incremental", sql=_PRUNED_INC_SQL)
+def ann_ivf_pruned_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from codex_data_products_spark.streaming.ann_ivm import search_ann
+
+    state = _maintained_state(spark, sf_dir)
+    return search_ann(
+        spark,
+        state,
+        _query_set(spark, sf_dir),
+        top_k=TOP_K,
+        nprobe=N_PROBES,
+    )

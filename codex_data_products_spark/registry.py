@@ -41,6 +41,7 @@ def load_all() -> None:
     from codex_data_products_spark.queries import (  # noqa: F401
         advanced,
         aggregates,
+        ann,
         dedup,
         events,
         graph,

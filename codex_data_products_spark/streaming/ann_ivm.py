@@ -1,0 +1,308 @@
+"""Incremental IVF index maintenance — the similarity family's IVM.
+
+The batch IVF lifecycle (queries/similarity.py: embedding_centroids →
+knn_ivf_assign → knn_ivf / knn_ivf_multiprobe) retrains and reassigns
+the whole corpus per release. At 100 TB that rebuild is the pattern the
+dedup maintainers already killed one family over: the embedding corpus
+grows by a daily delta, and only the delta needs work. This module
+maintains a written IVF index under the same append-log + tombstone
+discipline as ``dedup_ivm``:
+
+  centroids/v=0        the FROZEN coarse quantizer — exact-decimal
+                       per-cell component means over the bootstrap
+                       corpus (the training set). Maintenance never
+                       retrains: new vectors are assigned to frozen
+                       cells (the standard production IVF contract —
+                       FAISS's ``add`` after ``train``); drift beyond
+                       a quality gate (knn_cluster_quality) means a
+                       rebuild, which is a new state dir.
+  postings/batch=<k>   append-only posting rows (vec_id, cell, v, nsq,
+                       min_d2), PARTITIONED BY cell inside each batch
+                       dir — a probe that touches nprobe cells reads
+                       nprobe directories per batch dir and nothing
+                       else (partition pruning, verified by
+                       test_ann_ivm's inputFiles check).
+  removed/batch=<k>    release-grain vec_id tombstones. Strict rule
+                       shared with every other log here: a tombstone
+                       kills posting rows from STRICTLY EARLIER
+                       batches, so remove→re-add composes as two
+                       batches and a batch is internally consistent.
+  postings/compact=<c> crash-safe consolidation (``_SUCCESS``-gated,
+                       tombstones applied then dropped) — same
+                       protocol as ``compact_pair_log``.
+
+Every maintenance write is O(delta): assignment is a broadcast of the
+|cells|-row frozen quantizer against the delta only; the corpus-scale
+posting log is appended, never rewritten, sorted, or shuffled (plan
+guard in tests/test_plans.py). Search-side scale shape: probed cell
+ids are collected (bounded by |queries| × nprobe, driver-tiny), the
+posting scan prunes to those partitions, and the candidate join
+broadcasts the query set — the classic IVF read amplification of
+nprobe/|cells| instead of a full scan.
+
+Determinism discipline (shared with the similarity oracles so DuckDB
+re-derives identical indexes): centroid components are DECIMAL(20,8)
+sums → exact order-free means; assignment distance is 6-dp-rounded
+squared L2 with a lowest-cell tie-break; search ranks by 6-dp-rounded
+cosine with a vec_id tie-break.
+
+Reference scope note: the reference (hubmapconsortium/codex-data-products)
+has no ANN index — this extends the engine's training-data-pipeline
+surface per the build mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.streaming.dedup_ivm import (
+    _empty,
+    _gc_log_dirs,
+    _log_union,
+)
+
+_CENTROID_SCHEMA = "cell long, dim long, cv double"
+_POSTING_SCHEMA = (
+    "vec_id long, cell long, v array<double>, nsq double, min_d2 double"
+)
+_REMOVED_SCHEMA = "vec_id long"
+
+
+def _as_double_vec(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    return df.withColumn(
+        "v", F.transform(emb_col, lambda x: x.cast("double"))
+    )
+
+
+def bootstrap_ann_state(
+    spark: SparkSession, state_dir: str, train: DataFrame
+) -> None:
+    """Train the frozen coarse quantizer: exact-decimal per-``label``
+    component means over the bootstrap corpus (``train``: vec_id,
+    embedding, label — the same recipe as embedding_centroids so the
+    oracle re-derives the quantizer bit-identically). Writes
+    ``centroids/v=0``; postings start empty — ingest the bootstrap
+    corpus itself as batch 0 through ``apply_ann_batch`` (one code
+    path for every posting row)."""
+    cent = (
+        _as_double_vec(train)
+        .select(
+            F.col("label").cast("long").alias("cell"),
+            F.posexplode("v").alias("dim", "c"),
+        )
+        .select(
+            "cell",
+            F.col("dim").cast("long").alias("dim"),
+            F.round("c", 8).cast("decimal(20,8)").alias("c"),
+        )
+        .groupBy("cell", "dim")
+        .agg(
+            (F.round(F.sum("c"), 8).cast("double") / F.count(F.lit(1))).alias(
+                "cv"
+            )
+        )
+    )
+    cent.write.mode("overwrite").parquet(f"{state_dir}/centroids/v=0")
+
+
+def frozen_centroids(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(cell, cvec array<double>) — the frozen quantizer as ordered
+    arrays; a |cells|-row frame, always broadcast."""
+    return (
+        spark.read.schema(_CENTROID_SCHEMA)
+        .parquet(f"{state_dir}/centroids/v=0")
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s.cv,
+            ).alias("cvec")
+        )
+    )
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def assign_cells(adds: DataFrame, cent_vec: DataFrame) -> DataFrame:
+    """Assign each add to its nearest frozen cell: 6-dp-rounded squared
+    L2, lowest-cell tie-break — one broadcast of the |cells|-row
+    quantizer against the delta, all row-local arithmetic."""
+    d2 = F.round(
+        _dot(F.col("v"), F.col("v"))
+        - 2 * _dot(F.col("v"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec")),
+        6,
+    )
+    return (
+        adds.crossJoin(F.broadcast(cent_vec))
+        .select(
+            "vec_id",
+            "v",
+            F.col("cell"),
+            d2.alias("d2"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
+            F.min("d2").alias("min_d2"),
+            F.first("v").alias("v"),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "v",
+            _dot(F.col("v"), F.col("v")).alias("nsq"),
+            "min_d2",
+        )
+    )
+
+
+def apply_ann_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    adds: DataFrame | None = None,
+    removes: DataFrame | None = None,
+) -> None:
+    """Fold one release batch into the maintained index. ``adds``
+    (vec_id, embedding) are assigned to frozen cells and APPENDED as
+    ``postings/batch=<batch_id>`` (partitioned by cell); ``removes``
+    (vec_id) append release-grain tombstones. Strict rule: the batch's
+    tombstones kill strictly-earlier posting rows, so this batch's own
+    adds survive its removes and remove→re-add is two batches. Replay
+    of a crashed batch overwrites both dirs — idempotent."""
+    if removes is not None:
+        rem = removes.select(F.col("vec_id").cast("long"))
+    else:
+        rem = _empty(spark, _REMOVED_SCHEMA)
+    rem.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/removed/batch={batch_id}"
+    )
+    cent_vec = frozen_centroids(spark, state_dir)
+    if adds is not None:
+        rows = assign_cells(_as_double_vec(adds), cent_vec)
+    else:
+        rows = _empty(spark, _POSTING_SCHEMA)
+    (
+        rows.select("vec_id", "cell", "v", "nsq", "min_d2")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{state_dir}/postings/batch={batch_id}")
+    )
+
+
+def ann_postings_snapshot(
+    spark: SparkSession,
+    state_dir: str,
+    version: int | None = None,
+    cells: list[int] | None = None,
+) -> DataFrame:
+    """The maintained posting table at ``version`` (None = head):
+    append-log union minus tombstones (strictly-older kill rule; the
+    release-grain tombstone aggregate broadcasts, the posting log is
+    never shuffled). ``cells`` prunes the scan to those partition
+    directories — the probe path."""
+    post = _log_union(spark, f"{state_dir}/postings", _POSTING_SCHEMA, version)
+    if cells is not None:
+        post = post.filter(F.col("cell").isin([int(c) for c in cells]))
+    rem = _log_union(spark, f"{state_dir}/removed", _REMOVED_SCHEMA, version)
+    rmax = rem.groupBy("vec_id").agg(F.max("log_batch").alias("rb"))
+    return (
+        post.join(F.broadcast(rmax), "vec_id", "left")
+        .filter(F.col("rb").isNull() | (F.col("rb") <= F.col("log_batch")))
+        .drop("rb", "log_batch")
+    )
+
+
+def search_ann(
+    spark: SparkSession,
+    state_dir: str,
+    queries: DataFrame,
+    top_k: int = 5,
+    nprobe: int | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Top-k cosine search over the maintained index. ``queries`` is
+    (query_id, qv array<double>). ``nprobe=None`` scans every cell
+    (recall 1.0 — the brute-force-equivalent path the oracle certifies
+    exactly); ``nprobe=n`` ranks frozen cells per query by cosine and
+    scans the top n. Probed cell ids are collected (≤ |queries| ×
+    nprobe rows — driver-tiny by the same bound that makes the query
+    set broadcastable) so the posting scan PRUNES to those partition
+    directories before the broadcast candidate join."""
+    q = queries.withColumn("qnsq", _dot(F.col("qv"), F.col("qv")))
+    if nprobe is None:
+        probed_cells = None
+        cand_q = q.select("query_id", "qv", "qnsq")
+        post = ann_postings_snapshot(spark, state_dir, version)
+        cand = post.join(
+            F.broadcast(cand_q), F.col("vec_id") != F.col("query_id")
+        )
+    else:
+        cent_vec = frozen_centroids(spark, state_dir)
+        cell_cos = F.round(
+            _dot(F.col("qv"), F.col("cvec"))
+            / F.sqrt(F.col("qnsq") * _dot(F.col("cvec"), F.col("cvec"))),
+            6,
+        )
+        w_cells = Window.partitionBy("query_id").orderBy(
+            cell_cos.desc(), F.col("cell")
+        )
+        probes = (
+            q.crossJoin(F.broadcast(cent_vec))
+            .withColumn("cell_rank", F.row_number().over(w_cells))
+            .filter(F.col("cell_rank") <= nprobe)
+            .select("query_id", "qv", "qnsq", "cell")
+        )
+        probed_cells = sorted(
+            {r["cell"] for r in probes.select("cell").distinct().collect()}
+        )
+        post = ann_postings_snapshot(
+            spark, state_dir, version, cells=probed_cells
+        )
+        cand = post.join(F.broadcast(probes), "cell").filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / F.sqrt(F.col("qnsq") * F.col("nsq")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= top_k)
+    )
+
+
+def compact_ann_postings(
+    spark: SparkSession, state_dir: str, upto: int, gc: bool = True
+) -> None:
+    """Collapse the posting log through batch ``upto`` into one
+    ``compact=<upto>`` dir (tombstone-filtered, partitioned by cell,
+    ``_SUCCESS``-gated — identical crash-safety contract to
+    ``compact_pair_log``: a torn attempt is invisible, superseded
+    batch dirs are garbage)."""
+    snap = ann_postings_snapshot(spark, state_dir, upto).localCheckpoint()
+    (
+        snap.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{state_dir}/postings/compact={upto}")
+    )
+    if gc:
+        _gc_log_dirs(
+            spark, (f"{state_dir}/postings", f"{state_dir}/removed"), upto
+        )

@@ -1,0 +1,255 @@
+"""Incremental IVF index maintenance (streaming/ann_ivm.py).
+
+Property contract mirrored from the dedup maintainers: incremental ==
+from-scratch over the surviving corpus at every step, remove→re-add
+composes as two batches, crash replay is idempotent, compaction
+preserves snapshots, and the probe path's posting scan PRUNES to the
+probed cell partitions (the 100 TB read-amplification claim, checked
+against the files actually read)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codex_data_products_spark.streaming.ann_ivm import (
+    ann_postings_snapshot,
+    apply_ann_batch,
+    bootstrap_ann_state,
+    compact_ann_postings,
+    frozen_centroids,
+    search_ann,
+)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _rows(df, cols=("vec_id", "cell", "min_d2")):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _build(spark, sf_dir, state, n_batches=3):
+    emb = _emb(spark, sf_dir)
+    bootstrap_ann_state(
+        spark, state, emb.filter(F.col("vec_id") % 3 == 0)
+    )
+    for k in range(n_batches):
+        apply_ann_batch(
+            spark,
+            state,
+            k,
+            adds=emb.filter(F.col("vec_id") % 3 == k).select(
+                "vec_id", "embedding"
+            ),
+        )
+    return emb
+
+
+def _fresh_twin(spark, sf_dir, tmp_path, corpus):
+    """A from-scratch index over ``corpus`` with the SAME frozen
+    quantizer (trained on the full bootstrap subset) — what the
+    maintained index must equal."""
+    emb = _emb(spark, sf_dir)
+    twin = str(tmp_path / "twin")
+    bootstrap_ann_state(spark, twin, emb.filter(F.col("vec_id") % 3 == 0))
+    apply_ann_batch(
+        spark, twin, 0, adds=corpus.select("vec_id", "embedding")
+    )
+    return twin
+
+
+def test_incremental_matches_from_scratch_after_removal(
+    spark, sf_dir, tmp_path
+):
+    state = str(tmp_path / "ann")
+    emb = _build(spark, sf_dir, state)
+    apply_ann_batch(
+        spark,
+        state,
+        3,
+        removes=emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    surv = emb.filter(F.col("vec_id") % 7 != 3)
+    twin = _fresh_twin(spark, sf_dir, tmp_path, surv)
+    assert _rows(ann_postings_snapshot(spark, state)) == _rows(
+        ann_postings_snapshot(spark, twin)
+    )
+
+
+def test_remove_then_readd_and_time_travel(spark, sf_dir, tmp_path):
+    state = str(tmp_path / "ann_readd")
+    emb = _build(spark, sf_dir, state)
+    victim = emb.filter(F.col("vec_id") % 7 == 3)
+    apply_ann_batch(spark, state, 3, removes=victim.select("vec_id"))
+    apply_ann_batch(
+        spark, state, 4, adds=victim.select("vec_id", "embedding")
+    )
+    # head: everything is back — equals a never-removed from-scratch twin
+    twin = _fresh_twin(spark, sf_dir, tmp_path, emb)
+    assert _rows(ann_postings_snapshot(spark, state)) == _rows(
+        ann_postings_snapshot(spark, twin)
+    )
+    # time travel to version 3 still sees the removal era exactly
+    v3 = ann_postings_snapshot(spark, state, version=3)
+    assert v3.filter(F.col("vec_id") % 7 == 3).count() == 0
+    n_surv = emb.filter(F.col("vec_id") % 7 != 3).count()
+    assert v3.count() == n_surv
+
+
+def test_crash_replay_is_idempotent(spark, sf_dir, tmp_path):
+    state = str(tmp_path / "ann_replay")
+    emb = _build(spark, sf_dir, state)
+    before = _rows(ann_postings_snapshot(spark, state))
+    # replay batch 2 (crashed-and-restarted writer): overwrite, not append
+    apply_ann_batch(
+        spark,
+        state,
+        2,
+        adds=emb.filter(F.col("vec_id") % 3 == 2).select(
+            "vec_id", "embedding"
+        ),
+    )
+    assert _rows(ann_postings_snapshot(spark, state)) == before
+
+
+def test_compaction_preserves_snapshot_and_gcs_batches(
+    spark, sf_dir, tmp_path
+):
+    import os
+
+    state = str(tmp_path / "ann_compact")
+    emb = _build(spark, sf_dir, state)
+    apply_ann_batch(
+        spark,
+        state,
+        3,
+        removes=emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    before = _rows(ann_postings_snapshot(spark, state))
+    compact_ann_postings(spark, state, upto=3)
+    assert _rows(ann_postings_snapshot(spark, state)) == before
+    names = set(os.listdir(f"{state}/postings"))
+    assert "compact=3" in names
+    assert not any(n.startswith("batch=") for n in names)
+    # a post-compaction batch layers on the compacted floor
+    apply_ann_batch(
+        spark,
+        state,
+        4,
+        adds=emb.filter(F.col("vec_id") % 7 == 3).select(
+            "vec_id", "embedding"
+        ),
+    )
+    twin = _fresh_twin(spark, sf_dir, tmp_path, emb)
+    assert _rows(ann_postings_snapshot(spark, state)) == _rows(
+        ann_postings_snapshot(spark, twin)
+    )
+
+
+def test_probe_scan_prunes_to_probed_cells(spark, sf_dir, tmp_path):
+    state = str(tmp_path / "ann_prune")
+    _build(spark, sf_dir, state)
+    queries = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % 50 == 0)
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "qv"
+            ),
+        )
+    )
+    res = search_ann(spark, state, queries, top_k=5, nprobe=1)
+    assert res.count() > 0
+    n_cells = frozen_centroids(spark, state).count()
+    assert n_cells > 1
+    # the pruned snapshot's posting scans carry the cell partition
+    # filter — directory-level pruning, not a post-scan filter
+    import contextlib
+    import io
+
+    pruned = ann_postings_snapshot(spark, state, cells=[0])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    post_filters = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "cell" in line
+    ]
+    assert post_filters, "postings scan has a cell partition filter"
+    assert all("= 0" in line for line in post_filters)
+
+
+def test_pruned_search_recall_gate(spark, sf_dir, tmp_path):
+    """nprobe=2 over the maintained index recovers a usable fraction of
+    the exhaustive top-k — the ANN quality gate on the IVM path."""
+    state = str(tmp_path / "ann_recall")
+    _build(spark, sf_dir, state)
+    queries = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "qv"
+            ),
+        )
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in search_ann(
+            spark, state, queries, top_k=5, nprobe=None
+        ).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in search_ann(
+            spark, state, queries, top_k=5, nprobe=2
+        ).collect()
+    }
+    assert approx, "pruned search returns neighbors"
+    recall = len(truth & approx) / len(truth)
+    # near-orthogonal synthetic vectors: multiprobe recall ~0.4 (see
+    # knn_recall_multiprobe) — gate well below to stay SF-stable, the
+    # exact-value oracle pins the actual numbers
+    assert recall >= 0.2
+
+
+def test_state_writes_are_delta_sized(spark, sf_dir, tmp_path):
+    """Posting-log appends are O(delta): a batch's write lands only in
+    its own batch dir; earlier dirs' bytes never change."""
+    import os
+
+    def _dir_bytes(p):
+        total = 0
+        for root, _, fnames in os.walk(p):
+            total += sum(
+                os.path.getsize(os.path.join(root, f)) for f in fnames
+            )
+        return total
+
+    state = str(tmp_path / "ann_delta")
+    emb = _emb(spark, sf_dir)
+    bootstrap_ann_state(spark, state, emb.filter(F.col("vec_id") % 3 == 0))
+    apply_ann_batch(
+        spark,
+        state,
+        0,
+        adds=emb.filter(F.col("vec_id") % 3 == 0).select(
+            "vec_id", "embedding"
+        ),
+    )
+    b0 = _dir_bytes(f"{state}/postings/batch=0")
+    apply_ann_batch(
+        spark,
+        state,
+        1,
+        adds=emb.filter(F.col("vec_id") % 3 == 1).select(
+            "vec_id", "embedding"
+        ),
+    )
+    assert _dir_bytes(f"{state}/postings/batch=0") == b0

@@ -1976,3 +1976,43 @@ def test_doc_grain_log_snapshots_never_shuffle_the_logs(
         for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", plan):
             assert m.group(1) == "doc_id", plan[m.start() - 200 : m.end()]
         assert snap.count() >= 0
+
+
+def test_ann_postings_snapshot_never_shuffles_the_posting_log(
+    spark, sf_dir, tmp_path
+):
+    """ANN index maintenance (streaming/ann_ivm): the corpus-scale
+    posting log is assembled via ONE broadcast join against the
+    release-grain tombstone aggregate — never sort-merged, and the
+    only hash exchange is inside that vec_id-grain tombstone
+    aggregate. The probe path additionally partition-prunes (covered
+    in test_ann_ivm); this guard pins the no-shuffle snapshot."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.ann_ivm import (
+        ann_postings_snapshot,
+        apply_ann_batch,
+        bootstrap_ann_state,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    state = str(tmp_path / "ann_guard")
+    bootstrap_ann_state(spark, state, emb.filter(F.col("vec_id") % 3 == 0))
+    apply_ann_batch(
+        spark, state, 0, adds=emb.select("vec_id", "embedding")
+    )
+    apply_ann_batch(
+        spark,
+        state,
+        1,
+        removes=emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    snap = ann_postings_snapshot(spark, state)
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", plan):
+        assert m.group(1) == "vec_id", plan[m.start() - 200 : m.end()]
+    assert snap.count() >= 0
