@@ -629,6 +629,27 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / F.sqrt(dot_expr(a, a) * dot_expr(b, b))
 
 
+def _emb_sql(where: str = "") -> str:
+    """The embedding near-dup oracle, optionally restricted to a
+    surviving sub-corpus (the removal-terminal incremental twin)."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS nsq
+  FROM embeddings {where}
+)
+SELECT
+  a.vec_id AS vec_a,
+  b.vec_id AS vec_b,
+  round(list_dot_product(a.v, b.v) / sqrt(a.nsq * b.nsq), 6) AS cosine
+FROM e a
+JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / sqrt(a.nsq * b.nsq), 6)
+      >= {_SYNTHETIC_EMB_THRESHOLD}
+"""
+
+
 _EMB_SQL = f"""
 WITH e AS (
   -- squared norm precomputed ONCE per vector: the pair stage then runs
@@ -685,6 +706,81 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= _SYNTHETIC_EMB_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_incremental / dedup_embedding_removal_incremental —
+# the embedding-cosine family's maintained-view twins
+# (streaming/emb_dedup_ivm.py): the corpus arrives as three modulo
+# batches; the first twin then removes and RE-ADDS a residue class
+# (tombstone + re-ingest, the two-batch replace protocol) and must
+# equal the from-scratch full-corpus view; the second ends after the
+# removal and must equal the view over the surviving corpus only. Both
+# oracles are the SAME SQL as dedup_embedding_cosine (optionally
+# where-restricted), so the driver hash certifies incremental ==
+# from-scratch end to end.
+# ---------------------------------------------------------------------------
+
+
+def _emb_ivm_batches(spark: SparkSession, sf_dir: str, name: str):
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        apply_emb_batch,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    state = _ivm_state_dir(name)
+    for k in range(3):
+        apply_emb_batch(
+            spark,
+            state,
+            k,
+            adds=emb.filter(F.col("vec_id") % 3 == k).select(
+                "vec_id", "embedding", "label"
+            ),
+        )
+    apply_emb_batch(
+        spark,
+        state,
+        3,
+        removes=emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    return emb, state
+
+
+@register("dedup_embedding_incremental", sql=_emb_sql())
+def dedup_embedding_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        apply_emb_batch,
+        emb_pairs_snapshot,
+    )
+
+    emb, state = _emb_ivm_batches(spark, sf_dir, "emb_dedup_ivm")
+    apply_emb_batch(
+        spark,
+        state,
+        4,
+        adds=emb.filter(F.col("vec_id") % 7 == 3).select(
+            "vec_id", "embedding", "label"
+        ),
+    )
+    return emb_pairs_snapshot(spark, state)
+
+
+@register(
+    "dedup_embedding_removal_incremental",
+    sql=_emb_sql("WHERE vec_id % 7 <> 3"),
+)
+def dedup_embedding_removal_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        emb_pairs_snapshot,
+    )
+
+    _, state = _emb_ivm_batches(spark, sf_dir, "emb_dedup_ivm_rm")
+    return emb_pairs_snapshot(spark, state)
 
 
 # ---------------------------------------------------------------------------

@@ -2016,3 +2016,49 @@ def test_ann_postings_snapshot_never_shuffles_the_posting_log(
     for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", plan):
         assert m.group(1) == "vec_id", plan[m.start() - 200 : m.end()]
     assert snap.count() >= 0
+
+
+def test_emb_dedup_persisted_vectors_never_shuffle(spark, sf_dir, tmp_path):
+    """Embedding-cosine maintenance (streaming/emb_dedup_ivm): the
+    delta broadcasts against the persisted vector snapshot on label
+    equality — the corpus-scale side carries no Exchange, same
+    contract as the MinHash/SimHash maintainers."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        _emb_rows,
+        _fresh_emb_pairs,
+        apply_emb_batch,
+        emb_snapshot,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    state = str(tmp_path / "embdd_guard")
+    apply_emb_batch(
+        spark,
+        state,
+        0,
+        adds=emb.filter(F.col("vec_id") % 3 > 0).select(
+            "vec_id", "embedding", "label"
+        ),
+    )
+    delta = _emb_rows(
+        emb.filter(F.col("vec_id") % 3 == 0).select(
+            "vec_id", "embedding", "label"
+        )
+    ).localCheckpoint()
+    corpus = emb_snapshot(spark, state).unionByName(delta)
+    pairs = _fresh_emb_pairs(delta, corpus, 0.38)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # allowed hash exchanges: the pair-normalization distinct
+    # (delta-proportional) and the release-grain tombstone aggregate
+    # (doc_id) — never the persisted vector/pair logs themselves
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", plan):
+        assert m.group(1) in ("doc_a", "doc_id"), (
+            plan[m.start() - 200 : m.end()]
+        )
+    assert pairs.count() >= 0

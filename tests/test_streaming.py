@@ -1924,3 +1924,128 @@ def test_substring_ivm_streaming_drain(spark, sf_dir, tmp_path):
     assert _substr_ivm(spark, state) == _substr_from_scratch(
         spark, docs, tmp_path, "drain"
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine dedup IVM (streaming/emb_dedup_ivm.py)
+# ---------------------------------------------------------------------------
+
+
+def _emb_pairs_sorted(df):
+    return sorted(
+        (r["vec_a"], r["vec_b"], r["cosine"]) for r in df.collect()
+    )
+
+
+def test_emb_dedup_ivm_matches_from_scratch_and_replays(
+    spark, sf_dir, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.dedup import (
+        _SYNTHETIC_EMB_THRESHOLD,
+        dedup_embedding_cosine,
+    )
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        apply_emb_batch,
+        emb_pairs_snapshot,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    state = str(tmp_path / "embdd")
+    for k in range(3):
+        apply_emb_batch(
+            spark,
+            state,
+            k,
+            adds=emb.filter(F.col("vec_id") % 3 == k).select(
+                "vec_id", "embedding", "label"
+            ),
+            threshold=_SYNTHETIC_EMB_THRESHOLD,
+        )
+    want = _emb_pairs_sorted(dedup_embedding_cosine(spark, sf_dir))
+    assert _emb_pairs_sorted(emb_pairs_snapshot(spark, state)) == want
+    # crashed batch 2 replays idempotently
+    apply_emb_batch(
+        spark,
+        state,
+        2,
+        adds=emb.filter(F.col("vec_id") % 3 == 2).select(
+            "vec_id", "embedding", "label"
+        ),
+        threshold=_SYNTHETIC_EMB_THRESHOLD,
+    )
+    assert _emb_pairs_sorted(emb_pairs_snapshot(spark, state)) == want
+
+
+def test_emb_dedup_ivm_removal_time_travel_and_compaction(
+    spark, sf_dir, tmp_path
+):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.dedup import (
+        _SYNTHETIC_EMB_THRESHOLD,
+    )
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        apply_emb_batch,
+        compact_emb_state,
+        emb_pairs_snapshot,
+        emb_snapshot,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    state = str(tmp_path / "embdd_rm")
+    for k in range(3):
+        apply_emb_batch(
+            spark,
+            state,
+            k,
+            adds=emb.filter(F.col("vec_id") % 3 == k).select(
+                "vec_id", "embedding", "label"
+            ),
+            threshold=_SYNTHETIC_EMB_THRESHOLD,
+        )
+    pre_removal = _emb_pairs_sorted(emb_pairs_snapshot(spark, state))
+    apply_emb_batch(
+        spark,
+        state,
+        3,
+        removes=emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    # head: no surviving pair touches a removed vector
+    head = emb_pairs_snapshot(spark, state)
+    assert (
+        head.filter(
+            (F.col("vec_a") % 7 == 3) | (F.col("vec_b") % 7 == 3)
+        ).count()
+        == 0
+    )
+    # time travel to v2 still shows the pre-removal pairs
+    assert (
+        _emb_pairs_sorted(emb_pairs_snapshot(spark, state, version=2))
+        == pre_removal
+    )
+    # compaction at the head preserves the snapshot and GCs batch dirs
+    want = _emb_pairs_sorted(head)
+    compact_emb_state(spark, state, upto=3)
+    assert _emb_pairs_sorted(emb_pairs_snapshot(spark, state)) == want
+    for log in ("embpairs", "emb"):
+        names = set(os.listdir(f"{state}/{log}"))
+        assert f"compact=3" in names
+        assert not any(n.startswith("batch=") for n in names)
+    # a post-compaction batch layers on the floor: re-add the victims
+    apply_emb_batch(
+        spark,
+        state,
+        4,
+        adds=emb.filter(F.col("vec_id") % 7 == 3).select(
+            "vec_id", "embedding", "label"
+        ),
+        threshold=_SYNTHETIC_EMB_THRESHOLD,
+    )
+    assert (
+        _emb_pairs_sorted(emb_pairs_snapshot(spark, state)) == pre_removal
+    )
+    assert emb_snapshot(spark, state).count() == emb.count()
