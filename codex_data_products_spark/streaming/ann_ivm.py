@@ -288,6 +288,30 @@ def search_ann(
     )
 
 
+def run_ann_maintenance(
+    vectors: DataFrame, state_dir: str, checkpoint_dir: str
+) -> None:
+    """availableNow foreachBatch drain of a vector stream (vec_id,
+    embedding) onto the maintained index — the streaming twin of
+    calling ``apply_ann_batch`` per batch (requires a bootstrapped
+    ``centroids/v=0``; standard replay contract: a crashed batch
+    overwrites its own dirs, so replay re-derives identical
+    snapshots)."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        apply_ann_batch(
+            batch.sparkSession, state_dir, batch_id, adds=batch
+        )
+
+    (
+        vectors.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def compact_ann_postings(
     spark: SparkSession, state_dir: str, upto: int, gc: bool = True
 ) -> None:

@@ -164,6 +164,35 @@ def emb_pairs_snapshot(
     )
 
 
+def run_emb_dedup_maintenance(
+    vectors: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.38,
+) -> None:
+    """availableNow foreachBatch drain of a vector stream (vec_id,
+    embedding, label) onto the maintained near-dup pair view — the
+    streaming twin of calling ``apply_emb_batch`` per batch (standard
+    replay contract: a crashed batch overwrites its own dirs)."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        apply_emb_batch(
+            batch.sparkSession,
+            state_dir,
+            batch_id,
+            adds=batch,
+            threshold=threshold,
+        )
+
+    (
+        vectors.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def compact_emb_state(
     spark: SparkSession, state_dir: str, upto: int
 ) -> None:

@@ -2049,3 +2049,62 @@ def test_emb_dedup_ivm_removal_time_travel_and_compaction(
         _emb_pairs_sorted(emb_pairs_snapshot(spark, state)) == pre_removal
     )
     assert emb_snapshot(spark, state).count() == emb.count()
+
+
+def test_ann_ivm_streaming_drain_matches_batch(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.ann_ivm import (
+        ann_postings_snapshot,
+        apply_ann_batch,
+        bootstrap_ann_state,
+        run_ann_maintenance,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    feed = emb.select("vec_id", "embedding")
+    src = str(tmp_path / "ann_feed")
+    feed.write.parquet(src)
+    state = str(tmp_path / "ann_stream")
+    bootstrap_ann_state(spark, state, emb.filter(F.col("vec_id") % 3 == 0))
+    stream = spark.readStream.schema(feed.schema).parquet(src)
+    run_ann_maintenance(stream, state, str(tmp_path / "ann_ckpt"))
+    twin = str(tmp_path / "ann_twin")
+    bootstrap_ann_state(spark, twin, emb.filter(F.col("vec_id") % 3 == 0))
+    apply_ann_batch(spark, twin, 0, adds=feed)
+    got = sorted(
+        (r["vec_id"], r["cell"], r["min_d2"])
+        for r in ann_postings_snapshot(spark, state).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cell"], r["min_d2"])
+        for r in ann_postings_snapshot(spark, twin).collect()
+    )
+    assert got == want and got
+
+
+def test_emb_dedup_streaming_drain_matches_batch(spark, sf_dir, tmp_path):
+    from codex_data_products_spark.queries.dedup import (
+        _SYNTHETIC_EMB_THRESHOLD,
+        dedup_embedding_cosine,
+    )
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        emb_pairs_snapshot,
+        run_emb_dedup_maintenance,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    feed = emb.select("vec_id", "embedding", "label")
+    src = str(tmp_path / "embdd_feed")
+    feed.write.parquet(src)
+    state = str(tmp_path / "embdd_stream")
+    stream = spark.readStream.schema(feed.schema).parquet(src)
+    run_emb_dedup_maintenance(
+        stream,
+        state,
+        str(tmp_path / "embdd_ckpt"),
+        threshold=_SYNTHETIC_EMB_THRESHOLD,
+    )
+    assert _emb_pairs_sorted(
+        emb_pairs_snapshot(spark, state)
+    ) == _emb_pairs_sorted(dedup_embedding_cosine(spark, sf_dir))
