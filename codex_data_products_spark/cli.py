@@ -124,6 +124,12 @@ def _cmd_dedup_compact(args: argparse.Namespace) -> int:
         compact_simhash_pairs,
         expire_dedup_state,
     )
+    from codex_data_products_spark.streaming.ann_ivm import (
+        compact_ann_postings,
+    )
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        compact_emb_state,
+    )
     from codex_data_products_spark.streaming.substring_ivm import (
         compact_substring_coverage,
     )
@@ -133,6 +139,8 @@ def _cmd_dedup_compact(args: argparse.Namespace) -> int:
         "simhash": compact_simhash_pairs,
         "minhash": compact_dedup_pairs,
         "substring": compact_substring_coverage,
+        "embedding": compact_emb_state,
+        "ann": compact_ann_postings,
     }[args.family]
     fn(spark, args.state_dir, args.upto, gc=not args.no_gc)
     removed = expire_dedup_state(args.state_dir, keep_last=args.keep_last)
@@ -328,7 +336,7 @@ def main(argv: list[str] | None = None) -> int:
     pdc.add_argument("--upto", type=int, required=True)
     pdc.add_argument(
         "--family",
-        choices=["simhash", "minhash", "substring"],
+        choices=["simhash", "minhash", "substring", "embedding", "ann"],
         default="simhash",
     )
     pdc.add_argument("--keep-last", type=int, default=2)

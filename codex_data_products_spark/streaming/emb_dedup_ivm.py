@@ -194,7 +194,7 @@ def run_emb_dedup_maintenance(
 
 
 def compact_emb_state(
-    spark: SparkSession, state_dir: str, upto: int
+    spark: SparkSession, state_dir: str, upto: int, gc: bool = True
 ) -> None:
     """Consolidate BOTH logs sharing the tombstone root through
     ``upto`` (pair-log protocol: tombstones applied then dropped,
@@ -215,10 +215,13 @@ def compact_emb_state(
         f"{state_dir}/emb_removed",
         _EMB_PAIR_SCHEMA,
         upto,
-        gc=True,
+        gc=gc,
     )
-    # the pair compactor GC'd emb_removed and embpairs; reclaim emb's
-    # own superseded batch dirs too
-    from codex_data_products_spark.streaming.dedup_ivm import _gc_log_dirs
+    if gc:
+        # the pair compactor GC'd emb_removed and embpairs; reclaim
+        # emb's own superseded batch dirs too
+        from codex_data_products_spark.streaming.dedup_ivm import (
+            _gc_log_dirs,
+        )
 
-    _gc_log_dirs(spark, (f"{state_dir}/emb",), upto)
+        _gc_log_dirs(spark, (f"{state_dir}/emb",), upto)

@@ -178,3 +178,65 @@ def test_cli_dedup_compact_substring_family(spark, tmp_path, capsys):
         tuple(r)
         for r in substring_coverage_snapshot(spark, state).collect()
     } == before
+
+
+def test_cli_dedup_compact_embedding_and_ann_families(
+    spark, tmp_path, capsys
+):
+    from codex_data_products_spark.streaming.ann_ivm import (
+        ann_postings_snapshot,
+        apply_ann_batch,
+        bootstrap_ann_state,
+    )
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        apply_emb_batch,
+        emb_pairs_snapshot,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    estate = str(tmp_path / "emb_state")
+    apply_emb_batch(
+        spark, estate, 0,
+        adds=emb.filter("vec_id % 2 = 0").select(
+            "vec_id", "embedding", "label"
+        ),
+    )
+    apply_emb_batch(
+        spark, estate, 1,
+        adds=emb.filter("vec_id % 2 = 1").select(
+            "vec_id", "embedding", "label"
+        ),
+    )
+    before = {
+        tuple(r) for r in emb_pairs_snapshot(spark, estate).collect()
+    }
+    rc = main(
+        ["dedup-compact", estate, "--upto", "1", "--family", "embedding"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted_upto"] == 1
+    assert {
+        tuple(r) for r in emb_pairs_snapshot(spark, estate).collect()
+    } == before
+
+    astate = str(tmp_path / "ann_state")
+    bootstrap_ann_state(spark, astate, emb.filter("vec_id % 3 = 0"))
+    apply_ann_batch(
+        spark, astate, 0, adds=emb.select("vec_id", "embedding")
+    )
+    apply_ann_batch(
+        spark, astate, 1,
+        removes=emb.filter("vec_id % 7 = 3").select("vec_id"),
+    )
+    abefore = {
+        (r["vec_id"], r["cell"])
+        for r in ann_postings_snapshot(spark, astate).collect()
+    }
+    rc = main(["dedup-compact", astate, "--upto", "1", "--family", "ann"])
+    assert rc == 0
+    assert {
+        (r["vec_id"], r["cell"])
+        for r in ann_postings_snapshot(spark, astate).collect()
+    } == abefore
