@@ -244,3 +244,111 @@ def ann_ivf_pruned_incremental(
         top_k=TOP_K,
         nprobe=N_PROBES,
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_incremental — the compressed-codes half of the maintained
+# index: a PQ codebook trained on the SAME bootstrap subset is frozen
+# (streaming/ann_ivm.bootstrap_pq_state), deltas are encoded against
+# it, removals tombstone — so both halves of a production IVF-PQ
+# index (coarse postings + compressed codes) now maintain
+# incrementally. The oracle replays the full Lloyd training chain on
+# the bootstrap subset, then encodes the surviving corpus — codebook
+# freezing, encoding, and log maintenance are all inside the driver's
+# hash.
+# ---------------------------------------------------------------------------
+
+
+def _pq_inc_sql() -> str:
+    from codex_data_products_spark.queries.similarity import (
+        N_SUB,
+        SUB_DIM,
+        _pq_cb_sql,
+    )
+
+    return f"""
+WITH {_pq_cb_sql(f"WHERE vec_id % {TRAIN_MOD} = 0")},
+enc_e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % {REMOVE_MOD} <> {REMOVE_RESIDUE}
+),
+enc_sube AS (
+  SELECT vec_id, g.s AS s,
+         v[g.s * {SUB_DIM} + 1 : g.s * {SUB_DIM} + {SUB_DIM}] AS sv
+  FROM enc_e, (SELECT unnest(generate_series(0, {N_SUB - 1})) AS s) g
+),
+enc_d AS (
+  SELECT e.vec_id, e.s, c.code,
+         round(list_dot_product(e.sv, e.sv)
+               - 2 * list_dot_product(e.sv, c.cvec)
+               + list_dot_product(c.cvec, c.cvec), 6) AS d
+  FROM enc_sube e JOIN pq_cb c ON c.s = e.s
+),
+enc_codes AS (
+  SELECT vec_id, s, code, d AS min_d FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY d, code
+    ) AS rnk FROM enc_d
+  ) WHERE rnk = 1
+)
+SELECT vec_id,
+       array_to_string(list(code ORDER BY s), '|') AS codes,
+       round(CAST(sum(CAST(min_d AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS quant_err
+FROM enc_codes
+GROUP BY vec_id
+"""
+
+
+def _register_pq_incremental() -> None:
+    @register("ann_pq_incremental", sql=_pq_inc_sql())
+    def ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from codex_data_products_spark.queries.similarity import (
+            _pq_codebook,
+        )
+        from codex_data_products_spark.streaming.ann_ivm import (
+            apply_pq_batch,
+            bootstrap_pq_state,
+            pq_codes_snapshot,
+        )
+
+        emb = T(spark, sf_dir, "embeddings")
+        state = _ivm_state_dir("ann_pq_ivm")
+        cb = _pq_codebook(
+            spark, sf_dir, train_where=f"vec_id % {TRAIN_MOD} = 0"
+        )
+        bootstrap_pq_state(spark, state, cb)
+        for k in range(TRAIN_MOD):
+            apply_pq_batch(
+                spark,
+                state,
+                k,
+                adds=emb.filter(F.col("vec_id") % TRAIN_MOD == k).select(
+                    "vec_id", "embedding"
+                ),
+            )
+        apply_pq_batch(
+            spark,
+            state,
+            TRAIN_MOD,
+            removes=emb.filter(
+                F.col("vec_id") % REMOVE_MOD == REMOVE_RESIDUE
+            ).select("vec_id"),
+        )
+        codes = pq_codes_snapshot(spark, state)
+        return codes.groupBy("vec_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda p: p.code.cast("string"),
+                ),
+                "|",
+            ).alias("codes"),
+            F.round(
+                F.sum(F.col("min_d").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("quant_err"),
+        )
+
+
+_register_pq_incremental()

@@ -1048,7 +1048,9 @@ def _pq_subvectors(emb: DataFrame) -> DataFrame:
 _PQ_CB_CACHE: dict = {}
 
 
-def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_codebook(
+    spark: SparkSession, sf_dir: str, train_where: str | None = None
+) -> DataFrame:
     """Trained PQ codebook (s, code, cvec): per-subspace Lloyd's k-means.
 
     Deterministic end to end: seeds are the PQ_K lowest vec_ids
@@ -1063,13 +1065,17 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is localCheckpoint-ed (128 rows) and memoized per session,
     mirroring how a real pipeline trains once and reuses the artifact.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, train_where)
     if key in _PQ_CB_CACHE:
         return _PQ_CB_CACHE[key]
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    if train_where:
+        # frozen-codebook maintenance (queries/ann.py): train on the
+        # bootstrap subset only, encode everything against it
+        emb = emb.filter(train_where)
     sube = _pq_subvectors(spread(emb, "vec_id")).localCheckpoint()
     seeds = (
         emb.select("vec_id")
@@ -1130,11 +1136,13 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cb
 
 
-def _pq_cb_sql() -> str:
-    """DuckDB CTE chain replaying the trainer; ends at pq_cb(s, code, cvec)."""
+def _pq_cb_sql(train_where: str = "") -> str:
+    """DuckDB CTE chain replaying the trainer; ends at pq_cb(s, code,
+    cvec). ``train_where`` restricts the TRAINING corpus (frozen-
+    codebook maintenance) — e.g. ``"WHERE vec_id % 3 = 0"``."""
     parts = [
         f"""pq_e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings {train_where}
 ),
 pq_sube AS (
   SELECT vec_id, g.s AS s,
@@ -1144,7 +1152,7 @@ pq_sube AS (
 pq_seeds AS (
   SELECT vec_id,
          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+  FROM (SELECT vec_id FROM pq_e ORDER BY vec_id LIMIT {PQ_K})
 ),
 pq_cb0 AS (
   SELECT e.s, sd.code, e.sv AS cvec

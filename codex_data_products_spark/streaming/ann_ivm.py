@@ -288,6 +288,134 @@ def search_ann(
     )
 
 
+_PQ_CB_SCHEMA = "s long, code long, dim long, m double"
+_PQ_CODE_SCHEMA = "vec_id long, s long, code long, min_d double"
+
+
+def bootstrap_pq_state(
+    spark: SparkSession, state_dir: str, codebook: DataFrame
+) -> None:
+    """Freeze a trained PQ codebook (s, code, cvec array<double>) as
+    ``pqcb/v=0`` — the compressed-codes sibling of the frozen coarse
+    quantizer. Maintenance encodes deltas against it and never
+    retrains (FAISS's train-once/add-forever contract); codebook drift
+    is a rebuild."""
+    (
+        codebook.select(
+            F.col("s").cast("long"),
+            F.col("code").cast("long"),
+            F.posexplode("cvec").alias("dim", "m"),
+        )
+        .select("s", "code", F.col("dim").cast("long").alias("dim"), "m")
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/pqcb/v=0")
+    )
+
+
+def frozen_pq_codebook(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(s, code, cvec) — the frozen codebook as ordered arrays;
+    PQ_K × N_SUB rows, always broadcast."""
+    return (
+        spark.read.schema(_PQ_CB_SCHEMA)
+        .parquet(f"{state_dir}/pqcb/v=0")
+        .groupBy("s", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda p: p.m,
+            ).alias("cvec")
+        )
+    )
+
+
+def encode_pq(adds: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, s, code, min_d): nearest frozen codeword per subvector
+    — one broadcast of the PQ_K × N_SUB codebook against the delta's
+    exploded subvectors (6-dp-rounded d², lowest-code tie-break, the
+    trainer's own assignment discipline)."""
+    shape = codebook.select(
+        F.max("s").alias("smax"), F.max(F.size("cvec")).alias("sub_dim")
+    ).first()
+    n_sub, sub_dim = int(shape["smax"]) + 1, int(shape["sub_dim"])
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    sube = adds.select(
+        F.col("vec_id").cast("long").alias("vec_id"), v.alias("v")
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda s: F.slice(
+                    F.col("v"), s * sub_dim + 1, F.lit(sub_dim)
+                ),
+            )
+        ).alias("s", "sv"),
+    )
+    d = F.round(
+        _dot(F.col("sv"), F.col("sv"))
+        - 2 * _dot(F.col("sv"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec")),
+        6,
+    )
+    return (
+        sube.join(F.broadcast(codebook), "s")
+        .select("vec_id", "s", "code", d.alias("d"))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min_by("code", F.struct("d", "code")).alias("code"),
+            F.min("d").alias("min_d"),
+        )
+    )
+
+
+def apply_pq_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    adds: DataFrame | None = None,
+    removes: DataFrame | None = None,
+) -> None:
+    """Fold one release batch into the maintained PQ code table —
+    same log/tombstone/replay contract as ``apply_ann_batch`` (the
+    two maintainers share a state dir in the full-index layout: one
+    tombstone write serves postings AND codes when the caller passes
+    the same removes to both)."""
+    if removes is not None:
+        rem = removes.select(F.col("vec_id").cast("long"))
+    else:
+        rem = _empty(spark, _REMOVED_SCHEMA)
+    rem.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/pq_removed/batch={batch_id}"
+    )
+    if adds is not None:
+        rows = encode_pq(adds, frozen_pq_codebook(spark, state_dir))
+    else:
+        rows = _empty(spark, _PQ_CODE_SCHEMA)
+    rows.select("vec_id", "s", "code", "min_d").write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/pqcodes/batch={batch_id}")
+
+
+def pq_codes_snapshot(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
+    """The maintained code table at ``version`` — append-log union
+    minus tombstones (strictly-older rule, broadcast tombstone
+    aggregate, code log never shuffled)."""
+    codes = _log_union(
+        spark, f"{state_dir}/pqcodes", _PQ_CODE_SCHEMA, version
+    )
+    rem = _log_union(
+        spark, f"{state_dir}/pq_removed", _REMOVED_SCHEMA, version
+    )
+    rmax = rem.groupBy("vec_id").agg(F.max("log_batch").alias("rb"))
+    return (
+        codes.join(F.broadcast(rmax), "vec_id", "left")
+        .filter(F.col("rb").isNull() | (F.col("rb") <= F.col("log_batch")))
+        .drop("rb", "log_batch")
+    )
+
+
 def run_ann_maintenance(
     vectors: DataFrame, state_dir: str, checkpoint_dir: str
 ) -> None:

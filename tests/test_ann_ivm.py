@@ -253,3 +253,48 @@ def test_state_writes_are_delta_sized(spark, sf_dir, tmp_path):
         ),
     )
     assert _dir_bytes(f"{state}/postings/batch=0") == b0
+
+
+def test_pq_codes_incremental_matches_from_scratch(spark, sf_dir, tmp_path):
+    """Maintained PQ codes == one-shot encode of the surviving corpus
+    against the same frozen codebook (remove → re-add exercised)."""
+    from codex_data_products_spark.queries.similarity import _pq_codebook
+    from codex_data_products_spark.streaming.ann_ivm import (
+        apply_pq_batch,
+        bootstrap_pq_state,
+        pq_codes_snapshot,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir, train_where="vec_id % 3 = 0")
+    state = str(tmp_path / "pq")
+    bootstrap_pq_state(spark, state, cb)
+    for k in range(3):
+        apply_pq_batch(
+            spark,
+            state,
+            k,
+            adds=emb.filter(F.col("vec_id") % 3 == k).select(
+                "vec_id", "embedding"
+            ),
+        )
+    victims = emb.filter(F.col("vec_id") % 7 == 3)
+    apply_pq_batch(spark, state, 3, removes=victims.select("vec_id"))
+    apply_pq_batch(
+        spark, state, 4, adds=victims.select("vec_id", "embedding")
+    )
+    twin = str(tmp_path / "pq_twin")
+    bootstrap_pq_state(spark, twin, cb)
+    apply_pq_batch(spark, twin, 0, adds=emb.select("vec_id", "embedding"))
+
+    def rows(state_dir):
+        return sorted(
+            (r["vec_id"], r["s"], r["code"], r["min_d"])
+            for r in pq_codes_snapshot(spark, state_dir).collect()
+        )
+
+    got, want = rows(state), rows(twin)
+    assert got == want and got
+    # time travel: version 3 sees the removal era
+    v3 = pq_codes_snapshot(spark, state, version=3)
+    assert v3.filter(F.col("vec_id") % 7 == 3).count() == 0
