@@ -352,3 +352,149 @@ def _register_pq_incremental() -> None:
 
 
 _register_pq_incremental()
+
+
+# ---------------------------------------------------------------------------
+# ann_adc_incremental — asymmetric-distance top-k over the MAINTAINED
+# code table: the compressed read path of the maintained index. The
+# corpus is touched only through its maintained PQ codes (N_SUB
+# smallints per vector); each query's distance table folds against
+# the frozen codebook. Oracle: training chain on the bootstrap
+# subset, encode over survivors, ADC re-derived in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _adc_inc_sql() -> str:
+    from codex_data_products_spark.queries.similarity import (
+        N_SUB,
+        SUB_DIM,
+        _pq_cb_sql,
+    )
+
+    # reuse the incremental encode chain, then the ADC read on top
+    base = _pq_inc_sql()
+    # strip the final SELECT (we only want the CTEs through enc_codes)
+    ctes = base[: base.rindex("SELECT vec_id,")]
+    return f"""{ctes}
+, q_sube AS (
+  SELECT vec_id AS query_id, g.s AS s,
+         v[g.s * {SUB_DIM} + 1 : g.s * {SUB_DIM} + {SUB_DIM}] AS sv
+  FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE vec_id % {QUERY_STRIDE} = 0
+  ), (SELECT unnest(generate_series(0, {N_SUB - 1})) AS s) g
+),
+qtab AS (
+  SELECT q.query_id, c.s, c.code,
+         round(list_dot_product(q.sv, q.sv)
+               - 2 * list_dot_product(q.sv, c.cvec)
+               + list_dot_product(c.cvec, c.cvec), 6) AS d
+  FROM q_sube q JOIN pq_cb c ON c.s = q.s
+),
+adc AS (
+  SELECT t.query_id, k.vec_id,
+         round(CAST(sum(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS est_d2
+  FROM enc_codes k
+  JOIN qtab t ON t.s = k.s AND t.code = k.code
+  WHERE k.vec_id <> t.query_id
+  GROUP BY t.query_id, k.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, est_d2, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY est_d2, vec_id
+  ) AS rn FROM adc
+) WHERE rn <= {TOP_K}
+"""
+
+
+def _register_adc_incremental() -> None:
+    from pyspark.sql import Window
+
+    @register("ann_adc_incremental", sql=_adc_inc_sql())
+    def ann_adc_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from codex_data_products_spark.queries.similarity import (
+            _pq_codebook,
+            _pq_subvectors,
+            _sub_d2_pre,
+        )
+        from codex_data_products_spark.streaming.ann_ivm import (
+            apply_pq_batch,
+            bootstrap_pq_state,
+            pq_codes_snapshot,
+        )
+
+        emb = T(spark, sf_dir, "embeddings")
+        state = _ivm_state_dir("ann_adc_ivm")
+        cb = _pq_codebook(
+            spark, sf_dir, train_where=f"vec_id % {TRAIN_MOD} = 0"
+        )
+        bootstrap_pq_state(spark, state, cb)
+        for k in range(TRAIN_MOD):
+            apply_pq_batch(
+                spark,
+                state,
+                k,
+                adds=emb.filter(F.col("vec_id") % TRAIN_MOD == k).select(
+                    "vec_id", "embedding"
+                ),
+            )
+        apply_pq_batch(
+            spark,
+            state,
+            TRAIN_MOD,
+            removes=emb.filter(
+                F.col("vec_id") % REMOVE_MOD == REMOVE_RESIDUE
+            ).select("vec_id"),
+        )
+        codes = pq_codes_snapshot(spark, state).select(
+            "vec_id", "s", "code"
+        )
+        qtab = (
+            _pq_subvectors(
+                emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+                    "vec_id",
+                    F.transform(
+                        "embedding", lambda x: x.cast("double")
+                    ).alias("v"),
+                )
+            )
+            .select(F.col("vec_id").alias("query_id"), "s", "sv")
+            .join(F.broadcast(cb), "s")
+            .select(
+                "query_id",
+                "s",
+                "code",
+                _sub_d2_pre(F.col("sv"), F.col("cvec")).alias("d"),
+            )
+        )
+        adc = (
+            codes.join(F.broadcast(qtab), ["s", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(
+                F.round(
+                    F.sum(F.col("d").cast("decimal(18,6)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("est_d2")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy("est_d2", "vec_id")
+        return (
+            adc.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= TOP_K)
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                "est_d2",
+                "rn",
+            )
+        )
+
+
+_register_adc_incremental()
