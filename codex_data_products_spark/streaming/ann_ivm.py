@@ -255,11 +255,17 @@ def search_ann(
         w_cells = Window.partitionBy("query_id").orderBy(
             cell_cos.desc(), F.col("cell")
         )
+        # localCheckpoint: the ranked-probe frame (≤ |queries| × nprobe
+        # rows) is consumed twice — the probed-cell collect below and
+        # the candidate join — and without materialization each
+        # reference re-runs the |queries| × |cells| ranking crossJoin
+        # (4 copies in the executed plan before this)
         probes = (
             q.crossJoin(F.broadcast(cent_vec))
             .withColumn("cell_rank", F.row_number().over(w_cells))
             .filter(F.col("cell_rank") <= nprobe)
             .select("query_id", "qv", "qnsq", "cell")
+            .localCheckpoint()
         )
         probed_cells = sorted(
             {r["cell"] for r in probes.select("cell").distinct().collect()}
