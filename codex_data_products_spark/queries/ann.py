@@ -498,3 +498,217 @@ def _register_adc_incremental() -> None:
 
 
 _register_adc_incremental()
+
+
+# ---------------------------------------------------------------------------
+# ann_ivfpq_incremental — the deployed 100 TB architecture on FULLY
+# MAINTAINED state: coarse cells prune candidates from the maintained
+# posting log (L2 probe ranking against the frozen quantizer,
+# partition-pruned scan), candidates are scored ONLY through the
+# maintained PQ code log (asymmetric distance vs the frozen
+# codebook). One batch protocol feeds both halves; the query path
+# touches nothing wider than (cell id, N_SUB codes) per corpus
+# vector. The oracle re-derives frozen training (both quantizers),
+# survivor assignment + encode, probe ranking, and ADC in one SQL
+# chain.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_inc_sql() -> str:
+    from codex_data_products_spark.queries.similarity import (
+        N_SUB,
+        SUB_DIM,
+        _pq_cb_sql,
+    )
+
+    base = _pq_inc_sql()
+    ctes = base[: base.rindex("SELECT vec_id,")]
+    return f"""{ctes}
+, {_FROZEN_CENT.lstrip().lstrip(',')},
+qf AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.v, q.v)
+                   - 2 * list_dot_product(q.v, c.cvec)
+                   + list_dot_product(c.cvec, c.cvec), 6), c.cell
+           ) AS rn
+    FROM qf q CROSS JOIN cent_vec c
+  ) WHERE rn <= {N_PROBES}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT surv.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY surv.vec_id
+             ORDER BY round(list_dot_product(surv.v, surv.v)
+                   - 2 * list_dot_product(surv.v, c.cvec)
+                   + list_dot_product(c.cvec, c.cvec), 6), c.cell
+           ) AS rn
+    FROM surv CROSS JOIN cent_vec c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+q_sube AS (
+  SELECT query_id, g.s AS s,
+         v[g.s * {SUB_DIM} + 1 : g.s * {SUB_DIM} + {SUB_DIM}] AS sv
+  FROM qf, (SELECT unnest(generate_series(0, {N_SUB - 1})) AS s) g
+),
+qtab AS (
+  SELECT q.query_id, c.s, c.code,
+         round(list_dot_product(q.sv, q.sv)
+               - 2 * list_dot_product(q.sv, c.cvec)
+               + list_dot_product(c.cvec, c.cvec), 6) AS d
+  FROM q_sube q JOIN pq_cb c ON c.s = q.s
+),
+adc AS (
+  SELECT c.query_id, c.vec_id,
+         round(CAST(sum(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS est_d2
+  FROM cand c
+  JOIN enc_codes k ON k.vec_id = c.vec_id
+  JOIN qtab t
+    ON t.query_id = c.query_id AND t.s = k.s AND t.code = k.code
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, est_d2, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY est_d2, vec_id
+  ) AS rn FROM adc
+) WHERE rn <= {TOP_K}
+"""
+
+
+def _register_ivfpq_incremental() -> None:
+    from pyspark.sql import Window
+
+    @register("ann_ivfpq_incremental", sql=_ivfpq_inc_sql())
+    def ann_ivfpq_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from codex_data_products_spark.queries.similarity import (
+            _pq_codebook,
+            _pq_subvectors,
+            _sub_d2_pre,
+        )
+        from codex_data_products_spark.streaming.ann_ivm import (
+            _dot,
+            ann_postings_snapshot,
+            apply_pq_batch,
+            bootstrap_pq_state,
+            frozen_centroids,
+            pq_codes_snapshot,
+        )
+
+        emb = T(spark, sf_dir, "embeddings")
+        # one batch protocol drives BOTH maintained halves in one
+        # state dir: postings via the shared builder, codes here
+        state = _maintained_state(spark, sf_dir)
+        cb = _pq_codebook(
+            spark, sf_dir, train_where=f"vec_id % {TRAIN_MOD} = 0"
+        )
+        bootstrap_pq_state(spark, state, cb)
+        for k in range(TRAIN_MOD):
+            apply_pq_batch(
+                spark,
+                state,
+                k,
+                adds=emb.filter(F.col("vec_id") % TRAIN_MOD == k).select(
+                    "vec_id", "embedding"
+                ),
+            )
+        apply_pq_batch(
+            spark,
+            state,
+            TRAIN_MOD,
+            removes=emb.filter(
+                F.col("vec_id") % REMOVE_MOD == REMOVE_RESIDUE
+            ).select("vec_id"),
+        )
+
+        q = _query_set(spark, sf_dir)
+        cent_vec = frozen_centroids(spark, state)
+        qd2 = F.round(
+            _dot(F.col("qv"), F.col("qv"))
+            - 2 * _dot(F.col("qv"), F.col("cvec"))
+            + _dot(F.col("cvec"), F.col("cvec")),
+            6,
+        )
+        w_cells = Window.partitionBy("query_id").orderBy(
+            F.col("qd2"), F.col("cell")
+        )
+        probes = (
+            q.crossJoin(F.broadcast(cent_vec))
+            .select("query_id", "qv", "cell", qd2.alias("qd2"))
+            .withColumn("rn", F.row_number().over(w_cells))
+            .filter(F.col("rn") <= N_PROBES)
+            .select("query_id", "cell")
+            .localCheckpoint()
+        )
+        probed_cells = sorted(
+            {r["cell"] for r in probes.select("cell").distinct().collect()}
+        )
+        post = ann_postings_snapshot(
+            spark, state, cells=probed_cells
+        ).select("vec_id", "cell")
+        cand = probes.join(post, "cell").filter(
+            F.col("vec_id") != F.col("query_id")
+        ).select("query_id", "vec_id")
+        qtab = (
+            _pq_subvectors(
+                emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+                    "vec_id",
+                    F.transform(
+                        "embedding", lambda x: x.cast("double")
+                    ).alias("v"),
+                )
+            )
+            .select(F.col("vec_id").alias("query_id"), "s", "sv")
+            .join(F.broadcast(cb), "s")
+            .select(
+                "query_id",
+                "s",
+                "code",
+                _sub_d2_pre(F.col("sv"), F.col("cvec")).alias("d"),
+            )
+        )
+        codes = pq_codes_snapshot(spark, state).select(
+            "vec_id", "s", "code"
+        )
+        adc = (
+            cand.join(codes, "vec_id")
+            .join(F.broadcast(qtab), ["query_id", "s", "code"])
+            .groupBy("query_id", "vec_id")
+            .agg(
+                F.round(
+                    F.sum(F.col("d").cast("decimal(18,6)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("est_d2")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy("est_d2", "vec_id")
+        return (
+            adc.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= TOP_K)
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                "est_d2",
+                "rn",
+            )
+        )
+
+
+_register_ivfpq_incremental()

@@ -54,7 +54,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=".stressdata/sf1.0")
     ap.add_argument("--banding", default="2x16")
+    ap.add_argument("--ann", action="store_true",
+                    help="stress the ANN index maintainer instead "
+                    "(posting + PQ code logs, write ratios per batch)")
     args = ap.parse_args()
+    if args.ann:
+        return run_ann(args)
 
     from pyspark.sql import functions as F
 
@@ -146,6 +151,82 @@ def main() -> None:
     result["n_components_rows"] = len(got)
     result["log_breakdown"] = _log_breakdown(state)
     result["ok"] = bool(result["incremental_equals_from_scratch"])
+    print(json.dumps(result))
+
+
+def run_ann(args) -> None:
+    """ANN IVM write-ratio stress: frozen quantizer + posting/code
+    logs over the stress embeddings; the O(delta) claim measured the
+    same way as the dedup maintainers'."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.session import get_spark
+    from codex_data_products_spark.streaming.ann_ivm import (
+        ann_postings_snapshot,
+        apply_ann_batch,
+        bootstrap_ann_state,
+    )
+
+    spark = get_spark(app_name="ann-ivm-stress")
+    emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+    n_vecs = emb.count()
+    state = os.path.join(tempfile.mkdtemp(prefix="ann_ivm_stress_"), "s")
+    bootstrap_ann_state(spark, state, emb.filter(F.col("vec_id") % 10 != 0))
+
+    result: dict = {"mode": "ann_ivm_state_writes", "n_vecs": n_vecs,
+                    "batches": []}
+
+    def run_batch(label, batch_id, adds=None, removes=None):
+        before = {
+            name: _dir_bytes(os.path.join(state, name))
+            for name in (os.listdir(state) if os.path.isdir(state) else [])
+        }
+        t0 = time.perf_counter()
+        apply_ann_batch(spark, state, batch_id, adds=adds, removes=removes)
+        wall = round(time.perf_counter() - t0, 1)
+        after = {
+            name: _dir_bytes(os.path.join(state, name))
+            for name in os.listdir(state)
+        }
+        written = {
+            name: after.get(name, 0) - before.get(name, 0)
+            for name in sorted(after)
+        }
+        entry = {
+            "label": label,
+            "batch_id": batch_id,
+            "wall_sec": wall,
+            "bytes_written_by_table": written,
+            "bytes_written_total": sum(written.values()),
+            "state_bytes_total": sum(after.values()),
+        }
+        result["batches"].append(entry)
+        print(f"  {label}: {wall}s, wrote "
+              f"{entry['bytes_written_total']:,} of "
+              f"{entry['state_bytes_total']:,} state bytes",
+              file=sys.stderr)
+
+    base = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    delta = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    run_batch("bootstrap_90pct", 0, adds=base)
+    run_batch("add_10pct", 1, adds=delta)
+    removed = delta.limit(50).select("vec_id")
+    run_batch("remove_50_vecs", 2, removes=removed)
+
+    add = result["batches"][1]
+    result["add_write_fraction_of_state"] = round(
+        add["bytes_written_total"] / max(add["state_bytes_total"], 1), 4
+    )
+    removed_ids = {r["vec_id"] for r in removed.collect()}
+    snap = {
+        (r["vec_id"], r["cell"])
+        for r in ann_postings_snapshot(spark, state).collect()
+    }
+    result["n_postings"] = len(snap)
+    result["removed_absent"] = not (removed_ids & {v for v, _ in snap})
+    result["count_matches"] = len(snap) == n_vecs - len(removed_ids)
+    result["log_breakdown"] = _log_breakdown(state)
+    result["ok"] = bool(result["removed_absent"] and result["count_matches"])
     print(json.dumps(result))
 
 
