@@ -19,16 +19,23 @@ gram flips at most once (the corpus is append-only), so across the
 whole history each old doc is repaired O(#flips touching it) times —
 delta-proportional in aggregate.
 
-State layout under ``state_dir`` (same ``v=<k>`` anchoring and
-``batch=<k>`` append-log contracts as every maintainer in this
-package; batch k reads v=k and overwrites v=k+1 plus its own batch
-dirs, so a foreachBatch replay re-derives identical snapshots):
+State layout under ``state_dir`` (every table is an append log with
+the package-standard ``batch=<k>`` / ``compact=<c>`` contracts; batch
+k reads strictly below itself and overwrites only its own dirs, so a
+foreachBatch replay re-derives identical snapshots):
 
   * ``grams/batch=<k>``    — APPEND-ONLY positional gram rows
     (doc_id, n, pos, g) for the batch's docs. O(|delta|) write. The
     corpus-scale table; only ever scanned + broadcast-semi-joined.
-  * ``occ/v=<k>``          — (g, occ) corpus-wide gram occurrence
-    counts (additive fold, ``combine_agg_state`` algebra).
+  * ``occ_delta/batch=<k>``— (g, occ) the batch's OWN gram counts —
+    an append-log of the additive fold's deltas (round 9: the former
+    ``occ/v=<k>`` full-histogram rewrite was the engine's last
+    corpus-proportional per-batch state write). Every read of the
+    fold is against a delta-proportional gram set, so the log streams
+    through a broadcast semi-join and the per-gram history (≤ one row
+    per batch per gram, consolidated by compaction) sums in a
+    delta-proportional aggregate — occurrence counts never
+    materialize corpus-wide except inside the compactor.
   * ``coverage/batch=<k>`` — APPEND-ONLY per-doc coverage rows first
     computed by batch k, with ``coverage_removed/batch=<k>`` doc
     tombstones for the flip repair (strict tombstone rule shared with
@@ -39,7 +46,8 @@ dirs, so a foreachBatch replay re-derives identical snapshots):
 Invariants (tests/test_streaming.py): after any sequence of insert
 batches with fresh doc_ids, ``substring_coverage_snapshot`` equals the
 from-scratch ``dedup_substring`` over the union of all batches, and
-``occ`` equals the from-scratch positional-gram histogram.
+the summed occ-delta log equals the from-scratch positional-gram
+histogram.
 
 Reference parity: the reference recomputes everything per run; this is
 the Spark-native answer to keeping an ExactSubstr-style duplicated-span
@@ -62,7 +70,6 @@ from codex_data_products_spark.streaming.dedup_ivm import (
     _gc_log_dirs,
     _log_union,
 )
-from codex_data_products_spark.streaming.merge import read_table
 
 _GRAMS_SCHEMA = "doc_id long, n int, pos int, g string"
 _OCC_SCHEMA = "g string, occ long"
@@ -73,11 +80,9 @@ _REMOVED_SCHEMA = "doc_id long"
 
 
 def bootstrap_substring_state(spark: SparkSession, state_dir: str) -> None:
-    """Write the v=0 snapshots (empty corpus — an existing corpus is
-    just a big first batch)."""
-    _empty(spark, _OCC_SCHEMA).write.mode("overwrite").parquet(
-        f"{state_dir}/occ/v=0"
-    )
+    """Write the empty-corpus anchors (an existing corpus is just a
+    big first batch; the occ-delta log starts as an absent root —
+    ``_log_union`` reads absence as empty)."""
     _empty(spark, _COVERAGE_SCHEMA).write.mode("overwrite").parquet(
         f"{state_dir}/coverage/batch=0"
     )
@@ -98,8 +103,8 @@ def apply_substring_batch(
     batch_docs: DataFrame, state_dir: str, batch_id: int
 ) -> None:
     """Fold one batch of NEW documents (fresh doc_ids, append-only
-    corpus) into the maintained coverage state: read the anchored
-    v=batch_id snapshots, write v=batch_id+1 and the batch's log dirs.
+    corpus) into the maintained coverage state: read the logs strictly
+    below this batch, write only this batch's own log dirs.
 
     Scale shape (plan-guarded in tests/test_plans.py): the persisted
     gram log and the occ state are only ever scanned and broadcast-
@@ -109,8 +114,10 @@ def apply_substring_batch(
     set.
     """
     spark = batch_docs.sparkSession
-    occ_state = read_table(spark, f"{state_dir}/occ", version=batch_id)
     old_grams = _prior_grams(spark, state_dir, batch_id)
+    prior_occ = _log_union(
+        spark, f"{state_dir}/occ_delta", _OCC_SCHEMA, upto=batch_id - 1
+    ).drop("log_batch")
 
     # -- 1. positional grams of the delta; append to the gram log
     delta = positional_grams(batch_docs).persist()
@@ -118,25 +125,26 @@ def apply_substring_batch(
         f"{state_dir}/grams/batch={batch_id}"
     )
 
-    # -- 2. fold occurrence counts and find grams the delta flipped
-    #       from unique (occ=1) to duplicated (occ>=2). Grams new in
-    #       this batch (occ_old=0) can only mark delta docs, which are
-    #       recomputed anyway; grams already duplicated (occ_old>=2)
-    #       changed nobody's status.
+    # -- 2. the batch's own gram counts, and the grams the delta
+    #       flipped from unique (occ=1) to duplicated (occ>=2). The
+    #       prior count is needed ONLY for the delta's grams — the
+    #       occ-delta log streams through a broadcast semi-join on
+    #       them and the surviving per-gram history sums in a
+    #       delta-proportional aggregate (a gram in the delta with
+    #       prior occ exactly 1 has flipped; occ_old=0 grams can only
+    #       mark delta docs, recomputed anyway; occ_old>=2 changed
+    #       nobody's status).
     delta_occ = delta.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("_docc")
-    )
-    folded = occ_state.join(delta_occ, "g", "full_outer").select(
-        "g",
-        (
-            F.coalesce(F.col("occ"), F.lit(0))
-            + F.coalesce(F.col("_docc"), F.lit(0))
-        ).cast("long").alias("occ_new"),
-        F.coalesce(F.col("occ"), F.lit(0)).alias("occ_old"),
     ).persist()
-    flipped = folded.filter(
-        (F.col("occ_old") == 1) & (F.col("occ_new") >= 2)
-    ).select("g")
+    occ_old_delta = (
+        prior_occ.join(
+            F.broadcast(delta_occ.select("g")), "g", "left_semi"
+        )
+        .groupBy("g")
+        .agg(F.sum("occ").cast("long").alias("occ_old"))
+    )
+    flipped = occ_old_delta.filter(F.col("occ_old") == 1).select("g")
 
     # -- 3. recompute set: the delta itself plus every OLD doc holding
     #       a flipped gram. A flipped gram had exactly one prior
@@ -158,36 +166,55 @@ def apply_substring_batch(
     # -- 4. duplicated positions of the recompute set under the NEW
     #       counts: slice the gram log to the recompute docs (broadcast
     #       semi-join — the log streams), then mark positions whose
-    #       gram is duplicated. The dup test never shuffles the folded
-    #       occ state either: the recompute docs' distinct grams are
-    #       delta-proportional, so they broadcast INTO the occ scan and
-    #       the surviving (g) set broadcasts back onto the slice.
+    #       gram is duplicated. The dup test never shuffles the occ
+    #       log either: the recompute docs' distinct grams are
+    #       delta-proportional, so they broadcast INTO the log scan,
+    #       the surviving history sums per gram, and the delta's own
+    #       counts fold in with a full outer of two delta-proportional
+    #       frames (every delta gram belongs to a delta doc, which is
+    #       in the recompute set — so the union stays inside r_grams).
     all_grams = old_grams.unionByName(delta)
     r_pos = all_grams.join(F.broadcast(recompute), "doc_id", "left_semi")
     r_grams = r_pos.select("g").distinct()
+    occ_old_r = (
+        prior_occ.join(F.broadcast(r_grams), "g", "left_semi")
+        .groupBy("g")
+        .agg(F.sum("occ").cast("long").alias("_o"))
+    )
     dup_r = (
-        folded.filter(F.col("occ_new") >= 2)
-        .join(F.broadcast(r_grams), "g", "left_semi")
+        occ_old_r.join(delta_occ, "g", "full_outer")
+        .select(
+            "g",
+            (
+                F.coalesce(F.col("_o"), F.lit(0))
+                + F.coalesce(F.col("_docc"), F.lit(0))
+            ).alias("occ_new"),
+        )
+        .filter(F.col("occ_new") >= 2)
         .select("g")
     )
     cov_rows = _coverage_per_doc(
         r_pos.join(F.broadcast(dup_r), "g", "left_semi")
     )
 
-    # -- 5. commit: occ fold, the batch's coverage rows, and tombstones
-    #       for the flip-affected OLD docs only (delta docs have no
-    #       prior coverage rows to retract — the accumulated tombstone
-    #       set stays flip-grain, i.e. broadcastable forever).
-    folded.select(
-        "g", F.col("occ_new").alias("occ")
-    ).write.mode("overwrite").parquet(f"{state_dir}/occ/v={batch_id + 1}")
+    # -- 5. commit: the batch's OWN occ deltas (O(delta) — the fold
+    #       reconstitutes on read from delta-proportional slices), the
+    #       batch's coverage rows, and tombstones for the
+    #       flip-affected OLD docs only (delta docs have no prior
+    #       coverage rows to retract — the accumulated tombstone set
+    #       stays flip-grain, i.e. broadcastable forever).
+    delta_occ.select(
+        "g", F.col("_docc").alias("occ")
+    ).write.mode("overwrite").parquet(
+        f"{state_dir}/occ_delta/batch={batch_id}"
+    )
     cov_rows.write.mode("overwrite").parquet(
         f"{state_dir}/coverage/batch={batch_id + 1}"
     )
     affected.write.mode("overwrite").parquet(
         f"{state_dir}/coverage_removed/batch={batch_id + 1}"
     )
-    for frame in (delta, folded, affected, recompute):
+    for frame in (delta, delta_occ, affected, recompute):
         frame.unpersist()
 
 
@@ -244,6 +271,25 @@ def compact_substring_coverage(
         grams.write.mode("overwrite").parquet(
             f"{state_dir}/grams/compact={upto - 1}"
         )
+        # the occ-delta log shares the gram log's keying (batch k
+        # writes occ_delta/batch=<k>) — consolidate its history into
+        # one summed histogram at the same floor. This is the ONE
+        # place the corpus-wide occurrence counts materialize, at
+        # compaction cadence, never per batch.
+        occ = (
+            _log_union(
+                spark,
+                f"{state_dir}/occ_delta",
+                _OCC_SCHEMA,
+                upto=upto - 1,
+            )
+            .groupBy("g")
+            .agg(F.sum("occ").cast("long").alias("occ"))
+            .localCheckpoint()
+        )
+        occ.write.mode("overwrite").parquet(
+            f"{state_dir}/occ_delta/compact={upto - 1}"
+        )
     if gc:
         _gc_log_dirs(
             spark,
@@ -251,7 +297,11 @@ def compact_substring_coverage(
             upto,
         )
         if upto >= 1:
-            _gc_log_dirs(spark, (f"{state_dir}/grams",), upto - 1)
+            _gc_log_dirs(
+                spark,
+                (f"{state_dir}/grams", f"{state_dir}/occ_delta"),
+                upto - 1,
+            )
 
 
 def run_substring_maintenance(

@@ -2108,3 +2108,54 @@ def test_emb_dedup_streaming_drain_matches_batch(spark, sf_dir, tmp_path):
     assert _emb_pairs_sorted(
         emb_pairs_snapshot(spark, state)
     ) == _emb_pairs_sorted(dedup_embedding_cosine(spark, sf_dir))
+
+
+def test_substring_ivm_occ_log_is_delta_sized_and_sums_to_histogram(
+    spark, sf_dir, tmp_path
+):
+    """Round 9: the occ table is an append-log of per-batch deltas —
+    a batch's occ write is its OWN gram counts (earlier dirs never
+    change), and the summed log equals the from-scratch histogram."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.dedup import positional_grams
+    from codex_data_products_spark.streaming.dedup_ivm import _log_union
+    from codex_data_products_spark.streaming.substring_ivm import (
+        apply_substring_batch,
+        bootstrap_substring_state,
+    )
+
+    def _dir_bytes(p):
+        total = 0
+        for root, _, fnames in os.walk(p):
+            total += sum(
+                os.path.getsize(os.path.join(root, f)) for f in fnames
+            )
+        return total
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "substr_occ")
+    bootstrap_substring_state(spark, state)
+    apply_substring_batch(docs.filter("doc_id % 3 = 0"), state, 0)
+    b0 = _dir_bytes(f"{state}/occ_delta/batch=0")
+    apply_substring_batch(docs.filter("doc_id % 3 = 1"), state, 1)
+    # batch 0's occ bytes never change; batch 1 wrote only its delta
+    assert _dir_bytes(f"{state}/occ_delta/batch=0") == b0
+    apply_substring_batch(docs.filter("doc_id % 3 = 2"), state, 2)
+    got = {
+        (r["g"], r["occ"])
+        for r in _log_union(spark, f"{state}/occ_delta", "g string, occ long")
+        .groupBy("g")
+        .agg(F.sum("occ").cast("long").alias("occ"))
+        .collect()
+    }
+    want = {
+        (r["g"], r["occ"])
+        for r in positional_grams(docs)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+        .collect()
+    }
+    assert got == want
