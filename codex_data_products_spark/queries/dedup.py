@@ -2241,6 +2241,43 @@ def _coverage_per_doc(cov: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     )
 
 
+def _sql_positional(where: str = "") -> str:
+    """The positional-gram CTE chain, optionally restricted to a
+    surviving sub-corpus (the removal-terminal incremental twin)."""
+    return f"""
+ptoks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+  WHERE len({_SQL_TOKENS}) >= {SUBSTR_K} {where}
+),
+pos AS (
+  SELECT doc_id, len(t) AS n, i AS pos,
+         md5(array_to_string(list_slice(t, i, i + {SUBSTR_K - 1}), ' ')) AS g
+  FROM ptoks, unnest(generate_series(1, len(t) - {SUBSTR_K - 1})) AS u(i)
+),
+cov AS (
+  SELECT doc_id, n, pos FROM pos
+  WHERE g IN (SELECT g FROM pos GROUP BY g HAVING count(*) > 1)
+)
+"""
+
+
+def _substr_sql(where: str = "") -> str:
+    return f"""
+WITH {_sql_positional(where)}
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(sum(new_tokens) AS BIGINT) AS dup_tokens,
+       {sql_dratio('sum(new_tokens)', 'max(n)')} AS dup_fraction
+FROM (
+  SELECT doc_id, n,
+         least({SUBSTR_K}, pos - lag(pos, 1, pos - {SUBSTR_K})
+               OVER (PARTITION BY doc_id ORDER BY pos)) AS new_tokens
+  FROM cov
+)
+GROUP BY doc_id
+"""
+
+
 _SQL_POSITIONAL = f"""
 ptoks AS (
   SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
@@ -2435,6 +2472,41 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap_substring_state(spark, state)
     for k in range(3):
         apply_substring_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
+    return substring_coverage_snapshot(spark, state)
+
+
+@register(
+    "dedup_substring_removal_incremental",
+    sql=_substr_sql("AND doc_id % 7 <> 3"),
+)
+def dedup_substring_removal_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The substring maintainer's REMOVAL path (round 9): three insert
+    batches then a pure removal batch retracting every
+    ``doc_id % 7 == 3`` — removed docs' grams DECREMENT the occ fold
+    (negative log entries), a 2→1 unflip repairs the surviving
+    holder, and the retracted docs die through the shared tombstones.
+    Oracle = the SAME from-scratch SQL restricted to the surviving
+    corpus, so the driver hash certifies remove == never-ingested."""
+    from codex_data_products_spark.streaming.substring_ivm import (
+        apply_substring_batch,
+        bootstrap_substring_state,
+        substring_coverage_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    state = _ivm_state_dir("substring_ivm_rm")
+    bootstrap_substring_state(spark, state)
+    for k in range(3):
+        apply_substring_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
+    victims = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+        .collect()
+    ]
+    apply_substring_batch(docs.limit(0), state, 3, remove=victims)
     return substring_coverage_snapshot(spark, state)
 
 

@@ -91,66 +91,121 @@ def bootstrap_substring_state(spark: SparkSession, state_dir: str) -> None:
 def _prior_grams(
     spark: SparkSession, state_dir: str, batch_id: int
 ) -> DataFrame:
-    """Positional gram rows of every batch BEFORE this one (compaction-
-    aware via ``_log_union``; the current batch's own dir is excluded so
-    a crashed attempt's leftovers never double-count on replay)."""
-    return _log_union(
+    """Positional gram rows of every SURVIVING doc from batches before
+    this one (compaction-aware via ``_log_union``; the current batch's
+    own dir is excluded so a crashed attempt's leftovers never
+    double-count on replay). Removal tombstones apply under the
+    standard strictly-older rule — a re-added doc's rows from a later
+    batch survive its earlier tombstone; the tombstone aggregate is
+    release-grain and broadcasts, the gram log streams."""
+    rows = _log_union(
         spark, f"{state_dir}/grams", _GRAMS_SCHEMA, upto=batch_id - 1
-    ).drop("log_batch")
+    )
+    rem = _log_union(
+        spark,
+        f"{state_dir}/grams_removed",
+        _REMOVED_SCHEMA,
+        upto=batch_id - 1,
+    )
+    rmax = rem.groupBy("doc_id").agg(F.max("log_batch").alias("rb"))
+    return (
+        rows.join(F.broadcast(rmax), "doc_id", "left")
+        .filter(F.col("rb").isNull() | (F.col("rb") <= F.col("log_batch")))
+        .drop("rb", "log_batch")
+    )
 
 
 def apply_substring_batch(
-    batch_docs: DataFrame, state_dir: str, batch_id: int
+    batch_docs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    remove: list | None = None,
 ) -> None:
-    """Fold one batch of NEW documents (fresh doc_ids, append-only
-    corpus) into the maintained coverage state: read the logs strictly
-    below this batch, write only this batch's own log dirs.
+    """Fold one batch (NEW documents + optional removals) into the
+    maintained coverage state: read the logs strictly below this
+    batch, write only this batch's own log dirs.
+
+    Removals (round 9): a removed doc's grams DECREMENT the occ fold —
+    the occ-delta log simply carries the batch's NET per-gram counts,
+    which may be negative — and its gram/coverage rows die through
+    release-grain tombstones. The repair rule generalizes the 1→>=2
+    flip to any DUP-STATUS CHANGE: a gram touched by this batch whose
+    (occ >= 2) truth value changed marks its surviving holders for
+    recompute — a flip has one prior holder and an unflip (2→1) one
+    surviving holder, so |affected| <= |changed grams| and everything
+    broadcasts.
 
     Scale shape (plan-guarded in tests/test_plans.py): the persisted
-    gram log and the occ state are only ever scanned and broadcast-
+    gram log and the occ log are only ever scanned and broadcast-
     joined against delta-derived (tiny) frames — never shuffled. The
-    only exchanges are over delta-proportional slices: the delta's own
-    gram aggregate and the per-doc coverage window of the recompute
+    only exchanges are over delta-proportional slices: the batch's own
+    gram aggregates and the per-doc coverage window of the recompute
     set.
     """
     spark = batch_docs.sparkSession
+    removed_ids = [int(d) for d in (remove or [])]
     old_grams = _prior_grams(spark, state_dir, batch_id)
     prior_occ = _log_union(
         spark, f"{state_dir}/occ_delta", _OCC_SCHEMA, upto=batch_id - 1
     ).drop("log_batch")
 
-    # -- 1. positional grams of the delta; append to the gram log
+    # -- 1. positional grams of the delta; append to the gram log;
+    #       tombstone the removed docs' gram and coverage rows
     delta = positional_grams(batch_docs).persist()
     delta.write.mode("overwrite").parquet(
         f"{state_dir}/grams/batch={batch_id}"
     )
+    rem_df = spark.createDataFrame(
+        [(d,) for d in removed_ids] or [], "doc_id long"
+    )
+    rem_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/grams_removed/batch={batch_id}"
+    )
 
-    # -- 2. the batch's own gram counts, and the grams the delta
-    #       flipped from unique (occ=1) to duplicated (occ>=2). The
-    #       prior count is needed ONLY for the delta's grams — the
-    #       occ-delta log streams through a broadcast semi-join on
-    #       them and the surviving per-gram history sums in a
-    #       delta-proportional aggregate (a gram in the delta with
-    #       prior occ exactly 1 has flipped; occ_old=0 grams can only
-    #       mark delta docs, recomputed anyway; occ_old>=2 changed
-    #       nobody's status).
+    # -- 2. the batch's NET per-gram counts (delta adds minus removed
+    #       docs' rows) and the candidate grams whose dup status may
+    #       have changed — exactly the grams this batch touched.
     delta_occ = delta.groupBy("g").agg(
-        F.count(F.lit(1)).cast("long").alias("_docc")
-    ).persist()
-    occ_old_delta = (
-        prior_occ.join(
-            F.broadcast(delta_occ.select("g")), "g", "left_semi"
-        )
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    rem_grams = old_grams.join(
+        F.broadcast(rem_df), "doc_id", "left_semi"
+    )
+    rem_occ = rem_grams.groupBy("g").agg(
+        (-F.count(F.lit(1))).cast("long").alias("d")
+    )
+    net_occ = (
+        delta_occ.unionByName(rem_occ)
+        .groupBy("g")
+        .agg(F.sum("d").cast("long").alias("net"))
+        .persist()
+    )
+    occ_old_cand = (
+        prior_occ.join(F.broadcast(net_occ.select("g")), "g", "left_semi")
         .groupBy("g")
         .agg(F.sum("occ").cast("long").alias("occ_old"))
     )
-    flipped = occ_old_delta.filter(F.col("occ_old") == 1).select("g")
+    changed = (
+        net_occ.join(occ_old_cand, "g", "left")
+        .select(
+            "g",
+            F.coalesce(F.col("occ_old"), F.lit(0)).alias("o"),
+            (
+                F.coalesce(F.col("occ_old"), F.lit(0)) + F.col("net")
+            ).alias("n2"),
+        )
+        .filter((F.col("o") >= 2) != (F.col("n2") >= 2))
+        .select("g")
+    )
 
-    # -- 3. recompute set: the delta itself plus every OLD doc holding
-    #       a flipped gram. A flipped gram had exactly one prior
-    #       occurrence, so |affected| <= |flipped| and both broadcast.
+    # -- 3. recompute set: the delta itself plus every SURVIVING old
+    #       doc holding a status-changed gram (removed docs are
+    #       already filtered out of old_grams by their own batch's
+    #       tombstone only for LATER batches — exclude them here
+    #       explicitly so a doc removed in THIS batch never re-emits).
     affected = (
-        old_grams.join(F.broadcast(flipped), "g", "left_semi")
+        old_grams.join(F.broadcast(changed), "g", "left_semi")
+        .join(F.broadcast(rem_df), "doc_id", "left_anti")
         .select("doc_id")
         .distinct()
         .persist()
@@ -169,11 +224,13 @@ def apply_substring_batch(
     #       gram is duplicated. The dup test never shuffles the occ
     #       log either: the recompute docs' distinct grams are
     #       delta-proportional, so they broadcast INTO the log scan,
-    #       the surviving history sums per gram, and the delta's own
+    #       the surviving history sums per gram, and the batch's net
     #       counts fold in with a full outer of two delta-proportional
-    #       frames (every delta gram belongs to a delta doc, which is
-    #       in the recompute set — so the union stays inside r_grams).
-    all_grams = old_grams.unionByName(delta)
+    #       frames.
+    surviving_old = old_grams.join(
+        F.broadcast(rem_df), "doc_id", "left_anti"
+    )
+    all_grams = surviving_old.unionByName(delta)
     r_pos = all_grams.join(F.broadcast(recompute), "doc_id", "left_semi")
     r_grams = r_pos.select("g").distinct()
     occ_old_r = (
@@ -182,12 +239,12 @@ def apply_substring_batch(
         .agg(F.sum("occ").cast("long").alias("_o"))
     )
     dup_r = (
-        occ_old_r.join(delta_occ, "g", "full_outer")
+        occ_old_r.join(net_occ, "g", "full_outer")
         .select(
             "g",
             (
                 F.coalesce(F.col("_o"), F.lit(0))
-                + F.coalesce(F.col("_docc"), F.lit(0))
+                + F.coalesce(F.col("net"), F.lit(0))
             ).alias("occ_new"),
         )
         .filter(F.col("occ_new") >= 2)
@@ -197,24 +254,24 @@ def apply_substring_batch(
         r_pos.join(F.broadcast(dup_r), "g", "left_semi")
     )
 
-    # -- 5. commit: the batch's OWN occ deltas (O(delta) — the fold
+    # -- 5. commit: the batch's NET occ deltas (O(delta) — the fold
     #       reconstitutes on read from delta-proportional slices), the
-    #       batch's coverage rows, and tombstones for the
-    #       flip-affected OLD docs only (delta docs have no prior
-    #       coverage rows to retract — the accumulated tombstone set
-    #       stays flip-grain, i.e. broadcastable forever).
-    delta_occ.select(
-        "g", F.col("_docc").alias("occ")
+    #       batch's coverage rows, and coverage tombstones for the
+    #       repaired old docs AND the removed docs (the accumulated
+    #       tombstone set stays change-grain, i.e. broadcastable
+    #       forever).
+    net_occ.filter(F.col("net") != 0).select(
+        "g", F.col("net").alias("occ")
     ).write.mode("overwrite").parquet(
         f"{state_dir}/occ_delta/batch={batch_id}"
     )
     cov_rows.write.mode("overwrite").parquet(
         f"{state_dir}/coverage/batch={batch_id + 1}"
     )
-    affected.write.mode("overwrite").parquet(
-        f"{state_dir}/coverage_removed/batch={batch_id + 1}"
-    )
-    for frame in (delta, delta_occ, affected, recompute):
+    affected.unionByName(rem_df).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/coverage_removed/batch={batch_id + 1}")
+    for frame in (delta, net_occ, affected, recompute):
         frame.unpersist()
 
 
@@ -265,9 +322,28 @@ def compact_substring_coverage(
         f"{state_dir}/coverage/compact={upto}"
     )
     if upto >= 1:
-        grams = _log_union(
+        # gram consolidation applies the removal tombstones (<= its
+        # own floor) so they can be GC'd with the superseded dirs —
+        # same protocol as compact_pair_log; a tombstone from a LATER
+        # batch still kills floor rows through the strictly-older rule
+        grams_rows = _log_union(
             spark, f"{state_dir}/grams", _GRAMS_SCHEMA, upto=upto - 1
-        ).drop("log_batch").localCheckpoint()
+        )
+        grem = _log_union(
+            spark,
+            f"{state_dir}/grams_removed",
+            _REMOVED_SCHEMA,
+            upto=upto - 1,
+        )
+        grmax = grem.groupBy("doc_id").agg(F.max("log_batch").alias("rb"))
+        grams = (
+            grams_rows.join(F.broadcast(grmax), "doc_id", "left")
+            .filter(
+                F.col("rb").isNull() | (F.col("rb") <= F.col("log_batch"))
+            )
+            .drop("rb", "log_batch")
+            .localCheckpoint()
+        )
         grams.write.mode("overwrite").parquet(
             f"{state_dir}/grams/compact={upto - 1}"
         )
@@ -299,7 +375,11 @@ def compact_substring_coverage(
         if upto >= 1:
             _gc_log_dirs(
                 spark,
-                (f"{state_dir}/grams", f"{state_dir}/occ_delta"),
+                (
+                    f"{state_dir}/grams",
+                    f"{state_dir}/grams_removed",
+                    f"{state_dir}/occ_delta",
+                ),
                 upto - 1,
             )
 

@@ -2159,3 +2159,58 @@ def test_substring_ivm_occ_log_is_delta_sized_and_sums_to_histogram(
         .collect()
     }
     assert got == want
+
+
+def test_substring_ivm_removal_unflip_repairs_surviving_doc(
+    spark, tmp_path
+):
+    """Two docs share an 8-gram window; removing one must UN-mark the
+    survivor (2->1 unflip), and re-adding it must re-mark both — the
+    removal path's mirror of the flip-repair test."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.dedup import dedup_substring
+    from codex_data_products_spark.streaming.substring_ivm import (
+        apply_substring_batch,
+        bootstrap_substring_state,
+        substring_coverage_snapshot,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{shared} one unique tail for doc one right here"),
+        (2, f"totally different head text {shared} and more words"),
+        (3, "an unrelated document with no overlap at all present"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "substr_rm")
+    bootstrap_substring_state(spark, state)
+    apply_substring_batch(docs.filter("doc_id <= 2"), state, 0)
+    apply_substring_batch(docs.filter("doc_id = 3"), state, 1)
+
+    def snap():
+        return {
+            r["doc_id"]: r["dup_tokens"]
+            for r in substring_coverage_snapshot(spark, state).collect()
+        }
+
+    before = snap()
+    assert before[1] >= 8 and before[2] >= 8  # shared window marked
+    # remove doc 2: doc 1's shared grams drop to occ=1 — unflip repair
+    apply_substring_batch(docs.limit(0), state, 2, remove=[2])
+    after_rm = snap()
+    assert 2 not in after_rm
+    # the view carries only docs WITH duplicated spans (oracle shape:
+    # the aggregate groups over duplicated positions) — the unflip
+    # repair must therefore make the survivor VANISH, not read 0
+    assert 1 not in after_rm, "survivor un-marked by the 2->1 unflip"
+    assert 3 not in after_rm
+    # re-add doc 2: both marked again, equal to from-scratch
+    apply_substring_batch(docs.filter("doc_id = 2"), state, 3)
+    src = str(tmp_path / "substr_rm_src")
+    docs.write.parquet(f"{src}/documents.parquet")
+    want = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dedup_substring(spark, src).collect()
+    }
+    assert snap() == want
