@@ -388,6 +388,12 @@ def verify_queries(
         except Exception as exc:  # noqa: BLE001
             first = str(exc).splitlines()[0][:200] if str(exc) else repr(exc)
             results[name] = [f"error: {first}"]
+        finally:
+            # several registry terminals persist corpus-scale frames
+            # that must stay cached while THEIR result is consumed
+            # (ADVICE r8) — after this query's compare they are dead
+            # weight for the remaining sweep, so drop them here
+            spark.catalog.clearCache()
         if progress:
             status = "MATCH" if not results[name] else "MISMATCH"
             print(f"{status:8s} {name}", flush=True)
