@@ -221,13 +221,33 @@ def ann_postings_snapshot(
     )
 
 
+def maintained_cell_balance(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> tuple[int, float]:
+    """(n_cells, expected_scan_frac) of the MAINTAINED index: the
+    nprobe=1 expected scan fraction Σ(n_c/N)² over the posting
+    snapshot's cell histogram — the knn_ivf_cell_balance audit
+    re-derived from live state, one cell-grain aggregate over the
+    log (the fold ``auto_nprobe`` consumes)."""
+    hist = (
+        ann_postings_snapshot(spark, state_dir, version)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .collect()
+    )
+    total = sum(r["n"] for r in hist) or 1.0
+    esf = sum((r["n"] / total) ** 2 for r in hist)
+    return len(hist), esf
+
+
 def search_ann(
     spark: SparkSession,
     state_dir: str,
     queries: DataFrame,
     top_k: int = 5,
-    nprobe: int | None = None,
+    nprobe: int | str | None = None,
     version: int | None = None,
+    target_scan_frac: float = 0.2,
 ) -> DataFrame:
     """Top-k cosine search over the maintained index. ``queries`` is
     (query_id, qv array<double>). ``nprobe=None`` scans every cell
@@ -237,6 +257,17 @@ def search_ann(
     nprobe rows — driver-tiny by the same bound that makes the query
     set broadcastable) so the posting scan PRUNES to those partition
     directories before the broadcast candidate join."""
+    if nprobe == "auto":
+        # balance-driven probe count on the LIVE index (the batch
+        # path's auto_nprobe, fed by maintained state instead of a
+        # separate audit job): skew backs off toward 1, balance buys
+        # target_scan_frac * n_cells probes of recall headroom
+        from codex_data_products_spark.operators.clustering import (
+            auto_nprobe,
+        )
+
+        n_cells, esf = maintained_cell_balance(spark, state_dir, version)
+        nprobe = auto_nprobe(n_cells, esf, target_scan_frac)
     q = queries.withColumn("qnsq", _dot(F.col("qv"), F.col("qv")))
     if nprobe is None:
         probed_cells = None

@@ -298,3 +298,42 @@ def test_pq_codes_incremental_matches_from_scratch(spark, sf_dir, tmp_path):
     # time travel: version 3 sees the removal era
     v3 = pq_codes_snapshot(spark, state, version=3)
     assert v3.filter(F.col("vec_id") % 7 == 3).count() == 0
+
+
+def test_auto_nprobe_over_maintained_index(spark, sf_dir, tmp_path):
+    """nprobe='auto' picks the balance-driven probe count from LIVE
+    posting state and returns exactly the explicit-nprobe results."""
+    from codex_data_products_spark.operators.clustering import auto_nprobe
+    from codex_data_products_spark.streaming.ann_ivm import (
+        maintained_cell_balance,
+    )
+
+    state = str(tmp_path / "ann_auto")
+    _build(spark, sf_dir, state)
+    n_cells, esf = maintained_cell_balance(spark, state)
+    assert n_cells > 1 and 0 < esf <= 1
+    picked = auto_nprobe(n_cells, esf, 0.2)
+    queries = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % 50 == 0)
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "qv"
+            ),
+        )
+    )
+    auto_res = sorted(
+        tuple(r)
+        for r in search_ann(
+            spark, state, queries, top_k=5, nprobe="auto"
+        ).collect()
+    )
+    explicit = sorted(
+        tuple(r)
+        for r in search_ann(
+            spark, state, queries, top_k=5, nprobe=picked
+        ).collect()
+    )
+    assert auto_res == explicit and auto_res
