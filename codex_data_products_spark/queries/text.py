@@ -2386,3 +2386,23 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             dratio(oov, F.count(F.lit(1))).alias("oov_rate"),
         )
     )
+
+
+@register("vocab_incremental", sql=_VOCAB_SQL)
+def vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained-view twin of vocab_top_terms (streaming/text_ivm.py):
+    three modulo batches through the vocabulary maintainer (tf and df
+    fold additively under append-only fresh doc_ids — two
+    delta-vocabulary-sized appends per batch, the corpus text is never
+    re-read), snapshot checked against the SAME from-scratch SQL."""
+    from codex_data_products_spark.queries.dedup import _ivm_state_dir
+    from codex_data_products_spark.streaming.text_ivm import (
+        apply_vocab_batch,
+        vocab_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    state = _ivm_state_dir("vocab_ivm")
+    for k in range(3):
+        apply_vocab_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
+    return vocab_snapshot(spark, state)

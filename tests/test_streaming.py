@@ -2214,3 +2214,44 @@ def test_substring_ivm_removal_unflip_repairs_surviving_doc(
         for r in dedup_substring(spark, src).collect()
     }
     assert snap() == want
+
+
+def test_vocab_ivm_stream_equals_batch_and_compacts(spark, sf_dir, tmp_path):
+    from codex_data_products_spark.queries.text import vocab_top_terms
+    from codex_data_products_spark.streaming.text_ivm import (
+        apply_vocab_batch,
+        compact_vocab_state,
+        run_vocab_maintenance,
+        vocab_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = rows(vocab_top_terms(spark, sf_dir))
+
+    # batch path: three applies + crash replay of the last
+    state = str(tmp_path / "vocab")
+    for k in range(3):
+        apply_vocab_batch(docs.filter(f"doc_id % 3 = {k}"), state, k)
+    assert rows(vocab_snapshot(spark, state)) == want
+    apply_vocab_batch(docs.filter("doc_id % 3 = 2"), state, 2)
+    assert rows(vocab_snapshot(spark, state)) == want
+
+    # compaction preserves the view; a post-compaction batch layers
+    import os
+
+    compact_vocab_state(spark, state, upto=1)
+    assert rows(vocab_snapshot(spark, state)) == want
+    assert "compact=1" in set(os.listdir(f"{state}/tf_delta"))
+
+    # streaming drain equals batch
+    feed = docs.select("doc_id", "lang", "text")
+    src = str(tmp_path / "vocab_feed")
+    feed.write.parquet(src)
+    sstate = str(tmp_path / "vocab_stream")
+    stream = spark.readStream.schema(feed.schema).parquet(src)
+    run_vocab_maintenance(stream, sstate, str(tmp_path / "vocab_ckpt"))
+    assert rows(vocab_snapshot(spark, sstate)) == want
