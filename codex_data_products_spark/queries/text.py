@@ -2406,3 +2406,37 @@ def vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(3):
         apply_vocab_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
     return vocab_snapshot(spark, state)
+
+
+def _vocab_sql_where(where: str) -> str:
+    """vocab_top_terms oracle over a restricted corpus (removal twin)."""
+    return _VOCAB_SQL.replace(
+        "FROM documents", f"FROM documents {where}", 1
+    )
+
+
+@register("vocab_removal_incremental", sql=_vocab_sql_where("WHERE doc_id % 7 <> 3"))
+def vocab_removal_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary maintainer's REMOVAL path: three insert batches
+    then a pure removal batch retracting every doc_id % 7 == 3 — the
+    retracted per-term counts are re-derived from the doc-grain token
+    log (negative tf/df deltas), so remove == never-ingested under the
+    same from-scratch SQL restricted to survivors."""
+    from codex_data_products_spark.queries.dedup import _ivm_state_dir
+    from codex_data_products_spark.streaming.text_ivm import (
+        apply_vocab_batch,
+        vocab_snapshot,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    state = _ivm_state_dir("vocab_ivm_rm")
+    for k in range(3):
+        apply_vocab_batch(docs.filter(F.col("doc_id") % 3 == k), state, k)
+    victims = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+        .collect()
+    ]
+    apply_vocab_batch(docs.limit(0), state, 3, remove=victims)
+    return vocab_snapshot(spark, state)

@@ -9,12 +9,24 @@ because each batch's distinct (term, doc) pairs are disjoint from
 every earlier batch's. So the state is two append-logs of per-batch
 partial aggregates:
 
-  tf_delta/batch=<k>   (lang, term, tf)  — the batch's term counts
-  df_delta/batch=<k>   (term, df)        — the batch's per-term
+  tf_delta/batch=<k>   (lang, term, tf)  — the batch's NET term
+                                           counts (negative under
+                                           removals)
+  df_delta/batch=<k>   (term, df)        — the batch's NET per-term
                                            distinct-doc counts
+  tok_log/batch=<k>    (doc_id, lang, term, n) — per-doc term counts,
+                                           the doc-grain log a
+                                           removal slices to derive
+                                           its negative deltas (the
+                                           substring maintainer's
+                                           gram-log pattern); dies
+                                           through tok_removed
+                                           tombstones
 
-Every write is O(|delta vocabulary|); the corpus text is never
-re-read. The snapshot folds the logs with term-grain aggregates —
+Every write is O(|delta|); the corpus text is never re-read — a
+removal batch receives doc_ids only and re-derives the retracted
+counts from the log slice (broadcast semi-join; the log streams).
+The snapshot folds the delta logs with term-grain aggregates —
 vocabulary-sized, not corpus-sized — and ranks; compaction
 consolidates the history into one summed floor per log (the
 ``compact=`` protocol shared with every maintainer here). The top-V
@@ -36,6 +48,8 @@ from codex_data_products_spark.streaming.dedup_ivm import (
 
 _TF_SCHEMA = "lang string, term string, tf long"
 _DF_SCHEMA = "term string, df long"
+_TOK_SCHEMA = "doc_id long, lang string, term string, n long"
+_REMOVED_SCHEMA = "doc_id long"
 
 
 def _tok(docs: DataFrame) -> DataFrame:
@@ -46,26 +60,85 @@ def _tok(docs: DataFrame) -> DataFrame:
     ).filter(F.length("term") > 3)
 
 
+def _tok_log(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
+    """(doc_id, lang, term, n) of every SURVIVING doc from batches
+    before this one (strictly-older tombstone rule; the log streams
+    through one broadcast join)."""
+    rows = _log_union(
+        spark, f"{state_dir}/tok_log", _TOK_SCHEMA, upto=batch_id - 1
+    )
+    rem = _log_union(
+        spark,
+        f"{state_dir}/tok_removed",
+        _REMOVED_SCHEMA,
+        upto=batch_id - 1,
+    )
+    rmax = rem.groupBy("doc_id").agg(F.max("log_batch").alias("rb"))
+    return (
+        rows.join(F.broadcast(rmax), "doc_id", "left")
+        .filter(F.col("rb").isNull() | (F.col("rb") <= F.col("log_batch")))
+        .drop("rb", "log_batch")
+    )
+
+
 def apply_vocab_batch(
-    batch_docs: DataFrame, state_dir: str, batch_id: int
+    batch_docs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    remove: list | None = None,
 ) -> None:
-    """Fold one batch of NEW documents (fresh doc_ids) into the
-    vocabulary state: two delta-vocabulary-sized appends, replay-safe
-    (a crashed batch overwrites its own dirs)."""
-    tok = _tok(batch_docs).persist()
+    """Fold one batch (NEW documents + optional removals) into the
+    vocabulary state: delta-sized appends only, replay-safe (a
+    crashed batch overwrites its own dirs). A removal re-derives the
+    retracted per-term counts from the doc-grain token log — negative
+    tf/df entries in the same delta logs the adds use."""
+    spark = batch_docs.sparkSession
+    removed_ids = [int(d) for d in (remove or [])]
+    rem_df = spark.createDataFrame(
+        [(d,) for d in removed_ids] or [], "doc_id long"
+    )
+    rem_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/tok_removed/batch={batch_id}"
+    )
+
+    per_doc = (
+        _tok(batch_docs)
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    per_doc.write.mode("overwrite").parquet(
+        f"{state_dir}/tok_log/batch={batch_id}"
+    )
+    rem_rows = _tok_log(spark, state_dir, batch_id).join(
+        F.broadcast(rem_df), "doc_id", "left_semi"
+    )
+    signed = per_doc.select("doc_id", "lang", "term", "n").unionByName(
+        rem_rows.select(
+            "doc_id", "lang", "term", (-F.col("n")).alias("n")
+        )
+    )
     (
-        tok.groupBy("lang", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        signed.groupBy("lang", "term")
+        .agg(F.sum("n").cast("long").alias("tf"))
+        .filter(F.col("tf") != 0)
         .write.mode("overwrite")
         .parquet(f"{state_dir}/tf_delta/batch={batch_id}")
     )
     (
-        tok.groupBy("term")
-        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        signed.groupBy("term")
+        .agg(
+            F.sum(F.signum(F.col("n")).cast("long"))
+            .cast("long")
+            .alias("df")
+        )
+        .filter(F.col("df") != 0)
         .write.mode("overwrite")
         .parquet(f"{state_dir}/df_delta/batch={batch_id}")
     )
-    tok.unpersist()
+    per_doc.unpersist()
 
 
 def vocab_snapshot(
@@ -81,11 +154,13 @@ def vocab_snapshot(
         _log_union(spark, f"{state_dir}/tf_delta", _TF_SCHEMA, version)
         .groupBy("lang", "term")
         .agg(F.sum("tf").cast("long").alias("tf"))
+        .filter(F.col("tf") > 0)  # fully-retracted terms net to zero
     )
     df = (
         _log_union(spark, f"{state_dir}/df_delta", _DF_SCHEMA, version)
         .groupBy("term")
         .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") > 0)
     )
     w = Window.partitionBy("lang").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term")
@@ -118,6 +193,29 @@ def compact_vocab_state(
         snap.write.mode("overwrite").parquet(f"{root}/compact={upto}")
         if gc:
             _gc_log_dirs(spark, (root,), upto)
+    # the doc-grain token log consolidates with its tombstones applied
+    # (strictly-older rule preserved for later removals via floor
+    # relabeling — same protocol as the gram-log compactor)
+    rows = _log_union(spark, f"{state_dir}/tok_log", _TOK_SCHEMA, upto)
+    rem = _log_union(
+        spark, f"{state_dir}/tok_removed", _REMOVED_SCHEMA, upto
+    )
+    rmax = rem.groupBy("doc_id").agg(F.max("log_batch").alias("rb"))
+    tok = (
+        rows.join(F.broadcast(rmax), "doc_id", "left")
+        .filter(F.col("rb").isNull() | (F.col("rb") <= F.col("log_batch")))
+        .drop("rb", "log_batch")
+        .localCheckpoint()
+    )
+    tok.write.mode("overwrite").parquet(
+        f"{state_dir}/tok_log/compact={upto}"
+    )
+    if gc:
+        _gc_log_dirs(
+            spark,
+            (f"{state_dir}/tok_log", f"{state_dir}/tok_removed"),
+            upto,
+        )
 
 
 def run_vocab_maintenance(

@@ -2255,3 +2255,41 @@ def test_vocab_ivm_stream_equals_batch_and_compacts(spark, sf_dir, tmp_path):
     stream = spark.readStream.schema(feed.schema).parquet(src)
     run_vocab_maintenance(stream, sstate, str(tmp_path / "vocab_ckpt"))
     assert rows(vocab_snapshot(spark, sstate)) == want
+
+
+def test_vocab_ivm_remove_then_readd_equals_from_scratch(
+    spark, sf_dir, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.text import vocab_top_terms
+    from codex_data_products_spark.streaming.text_ivm import (
+        apply_vocab_batch,
+        vocab_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    state = str(tmp_path / "vocab_rm")
+    for k in range(2):
+        apply_vocab_batch(docs.filter(f"doc_id % 2 = {k}"), state, k)
+    want_full = rows(vocab_snapshot(spark, state))
+    victims = [
+        r["doc_id"]
+        for r in docs.filter("doc_id % 5 = 2").select("doc_id").collect()
+    ]
+    apply_vocab_batch(docs.limit(0), state, 2, remove=victims)
+    # removal == never-ingested
+    src = str(tmp_path / "vocab_rm_src")
+    docs.filter(~F.col("doc_id").isin(victims)).write.parquet(
+        f"{src}/documents.parquet"
+    )
+    assert rows(vocab_snapshot(spark, state)) == rows(
+        vocab_top_terms(spark, src)
+    )
+    # re-add restores the full view exactly
+    apply_vocab_batch(docs.filter(F.col("doc_id").isin(victims)), state, 3)
+    assert rows(vocab_snapshot(spark, state)) == want_full
