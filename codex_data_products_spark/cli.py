@@ -133,6 +133,9 @@ def _cmd_dedup_compact(args: argparse.Namespace) -> int:
     from codex_data_products_spark.streaming.substring_ivm import (
         compact_substring_coverage,
     )
+    from codex_data_products_spark.streaming.text_ivm import (
+        compact_vocab_state,
+    )
 
     spark = get_spark(app_name="dedup-compact")
     fn = {
@@ -141,6 +144,7 @@ def _cmd_dedup_compact(args: argparse.Namespace) -> int:
         "substring": compact_substring_coverage,
         "embedding": compact_emb_state,
         "ann": compact_ann_postings,
+        "vocab": compact_vocab_state,
     }[args.family]
     fn(spark, args.state_dir, args.upto, gc=not args.no_gc)
     removed = expire_dedup_state(args.state_dir, keep_last=args.keep_last)
@@ -336,7 +340,14 @@ def main(argv: list[str] | None = None) -> int:
     pdc.add_argument("--upto", type=int, required=True)
     pdc.add_argument(
         "--family",
-        choices=["simhash", "minhash", "substring", "embedding", "ann"],
+        choices=[
+            "simhash",
+            "minhash",
+            "substring",
+            "embedding",
+            "ann",
+            "vocab",
+        ],
         default="simhash",
     )
     pdc.add_argument("--keep-last", type=int, default=2)
