@@ -184,6 +184,7 @@ def apply_substring_batch(
         prior_occ.join(F.broadcast(net_occ.select("g")), "g", "left_semi")
         .groupBy("g")
         .agg(F.sum("occ").cast("long").alias("occ_old"))
+        .persist()  # reused by the dup test — ONE log scan pays both
     )
     changed = (
         net_occ.join(occ_old_cand, "g", "left")
@@ -232,11 +233,25 @@ def apply_substring_batch(
     )
     all_grams = surviving_old.unionByName(delta)
     r_pos = all_grams.join(F.broadcast(recompute), "doc_id", "left_semi")
-    r_grams = r_pos.select("g").distinct()
-    occ_old_r = (
-        prior_occ.join(F.broadcast(r_grams), "g", "left_semi")
+    # prior counts for the recompute grams WITHOUT a second full-set
+    # log scan: the candidate scan above already covered every gram
+    # this batch touched (delta + removed docs'), so only the
+    # AFFECTED docs' grams — a set bounded by the status-changed
+    # grams, far smaller than the delta — need their own pass.
+    aff_grams = (
+        old_grams.join(F.broadcast(affected), "doc_id", "left_semi")
+        .select("g")
+        .distinct()
+    )
+    occ_old_aff = (
+        prior_occ.join(F.broadcast(aff_grams), "g", "left_semi")
         .groupBy("g")
-        .agg(F.sum("occ").cast("long").alias("_o"))
+        .agg(F.sum("occ").cast("long").alias("occ_old"))
+    )
+    occ_old_r = (
+        occ_old_cand.unionByName(occ_old_aff)
+        .groupBy("g")
+        .agg(F.max("occ_old").alias("_o"))  # overlap rows are equal
     )
     dup_r = (
         occ_old_r.join(net_occ, "g", "full_outer")
@@ -271,7 +286,7 @@ def apply_substring_batch(
     affected.unionByName(rem_df).distinct().write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/coverage_removed/batch={batch_id + 1}")
-    for frame in (delta, net_occ, affected, recompute):
+    for frame in (delta, net_occ, occ_old_cand, affected, recompute):
         frame.unpersist()
 
 
