@@ -31,11 +31,14 @@ foreachBatch replay re-derives identical snapshots):
     an append-log of the additive fold's deltas (round 9: the former
     ``occ/v=<k>`` full-histogram rewrite was the engine's last
     corpus-proportional per-batch state write). Every read of the
-    fold is against a delta-proportional gram set, so the log streams
-    through a broadcast semi-join and the per-gram history (≤ one row
-    per batch per gram, consolidated by compaction) sums in a
-    delta-proportional aggregate — occurrence counts never
-    materialize corpus-wide except inside the compactor.
+    fold is against the batch's own gram set, so the per-gram history
+    (≤ one row per batch per gram, consolidated by compaction) sums
+    in a touched-grams-only aggregate — occurrence counts never
+    materialize corpus-wide except inside the compactor. The gram-set
+    semi-joins carry NO broadcast hint: at production delta fractions
+    AQE broadcasts the small side; at bulk-load fractions (the bench's
+    modulo-3 batches touch ~1/3 of the corpus vocabulary) it degrades
+    to a hash join rather than shipping a 10⁶-row broadcast.
   * ``coverage/batch=<k>`` — APPEND-ONLY per-doc coverage rows first
     computed by batch k, with ``coverage_removed/batch=<k>`` doc
     tombstones for the flip repair (strict tombstone rule shared with
@@ -135,12 +138,12 @@ def apply_substring_batch(
     surviving holder, so |affected| <= |changed grams| and everything
     broadcasts.
 
-    Scale shape (plan-guarded in tests/test_plans.py): the persisted
-    gram log and the occ log are only ever scanned and broadcast-
-    joined against delta-derived (tiny) frames — never shuffled. The
-    only exchanges are over delta-proportional slices: the batch's own
-    gram aggregates and the per-doc coverage window of the recompute
-    set.
+    Scale shape (plan-guarded in tests/test_plans.py): doc-id-keyed
+    joins against release-grain sets (tombstones, affected, recompute)
+    force broadcast; gram-SET joins are hint-free — AQE broadcasts the
+    delta-vocabulary side when it is genuinely small and falls back to
+    a hash join at bulk-load batch fractions. The corpus text is never
+    re-read; every state write is the batch's own rows.
     """
     spark = batch_docs.sparkSession
     removed_ids = [int(d) for d in (remove or [])]
@@ -168,20 +171,26 @@ def apply_substring_batch(
     delta_occ = delta.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
-    rem_grams = old_grams.join(
-        F.broadcast(rem_df), "doc_id", "left_semi"
-    )
-    rem_occ = rem_grams.groupBy("g").agg(
-        (-F.count(F.lit(1))).cast("long").alias("d")
-    )
-    net_occ = (
-        delta_occ.unionByName(rem_occ)
-        .groupBy("g")
-        .agg(F.sum("d").cast("long").alias("net"))
-        .persist()
-    )
+    if removed_ids:
+        rem_grams = old_grams.join(
+            F.broadcast(rem_df), "doc_id", "left_semi"
+        )
+        rem_occ = rem_grams.groupBy("g").agg(
+            (-F.count(F.lit(1))).cast("long").alias("d")
+        )
+        net_occ = (
+            delta_occ.unionByName(rem_occ)
+            .groupBy("g")
+            .agg(F.sum("d").cast("long").alias("net"))
+            .persist()
+        )
+    else:
+        # insert-only fast path: the net counts ARE the delta counts —
+        # no gram-log slice (a semi-join against an empty doc set
+        # still scans the whole log) and no re-aggregation
+        net_occ = delta_occ.withColumnRenamed("d", "net").persist()
     occ_old_cand = (
-        prior_occ.join(F.broadcast(net_occ.select("g")), "g", "left_semi")
+        prior_occ.join(net_occ.select("g"), "g", "left_semi")
         .groupBy("g")
         .agg(F.sum("occ").cast("long").alias("occ_old"))
         .persist()  # reused by the dup test — ONE log scan pays both
@@ -195,7 +204,14 @@ def apply_substring_batch(
                 F.coalesce(F.col("occ_old"), F.lit(0)) + F.col("net")
             ).alias("n2"),
         )
-        .filter((F.col("o") >= 2) != (F.col("n2") >= 2))
+        .filter(
+            # dup-status changed AND there is an old holder to repair:
+            # o==0 grams are delta-only — their docs are recomputed
+            # anyway, and admitting them would balloon the changed set
+            # to every brand-new duplicated gram
+            ((F.col("o") >= 2) != (F.col("n2") >= 2))
+            & (F.col("o") >= 1)
+        )
         .select("g")
     )
 
@@ -228,9 +244,12 @@ def apply_substring_batch(
     #       the surviving history sums per gram, and the batch's net
     #       counts fold in with a full outer of two delta-proportional
     #       frames.
-    surviving_old = old_grams.join(
-        F.broadcast(rem_df), "doc_id", "left_anti"
-    )
+    if removed_ids:
+        surviving_old = old_grams.join(
+            F.broadcast(rem_df), "doc_id", "left_anti"
+        )
+    else:
+        surviving_old = old_grams
     all_grams = surviving_old.unionByName(delta)
     r_pos = all_grams.join(F.broadcast(recompute), "doc_id", "left_semi")
     # prior counts for the recompute grams WITHOUT a second full-set
