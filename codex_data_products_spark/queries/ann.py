@@ -259,7 +259,13 @@ def ann_ivf_pruned_incremental(
 # ---------------------------------------------------------------------------
 
 
-def _pq_inc_sql() -> str:
+def _pq_inc_ctes() -> str:
+    """The incremental-encode CTE chain (``WITH ... enc_codes``) shared
+    verbatim by the PQ / ADC / IVF-PQ incremental oracles. Returned
+    separately from the final projection so the downstream oracles
+    COMPOSE the chain instead of slicing rendered SQL (the
+    ``_pq_cb_sql`` composition pattern) — an edit to ``_pq_inc_sql``'s
+    projection can no longer silently corrupt them."""
     from codex_data_products_spark.queries.similarity import (
         N_SUB,
         SUB_DIM,
@@ -290,7 +296,11 @@ enc_codes AS (
       PARTITION BY vec_id, s ORDER BY d, code
     ) AS rnk FROM enc_d
   ) WHERE rnk = 1
-)
+)"""
+
+
+def _pq_inc_sql() -> str:
+    return f"""{_pq_inc_ctes()}
 SELECT vec_id,
        array_to_string(list(code ORDER BY s), '|') AS codes,
        round(CAST(sum(CAST(min_d AS DECIMAL(18,6))) AS DOUBLE), 6)
@@ -368,14 +378,10 @@ def _adc_inc_sql() -> str:
     from codex_data_products_spark.queries.similarity import (
         N_SUB,
         SUB_DIM,
-        _pq_cb_sql,
     )
 
-    # reuse the incremental encode chain, then the ADC read on top
-    base = _pq_inc_sql()
-    # strip the final SELECT (we only want the CTEs through enc_codes)
-    ctes = base[: base.rindex("SELECT vec_id,")]
-    return f"""{ctes}
+    # reuse the incremental encode CTE chain, then the ADC read on top
+    return f"""{_pq_inc_ctes()}
 , q_sube AS (
   SELECT vec_id AS query_id, g.s AS s,
          v[g.s * {SUB_DIM} + 1 : g.s * {SUB_DIM} + {SUB_DIM}] AS sv
@@ -518,12 +524,9 @@ def _ivfpq_inc_sql() -> str:
     from codex_data_products_spark.queries.similarity import (
         N_SUB,
         SUB_DIM,
-        _pq_cb_sql,
     )
 
-    base = _pq_inc_sql()
-    ctes = base[: base.rindex("SELECT vec_id,")]
-    return f"""{ctes}
+    return f"""{_pq_inc_ctes()}
 , {_FROZEN_CENT.lstrip().lstrip(',')},
 qf AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v

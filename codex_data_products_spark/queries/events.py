@@ -1196,11 +1196,23 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # events_rfm — recency/frequency/monetary segmentation of purchase
 # behavior: one pass to the per-user grain (exact integer cents), then
-# three ntile(5) windows over the TINY user frame with total
-# tie-breaks (metric, user_id), so bucket edges are deterministic and
-# the oracle replays them exactly. Score 5 = best (most recent / most
-# frequent / highest spend). At any corpus scale the windows see one
-# row per user — the event scan is the only big input.
+# ntile(5) scores WITHOUT a global window (round 10; the former three
+# unpartitioned ntile windows serialized the user grain through one
+# task). ntile is rank arithmetic: with n users the t-th quintile ends
+# at exact rank R_t = t*(n div 5) + least(t, n mod 5), so the score of
+# a row is 1 + #(boundary rows strictly before it) in the total order
+# (metric, user_id). The four boundary ROWS per metric are found with
+# the orders_exact_median bucket-refinement technique — a bucket-grain
+# histogram + partitioned cumulative window locates each target rank's
+# bucket, a row_number over just the (≤4 per metric) boundary buckets
+# extracts the exact (key, user_id) tuples — and the 12 boundary
+# tuples fold to ONE broadcast row whose lexicographic struct
+# comparisons assign all three scores in a single projection. Ties
+# break by user_id exactly as the oracle's ntile ORDER BY does, and
+# duplicate boundaries (n < 5) reproduce ntile's empty-tile jumps.
+# Score 5 = best (most recent / most frequent / highest spend). At any
+# corpus scale every window is partitioned (metric / metric×tile) and
+# sees bucket-grain input; the event scan is the only corpus pass.
 # ---------------------------------------------------------------------------
 
 _RFM_SQL = """
@@ -1229,6 +1241,9 @@ FROM per_user
 """
 
 
+_RFM_METRICS = ("r", "f", "m")
+
+
 @register("events_rfm", sql=_RFM_SQL)
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1242,37 +1257,132 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias(
             "monetary_cents"
         ),
-    ).localCheckpoint(eager=False)
+    )
     # anchor = corpus max date, derived from the per-user grain so the
     # raw events scan runs ONCE (max over users of per-user max)
     anchor = grain.agg(F.max("last_d").alias("maxd"))
-    per_user = (
-        grain
-        .crossJoin(F.broadcast(anchor))
+    # ascending sort keys: score 5 = most recent / frequent / spendy,
+    # so r ranks by NEGATED recency (ntile ... ORDER BY recency DESC)
+    keyed = (
+        grain.crossJoin(F.broadcast(anchor))
         .select(
             "user_id",
             F.datediff("maxd", "last_d").cast("long").alias("recency_days"),
-            "frequency",
+            F.col("frequency").cast("long").alias("frequency"),
             "monetary_cents",
         )
+        .withColumn("key_r", -F.col("recency_days"))
+        .withColumn("key_f", F.col("frequency"))
+        .withColumn("key_m", F.col("monetary_cents"))
+        .localCheckpoint(eager=False)  # one scan feeds hist + bounds + scores
     )
-    return per_user.select(
+    # (metric, key) long form; monetary is bucketed at $10 grain, the
+    # day/count metrics at unit grain — histograms stay value-range-
+    # bounded while each boundary bucket holds a value-local row set
+    # (the refine_fraction of orders_exact_median; shrink widths or add
+    # a second refinement level if a bucket ever gets corpus-dense)
+    mk = keyed.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"), F.col(f"key_{m}").alias("key")
+                    )
+                    for m in _RFM_METRICS
+                ]
+            )
+        ).alias("mk"),
+    ).select("user_id", "mk.m", "mk.key")
+    width = F.when(F.col("m") == "m", F.lit(1000)).otherwise(F.lit(1))
+    mk = mk.withColumn(
+        "bucket", F.floor(F.col("key") / width).cast("long")
+    ).localCheckpoint(eager=False)
+    hist = mk.groupBy("m", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("m")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "m",
+        "bucket",
+        "c",
+        F.sum("c").over(wcum).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy("m")).alias("n"),
+    )
+    # target rank of each quintile's LAST row; first bucket reaching it
+    # carries the boundary (min-struct = min_by bucket)
+    tiles = spark.range(1, 5).select(F.col("id").cast("int").alias("t"))
+    tgt = (
+        cum.crossJoin(F.broadcast(tiles))
+        .withColumn(
+            "rk",
+            F.col("t") * F.expr("n div 5")
+            + F.least(F.col("t").cast("long"), F.col("n") % 5),
+        )
+        .filter(F.col("cum_c") >= F.col("rk"))
+        .groupBy("m", "t", "rk")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("bucket").alias("tb"),
+                    (F.col("cum_c") - F.col("c")).alias("rows_before"),
+                )
+            ).alias("hit")
+        )
+        .select(
+            "m",
+            "t",
+            "rk",
+            F.col("hit.tb").alias("bucket"),
+            F.col("hit.rows_before").alias("rows_before"),
+        )
+    )
+    # rank ONLY the boundary buckets' rows — each (m, t) window is one
+    # bucket, never the user grain
+    wloc = Window.partitionBy("m", "t").orderBy("key", "user_id")
+    bnd = (
+        mk.join(F.broadcast(tgt), ["m", "bucket"])
+        .withColumn("r", F.row_number().over(wloc))
+        .filter(F.col("r") == F.col("rk") - F.col("rows_before"))
+        .select(
+            "m",
+            "t",
+            F.struct(
+                F.col("key").alias("key"), F.col("user_id").alias("user_id")
+            ).alias("b"),
+        )
+    )
+    bounds = bnd.groupBy().agg(
+        *[
+            F.min(
+                F.when((F.col("m") == m) & (F.col("t") == t), F.col("b"))
+            ).alias(f"b_{m}{t}")
+            for m in _RFM_METRICS
+            for t in (1, 2, 3, 4)
+        ]
+    )
+
+    def score(m: str) -> F.Column:
+        x = F.struct(
+            F.col(f"key_{m}").alias("key"), F.col("user_id").alias("user_id")
+        )
+        s = F.lit(1).cast("long")
+        for t in (1, 2, 3, 4):
+            s = s + (x > F.col(f"b_{m}{t}")).cast("long")
+        return s.alias(f"{m}_score")
+
+    return keyed.crossJoin(F.broadcast(bounds)).select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "user_id"))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_cents", "user_id"))
-        .cast("long")
-        .alias("m_score"),
+        score("r"),
+        score("f"),
+        score("m"),
     )
 
 

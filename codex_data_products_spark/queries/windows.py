@@ -123,6 +123,15 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frame is documents ordered by doc_id (row_number = position, as in
 # bin/concatenate.py:322-329); a synthetic edge list over positions is
 # remapped to doc ids by joining the labels frame once per endpoint.
+# Round 10: the global position is computed per SEGMENT — the registry
+# twin of the labels reader's per-file coordinate space
+# (sources/positional_text.py:24, where parallelism is per source
+# file). row_number partitions by a doc_id range segment and the
+# segment offsets come from a file-grain histogram (collected like the
+# reader's per-file lengths — n_docs/100k rows, catalog-bounded), so
+# pos = offset + local rank with NO single-partition window anywhere
+# in the plan; segments are doc_id-monotone, so the result is bit-
+# identical to the global row_number the oracle computes.
 # ---------------------------------------------------------------------------
 
 _REMAP_SQL = """
@@ -145,13 +154,37 @@ JOIN labels dst ON e.j = dst.pos
 """
 
 
+_SEGMENT_DOCS = 100_000  # one "file" of the positional coordinate space
+
+
 @register("position_remap", sql=_REMAP_SQL)
 def position_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     events = T(spark, sf_dir, "events")
-    n_docs = docs.count()  # small catalog-style scalar, driver-side like J2
-    labels = docs.select(
-        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("pos")
+    seg = F.floor(F.col("doc_id") / _SEGMENT_DOCS).cast("long")
+    # file-grain histogram → per-segment starting offsets (driver-side
+    # prefix sum over n_docs/100k rows — the labels reader's per-file
+    # length collect, catalog-bounded like J2's scalar lookups)
+    seg_counts = sorted(
+        (r["seg"], r["c"])
+        for r in docs.groupBy(seg.alias("seg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    )
+    n_docs = sum(c for _, c in seg_counts)
+    offsets, acc = [], 0
+    for s, c in seg_counts:
+        offsets.append((s, acc))
+        acc += c
+    off = spark.createDataFrame(offsets or [], "seg long, off long")
+    labels = (
+        docs.select("doc_id", seg.alias("seg"))
+        .withColumn(
+            "local",
+            F.row_number().over(Window.partitionBy("seg").orderBy("doc_id")),
+        )
+        .join(F.broadcast(off), "seg")
+        .select("doc_id", (F.col("off") + F.col("local")).alias("pos"))
     )
     edges = events.select(
         "event_id",

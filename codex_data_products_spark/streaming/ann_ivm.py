@@ -491,6 +491,7 @@ def compact_ann_postings(
         .partitionBy("cell")
         .parquet(f"{state_dir}/postings/compact={upto}")
     )
+    snap.unpersist()
     if gc:
         _gc_log_dirs(
             spark, (f"{state_dir}/postings", f"{state_dir}/removed"), upto

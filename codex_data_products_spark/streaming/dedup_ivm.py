@@ -109,6 +109,34 @@ def _empty(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def _remove_frame(
+    spark: SparkSession,
+    remove,
+    col: str = "doc_id",
+) -> tuple[DataFrame, bool]:
+    """Normalize a maintainer's ``remove`` argument — ``None``, an id
+    list/tuple, or a one-column DataFrame — into a distinct
+    ``(col long)`` frame plus a cheap known-nonempty flag. A DataFrame
+    input is localCheckpointed so the emptiness probe and every
+    downstream broadcast read one materialization; the ids never visit
+    the driver (10⁵+ retractions stay distributed)."""
+    if remove is None:
+        return _empty(spark, f"{col} long"), False
+    if isinstance(remove, DataFrame):
+        src = col if col in remove.columns else remove.columns[0]
+        rem = (
+            remove.select(F.col(src).cast("long").alias(col))
+            .distinct()
+            .localCheckpoint()
+        )
+        return rem, not rem.isEmpty()
+    ids = list(dict.fromkeys(int(d) for d in remove))
+    return (
+        spark.createDataFrame([(d,) for d in ids] or [], f"{col} long"),
+        bool(ids),
+    )
+
+
 def bootstrap_dedup_state(spark: SparkSession, state_dir: str) -> DedupStateDirs:
     """Write the v=0 snapshots (empty corpus — every document then
     arrives through the change feed; an existing corpus is just a big
@@ -481,6 +509,7 @@ def compact_pair_log(
         spark, pairs_root, removed_root, schema, upto
     ).localCheckpoint()
     snap.write.mode("overwrite").parquet(f"{pairs_root}/compact={upto}")
+    snap.unpersist()
     if gc:
         _gc_log_dirs(spark, (pairs_root, removed_root), upto)
 
@@ -561,6 +590,7 @@ def _compact_doc_log(
         spark, rows_root, removed_root, schema, upto
     ).localCheckpoint()
     snap.write.mode("overwrite").parquet(f"{rows_root}/compact={upto}")
+    snap.unpersist()
 
 
 def compact_simhash_pairs(
@@ -598,6 +628,7 @@ def compact_simhash_pairs(
         snap.write.mode("overwrite").parquet(
             f"{state_dir}/clusters/compact={upto}"
         )
+        snap.unpersist()
     if gc:
         roots = [
             f"{state_dir}/sim_pairs",
@@ -1070,21 +1101,26 @@ def apply_cluster_batch(
     state_dir: str,
     batch_id: int,
     *,
-    remove: list[int] | tuple[int, ...] = (),
+    remove: list[int] | tuple[int, ...] | DataFrame = (),
     banding: str = "2x16",
 ) -> None:
-    """Fold one batch (NEW documents and/or removed doc_ids) into the
-    maintained signature + pair + CLUSTER state: read v=batch_id, write
-    v=batch_id+1 (standard replay anchoring — a crashed batch re-runs
-    to identical snapshots).
+    """Fold one batch (NEW documents and/or removed doc_ids — an id
+    list or a one-column DataFrame; the DataFrame form keeps bulk
+    retractions fully distributed) into the maintained signature +
+    pair + CLUSTER state: read v=batch_id, write v=batch_id+1
+    (standard replay anchoring — a crashed batch re-runs to identical
+    snapshots).
 
     Order inside a batch: removals first (prune signatures and pairs,
     recompute ONLY the components that contained a removed doc from the
     pruned member-local pair set), then additions (delta signatures,
     fresh pairs, label-grain merge). A fresh pair attaching to a
     just-split component therefore merges against the post-split
-    labels. The removed-label collect is release-grain (labels of the
-    removed docs), bounded by design.
+    labels. A doc in both this batch's adds and removes is an atomic
+    replace: the pruned state predates the delta, and the batch's
+    tombstones kill only strictly-earlier rows. The affected-label set
+    never leaves the executors — every removal-side prune is a
+    broadcast semi/anti join against release-grain frames.
 
     EVERY state write is O(delta) (VERDICT r8 #2): signatures append to
     the ``sim`` log (removals die via ``sim_removed`` tombstones), and
@@ -1102,35 +1138,45 @@ def apply_cluster_batch(
     sim_state = sim_snapshot(spark, state_dir, version=batch_id)
     pairs_state = simhash_pairs_snapshot(spark, state_dir, batch_id)
     clusters = cluster_snapshot(spark, state_dir, batch_id)
-    removed = list(dict.fromkeys(remove))
+    rem_df, has_removes = _remove_frame(spark, remove)
 
     recomputed = None
     tomb = _empty(spark, _SIM_REMOVED_SCHEMA)
-    if removed:
-        dead_labels = [
-            r["component_id"]
-            for r in clusters.filter(F.col("doc_id").isin(removed))
+    if has_removes:
+        # the affected-component label set stays a DataFrame (one
+        # materialization feeding three broadcast joins) — no doc- or
+        # label-grain driver collect even for 10^5-id retractions
+        dead = (
+            clusters.join(F.broadcast(rem_df), "doc_id", "left_semi")
             .select("component_id")
             .distinct()
-            .collect()
-        ]
-        sim_state = sim_state.filter(~F.col("doc_id").isin(removed))
-        touch = F.col("doc_a").isin(removed) | F.col("doc_b").isin(removed)
-        pairs_state = pairs_state.filter(~touch)
+            .localCheckpoint()
+        )
+        sim_state = sim_state.join(
+            F.broadcast(rem_df), "doc_id", "left_anti"
+        )
+        pairs_state = pairs_state.join(
+            F.broadcast(rem_df.select(F.col("doc_id").alias("doc_a"))),
+            "doc_a",
+            "left_anti",
+        ).join(
+            F.broadcast(rem_df.select(F.col("doc_id").alias("doc_b"))),
+            "doc_b",
+            "left_anti",
+        )
         # tombstone EVERY doc of an affected component: the removed docs
         # die outright, the surviving members are re-emitted (with their
         # post-split labels) in this batch's own add log — the strict
         # tombstone rule keeps the same-batch re-emit
-        tomb = clusters.filter(
-            F.col("component_id").isin(dead_labels)
+        tomb = clusters.join(
+            F.broadcast(dead), "component_id", "left_semi"
         ).select("doc_id")
         # recompute the affected components from their members' pruned
         # pairs (pairs never cross components, so the doc_a semi-join
         # captures exactly the member-local subgraph)
-        members = clusters.filter(
-            F.col("component_id").isin(dead_labels)
-            & ~F.col("doc_id").isin(removed)
-        )
+        members = clusters.join(
+            F.broadcast(dead), "component_id", "left_semi"
+        ).join(F.broadcast(rem_df), "doc_id", "left_anti")
         sub = pairs_state.join(
             F.broadcast(members.select(F.col("doc_id").alias("doc_a"))),
             "doc_a",
@@ -1147,8 +1193,8 @@ def apply_cluster_batch(
             F.col("node").alias("doc_id"),
             F.col("label").alias("component_id"),
         ).persist()
-        clusters = clusters.filter(
-            ~F.col("component_id").isin(dead_labels)
+        clusters = clusters.join(
+            F.broadcast(dead), "component_id", "left_anti"
         ).unionByName(recomputed)
 
     # additions: delta signatures + fresh pairs (broadcast against the
@@ -1199,9 +1245,9 @@ def apply_cluster_batch(
     fresh.write.mode("overwrite").parquet(
         f"{state_dir}/sim_pairs/batch={v}"
     )
-    spark.createDataFrame(
-        [(d,) for d in removed], _SIM_REMOVED_SCHEMA
-    ).write.mode("overwrite").parquet(f"{state_dir}/sim_removed/batch={v}")
+    rem_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/sim_removed/batch={v}"
+    )
     adds.write.mode("overwrite").parquet(f"{state_dir}/clusters/batch={v}")
     tomb.write.mode("overwrite").parquet(
         f"{state_dir}/clusters_removed/batch={v}"
@@ -1212,8 +1258,10 @@ def apply_cluster_batch(
     delta.unpersist()
     fresh.unpersist()
     merge_map.unpersist()
+    rem_df.unpersist()  # localCheckpoint blocks (DataFrame removes)
     if recomputed is not None:
         recomputed.unpersist()
+        dead.unpersist()
 
 
 def run_cluster_maintenance(

@@ -118,8 +118,12 @@ def apply_emb_batch(
     """Fold one release batch into the maintained near-dup pair view.
     ``adds`` (vec_id, embedding, label) append vector rows and their
     fresh pairs; ``removes`` (vec_id) append tombstones that kill
-    strictly-earlier rows AND pairs (shared root). Replay of a crashed
-    batch overwrites all three dirs — idempotent."""
+    strictly-earlier rows AND pairs (shared root). A combined batch is
+    an atomic replace: removed rows leave the pairing corpus before
+    the delta pairs against it (so no pair with a dead endpoint is
+    ever written at this batch id), while a vec_id in both adds and
+    removes re-enters with its new vector. Replay of a crashed batch
+    overwrites all three dirs — idempotent."""
     if removes is not None:
         rem = removes.select(F.col("vec_id").cast("long").alias("doc_id"))
     else:
@@ -131,8 +135,12 @@ def apply_emb_batch(
         delta = _emb_rows(adds).localCheckpoint()
         # snapshot BEFORE this batch (its own dirs excluded) + the delta
         # itself = the candidate corpus: cross-batch and within-delta
-        # pairs in one broadcast join
+        # pairs in one broadcast join. Rows this same batch removes must
+        # leave the corpus first — their pairs would be written at
+        # batch_id and survive the batch's own strictly-older tombstones.
         prior = emb_snapshot(spark, state_dir, version=batch_id - 1)
+        if removes is not None:
+            prior = prior.join(F.broadcast(rem), "doc_id", "left_anti")
         corpus = prior.unionByName(delta)
         pairs = _fresh_emb_pairs(delta, corpus, threshold)
     else:
@@ -144,6 +152,8 @@ def apply_emb_batch(
     pairs.select("doc_a", "doc_b", "cosine").write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/embpairs/batch={batch_id}")
+    delta.unpersist()  # drop the localCheckpoint blocks — a long
+    # drain must not accumulate one per batch in executor storage
 
 
 def emb_pairs_snapshot(
@@ -209,6 +219,7 @@ def compact_emb_state(
         upto,
     ).localCheckpoint()
     snap.write.mode("overwrite").parquet(f"{state_dir}/emb/compact={upto}")
+    snap.unpersist()
     compact_pair_log(
         spark,
         f"{state_dir}/embpairs",

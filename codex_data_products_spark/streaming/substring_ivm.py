@@ -72,6 +72,7 @@ from codex_data_products_spark.streaming.dedup_ivm import (
     _empty,
     _gc_log_dirs,
     _log_union,
+    _remove_frame,
 )
 
 _GRAMS_SCHEMA = "doc_id long, n int, pos int, g string"
@@ -122,9 +123,11 @@ def apply_substring_batch(
     batch_docs: DataFrame,
     state_dir: str,
     batch_id: int,
-    remove: list | None = None,
+    remove: list | DataFrame | None = None,
 ) -> None:
-    """Fold one batch (NEW documents + optional removals) into the
+    """Fold one batch (NEW documents + optional removals — an id list
+    or a one-column DataFrame; the DataFrame form keeps bulk
+    retractions fully distributed, no driver collect) into the
     maintained coverage state: read the logs strictly below this
     batch, write only this batch's own log dirs.
 
@@ -146,7 +149,7 @@ def apply_substring_batch(
     re-read; every state write is the batch's own rows.
     """
     spark = batch_docs.sparkSession
-    removed_ids = [int(d) for d in (remove or [])]
+    rem_df, has_removes = _remove_frame(spark, remove)
     old_grams = _prior_grams(spark, state_dir, batch_id)
     prior_occ = _log_union(
         spark, f"{state_dir}/occ_delta", _OCC_SCHEMA, upto=batch_id - 1
@@ -158,9 +161,6 @@ def apply_substring_batch(
     delta.write.mode("overwrite").parquet(
         f"{state_dir}/grams/batch={batch_id}"
     )
-    rem_df = spark.createDataFrame(
-        [(d,) for d in removed_ids] or [], "doc_id long"
-    )
     rem_df.coalesce(1).write.mode("overwrite").parquet(
         f"{state_dir}/grams_removed/batch={batch_id}"
     )
@@ -171,7 +171,7 @@ def apply_substring_batch(
     delta_occ = delta.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
-    if removed_ids:
+    if has_removes:
         rem_grams = old_grams.join(
             F.broadcast(rem_df), "doc_id", "left_semi"
         )
@@ -244,7 +244,7 @@ def apply_substring_batch(
     #       the surviving history sums per gram, and the batch's net
     #       counts fold in with a full outer of two delta-proportional
     #       frames.
-    if removed_ids:
+    if has_removes:
         surviving_old = old_grams.join(
             F.broadcast(rem_df), "doc_id", "left_anti"
         )
@@ -305,7 +305,9 @@ def apply_substring_batch(
     affected.unionByName(rem_df).distinct().write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/coverage_removed/batch={batch_id + 1}")
-    for frame in (delta, net_occ, occ_old_cand, affected, recompute):
+    # rem_df may be localCheckpointed (DataFrame removes) — drop its
+    # blocks too, or every batch of a long-running drain leaks one
+    for frame in (delta, net_occ, occ_old_cand, affected, recompute, rem_df):
         frame.unpersist()
 
 
@@ -355,6 +357,7 @@ def compact_substring_coverage(
     snap.write.mode("overwrite").parquet(
         f"{state_dir}/coverage/compact={upto}"
     )
+    snap.unpersist()
     if upto >= 1:
         # gram consolidation applies the removal tombstones (<= its
         # own floor) so they can be GC'd with the superseded dirs —
@@ -381,6 +384,7 @@ def compact_substring_coverage(
         grams.write.mode("overwrite").parquet(
             f"{state_dir}/grams/compact={upto - 1}"
         )
+        grams.unpersist()
         # the occ-delta log shares the gram log's keying (batch k
         # writes occ_delta/batch=<k>) — consolidate its history into
         # one summed histogram at the same floor. This is the ONE
@@ -400,6 +404,7 @@ def compact_substring_coverage(
         occ.write.mode("overwrite").parquet(
             f"{state_dir}/occ_delta/compact={upto - 1}"
         )
+        occ.unpersist()
     if gc:
         _gc_log_dirs(
             spark,

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from codex_data_products_spark.streaming.dedup_ivm import (
     _gc_log_dirs,
     _log_union,
+    _remove_frame,
 )
 
 _TF_SCHEMA = "lang string, term string, tf long"
@@ -87,18 +88,22 @@ def apply_vocab_batch(
     batch_docs: DataFrame,
     state_dir: str,
     batch_id: int,
-    remove: list | None = None,
+    remove: list | DataFrame | None = None,
 ) -> None:
-    """Fold one batch (NEW documents + optional removals) into the
+    """Fold one batch (NEW documents + optional removals — an id list
+    or a one-column DataFrame; the DataFrame form keeps bulk
+    retractions fully distributed, no driver collect) into the
     vocabulary state: delta-sized appends only, replay-safe (a
     crashed batch overwrites its own dirs). A removal re-derives the
     retracted per-term counts from the doc-grain token log — negative
-    tf/df entries in the same delta logs the adds use."""
+    tf/df entries in the same delta logs the adds use. Removes apply
+    to the state BEFORE this batch (the retraction slice reads the
+    strictly-earlier token log), so a doc_id in both this batch's
+    adds and removes is an atomic replace: the old counts retract, the
+    new counts land, and the strictly-older tombstone rule keeps the
+    same-batch token-log row alive for any LATER removal to retract."""
     spark = batch_docs.sparkSession
-    removed_ids = [int(d) for d in (remove or [])]
-    rem_df = spark.createDataFrame(
-        [(d,) for d in removed_ids] or [], "doc_id long"
-    )
+    rem_df, _ = _remove_frame(spark, remove)
     rem_df.coalesce(1).write.mode("overwrite").parquet(
         f"{state_dir}/tok_removed/batch={batch_id}"
     )
@@ -139,6 +144,7 @@ def apply_vocab_batch(
         .parquet(f"{state_dir}/df_delta/batch={batch_id}")
     )
     per_doc.unpersist()
+    rem_df.unpersist()  # localCheckpoint blocks (DataFrame removes)
 
 
 def vocab_snapshot(
@@ -191,6 +197,7 @@ def compact_vocab_state(
             .localCheckpoint()
         )
         snap.write.mode("overwrite").parquet(f"{root}/compact={upto}")
+        snap.unpersist()
         if gc:
             _gc_log_dirs(spark, (root,), upto)
     # the doc-grain token log consolidates with its tombstones applied
@@ -210,6 +217,7 @@ def compact_vocab_state(
     tok.write.mode("overwrite").parquet(
         f"{state_dir}/tok_log/compact={upto}"
     )
+    tok.unpersist()
     if gc:
         _gc_log_dirs(
             spark,

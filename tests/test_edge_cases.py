@@ -885,3 +885,66 @@ def test_substring_trim_removes_exactly_the_spans(spark, tmp_path):
         n, kept, md5 = got[doc]
         assert kept == n - 10
         assert md5 == hashlib.md5(tail.encode()).hexdigest()
+
+
+def _sf_dir_with_events(tmp_path, rows):
+    """A testdata-shaped dir: sf0.001 tables symlinked, events replaced
+    (the oracle runner binds every table view eagerly)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    for p in glob.glob("/root/testdata/sf0.001/*.parquet"):
+        os.symlink(p, tmp_path / os.path.basename(p))
+    os.remove(tmp_path / "events.parquet")
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["event_id"] = pdf["event_id"].astype("int64")
+    pdf["user_id"] = pdf["user_id"].astype("int64")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_events_rfm_quintiles_under_five_users(spark, tmp_path):
+    """ntile(5) with n < 5 leaves trailing tiles empty; the boundary-
+    rank arithmetic must reproduce exactly that (scores 1..n, in the
+    (metric, user_id) total order) — and stay oracle-identical."""
+    from codex_data_products_spark import registry
+    from tests.oracle_utils import compare_frames, run_oracle
+
+    registry.load_all()
+    rows = [
+        (1, "2024-01-10 00:00:00", 7, "purchase", 10.0, "{}"),
+        (2, "2024-01-11 00:00:00", 8, "purchase", 30.0, "{}"),
+        (3, "2024-01-12 00:00:00", 9, "purchase", 20.0, "{}"),
+        (4, "2024-01-12 00:00:00", 9, "view", 99.0, "{}"),  # ignored
+    ]
+    d = _sf_dir_with_events(tmp_path, rows)
+    pdf = registry.QUERIES["events_rfm"](spark, d).toPandas()
+    assert sorted(pdf["r_score"]) == [1, 2, 3]  # empty tiles 4, 5
+    problems = compare_frames(pdf, run_oracle(registry.ORACLES["events_rfm"], d))
+    assert problems == [], problems
+
+
+def test_events_rfm_tie_breaks_match_oracle(spark, tmp_path):
+    """All users share one frequency/monetary value: quintile edges cut
+    INSIDE the tie block, so scores depend purely on the user_id
+    tie-break — the exact case a value-only boundary would get wrong."""
+    from codex_data_products_spark import registry
+    from tests.oracle_utils import compare_frames, run_oracle
+
+    registry.load_all()
+    rows = [
+        (i, "2024-02-0%d 00:00:00" % (1 + i % 3), 100 + i, "purchase",
+         25.0, "{}")
+        for i in range(13)
+    ]
+    d = _sf_dir_with_events(tmp_path, rows)
+    got = registry.QUERIES["events_rfm"](spark, d).toPandas()
+    assert sorted(got["m_score"].value_counts()) == [2, 2, 3, 3, 3]
+    problems = compare_frames(got, run_oracle(registry.ORACLES["events_rfm"], d))
+    assert problems == [], problems

@@ -2062,3 +2062,119 @@ def test_emb_dedup_persisted_vectors_never_shuffle(spark, sf_dir, tmp_path):
             plan[m.start() - 200 : m.end()]
         )
     assert pairs.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Round 10: window-scale conversions (VERDICT r9 #1/#2) + storage
+# hygiene (VERDICT r9 #8).
+# ---------------------------------------------------------------------------
+
+
+def test_events_rfm_no_global_ntile_window(spark, sf_dir):
+    """ntile(5) is rank arithmetic here: every Window node must be
+    PARTITIONED (metric / metric×tile) — an unpartitioned window over
+    the user grain would serialize the corpus through one task."""
+    plan = _plan(spark, sf_dir, "events_rfm")
+    assert "ntile" not in plan
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows, "expected the boundary-refinement windows"
+    for ln in windows:
+        assert "], [m#" in ln, ln  # partition spec present
+
+
+def test_position_remap_no_single_partition_window(spark, sf_dir):
+    """The W1 labels frame ranks per SEGMENT (the labels reader's
+    per-file coordinate space): row_number partitions by seg and the
+    plan carries no single-partition exchange at all."""
+    plan = _plan(spark, sf_dir, "position_remap")
+    assert "Exchange SinglePartition" not in plan
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows
+    for ln in windows:
+        assert "windowspecdefinition(seg#" in ln, ln
+
+
+def _leaked_persisted(spark):
+    """(rdd_id, storage) of persisted RDDs that are NOT localCheckpoint
+    blocks (those belong to still-referenced result frames; explicit
+    .persist() intermediates must be released by their owner)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    leaks = []
+    for jrdd in jmap.values():
+        if not jrdd.rdd().isLocallyCheckpointed():
+            leaks.append(jrdd.id())
+    return leaks
+
+
+def test_no_lingering_persisted_frames(spark, sf_dir, tmp_path):
+    """Storage hygiene (VERDICT r9 #8): the curation pipeline and every
+    IVM maintainer must release their persisted/checkpointed
+    intermediates before returning — a long-running drain must not
+    accumulate executor-storage blocks batch over batch."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.plans.training_pipeline import (
+        CurationConfig,
+        curate,
+    )
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        compact_simhash_pairs,
+    )
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        apply_emb_batch,
+        compact_emb_state,
+    )
+    from codex_data_products_spark.streaming.substring_ivm import (
+        apply_substring_batch,
+        bootstrap_substring_state,
+        compact_substring_coverage,
+    )
+    from codex_data_products_spark.streaming.text_ivm import (
+        apply_vocab_batch,
+        compact_vocab_state,
+    )
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    rm = docs.filter("doc_id % 7 = 3").select("doc_id")
+
+    curate(docs, CurationConfig()).count()
+    assert _leaked_persisted(spark) == [], "curate leaked caches"
+    curate(docs, CurationConfig(trim_dup_spans=True)).count()
+    assert _leaked_persisted(spark) == [], "curate(trim) leaked caches"
+
+    state = str(tmp_path / "hyg_cluster")
+    bootstrap_cluster_state(spark, state)
+    apply_cluster_batch(docs, state, 0)
+    apply_cluster_batch(docs.limit(0), state, 1, remove=rm)
+    compact_simhash_pairs(spark, state, upto=2)
+    assert _leaked_persisted(spark) == [], "cluster maintainer leaked"
+
+    state = str(tmp_path / "hyg_substr")
+    bootstrap_substring_state(spark, state)
+    apply_substring_batch(docs, state, 0)
+    apply_substring_batch(docs.limit(0), state, 1, remove=rm)
+    compact_substring_coverage(spark, state, upto=2)
+    assert _leaked_persisted(spark) == [], "substring maintainer leaked"
+
+    state = str(tmp_path / "hyg_vocab")
+    apply_vocab_batch(docs, state, 0)
+    apply_vocab_batch(docs.limit(0), state, 1, remove=rm)
+    compact_vocab_state(spark, state, upto=1)
+    assert _leaked_persisted(spark) == [], "vocab maintainer leaked"
+
+    state = str(tmp_path / "hyg_emb")
+    apply_emb_batch(spark, state, 0, adds=emb)
+    apply_emb_batch(
+        spark,
+        state,
+        1,
+        removes=emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    compact_emb_state(spark, state, upto=1)
+    assert _leaked_persisted(spark) == [], "emb maintainer leaked"

@@ -2293,3 +2293,187 @@ def test_vocab_ivm_remove_then_readd_equals_from_scratch(
     # re-add restores the full view exactly
     apply_vocab_batch(docs.filter(F.col("doc_id").isin(victims)), state, 3)
     assert rows(vocab_snapshot(spark, state)) == want_full
+
+
+# ---------------------------------------------------------------------------
+# Round 10: DataFrame-fed removals (bulk retraction without a driver
+# collect) and combined add+remove batches (atomic replace semantics).
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_ivm_dataframe_removes_match_list_removes(
+    spark, sf_dir, tmp_path
+):
+    """The same removal fed as a list and as a one-column DataFrame
+    must produce identical maintained snapshots."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    removed = [
+        r["doc_id"]
+        for r in docs.filter("doc_id % 5 = 1").select("doc_id").collect()
+    ]
+    empty = spark.createDataFrame([], docs.schema)
+    snaps = {}
+    for tag, rm in (
+        ("list", removed),
+        ("frame", docs.filter("doc_id % 5 = 1").select("doc_id")),
+    ):
+        state = str(tmp_path / f"cluster_dfrm_{tag}")
+        bootstrap_cluster_state(spark, state)
+        apply_cluster_batch(docs, state, 0)
+        apply_cluster_batch(empty, state, 1, remove=rm)
+        snaps[tag] = _cc_ivm(spark, state)
+    assert snaps["list"] == snaps["frame"]
+    assert snaps["frame"] == _cc_from_scratch(
+        spark, docs.filter(~F.col("doc_id").isin(removed)), tmp_path, "dfrm"
+    )
+
+
+def test_cluster_ivm_bulk_dataframe_retraction_no_driver_collect(
+    spark, sf_dir, tmp_path
+):
+    """A 10^5-id removes DataFrame (covering every doc plus absent ids)
+    retracts the whole corpus — the removal path never materializes the
+    id set on the driver, so release-grain size is unbounded."""
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        sim_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "cluster_bulk_rm")
+    bootstrap_cluster_state(spark, state)
+    apply_cluster_batch(docs, state, 0)
+    removes = spark.range(0, 100_000).select(
+        F.col("id").alias("doc_id")
+    )
+    empty = spark.createDataFrame([], docs.schema)
+    apply_cluster_batch(empty, state, 1, remove=removes)
+    assert _cc_ivm(spark, state) == set()
+    assert sim_snapshot(spark, state).count() == 0
+
+
+def test_substring_ivm_dataframe_removes(spark, sf_dir, tmp_path):
+    """DataFrame-fed removal == never-ingested (parity with the list
+    path's oracle contract)."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.streaming.substring_ivm import (
+        apply_substring_batch,
+        bootstrap_substring_state,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "substr_dfrm")
+    bootstrap_substring_state(spark, state)
+    apply_substring_batch(docs, state, 0)
+    rm = docs.filter("doc_id % 7 = 3").select("doc_id")
+    apply_substring_batch(docs.limit(0), state, 1, remove=rm)
+    removed = [r["doc_id"] for r in rm.collect()]
+    assert _substr_ivm(spark, state) == _substr_from_scratch(
+        spark,
+        docs.filter(~F.col("doc_id").isin(removed)),
+        tmp_path,
+        "dfrm",
+    )
+
+
+def test_vocab_ivm_same_batch_add_remove_is_atomic_replace(
+    spark, sf_dir, tmp_path
+):
+    """A doc_id in BOTH a batch's adds and removes is replaced
+    atomically: old counts retract (from the strictly-earlier token
+    log), new counts land, snapshot == from-scratch over the replaced
+    corpus. Removes arrive as a DataFrame."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.text import vocab_top_terms
+    from codex_data_products_spark.streaming.text_ivm import (
+        apply_vocab_batch,
+        vocab_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    state = str(tmp_path / "vocab_replace")
+    apply_vocab_batch(docs, state, 0)
+    victims = docs.filter("doc_id % 11 = 4").select("doc_id")
+    replacement = docs.filter("doc_id % 11 = 4").withColumn(
+        "text", F.concat(F.lit("replacement corpus text payload "), "text")
+    )
+    apply_vocab_batch(replacement, state, 1, remove=victims)
+    src = str(tmp_path / "vocab_replace_src")
+    docs.filter("doc_id % 11 <> 4").unionByName(replacement).write.parquet(
+        f"{src}/documents.parquet"
+    )
+    assert rows(vocab_snapshot(spark, state)) == rows(
+        vocab_top_terms(spark, src)
+    )
+
+
+def test_emb_dedup_ivm_combined_add_remove_batch(spark, sf_dir, tmp_path):
+    """A combined add+remove batch: the dead vectors' pairs must NOT be
+    re-derived against the batch's delta (the strictly-older tombstone
+    cannot kill same-batch pair rows), and a vec_id in both adds and
+    removes re-enters with its new vector. Maintained pairs == a
+    from-scratch single-batch build over the post-batch corpus."""
+    from pyspark.sql import functions as F
+
+    from codex_data_products_spark.queries.dedup import (
+        _SYNTHETIC_EMB_THRESHOLD,
+    )
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        apply_emb_batch,
+        emb_pairs_snapshot,
+        emb_snapshot,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    state = str(tmp_path / "emb_combined")
+    apply_emb_batch(
+        spark, state, 0, adds=emb, threshold=_SYNTHETIC_EMB_THRESHOLD
+    )
+    # batch 1: remove every % 7 == 3 vector AND re-add half of them
+    # (vec_id % 14 == 3) with a shifted label — plus genuinely new ids
+    removes = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    readds = emb.filter(F.col("vec_id") % 14 == 3).withColumn(
+        "label", (F.col("label") + 1) % 8
+    )
+    fresh = emb.filter(F.col("vec_id") % 13 == 5).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    adds = readds.unionByName(fresh)
+    apply_emb_batch(
+        spark,
+        state,
+        1,
+        adds=adds,
+        removes=removes,
+        threshold=_SYNTHETIC_EMB_THRESHOLD,
+    )
+    # from-scratch: one batch over the post-change corpus
+    survivors = emb.filter(F.col("vec_id") % 7 != 3).unionByName(adds)
+    scratch = str(tmp_path / "emb_combined_scratch")
+    apply_emb_batch(
+        spark,
+        scratch,
+        0,
+        adds=survivors,
+        threshold=_SYNTHETIC_EMB_THRESHOLD,
+    )
+    assert _emb_pairs_sorted(
+        emb_pairs_snapshot(spark, state)
+    ) == _emb_pairs_sorted(emb_pairs_snapshot(spark, scratch))
+    assert emb_snapshot(spark, state).count() == survivors.count()

@@ -210,14 +210,21 @@ def run_ann(args) -> None:
     delta = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
     run_batch("bootstrap_90pct", 0, adds=base)
     run_batch("add_10pct", 1, adds=delta)
-    removed = delta.limit(50).select("vec_id")
+    # collect the removal ids ONCE: limit() without an ordering is
+    # non-deterministic across jobs, so the verified set must be built
+    # from the very rows the tombstone batch saw
+    removed_ids = {
+        r["vec_id"] for r in delta.limit(50).select("vec_id").collect()
+    }
+    removed = spark.createDataFrame(
+        [(v,) for v in sorted(removed_ids)], "vec_id long"
+    )
     run_batch("remove_50_vecs", 2, removes=removed)
 
     add = result["batches"][1]
     result["add_write_fraction_of_state"] = round(
         add["bytes_written_total"] / max(add["state_bytes_total"], 1), 4
     )
-    removed_ids = {r["vec_id"] for r in removed.collect()}
     snap = {
         (r["vec_id"], r["cell"])
         for r in ann_postings_snapshot(spark, state).collect()
