@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -296,12 +297,20 @@ def build_product(
     *,
     decoder: Decoder = h5py_decoder,
     tissue_by_uuid: dict[str, str] | None = None,
+    tissue_lookup: Callable[[str], str | None] | None = None,
     product_uuid: str | None = None,
     creation_time: str | None = None,
     only_datasets: list[str] | None = None,
 ) -> CodexProduct:
     """Compose the full Entry-C DAG. Nothing executes here except tiny
     driver-side metadata reads (catalog collect, CSV headers).
+
+    Tissue resolution per dataset when ``tissue`` is None: the
+    ``tissue_by_uuid`` dict first, then ``tissue_lookup`` (S9 — wire
+    ``sources.rest.live_tissue_lookup(organ_yaml_path)`` for the
+    reference's per-uuid entity-API resolution,
+    bin/concatenate.py:84-96), else "unknown". The lookup stays
+    injectable so hermetic runs never touch the network.
 
     ``only_datasets`` restricts the build to a subset of the catalog's
     leaf datasets — the incremental maintainer's block builder: because
@@ -336,7 +345,10 @@ def build_product(
 
     parts = []
     for ds in processed_uuids:
-        ds_tissue = tissue or (tissue_by_uuid or {}).get(ds, "unknown")
+        ds_tissue = tissue or (tissue_by_uuid or {}).get(ds)
+        if ds_tissue is None and tissue_lookup is not None:
+            ds_tissue = tissue_lookup(ds)
+        ds_tissue = ds_tissue or "unknown"
         p = _dataset_parts(spark, data_dir, ds, ds_tissue, ancestor_of, decoder)
         if p is None:
             continue
@@ -363,6 +375,7 @@ def build_products(
     *,
     decoder: Decoder = h5py_decoder,
     tissue_by_uuid: dict[str, str] | None = None,
+    tissue_lookup: Callable[[str], str | None] | None = None,
     product_uuid_by_tissue: dict[str, str] | None = None,
     creation_time: str | None = None,
 ) -> dict[str, CodexProduct]:
@@ -380,10 +393,13 @@ def build_products(
     ``build_product`` applies — property-tested equal per tissue.
 
     Tissue resolution: a ``tissue`` column in the catalog TSV if
-    present, else ``tissue_by_uuid``; datasets with no resolvable tissue
-    raise (a silent 'unknown' bucket would merge tissues into one
-    product). ``creation_time`` defaults to ONE shared timestamp so the
-    fleet's products are mutually consistent."""
+    present, else ``tissue_by_uuid``, else ``tissue_lookup`` (S9 —
+    ``sources.rest.live_tissue_lookup`` replays the reference's
+    per-uuid entity-API call, bin/concatenate.py:84-96); datasets
+    still unresolved raise (a silent 'unknown' bucket would merge
+    tissues into one product). ``creation_time`` defaults to ONE
+    shared timestamp so the fleet's products are mutually
+    consistent."""
     import uuid as uuidlib
     from datetime import datetime
 
@@ -398,7 +414,10 @@ def build_products(
     def tissue_of(row) -> str | None:
         if has_tissue_col and row["tissue"]:
             return row["tissue"]
-        return (tissue_by_uuid or {}).get(row["uuid"])
+        t = (tissue_by_uuid or {}).get(row["uuid"])
+        if t is None and tissue_lookup is not None:
+            t = tissue_lookup(row["uuid"])
+        return t
 
     unresolved = [r["uuid"] for r in leaves if tissue_of(r) is None]
     if unresolved:

@@ -130,3 +130,73 @@ def codex_search_payload(
             }
         },
     }
+
+
+ENTITY_API_URL = "https://entity.api.hubmapconsortium.org"
+
+
+def entity_tissue_lookup(
+    uuid: str,
+    organ_map: dict[str, str],
+    base_url: str = ENTITY_API_URL,
+    transport: Transport = urllib_transport,
+    max_retries: int = MAX_RETRIES,
+    sleeper: Callable[[float], None] | None = None,
+) -> str | None:
+    """S9: the reference's live tissue resolution (get_tissue_type,
+    bin/concatenate.py:84-96): GET ``/datasets/{uuid}/samples``, take
+    the FIRST sample whose ``direct_ancestor`` carries an organ code,
+    and translate it through the organ map
+    (``sources.organ_yaml.load_organ_map``). Returns None on HTTP
+    failure (after retry), an organ-less sample list, malformed JSON,
+    or an organ code missing from the map — the reference raises
+    KeyError on the last case; a nightly pipeline degrades to its
+    tissue-unresolved path instead."""
+    status, text = fetch_json(
+        f"{base_url}/datasets/{uuid}/samples",
+        None,
+        transport,
+        max_retries,
+        sleeper,
+    )
+    if status != 200:
+        return None
+    try:
+        data = json.loads(text)
+    except ValueError:
+        return None
+    if not isinstance(data, list):
+        return None
+    for sample in data:
+        if not isinstance(sample, dict):
+            continue
+        organ = (sample.get("direct_ancestor") or {}).get("organ")
+        if organ:
+            return organ_map.get(organ)
+    return None
+
+
+def live_tissue_lookup(
+    organ_yaml_path: str,
+    base_url: str = ENTITY_API_URL,
+    transport: Transport = urllib_transport,
+) -> Callable[[str], str | None]:
+    """A ready-to-wire ``tissue_lookup`` for ``plans.codex_pipeline``'s
+    build entry points: loads the organ YAML once, memoizes per-uuid
+    answers (the fleet build resolves each dataset exactly once even if
+    retried), and keeps the network boundary injectable for tests."""
+    from codex_data_products_spark.sources.organ_yaml import (
+        load_organ_map,
+    )
+
+    organ_map = load_organ_map(organ_yaml_path)
+    cache: dict[str, str | None] = {}
+
+    def lookup(uuid: str) -> str | None:
+        if uuid not in cache:
+            cache[uuid] = entity_tissue_lookup(
+                uuid, organ_map, base_url, transport
+            )
+        return cache[uuid]
+
+    return lookup

@@ -322,3 +322,33 @@ def test_product_dynamic_partition_pruning(product, tmp_path, spark):
         assert 0 < n_joined < n_fact  # pruning is actually selective
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "true")
+
+
+def test_build_product_tissue_lookup_fallback(spark, bundle):
+    """S9 wiring: per-dataset tissue resolves tissue_by_uuid FIRST,
+    then the injectable tissue_lookup (live_tissue_lookup's shape),
+    then 'unknown' — and the lookup is consulted only for datasets the
+    dict misses."""
+    looked_up = []
+
+    def lookup(uuid):
+        looked_up.append(uuid)
+        return {DS_B: "Kidney"}.get(uuid)
+
+    prod = build_product(
+        spark,
+        str(bundle / "data"),
+        str(bundle / "uuids.tsv"),
+        tissue=None,
+        tissue_by_uuid={DS_A: "Spleen"},
+        tissue_lookup=lookup,
+        decoder=fake_decoder,
+        product_uuid="t-uuid",
+        creation_time="2026-01-01 00:00:00",
+    )
+    tissues = {
+        r["dataset"]: r["tissue"]
+        for r in prod.obs.select("dataset", "tissue").distinct().collect()
+    }
+    assert tissues == {DS_A: "Spleen", DS_B: "Kidney"}
+    assert looked_up == [DS_B]  # dict hit short-circuits the lookup

@@ -124,3 +124,81 @@ def test_codex_search_payload_shapes():
     assert {"match": {"origin_samples.organ": "HT"}} in scoped["query"][
         "bool"
     ]["must"]
+
+
+# ---------------------------------------------------------------------------
+# S9: live tissue resolution (entity_tissue_lookup — the reference's
+# get_tissue_type, bin/concatenate.py:84-96) — found / missing-organ /
+# HTTP-error branches on recorded transports.
+# ---------------------------------------------------------------------------
+
+_ORGAN_MAP = {"HT": "Heart", "LK": "Kidney (Left)"}
+
+
+def _samples_body(*organs):
+    return json.dumps(
+        [
+            {"direct_ancestor": ({"organ": o} if o else {})}
+            for o in organs
+        ]
+    )
+
+
+def test_tissue_lookup_found():
+    from codex_data_products_spark.sources.rest import entity_tissue_lookup
+
+    t = RecordedTransport([(200, _samples_body(None, "HT", "LK"))])
+    # first sample has no organ; the first WITH one wins (reference
+    # iterates samples and returns on the first organ hit)
+    assert (
+        entity_tissue_lookup("u1", _ORGAN_MAP, "http://api", t) == "Heart"
+    )
+    assert t.calls == [("http://api/datasets/u1/samples", None)]
+
+
+def test_tissue_lookup_missing_organ_branches():
+    from codex_data_products_spark.sources.rest import entity_tissue_lookup
+
+    # no sample carries an organ → None
+    t = RecordedTransport([(200, _samples_body(None, None))])
+    assert entity_tissue_lookup("u1", _ORGAN_MAP, "http://api", t) is None
+    # organ code absent from the map → None (reference would KeyError)
+    t = RecordedTransport([(200, _samples_body("ZZ"))])
+    assert entity_tissue_lookup("u1", _ORGAN_MAP, "http://api", t) is None
+    # malformed / non-list JSON → None
+    t = RecordedTransport([(200, "not json")])
+    assert entity_tissue_lookup("u1", _ORGAN_MAP, "http://api", t) is None
+    t = RecordedTransport([(200, json.dumps({"oops": 1}))])
+    assert entity_tissue_lookup("u1", _ORGAN_MAP, "http://api", t) is None
+
+
+def test_tissue_lookup_http_error_after_retries():
+    from codex_data_products_spark.sources.rest import entity_tissue_lookup
+
+    _no_sleep.slept = []
+    t = RecordedTransport([(500, "e"), (502, "e"), (404, "gone")])
+    assert (
+        entity_tissue_lookup(
+            "u1", _ORGAN_MAP, "http://api", t, sleeper=_no_sleep
+        )
+        is None
+    )
+    assert _no_sleep.slept == [1.0, 2.0]  # 5xx retried, 404 final
+
+
+def test_live_tissue_lookup_memoizes(tmp_path):
+    from codex_data_products_spark.sources.rest import live_tissue_lookup
+
+    y = tmp_path / "organ_types.yaml"
+    y.write_text("HT:\n  description: Heart\nLK:\n  description: Kidney\n")
+    t = RecordedTransport(
+        [(200, _samples_body("HT")), (200, _samples_body("LK"))]
+    )
+    lookup = live_tissue_lookup(str(y), "http://api", t)
+    assert lookup("u1") == "Heart"
+    assert lookup("u1") == "Heart"  # memoized — no second call for u1
+    assert lookup("u2") == "Kidney"
+    assert [u for u, _ in t.calls] == [
+        "http://api/datasets/u1/samples",
+        "http://api/datasets/u2/samples",
+    ]
