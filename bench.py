@@ -354,6 +354,118 @@ def main() -> None:
             "skipped: generate with tools/gen_stress.py --boilerplate"
         )
 
+    # Fifth block (VERDICT r9 #5/#6): maintained-index steady state —
+    # numbers the index owner cares about, measured over LIVE multi-
+    # batch state instead of the registry's full-replay queries.
+    #   ann_search_auto_sec: search_ann(nprobe="auto") latency over an
+    #     index built as bootstrap-train + 3 add batches + 1 removal
+    #     batch at sf1.0 (median of n_runs; scan fraction + chosen
+    #     nprobe recorded alongside).
+    #   substr_delta_batch_sec: apply_substring_batch of a 1% delta
+    #     against 99%-of-corpus sf1.0 state (the same crashed-batch
+    #     replay each run — idempotent overwrite of its own dirs), vs
+    #     the one-off bootstrap cost. The O(delta) claim as bench rows.
+    maint_runs = int(os.environ.get("SPARK_GRAFT_MAINT_RUNS", str(n_runs)))
+    if maint_runs <= 0:
+        result["maintained_sf1.0"] = "skipped: SPARK_GRAFT_MAINT_RUNS=0"
+    elif os.path.isdir(skew_dir) and os.path.isdir(substr_dir):
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from codex_data_products_spark.streaming.ann_ivm import (
+            apply_ann_batch,
+            bootstrap_ann_state,
+            maintained_cell_balance,
+            search_ann,
+        )
+        from codex_data_products_spark.streaming.substring_ivm import (
+            apply_substring_batch,
+            bootstrap_substring_state,
+        )
+
+        maint: dict = {}
+        scratch = tempfile.mkdtemp(prefix="bench_maint_")
+        try:
+            emb = spark.read.parquet(f"{skew_dir}/embeddings.parquet")
+            ann_state = os.path.join(scratch, "ann")
+            t0 = time.perf_counter()
+            bootstrap_ann_state(
+                spark, ann_state, emb.filter(F.col("vec_id") % 3 == 0)
+            )
+            for k in range(3):
+                apply_ann_batch(
+                    spark,
+                    ann_state,
+                    k,
+                    adds=emb.filter(F.col("vec_id") % 3 == k).select(
+                        "vec_id", "embedding"
+                    ),
+                )
+            apply_ann_batch(
+                spark,
+                ann_state,
+                3,
+                removes=emb.filter(F.col("vec_id") % 7 == 3).select(
+                    "vec_id"
+                ),
+            )
+            maint["ann_build_sec"] = round(time.perf_counter() - t0, 3)
+            queries_df = (
+                emb.filter(F.col("vec_id") % 50 == 0)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.transform(
+                        "embedding", lambda x: x.cast("double")
+                    ).alias("qv"),
+                )
+                .localCheckpoint()
+            )
+            maint["ann_n_queries"] = queries_df.count()
+            n_cells, esf = maintained_cell_balance(spark, ann_state)
+            maint["ann_n_cells"] = n_cells
+            maint["ann_expected_scan_frac"] = round(esf, 4)
+            search_secs = []
+            for _ in range(maint_runs):
+                t0 = time.perf_counter()
+                search_ann(
+                    spark, ann_state, queries_df, top_k=5, nprobe="auto"
+                ).write.format("noop").mode("overwrite").save()
+                search_secs.append(round(time.perf_counter() - t0, 3))
+                spark.catalog.clearCache()
+            maint["ann_search_auto_sec"] = round(
+                statistics.median(search_secs), 3
+            )
+            maint["ann_search_runs"] = search_secs
+
+            docs = spark.read.parquet(f"{substr_dir}/documents.parquet")
+            sub_state = os.path.join(scratch, "substr")
+            bootstrap_substring_state(spark, sub_state)
+            t0 = time.perf_counter()
+            apply_substring_batch(
+                docs.filter(F.col("doc_id") % 100 != 0), sub_state, 0
+            )
+            maint["substr_bootstrap_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            delta = docs.filter(F.col("doc_id") % 100 == 0)
+            maint["substr_delta_fraction"] = 0.01
+            delta_secs = []
+            for _ in range(maint_runs):
+                t0 = time.perf_counter()
+                apply_substring_batch(delta, sub_state, 1)
+                delta_secs.append(round(time.perf_counter() - t0, 3))
+            maint["substr_delta_batch_sec"] = round(
+                statistics.median(delta_secs), 3
+            )
+            maint["substr_delta_runs"] = delta_secs
+            result["maintained_sf1.0"] = maint
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    else:
+        result["maintained_sf1.0"] = "skipped: stress dirs absent"
+
     stat_end = read_proc_stat()
     steal_pct = None
     if stat_start and stat_end and stat_end[1] > stat_start[1]:
@@ -380,6 +492,19 @@ def main() -> None:
         "sf0.5_sec": _suite_sec(result["sf0.5"]),
         "skew_sf1.0_sec": _suite_sec(result["skew_sf1.0"]),
         "substr_sf1.0_sec": _suite_sec(result["substr_sf1.0"]),
+        "maintained_sf1.0": (
+            {
+                k: result["maintained_sf1.0"][k]
+                for k in (
+                    "ann_search_auto_sec",
+                    "ann_expected_scan_frac",
+                    "substr_bootstrap_sec",
+                    "substr_delta_batch_sec",
+                )
+            }
+            if isinstance(result["maintained_sf1.0"], dict)
+            else result["maintained_sf1.0"]
+        ),
         "sf": sf,
         "load_avg_start": load_start,
         "steal_pct": steal_pct,

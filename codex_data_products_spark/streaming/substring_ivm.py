@@ -215,63 +215,67 @@ def apply_substring_batch(
         .select("g")
     )
 
-    # -- 3. recompute set: the delta itself plus every SURVIVING old
-    #       doc holding a status-changed gram (removed docs are
-    #       already filtered out of old_grams by their own batch's
-    #       tombstone only for LATER batches — exclude them here
-    #       explicitly so a doc removed in THIS batch never re-emits).
-    affected = (
-        old_grams.join(F.broadcast(changed), "g", "left_semi")
-        .join(F.broadcast(rem_df), "doc_id", "left_anti")
-        .select("doc_id")
-        .distinct()
-        .persist()
-    )
-    recompute = (
-        batch_docs.select("doc_id")
-        .distinct()
-        .unionByName(affected)
-        .distinct()
-        .persist()
-    )
+    # -- 3. repair set: every SURVIVING old doc holding a status-
+    #       changed gram. `changed` is change-grain — materialize it
+    #       once and, when it is EMPTY (the common insert shape: fresh
+    #       vocabulary has o==0, established duplicates stay >= 2),
+    #       SKIP the three old-log scans below outright. Round 10:
+    #       those no-op scans cost a 1% delta batch ~2x the
+    #       from-scratch recompute at the boilerplate stress — an
+    #       empty broadcast semi-join still streams the whole log.
+    changed = changed.localCheckpoint()
+    has_changed = not changed.isEmpty()
 
-    # -- 4. duplicated positions of the recompute set under the NEW
-    #       counts: slice the gram log to the recompute docs (broadcast
-    #       semi-join — the log streams), then mark positions whose
-    #       gram is duplicated. The dup test never shuffles the occ
-    #       log either: the recompute docs' distinct grams are
-    #       delta-proportional, so they broadcast INTO the log scan,
+    # -- 4. duplicated positions of the recompute set (the delta plus
+    #       the affected old docs) under the NEW counts. Delta doc_ids
+    #       hold no surviving old gram rows — ids are fresh by the
+    #       append contract, a re-add's earlier rows are tombstone-dead
+    #       (_prior_grams), and an atomic-replace's are excluded
+    #       because ``affected`` anti-joins this batch's removes — so
+    #       the recompute slice is exactly (old_grams ⋉ affected) ∪
+    #       delta: the corpus log is never scanned for the delta's own
+    #       rows. The dup test never shuffles the occ log either: the
+    #       affected docs' distinct grams broadcast INTO the log scan,
     #       the surviving history sums per gram, and the batch's net
-    #       counts fold in with a full outer of two delta-proportional
-    #       frames.
-    if has_removes:
-        surviving_old = old_grams.join(
-            F.broadcast(rem_df), "doc_id", "left_anti"
+    #       counts fold in with a full outer of two change-grain
+    #       frames (removed docs never re-emit: they are filtered out
+    #       of ``affected``, and their coverage rows die through this
+    #       batch's tombstones).
+    if has_changed:
+        affected = (
+            old_grams.join(F.broadcast(changed), "g", "left_semi")
+            .join(F.broadcast(rem_df), "doc_id", "left_anti")
+            .select("doc_id")
+            .distinct()
+            .persist()
+        )
+        # prior counts for the repair grams WITHOUT a second full-set
+        # log scan: the candidate scan above already covered every
+        # gram this batch touched, so only the AFFECTED docs' grams —
+        # bounded by the status-changed grams — need their own pass.
+        aff_grams = (
+            old_grams.join(F.broadcast(affected), "doc_id", "left_semi")
+            .select("g")
+            .distinct()
+        )
+        occ_old_aff = (
+            prior_occ.join(F.broadcast(aff_grams), "g", "left_semi")
+            .groupBy("g")
+            .agg(F.sum("occ").cast("long").alias("occ_old"))
+        )
+        occ_old_r = (
+            occ_old_cand.unionByName(occ_old_aff)
+            .groupBy("g")
+            .agg(F.max("occ_old").alias("_o"))  # overlap rows are equal
+        )
+        old_r_pos = old_grams.join(
+            F.broadcast(affected), "doc_id", "left_semi"
         )
     else:
-        surviving_old = old_grams
-    all_grams = surviving_old.unionByName(delta)
-    r_pos = all_grams.join(F.broadcast(recompute), "doc_id", "left_semi")
-    # prior counts for the recompute grams WITHOUT a second full-set
-    # log scan: the candidate scan above already covered every gram
-    # this batch touched (delta + removed docs'), so only the
-    # AFFECTED docs' grams — a set bounded by the status-changed
-    # grams, far smaller than the delta — need their own pass.
-    aff_grams = (
-        old_grams.join(F.broadcast(affected), "doc_id", "left_semi")
-        .select("g")
-        .distinct()
-    )
-    occ_old_aff = (
-        prior_occ.join(F.broadcast(aff_grams), "g", "left_semi")
-        .groupBy("g")
-        .agg(F.sum("occ").cast("long").alias("occ_old"))
-    )
-    occ_old_r = (
-        occ_old_cand.unionByName(occ_old_aff)
-        .groupBy("g")
-        .agg(F.max("occ_old").alias("_o"))  # overlap rows are equal
-    )
+        affected = _empty(spark, _REMOVED_SCHEMA)
+        occ_old_r = occ_old_cand.select("g", F.col("occ_old").alias("_o"))
+        old_r_pos = _empty(spark, _GRAMS_SCHEMA)
+    r_pos = old_r_pos.unionByName(delta)
     dup_r = (
         occ_old_r.join(net_occ, "g", "full_outer")
         .select(
@@ -305,9 +309,9 @@ def apply_substring_batch(
     affected.unionByName(rem_df).distinct().write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/coverage_removed/batch={batch_id + 1}")
-    # rem_df may be localCheckpointed (DataFrame removes) — drop its
-    # blocks too, or every batch of a long-running drain leaks one
-    for frame in (delta, net_occ, occ_old_cand, affected, recompute, rem_df):
+    # rem_df/changed may be localCheckpointed — drop their blocks too,
+    # or every batch of a long-running drain leaks a few
+    for frame in (delta, net_occ, occ_old_cand, affected, changed, rem_df):
         frame.unpersist()
 
 
