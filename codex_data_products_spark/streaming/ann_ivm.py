@@ -286,21 +286,28 @@ def search_ann(
         w_cells = Window.partitionBy("query_id").orderBy(
             cell_cos.desc(), F.col("cell")
         )
-        # localCheckpoint: the ranked-probe frame (≤ |queries| × nprobe
-        # rows) is consumed twice — the probed-cell collect below and
-        # the candidate join — and without materialization each
-        # reference re-runs the |queries| × |cells| ranking crossJoin
-        # (4 copies in the executed plan before this)
-        probes = (
+        # the ranked (query_id, cell) pairs are ≤ |queries| × nprobe
+        # rows — driver-tiny by the same bound that makes the query
+        # set broadcastable — so collect them ONCE: the ranking
+        # crossJoin runs exactly one time, the pair table re-enters as
+        # a literal frame (round 10: the former localCheckpoint here
+        # leaked its blocks into executor storage for the caller's
+        # lifetime — one leak per search on the hot read path), and
+        # the vectors re-attach through a broadcast join against the
+        # query frame.
+        pairs = (
             q.crossJoin(F.broadcast(cent_vec))
             .withColumn("cell_rank", F.row_number().over(w_cells))
             .filter(F.col("cell_rank") <= nprobe)
-            .select("query_id", "qv", "qnsq", "cell")
-            .localCheckpoint()
+            .select("query_id", "cell")
+            .collect()
         )
-        probed_cells = sorted(
-            {r["cell"] for r in probes.select("cell").distinct().collect()}
+        probed_cells = sorted({int(r["cell"]) for r in pairs})
+        probe_df = spark.createDataFrame(
+            [(r["query_id"], r["cell"]) for r in pairs] or [],
+            "query_id long, cell long",
         )
+        probes = probe_df.join(q, "query_id")
         post = ann_postings_snapshot(
             spark, state_dir, version, cells=probed_cells
         )
