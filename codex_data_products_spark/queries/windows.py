@@ -193,9 +193,16 @@ def position_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = labels.select(F.col("doc_id").alias("src_doc"), F.col("pos").alias("i"))
     dst = labels.select(F.col("doc_id").alias("dst_doc"), F.col("pos").alias("j"))
+    # No broadcast hint on the labels endpoints: labels is CORPUS grain
+    # (one row per document), so pinning it to a broadcast build would
+    # OOM executors at 100× docs. Hint-free equi-joins match the
+    # production W1 path (sources/labels.py:36) — the planner (and AQE)
+    # picks broadcast only when the side is actually under the
+    # threshold; at bulk grain this is a shuffled hash join on the
+    # position key, which scales with the data.
     return (
-        edges.join(F.broadcast(src), "i")
-        .join(F.broadcast(dst), "j")
+        edges.join(src, "i")
+        .join(dst, "j")
         .select("event_id", "src_doc", "dst_doc")
     )
 

@@ -152,6 +152,27 @@ def entity_tissue_lookup(
     or an organ code missing from the map — the reference raises
     KeyError on the last case; a nightly pipeline degrades to its
     tissue-unresolved path instead."""
+    tissue, _definitive = entity_tissue_lookup_ex(
+        uuid, organ_map, base_url, transport, max_retries, sleeper
+    )
+    return tissue
+
+
+def entity_tissue_lookup_ex(
+    uuid: str,
+    organ_map: dict[str, str],
+    base_url: str = ENTITY_API_URL,
+    transport: Transport = urllib_transport,
+    max_retries: int = MAX_RETRIES,
+    sleeper: Callable[[float], None] | None = None,
+) -> tuple[str | None, bool]:
+    """``entity_tissue_lookup`` plus a ``definitive`` flag: True when
+    the entity API ANSWERED (a parsed sample list — even one with no
+    organ, which is a real "this dataset has no tissue" fact), False
+    when the answer is unknowable right now (HTTP failure after retry,
+    malformed body). Memoizing callers must cache only definitive
+    results, so a transient outage doesn't pin a dataset into the
+    'unknown' tissue bucket for the lookup's lifetime."""
     status, text = fetch_json(
         f"{base_url}/datasets/{uuid}/samples",
         None,
@@ -160,20 +181,20 @@ def entity_tissue_lookup(
         sleeper,
     )
     if status != 200:
-        return None
+        return None, False
     try:
         data = json.loads(text)
     except ValueError:
-        return None
+        return None, False
     if not isinstance(data, list):
-        return None
+        return None, False
     for sample in data:
         if not isinstance(sample, dict):
             continue
         organ = (sample.get("direct_ancestor") or {}).get("organ")
         if organ:
-            return organ_map.get(organ)
-    return None
+            return organ_map.get(organ), True
+    return None, True
 
 
 def live_tissue_lookup(
@@ -184,7 +205,10 @@ def live_tissue_lookup(
     """A ready-to-wire ``tissue_lookup`` for ``plans.codex_pipeline``'s
     build entry points: loads the organ YAML once, memoizes per-uuid
     answers (the fleet build resolves each dataset exactly once even if
-    retried), and keeps the network boundary injectable for tests."""
+    retried), and keeps the network boundary injectable for tests.
+    Only DEFINITIVE answers are cached — a transport failure (after
+    retries) stays uncached so the next call re-asks the API instead of
+    permanently pinning the dataset to the 'unknown' tissue bucket."""
     from codex_data_products_spark.sources.organ_yaml import (
         load_organ_map,
     )
@@ -193,10 +217,13 @@ def live_tissue_lookup(
     cache: dict[str, str | None] = {}
 
     def lookup(uuid: str) -> str | None:
-        if uuid not in cache:
-            cache[uuid] = entity_tissue_lookup(
-                uuid, organ_map, base_url, transport
-            )
-        return cache[uuid]
+        if uuid in cache:
+            return cache[uuid]
+        tissue, definitive = entity_tissue_lookup_ex(
+            uuid, organ_map, base_url, transport
+        )
+        if definitive:
+            cache[uuid] = tissue
+        return tissue
 
     return lookup

@@ -268,7 +268,13 @@ def search_ann(
 
         n_cells, esf = maintained_cell_balance(spark, state_dir, version)
         nprobe = auto_nprobe(n_cells, esf, target_scan_frac)
-    q = queries.withColumn("qnsq", _dot(F.col("qv"), F.col("qv")))
+    # Normalize to exactly (query_id, qv, qnsq) up front: a caller
+    # whose query frame carries extra columns named cell/v/nsq/vec_id
+    # would otherwise hit ambiguous resolution in the centroid
+    # crossJoin or the candidate join downstream.
+    q = queries.select("query_id", "qv").withColumn(
+        "qnsq", _dot(F.col("qv"), F.col("qv"))
+    )
     if nprobe is None:
         probed_cells = None
         cand_q = q.select("query_id", "qv", "qnsq")

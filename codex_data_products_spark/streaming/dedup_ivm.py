@@ -123,7 +123,16 @@ def _remove_frame(
     if remove is None:
         return _empty(spark, f"{col} long"), False
     if isinstance(remove, DataFrame):
-        src = col if col in remove.columns else remove.columns[0]
+        if col in remove.columns:
+            src = col
+        elif len(remove.columns) == 1:
+            src = remove.columns[0]
+        else:
+            raise ValueError(
+                f"remove frame has no '{col}' column and is ambiguous "
+                f"(columns={remove.columns}); pass a one-column id "
+                f"frame or one carrying '{col}'"
+            )
         rem = (
             remove.select(F.col(src).cast("long").alias(col))
             .distinct()

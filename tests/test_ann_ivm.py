@@ -337,3 +337,46 @@ def test_auto_nprobe_over_maintained_index(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert auto_res == explicit and auto_res
+
+
+def test_search_tolerates_conflicting_extra_query_columns(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r10: the nprobe candidate join re-attaches the query
+    frame; a caller whose queries carry extra columns named v/nsq/
+    vec_id/cell must not hit ambiguous resolution — search_ann projects
+    the frame to (query_id, qv) internally."""
+    state = str(tmp_path / "ann_extra_cols")
+    _build(spark, sf_dir, state)
+    clean = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % 50 == 0)
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "qv"
+            ),
+        )
+    )
+    messy = clean.select(
+        "query_id",
+        "qv",
+        F.col("query_id").alias("vec_id"),
+        F.col("qv").alias("v"),
+        F.lit(0.0).alias("nsq"),
+        F.lit(99).alias("cell"),
+    )
+    want = sorted(
+        (r["query_id"], r["rn"], r["neighbor_id"])
+        for r in search_ann(
+            spark, state, clean, top_k=5, nprobe=2
+        ).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rn"], r["neighbor_id"])
+        for r in search_ann(
+            spark, state, messy, top_k=5, nprobe=2
+        ).collect()
+    )
+    assert got == want and got

@@ -2094,6 +2094,24 @@ def test_position_remap_no_single_partition_window(spark, sf_dir):
         assert "windowspecdefinition(seg#" in ln, ln
 
 
+def test_position_remap_no_forced_broadcast_of_labels(spark, sf_dir):
+    """VERDICT r10 #1: the labels frame is CORPUS grain (one row per
+    document) — a forced broadcast build OOMs at 100× docs. The only
+    intentional hint in the query is the file-grain offsets frame
+    (n_docs/100k rows); the src/dst endpoint joins must be hint-free so
+    the planner sizes the build side itself."""
+    from codex_data_products_spark import registry
+
+    df = registry.QUERIES["position_remap"](spark, sf_dir)
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    hint_idx = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
+    assert hint_idx, "expected the offsets broadcast hints"
+    for i in hint_idx:
+        # every hint's subtree is the single-line offsets leaf — never
+        # the parquet documents relation or the segment-rank Window
+        assert "LogicalRDD" in lines[i + 1], lines[i : i + 2]
+
+
 def _leaked_persisted(spark):
     """(rdd_id, storage) of persisted RDDs that are NOT localCheckpoint
     blocks (those belong to still-referenced result frames; explicit

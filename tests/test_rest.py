@@ -202,3 +202,31 @@ def test_live_tissue_lookup_memoizes(tmp_path):
         "http://api/datasets/u1/samples",
         "http://api/datasets/u2/samples",
     ]
+
+
+def test_live_tissue_lookup_does_not_cache_transport_failure(tmp_path):
+    """ADVICE r10: a transient entity-API outage must NOT pin the uuid
+    as unresolved for the lookup's lifetime — only definitive answers
+    (parsed sample lists) are memoized."""
+    from codex_data_products_spark.sources.rest import live_tissue_lookup
+
+    y = tmp_path / "organ_types.yaml"
+    y.write_text("HT:\n  description: Heart\n")
+    t = RecordedTransport([(404, "gone"), (200, _samples_body("HT"))])
+    lookup = live_tissue_lookup(str(y), "http://api", t)
+    assert lookup("u1") is None  # outage → unresolved now...
+    assert lookup("u1") == "Heart"  # ...but re-asked, not pinned
+    assert len(t.calls) == 2
+
+
+def test_live_tissue_lookup_caches_definitive_none(tmp_path):
+    """An organ-less sample list IS an answer: cached, no re-fetch."""
+    from codex_data_products_spark.sources.rest import live_tissue_lookup
+
+    y = tmp_path / "organ_types.yaml"
+    y.write_text("HT:\n  description: Heart\n")
+    t = RecordedTransport([(200, _samples_body(None))])
+    lookup = live_tissue_lookup(str(y), "http://api", t)
+    assert lookup("u1") is None
+    assert lookup("u1") is None  # memoized — script has no 2nd reply
+    assert len(t.calls) == 1

@@ -2477,3 +2477,32 @@ def test_emb_dedup_ivm_combined_add_remove_batch(spark, sf_dir, tmp_path):
         emb_pairs_snapshot(spark, state)
     ) == _emb_pairs_sorted(emb_pairs_snapshot(spark, scratch))
     assert emb_snapshot(spark, state).count() == survivors.count()
+
+
+def test_remove_frame_rejects_ambiguous_multicolumn_frame(spark):
+    """ADVICE r10: a multi-column removal frame WITHOUT the expected id
+    column must raise — silently guessing columns[0] would cast an
+    arbitrary column to removal ids and corrupt tombstones."""
+    import pytest as _pytest
+
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        _remove_frame,
+    )
+
+    # happy paths: named column anywhere, or a single unnamed column
+    named = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "doc_id long, text string"
+    )
+    rem, nonempty = _remove_frame(spark, named)
+    assert nonempty and sorted(
+        r["doc_id"] for r in rem.collect()
+    ) == [1, 2]
+    single = spark.createDataFrame([(3,), (4,)], "ids long")
+    rem, _ = _remove_frame(spark, single)
+    assert sorted(r["doc_id"] for r in rem.collect()) == [3, 4]
+    # ambiguous: two columns, neither named doc_id → raise, not guess
+    messy = spark.createDataFrame(
+        [(7, 8)], "other long, another long"
+    )
+    with _pytest.raises(ValueError, match="ambiguous"):
+        _remove_frame(spark, messy)
