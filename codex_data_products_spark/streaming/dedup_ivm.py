@@ -109,6 +109,25 @@ def _empty(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+COMBINED_BATCH_CONTRACT = """Shared combined add+remove batch contract
+(all six remove-capable IVM maintainers: apply_cluster_batch,
+apply_emb_batch, apply_substring_batch, apply_vocab_batch,
+apply_ann_batch, apply_pq_batch) — ATOMIC REPLACE:
+
+1. Removes apply to the state strictly BEFORE the batch: tombstones
+   written at batch k kill only strictly-earlier rows, and every
+   retraction/repair slice reads the pre-batch snapshot.
+2. Adds land at batch k and SURVIVE the batch's own tombstones (the
+   strictly-older rule), so an id in both adds and removes is replaced
+   atomically — old rows and all state derived from them retract, new
+   rows and their derived state land, in one batch.
+3. Corollary (the cross-family parity gate,
+   tests/test_streaming.py::test_combined_batch_equals_remove_then_add):
+   a combined batch at k yields the same head snapshot as a
+   remove-only batch at k followed by an add-only batch at k+1.
+"""
+
+
 def _remove_frame(
     spark: SparkSession,
     remove,
@@ -329,17 +348,32 @@ def apply_dedup_batch(
 
 
 def run_dedup_maintenance(
-    docs: DataFrame, state_dir: str, checkpoint_dir: str
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    auto_compact_ratio: float | None = 1.0,
 ) -> None:
     """availableNow foreachBatch drain of a document stream onto the
     maintained duplicate-pair view — the streaming twin of calling
     ``apply_dedup_batch`` per batch, with the standard replay contract:
     a batch anchored to v=batch_id overwrites v=batch_id+1 (and its own
     ``shingles/batch=`` dir), so a crash between state write and
-    checkpoint commit re-derives identical snapshots."""
+    checkpoint commit re-derives identical snapshots. Pair/band-log
+    compaction is ratio-triggered per batch (``compaction_due``; None
+    disables)."""
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         apply_dedup_batch(batch, state_dir, batch_id)
+        if auto_compact_ratio is not None and compaction_due(
+            batch.sparkSession,
+            state_dir,
+            ("pairs", "bands"),
+            auto_compact_ratio,
+        ):
+            compact_dedup_pairs(
+                batch.sparkSession, state_dir, upto=batch_id + 1
+            )
+            expire_dedup_state(state_dir, keep_last=2)
 
     (
         docs.writeStream.foreachBatch(fold)
@@ -544,6 +578,59 @@ def _gc_log_dirs(
             )
             if dead:
                 fs.delete(status.getPath(), True)
+
+
+def _log_dir_bytes(spark: SparkSession, root: str) -> tuple[int, int]:
+    """(uncompacted_batch_bytes, compact_floor_bytes) of one log root —
+    driver-side metadata listing only (one FS listStatus + a content
+    summary per first-level dir), never a data read."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(root)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return 0, 0
+    logs = floor = 0
+    for status in fs.listStatus(jvm_path):
+        name = status.getPath().getName()
+        size = fs.getContentSummary(status.getPath()).getLength()
+        if name.startswith("batch="):
+            logs += size
+        elif name.startswith("compact="):
+            floor += size
+    return logs, floor
+
+
+def log_floor_ratio(
+    spark: SparkSession, state_dir: str, tables: tuple[str, ...]
+) -> float:
+    """Un-compacted log bytes over compact-floor bytes, summed across
+    the named log tables under ``state_dir`` — the self-managing
+    compaction trigger (VERDICT r10 #3). 0.0 when nothing is
+    un-compacted; inf when batch dirs exist with no floor yet (the
+    first compaction establishes the floor)."""
+    logs = floor = 0
+    for t in tables:
+        l, f = _log_dir_bytes(spark, f"{state_dir}/{t}")
+        logs += l
+        floor += f
+    if logs == 0:
+        return 0.0
+    if floor == 0:
+        return float("inf")
+    return logs / floor
+
+
+def compaction_due(
+    spark: SparkSession,
+    state_dir: str,
+    tables: tuple[str, ...],
+    threshold: float = 1.0,
+) -> bool:
+    """True when the maintainer should fold its logs: the un-compacted
+    history has grown past ``threshold`` × the compact floor. At the
+    default 1.0 the total state stays within ~2× of a fresh snapshot
+    (floor + at-most-floor of logs + the triggering batch), without
+    any operator-invoked compaction."""
+    return log_floor_ratio(spark, state_dir, tables) >= threshold
 
 
 def expire_dedup_state(state_dir: str, keep_last: int = 2) -> list[str]:
@@ -856,14 +943,25 @@ def run_simhash_maintenance(
     state_dir: str,
     checkpoint_dir: str,
     banding: str = "2x16",
+    auto_compact_ratio: float | None = 1.0,
 ) -> None:
     """availableNow foreachBatch drain onto the maintained SimHash pair
     view — same replay contract as run_dedup_maintenance: batch k reads
     v=k, overwrites v=k+1, so a crash between state write and
-    checkpoint commit re-derives identical snapshots."""
+    checkpoint commit re-derives identical snapshots. Compaction is
+    ratio-triggered per batch (``compaction_due``; None disables)."""
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         apply_simhash_batch(batch, state_dir, batch_id, banding=banding)
+        if auto_compact_ratio is not None and compaction_due(
+            batch.sparkSession,
+            state_dir,
+            ("sim", "sim_pairs"),
+            auto_compact_ratio,
+        ):
+            compact_simhash_pairs(
+                batch.sparkSession, state_dir, upto=batch_id + 1
+            )
 
     (
         docs.writeStream.foreachBatch(fold)
@@ -1126,8 +1224,9 @@ def apply_cluster_batch(
     fresh pairs, label-grain merge). A fresh pair attaching to a
     just-split component therefore merges against the post-split
     labels. A doc in both this batch's adds and removes is an atomic
-    replace: the pruned state predates the delta, and the batch's
-    tombstones kill only strictly-earlier rows. The affected-label set
+    replace per the shared contract (``COMBINED_BATCH_CONTRACT``): the
+    pruned state predates the delta, and the batch's tombstones kill
+    only strictly-earlier rows. The affected-label set
     never leaves the executors — every removal-side prune is a
     broadcast semi/anti join against release-grain frames.
 
@@ -1279,6 +1378,7 @@ def run_cluster_maintenance(
     checkpoint_dir: str,
     banding: str = "2x16",
     compact_every: int | None = None,
+    auto_compact_ratio: float | None = 1.0,
 ) -> None:
     """availableNow foreachBatch drain of an insert stream onto the
     maintained cluster view (same replay contract as the other
@@ -1290,11 +1390,30 @@ def run_cluster_maintenance(
     pair log is compacted through it and superseded state versions are
     expired (keep_last=2 — the replay window). Both steps are
     idempotent overwrites/deletes, so a foreachBatch replay that
-    re-runs them converges to the same layout."""
+    re-runs them converges to the same layout.
+
+    ``auto_compact_ratio`` (VERDICT r10 #3, default 1.0) makes the
+    cadence self-managing when ``compact_every`` is not given: after
+    each batch the drain measures the un-compacted log bytes against
+    the compact floor (``compaction_due``) and folds when the ratio
+    crosses the threshold — total state stays within ~2× of a fresh
+    snapshot with no operator-invoked compaction. ``None`` disables."""
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         apply_cluster_batch(batch, state_dir, batch_id, banding=banding)
-        if compact_every and (batch_id + 1) % compact_every == 0:
+        due = (
+            compact_every and (batch_id + 1) % compact_every == 0
+        ) or (
+            not compact_every
+            and auto_compact_ratio is not None
+            and compaction_due(
+                batch.sparkSession,
+                state_dir,
+                ("sim", "sim_pairs", "clusters"),
+                auto_compact_ratio,
+            )
+        )
+        if due:
             compact_simhash_pairs(
                 batch.sparkSession, state_dir, upto=batch_id + 1
             )

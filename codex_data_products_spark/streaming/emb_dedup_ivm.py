@@ -119,7 +119,9 @@ def apply_emb_batch(
     ``adds`` (vec_id, embedding, label) append vector rows and their
     fresh pairs; ``removes`` (vec_id) append tombstones that kill
     strictly-earlier rows AND pairs (shared root). A combined batch is
-    an atomic replace: removed rows leave the pairing corpus before
+    an atomic replace per the shared contract
+    (``streaming.dedup_ivm.COMBINED_BATCH_CONTRACT``): removed rows
+    leave the pairing corpus before
     the delta pairs against it (so no pair with a dead endpoint is
     ever written at this batch id), while a vec_id in both adds and
     removes re-enters with its new vector. Replay of a crashed batch
@@ -179,11 +181,17 @@ def run_emb_dedup_maintenance(
     state_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.38,
+    auto_compact_ratio: float | None = 1.0,
 ) -> None:
     """availableNow foreachBatch drain of a vector stream (vec_id,
     embedding, label) onto the maintained near-dup pair view — the
     streaming twin of calling ``apply_emb_batch`` per batch (standard
-    replay contract: a crashed batch overwrites its own dirs)."""
+    replay contract: a crashed batch overwrites its own dirs).
+    Compaction is ratio-triggered per batch
+    (``dedup_ivm.compaction_due``; None disables)."""
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        compaction_due,
+    )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         apply_emb_batch(
@@ -193,6 +201,15 @@ def run_emb_dedup_maintenance(
             adds=batch,
             threshold=threshold,
         )
+        if auto_compact_ratio is not None and compaction_due(
+            batch.sparkSession,
+            state_dir,
+            ("emb", "embpairs"),
+            auto_compact_ratio,
+        ):
+            compact_emb_state(
+                batch.sparkSession, state_dir, upto=batch_id
+            )
 
     (
         vectors.writeStream.foreachBatch(fold)

@@ -76,7 +76,12 @@ from codex_data_products_spark.streaming.dedup_ivm import (
 )
 
 _GRAMS_SCHEMA = "doc_id long, n int, pos int, g string"
-_OCC_SCHEMA = "g string, occ long"
+# b = pmod(xxhash64(g), _N_OCC_BUCKETS): the occ log's PARTITION column
+# (the ANN posting-log pattern, streaming/ann_ivm.py — VERDICT r10 #4).
+# Occ reads that only need the history of a bounded gram set prune to
+# that set's bucket directories before scanning.
+_N_OCC_BUCKETS = 64
+_OCC_SCHEMA = "g string, occ long, b int"
 _COVERAGE_SCHEMA = (
     "doc_id long, n_tokens long, dup_tokens long, dup_fraction double"
 )
@@ -90,6 +95,42 @@ def bootstrap_substring_state(spark: SparkSession, state_dir: str) -> None:
     _empty(spark, _COVERAGE_SCHEMA).write.mode("overwrite").parquet(
         f"{state_dir}/coverage/batch=0"
     )
+
+
+def _occ_bucket(col):
+    return F.pmod(F.xxhash64(col), F.lit(_N_OCC_BUCKETS)).cast("int")
+
+
+def occ_log_slice(
+    spark: SparkSession,
+    state_dir: str,
+    upto: int,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """The additive occ fold's history through ``upto``
+    (compaction-aware), optionally PRUNED to the named gram-bucket
+    partition directories — a directory-level PartitionFilters prune,
+    never a post-scan filter (guarded in tests/test_plans.py). Callers
+    that probe a bounded gram set pass that set's buckets; when the set
+    covers every bucket the caller skips the filter (a full-coverage
+    isin buys nothing and costs a per-row predicate)."""
+    occ = _log_union(
+        spark, f"{state_dir}/occ_delta", _OCC_SCHEMA, upto=upto
+    ).drop("log_batch")
+    if buckets is not None:
+        occ = occ.filter(F.col("b").isin([int(x) for x in buckets]))
+    return occ
+
+
+def _bucket_set(frame: DataFrame, col: str = "g") -> list[int] | None:
+    """Distinct occ buckets of a (delta-bounded) gram frame — ≤
+    ``_N_OCC_BUCKETS`` rows collected. None when the set covers every
+    bucket (pruning would be a no-op predicate)."""
+    rows = frame.select(_occ_bucket(F.col(col)).alias("b")).distinct()
+    buckets = sorted(r["b"] for r in rows.collect())
+    if len(buckets) >= _N_OCC_BUCKETS:
+        return None
+    return buckets
 
 
 def _prior_grams(
@@ -129,7 +170,11 @@ def apply_substring_batch(
     or a one-column DataFrame; the DataFrame form keeps bulk
     retractions fully distributed, no driver collect) into the
     maintained coverage state: read the logs strictly below this
-    batch, write only this batch's own log dirs.
+    batch, write only this batch's own log dirs. A combined add+remove
+    batch is an atomic replace per the shared contract
+    (``streaming.dedup_ivm.COMBINED_BATCH_CONTRACT``): removes prune
+    the PRE-batch state only, the delta's own rows survive the batch's
+    tombstones.
 
     Removals (round 9): a removed doc's grams DECREMENT the occ fold —
     the occ-delta log simply carries the batch's NET per-gram counts,
@@ -151,9 +196,6 @@ def apply_substring_batch(
     spark = batch_docs.sparkSession
     rem_df, has_removes = _remove_frame(spark, remove)
     old_grams = _prior_grams(spark, state_dir, batch_id)
-    prior_occ = _log_union(
-        spark, f"{state_dir}/occ_delta", _OCC_SCHEMA, upto=batch_id - 1
-    ).drop("log_batch")
 
     # -- 1. positional grams of the delta; append to the gram log;
     #       tombstone the removed docs' gram and coverage rows
@@ -189,8 +231,14 @@ def apply_substring_batch(
         # no gram-log slice (a semi-join against an empty doc set
         # still scans the whole log) and no re-aggregation
         net_occ = delta_occ.withColumnRenamed("d", "net").persist()
+    # the candidate occ aggregate prunes its log scan to the delta's
+    # gram BUCKETS (VERDICT r10 #4 — partition-directory pruning, the
+    # ANN probe pattern) before the row-level semi-join; a bulk-load
+    # delta that touches every bucket skips the no-op filter
+    cand_buckets = _bucket_set(net_occ)
     occ_old_cand = (
-        prior_occ.join(net_occ.select("g"), "g", "left_semi")
+        occ_log_slice(spark, state_dir, batch_id - 1, buckets=cand_buckets)
+        .join(net_occ.select("g"), "g", "left_semi")
         .groupBy("g")
         .agg(F.sum("occ").cast("long").alias("occ_old"))
         .persist()  # reused by the dup test — ONE log scan pays both
@@ -249,17 +297,28 @@ def apply_substring_batch(
             .distinct()
             .persist()
         )
+        # the affected docs' gram rows feed BOTH the repair-gram occ
+        # pass and the coverage recompute — persist them so the gram
+        # log is scanned exactly twice per repair batch (affected
+        # discovery + this slice), and derive aff_grams from the slice
+        # instead of a third scan
+        old_r_pos = old_grams.join(
+            F.broadcast(affected), "doc_id", "left_semi"
+        ).persist()
+        aff_grams = old_r_pos.select("g").distinct()
         # prior counts for the repair grams WITHOUT a second full-set
         # log scan: the candidate scan above already covered every
         # gram this batch touched, so only the AFFECTED docs' grams —
-        # bounded by the status-changed grams — need their own pass.
-        aff_grams = (
-            old_grams.join(F.broadcast(affected), "doc_id", "left_semi")
-            .select("g")
-            .distinct()
-        )
+        # bounded by the status-changed grams — need their own pass,
+        # bucket-pruned to their own partition dirs.
         occ_old_aff = (
-            prior_occ.join(F.broadcast(aff_grams), "g", "left_semi")
+            occ_log_slice(
+                spark,
+                state_dir,
+                batch_id - 1,
+                buckets=_bucket_set(aff_grams),
+            )
+            .join(F.broadcast(aff_grams), "g", "left_semi")
             .groupBy("g")
             .agg(F.sum("occ").cast("long").alias("occ_old"))
         )
@@ -267,9 +326,9 @@ def apply_substring_batch(
             occ_old_cand.unionByName(occ_old_aff)
             .groupBy("g")
             .agg(F.max("occ_old").alias("_o"))  # overlap rows are equal
-        )
-        old_r_pos = old_grams.join(
-            F.broadcast(affected), "doc_id", "left_semi"
+            # change-grain; materialized once so the dup test below
+            # never re-runs the occ-log passes behind it
+            .localCheckpoint()
         )
     else:
         affected = _empty(spark, _REMOVED_SCHEMA)
@@ -298,10 +357,17 @@ def apply_substring_batch(
     #       repaired old docs AND the removed docs (the accumulated
     #       tombstone set stays change-grain, i.e. broadcastable
     #       forever).
-    net_occ.filter(F.col("net") != 0).select(
-        "g", F.col("net").alias("occ")
-    ).write.mode("overwrite").parquet(
-        f"{state_dir}/occ_delta/batch={batch_id}"
+    (
+        net_occ.filter(F.col("net") != 0)
+        .select(
+            "g",
+            F.col("net").alias("occ"),
+            _occ_bucket(F.col("g")).alias("b"),
+        )
+        .repartition("b")  # one writer task per populated bucket dir
+        .write.mode("overwrite")
+        .partitionBy("b")
+        .parquet(f"{state_dir}/occ_delta/batch={batch_id}")
     )
     cov_rows.write.mode("overwrite").parquet(
         f"{state_dir}/coverage/batch={batch_id + 1}"
@@ -309,9 +375,18 @@ def apply_substring_batch(
     affected.unionByName(rem_df).distinct().write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/coverage_removed/batch={batch_id + 1}")
-    # rem_df/changed may be localCheckpointed — drop their blocks too,
-    # or every batch of a long-running drain leaks a few
-    for frame in (delta, net_occ, occ_old_cand, affected, changed, rem_df):
+    # rem_df/changed/occ_old_r may be localCheckpointed — drop their
+    # blocks too, or every batch of a long-running drain leaks a few
+    for frame in (
+        delta,
+        net_occ,
+        occ_old_cand,
+        affected,
+        changed,
+        rem_df,
+        old_r_pos,
+        occ_old_r,
+    ):
         frame.unpersist()
 
 
@@ -401,12 +476,16 @@ def compact_substring_coverage(
                 _OCC_SCHEMA,
                 upto=upto - 1,
             )
-            .groupBy("g")
+            .groupBy("g", "b")  # b is functionally dependent on g
             .agg(F.sum("occ").cast("long").alias("occ"))
+            .select("g", "occ", "b")
             .localCheckpoint()
         )
-        occ.write.mode("overwrite").parquet(
-            f"{state_dir}/occ_delta/compact={upto - 1}"
+        (
+            occ.repartition("b")
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(f"{state_dir}/occ_delta/compact={upto - 1}")
         )
         occ.unpersist()
     if gc:
@@ -428,15 +507,32 @@ def compact_substring_coverage(
 
 
 def run_substring_maintenance(
-    docs: DataFrame, state_dir: str, checkpoint_dir: str
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    auto_compact_ratio: float | None = 1.0,
 ) -> None:
     """availableNow foreachBatch drain of a document stream onto the
     maintained coverage view — standard replay contract (a crash
     between state write and checkpoint commit re-derives identical
-    snapshots, since every write is keyed by the batch id)."""
+    snapshots, since every write is keyed by the batch id). Log
+    compaction is ratio-triggered per batch
+    (``dedup_ivm.compaction_due``; None disables)."""
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        compaction_due,
+    )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         apply_substring_batch(batch, state_dir, batch_id)
+        if auto_compact_ratio is not None and compaction_due(
+            batch.sparkSession,
+            state_dir,
+            ("grams", "occ_delta", "coverage"),
+            auto_compact_ratio,
+        ):
+            compact_substring_coverage(
+                batch.sparkSession, state_dir, upto=batch_id + 1
+            )
 
     (
         docs.writeStream.foreachBatch(fold)

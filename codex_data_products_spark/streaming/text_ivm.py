@@ -99,9 +99,11 @@ def apply_vocab_batch(
     tf/df entries in the same delta logs the adds use. Removes apply
     to the state BEFORE this batch (the retraction slice reads the
     strictly-earlier token log), so a doc_id in both this batch's
-    adds and removes is an atomic replace: the old counts retract, the
-    new counts land, and the strictly-older tombstone rule keeps the
-    same-batch token-log row alive for any LATER removal to retract."""
+    adds and removes is an atomic replace per the shared contract
+    (``streaming.dedup_ivm.COMBINED_BATCH_CONTRACT``): the old counts
+    retract, the new counts land, and the strictly-older tombstone
+    rule keeps the same-batch token-log row alive for any LATER
+    removal to retract."""
     spark = batch_docs.sparkSession
     rem_df, _ = _remove_frame(spark, remove)
     rem_df.coalesce(1).write.mode("overwrite").parquet(
@@ -227,13 +229,29 @@ def compact_vocab_state(
 
 
 def run_vocab_maintenance(
-    docs: DataFrame, state_dir: str, checkpoint_dir: str
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    auto_compact_ratio: float | None = 1.0,
 ) -> None:
     """availableNow foreachBatch drain onto the maintained vocabulary
-    (standard replay contract)."""
+    (standard replay contract). Log compaction is ratio-triggered per
+    batch (``dedup_ivm.compaction_due``; None disables)."""
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        compaction_due,
+    )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         apply_vocab_batch(batch, state_dir, batch_id)
+        if auto_compact_ratio is not None and compaction_due(
+            batch.sparkSession,
+            state_dir,
+            ("tok_log", "tf_delta", "df_delta"),
+            auto_compact_ratio,
+        ):
+            compact_vocab_state(
+                batch.sparkSession, state_dir, upto=batch_id
+            )
 
     (
         docs.writeStream.foreachBatch(fold)

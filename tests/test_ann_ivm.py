@@ -380,3 +380,41 @@ def test_search_tolerates_conflicting_extra_query_columns(
         ).collect()
     )
     assert got == want and got
+
+
+def test_search_probe_collect_cap_raises_on_oversized_query_frame(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r10 #5: the pruned-probe (query_id, cell) collect is
+    bounded by MAX_PROBE_PAIRS — an oversized query frame raises with
+    guidance instead of OOMing the driver; a bounded frame is
+    unaffected."""
+    import pytest as _pytest
+
+    from codex_data_products_spark.streaming import ann_ivm
+
+    state = str(tmp_path / "ann_cap")
+    _build(spark, sf_dir, state)
+    queries = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % 10 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "qv"
+            ),
+        )
+    )
+    n_q = queries.count()
+    assert n_q > 2
+    monkeypatch.setattr(ann_ivm, "MAX_PROBE_PAIRS", 2 * n_q - 1)
+    with _pytest.raises(ValueError, match="MAX_PROBE_PAIRS"):
+        search_ann(spark, state, queries, top_k=5, nprobe=2).collect()
+    # bounded path unchanged: nprobe=1 sits under the patched cap
+    assert search_ann(
+        spark, state, queries, top_k=5, nprobe=1
+    ).count() > 0
+    # and the distributed full-scan path never consults the cap
+    assert search_ann(
+        spark, state, queries.limit(3), top_k=5, nprobe=None
+    ).count() > 0

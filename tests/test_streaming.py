@@ -3,6 +3,8 @@ same results as their batch twins on the same files."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from codex_data_products_spark.queries.events import events_tumbling_window
@@ -978,7 +980,11 @@ def test_run_dedup_maintenance_replay_overwrites_same_version(
             .option("recursiveFileLookup", "true")
             .parquet(src)
         )
-        run_dedup_maintenance(stream, state, ckpt)
+        # auto-compaction off: this test pins the RAW append-log replay
+        # layout (a replayed batch overwrites its own partition); the
+        # compaction-composed replay is covered by
+        # test_run_dedup_maintenance_replay_with_auto_compaction
+        run_dedup_maintenance(stream, state, ckpt, auto_compact_ratio=None)
 
     drain(str(tmp_path / "ckpt1"))  # writes v=1, "commit lost"
     drain(str(tmp_path / "ckpt2"))  # replay of batch_id=0
@@ -2506,3 +2512,299 @@ def test_remove_frame_rejects_ambiguous_multicolumn_frame(spark):
     )
     with _pytest.raises(ValueError, match="ambiguous"):
         _remove_frame(spark, messy)
+
+
+# ---------------------------------------------------------------------------
+# Cross-family combined-batch parity (VERDICT r10 #2): all six
+# remove-capable maintainers share ONE contract — atomic replace
+# (streaming.dedup_ivm.COMBINED_BATCH_CONTRACT). The gate: a combined
+# add+remove batch at k yields the same head snapshot as a remove-only
+# batch at k followed by an add-only batch at k+1.
+# ---------------------------------------------------------------------------
+
+
+def _parity_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    removes = docs.filter("doc_id % 7 = 3").select("doc_id")
+    readds = docs.filter("doc_id % 14 = 3").withColumn(
+        "text", F.concat(F.lit("replaced payload text "), "text")
+    )
+    fresh = docs.filter("doc_id % 13 = 5").withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return docs, removes, readds.unionByName(fresh)
+
+
+def _parity_vecs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    removes = emb.filter("vec_id % 7 = 3").select("vec_id")
+    readds = emb.filter("vec_id % 14 = 3").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x + F.lit(0.25).cast("float")),
+    )
+    fresh = emb.filter("vec_id % 13 = 5").withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    return emb, removes, readds.unionByName(fresh)
+
+
+def _combined_parity_cluster(spark, sf_dir, root):
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        apply_cluster_batch,
+        bootstrap_cluster_state,
+        cluster_snapshot,
+    )
+
+    docs, removes, adds = _parity_docs(spark, sf_dir)
+    empty = docs.limit(0)
+
+    def run(state, combined):
+        bootstrap_cluster_state(spark, state)
+        apply_cluster_batch(docs, state, 0)
+        if combined:
+            apply_cluster_batch(adds, state, 1, remove=removes)
+        else:
+            apply_cluster_batch(empty, state, 1, remove=removes)
+            apply_cluster_batch(adds, state, 2)
+        return sorted(
+            (r["doc_id"], r["component_id"])
+            for r in cluster_snapshot(spark, state).collect()
+        )
+
+    return run(f"{root}/a", True), run(f"{root}/b", False)
+
+
+def _combined_parity_substring(spark, sf_dir, root):
+    from codex_data_products_spark.streaming.substring_ivm import (
+        apply_substring_batch,
+        bootstrap_substring_state,
+        substring_coverage_snapshot,
+    )
+
+    docs, removes, adds = _parity_docs(spark, sf_dir)
+    empty = docs.limit(0)
+
+    def run(state, combined):
+        bootstrap_substring_state(spark, state)
+        apply_substring_batch(docs, state, 0)
+        if combined:
+            apply_substring_batch(adds, state, 1, remove=removes)
+        else:
+            apply_substring_batch(empty, state, 1, remove=removes)
+            apply_substring_batch(adds, state, 2)
+        return sorted(
+            tuple(r)
+            for r in substring_coverage_snapshot(spark, state).collect()
+        )
+
+    return run(f"{root}/a", True), run(f"{root}/b", False)
+
+
+def _combined_parity_vocab(spark, sf_dir, root):
+    from codex_data_products_spark.streaming.text_ivm import (
+        apply_vocab_batch,
+        vocab_snapshot,
+    )
+
+    docs, removes, adds = _parity_docs(spark, sf_dir)
+    empty = docs.limit(0)
+
+    def run(state, combined):
+        apply_vocab_batch(docs, state, 0)
+        if combined:
+            apply_vocab_batch(adds, state, 1, remove=removes)
+        else:
+            apply_vocab_batch(empty, state, 1, remove=removes)
+            apply_vocab_batch(adds, state, 2)
+        return sorted(
+            tuple(r) for r in vocab_snapshot(spark, state, top=50).collect()
+        )
+
+    return run(f"{root}/a", True), run(f"{root}/b", False)
+
+
+def _combined_parity_emb(spark, sf_dir, root):
+    from codex_data_products_spark.queries.dedup import (
+        _SYNTHETIC_EMB_THRESHOLD,
+    )
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        apply_emb_batch,
+        emb_pairs_snapshot,
+        emb_snapshot,
+    )
+
+    emb, removes, adds = _parity_vecs(spark, sf_dir)
+
+    def run(state, combined):
+        apply_emb_batch(
+            spark, state, 0, adds=emb, threshold=_SYNTHETIC_EMB_THRESHOLD
+        )
+        if combined:
+            apply_emb_batch(
+                spark, state, 1, adds=adds, removes=removes,
+                threshold=_SYNTHETIC_EMB_THRESHOLD,
+            )
+        else:
+            apply_emb_batch(
+                spark, state, 1, removes=removes,
+                threshold=_SYNTHETIC_EMB_THRESHOLD,
+            )
+            apply_emb_batch(
+                spark, state, 2, adds=adds,
+                threshold=_SYNTHETIC_EMB_THRESHOLD,
+            )
+        pairs = sorted(
+            (r["vec_a"], r["vec_b"], r["cosine"])
+            for r in emb_pairs_snapshot(spark, state).collect()
+        )
+        corpus = sorted(
+            r["doc_id"] for r in emb_snapshot(spark, state).collect()
+        )
+        return pairs, corpus
+
+    return run(f"{root}/a", True), run(f"{root}/b", False)
+
+
+def _combined_parity_ann(spark, sf_dir, root):
+    from codex_data_products_spark.streaming.ann_ivm import (
+        ann_postings_snapshot,
+        apply_ann_batch,
+        bootstrap_ann_state,
+    )
+
+    emb, removes, adds = _parity_vecs(spark, sf_dir)
+
+    def run(state, combined):
+        bootstrap_ann_state(spark, state, emb)
+        apply_ann_batch(
+            spark, state, 0, adds=emb.select("vec_id", "embedding")
+        )
+        add_vecs = adds.select("vec_id", "embedding")
+        if combined:
+            apply_ann_batch(spark, state, 1, adds=add_vecs, removes=removes)
+        else:
+            apply_ann_batch(spark, state, 1, removes=removes)
+            apply_ann_batch(spark, state, 2, adds=add_vecs)
+        return sorted(
+            (r["vec_id"], r["cell"], r["min_d2"])
+            for r in ann_postings_snapshot(spark, state).collect()
+        )
+
+    return run(f"{root}/a", True), run(f"{root}/b", False)
+
+
+def _combined_parity_pq(spark, sf_dir, root):
+    from codex_data_products_spark.queries.similarity import _pq_codebook
+    from codex_data_products_spark.streaming.ann_ivm import (
+        apply_pq_batch,
+        bootstrap_pq_state,
+        pq_codes_snapshot,
+    )
+
+    emb, removes, adds = _parity_vecs(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir, train_where="vec_id % 3 = 0")
+
+    def run(state, combined):
+        bootstrap_pq_state(spark, state, cb)
+        apply_pq_batch(
+            spark, state, 0, adds=emb.select("vec_id", "embedding")
+        )
+        add_vecs = adds.select("vec_id", "embedding")
+        if combined:
+            apply_pq_batch(spark, state, 1, adds=add_vecs, removes=removes)
+        else:
+            apply_pq_batch(spark, state, 1, removes=removes)
+            apply_pq_batch(spark, state, 2, adds=add_vecs)
+        return sorted(
+            (r["vec_id"], r["s"], r["code"], r["min_d"])
+            for r in pq_codes_snapshot(spark, state).collect()
+        )
+
+    return run(f"{root}/a", True), run(f"{root}/b", False)
+
+
+_PARITY_FAMILIES = {
+    "cluster": _combined_parity_cluster,
+    "substring": _combined_parity_substring,
+    "vocab": _combined_parity_vocab,
+    "emb": _combined_parity_emb,
+    "ann": _combined_parity_ann,
+    "pq": _combined_parity_pq,
+}
+
+
+@pytest.mark.parametrize("family", sorted(_PARITY_FAMILIES))
+def test_combined_batch_equals_remove_then_add(
+    spark, sf_dir, tmp_path, family
+):
+    """The shared atomic-replace contract's corollary, verified for
+    every remove-capable maintainer: combined add+remove batch ==
+    remove-only batch then add-only batch. The add set includes ids
+    from the remove set (atomic replace) and genuinely fresh ids."""
+    combined, sequential = _PARITY_FAMILIES[family](
+        spark, sf_dir, str(tmp_path / family)
+    )
+    assert combined == sequential
+    assert combined, "parity sets must be non-trivial"
+
+
+def test_run_dedup_maintenance_replay_with_auto_compaction(
+    spark, tmp_path
+):
+    """VERDICT r10 #3 companion: with the default ratio-triggered
+    auto-compaction, a lost-checkpoint replay still converges — the
+    compact floor supersedes the replayed batch's re-written dirs in
+    _log_union, so the snapshot equals from-scratch and DF counts are
+    never double-applied."""
+    from codex_data_products_spark.streaming.dedup_ivm import (
+        DedupStateDirs,
+        bootstrap_dedup_state,
+        run_dedup_maintenance,
+    )
+    from codex_data_products_spark.streaming.merge import read_table
+
+    src = str(tmp_path / "docs_ac")
+    state = str(tmp_path / "dedup_state_ac")
+    tail = " ".join(f"t{j}" for j in range(59))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{tail} onlyx"),
+            (2, f"{tail} onlyy"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(f"{src}/d0")
+    bootstrap_dedup_state(spark, state)
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_dedup_maintenance(stream, state, ckpt)  # default ratio
+
+    drain(str(tmp_path / "ckpt_ac1"))  # batch 0 + auto-compact
+    drain(str(tmp_path / "ckpt_ac2"))  # replay of batch_id=0
+
+    import os
+
+    dirs = DedupStateDirs(state)
+    assert any(
+        d.startswith("compact=") for d in os.listdir(dirs.pairs)
+    ), "ratio trigger fired with no floor present"
+    got = _ivm_pairs(spark, state)
+    assert got == _lsh_from_scratch(docs)
+    assert got
+    df_counts = {
+        r["shingle"]: r["df"]
+        for r in read_table(spark, dirs.df).collect()
+    }
+    assert max(df_counts.values()) <= 2
