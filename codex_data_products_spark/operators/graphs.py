@@ -17,8 +17,70 @@ Scale rules baked in here (see SCALE.md "iterative"):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Single-task fast-path bounds (round 11, guide §4.2): a label-
+# propagation graph whose node AND edge lists both fit one task's
+# memory is solved inside ONE executor task with vectorized NumPy
+# (np.minimum.at + pointer jumping) instead of paying the BSP loop's
+# per-round fixed costs (measured at the sf1.0 skew stress: 8 rounds x
+# ~2 s of AQE query-stage overhead for a 28K-node graph). The bounds
+# are on MEASURED counts of this run's data — not the scale factor —
+# so a corpus whose signature graph outgrows one task's memory takes
+# the distributed loop automatically. 8M+2M rows x 3 longs ≈ 240 MB of
+# Arrow+NumPy per the one task: comfortably inside a normal executor.
+SMALL_GRAPH_EDGES = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "8000000"))
+SMALL_GRAPH_NODES = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_NODES", "2000000"))
+
+
+def _cc_single_task(batches):
+    """mapInArrow kernel: rows are (x, y, tag) — tag 0 = seed row
+    (node x with seed label y), tag 1 = directed edge x→y. Emits
+    (node, label) with label = min seed in the node's component.
+    Vectorized min-label propagation with full pointer-jump compression
+    per sweep; O(E) numpy work per sweep, a handful of sweeps."""
+    import numpy as np
+    import pyarrow as pa
+
+    xs, ys, tags = [], [], []
+    for batch in batches:
+        xs.append(batch.column(0).to_numpy(zero_copy_only=False))
+        ys.append(batch.column(1).to_numpy(zero_copy_only=False))
+        tags.append(batch.column(2).to_numpy(zero_copy_only=False))
+    if not xs:
+        return
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    tag = np.concatenate(tags)
+    seed_mask = tag == 0
+    nodes = x[seed_mask]
+    seeds = y[seed_mask]
+    order = np.argsort(nodes, kind="stable")
+    nodes, seeds = nodes[order], seeds[order]
+    src = np.searchsorted(nodes, x[~seed_mask])
+    dst = np.searchsorted(nodes, y[~seed_mask])
+    n = nodes.shape[0]
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        np.minimum.at(lab, dst, prev[src])
+        while True:
+            jumped = lab[lab]
+            if np.array_equal(jumped, lab):
+                break
+            lab = jumped
+        if np.array_equal(lab, prev):
+            break
+    seed_min = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(seed_min, lab, seeds)
+    out_label = seed_min[lab]
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(nodes, pa.int64()), pa.array(out_label, pa.int64())],
+        names=["node", "label"],
+    )
 
 
 def min_label_components(
@@ -67,14 +129,47 @@ def min_label_components(
     the component's min seed at the end (one component-grain agg).
     """
     seeded = "label" in nodes.columns
-    seed = nodes if seeded else None
+    nd = nodes.select(
+        F.col("node").cast("long").alias("node"),
+        (F.col("label") if seeded else F.col("node"))
+        .cast("long")
+        .alias("seed"),
+    ).localCheckpoint()
+    n_nodes = nd.count()
+    if n_nodes <= SMALL_GRAPH_NODES:
+        # Node set fits the single-task bound — materialize the edge
+        # list once (computed ONCE here; the former code's repartition
+        # re-ran the caller's whole pair-generation plan) and gate the
+        # fast path on its measured size.
+        eck = edges.select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+        ).localCheckpoint()
+        n_edges = eck.count()
+        if n_edges <= SMALL_GRAPH_EDGES:
+            payload = nd.select(
+                F.col("node").alias("x"),
+                F.col("seed").alias("y"),
+                F.lit(0).alias("tag"),
+            ).unionByName(
+                eck.select(
+                    F.col("a").alias("x"),
+                    F.col("b").alias("y"),
+                    F.lit(1).alias("tag"),
+                )
+            )
+            return payload.repartition(1).mapInArrow(
+                _cc_single_task, "node long, label long"
+            )
+        edges = eck
     edges = (
         edges.repartition("a").sortWithinPartitions("a").localCheckpoint()
     )
-    comp = nodes.select(
-        "node", F.col("node").alias("label")
-    ).localCheckpoint()
-    frontier, f_rows = comp, comp.count()
+    seed = (
+        nd.select("node", F.col("seed").alias("label")) if seeded else None
+    )
+    comp = nd.select("node", F.col("node").alias("label"))
+    frontier, f_rows = comp, n_nodes
     for _ in range(max_rounds):
         fl = frontier.select(
             F.col("node").alias("a"), F.col("label").alias("nl")

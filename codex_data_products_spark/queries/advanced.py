@@ -596,12 +596,18 @@ WHERE pair_n >= 2
 
 @register("market_basket_pairs", sql=_BASKET_SQL)
 def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    # items is referenced four times (count, freq, both self-join
+    # sides); persist the distinct once instead of re-running the
+    # lineitem-wide shuffle per reference (guide §2.4)
     items = (
         T(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_orders = items.agg(F.count_distinct("okey").alias("n_orders"))
     freq = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("item_n"))
@@ -1037,12 +1043,17 @@ CROSS JOIN n
 
 @register("market_basket_rules", sql=_BASKET_RULES_SQL)
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    # same four-reference pattern as market_basket_pairs: persist the
+    # lineitem-wide distinct once (guide §2.4)
     items = (
         T(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_orders = items.agg(F.count_distinct("okey").alias("n_orders"))
     freq = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("item_n"))
@@ -1061,17 +1072,25 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= 2)
     )
+    # direction expansion as the row-local explode the scale note
+    # promises — the former unionByName of two selects re-ran the whole
+    # pair self-join + aggregate twice (pairs is not persisted)
     rules = pairs.select(
-        F.col("part_a").alias("antecedent"),
-        F.col("part_b").alias("consequent"),
-        "pair_n",
-    ).unionByName(
-        pairs.select(
-            F.col("part_b").alias("antecedent"),
-            F.col("part_a").alias("consequent"),
-            "pair_n",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("antecedent"),
+                    F.col("part_b").alias("consequent"),
+                    F.col("pair_n"),
+                ),
+                F.struct(
+                    F.col("part_b").alias("antecedent"),
+                    F.col("part_a").alias("consequent"),
+                    F.col("pair_n"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
     fa = freq.select(
         F.col("pkey").alias("antecedent"), F.col("item_n").alias("n_a")
     )

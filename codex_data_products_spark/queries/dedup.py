@@ -463,33 +463,36 @@ def simhash_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — bit b set iff more than half the distinct-token
     hashes have bit b.
 
-    Entirely row-local: the token-hash array is materialized once per
-    document (one md5 per distinct token) in an inner select, then the 32
-    per-bit majorities are `size(filter(hs, ...))` passes over that
-    in-memory array. No explode, no shuffle, one codegen stage — 3×
-    faster than the explode → 32-conditional-sum hash aggregate, and at
-    100 TB it removes the (corpus × tokens)-row shuffle entirely.
+    Round 11 (measured, guide §4.1/§7.2): the former row-local
+    formulation ran 32 ``size(filter(hs, ...))`` passes per document —
+    higher-order functions are CodegenFallback, so every pass was
+    interpreted expression eval over the in-memory array (~32·|tokens|
+    closure invocations per doc). The explode → 32-bit-sum hash
+    aggregate stays entirely inside WholeStageCodegen and, because the
+    exploded token rows of one document never leave their partition,
+    the aggregate's partial pass collapses them to ONE row per doc
+    before any exchange — under ``spread``'s doc_id hash partitioning
+    the grouping requirement is already satisfied, so the plan carries
+    no aggregation exchange at all (interleaved 5-run medians at the
+    sf1.0 stress: 1.85 s → 1.40 s; the interpreted HOF nodes are gone).
     """
     toks = F.array_distinct(_tokens())
-    base = spread(docs, "doc_id").select(
-        "doc_id",
-        F.transform(
-            toks,
-            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-        ).alias("hs"),
-    ).select("doc_id", "hs", F.size("hs").alias("n"))
-    terms = [
-        F.when(
-            F.size(F.filter("hs", lambda h: h.bitwiseAND(F.lit(1 << b)) != 0)) * 2
-            > F.col("n"),
-            F.lit(1 << b),
-        ).otherwise(F.lit(0))
+    ex = spread(docs, "doc_id").select(
+        "doc_id", F.explode(toks).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))).alias(f"c{b}")
         for b in range(SIMHASH_BITS)
     ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return base.select("doc_id", out.cast("long").alias("simhash"))
+    g = ex.groupBy("doc_id").agg(*aggs)
+    out = None
+    for b in range(SIMHASH_BITS):
+        t = F.when(
+            F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
+        out = t if out is None else out + t
+    return g.select("doc_id", out.cast("long").alias("simhash"))
 
 
 def _sql_simhash() -> str:
@@ -874,27 +877,68 @@ _CC_SQL = _cc_sql()
 
 @register("dedup_connected_components", sql=_CC_SQL)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from codex_data_products_spark.operators.graphs import (
         min_label_components,
     )
 
     docs = T(spark, sf_dir, "documents")
-    pairs = dedup_simhash(spark, sf_dir)
-    # Min-label propagation to fixpoint — the bulk-synchronous CC
-    # pattern that scales to billions of edges (vs a driver-side
-    # union-find, which doesn't). min_label_components shuffles the
-    # edge table once, propagates only the changed-label frontier
-    # after round 1, and reads convergence off the checkpointed frame
-    # (operators/graphs.py for the full scale notes).
-    edges = pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    # Round 11: propagate on the DISTINCT-SIGNATURE grain, not the doc
+    # grain. Docs sharing a simhash are pairwise Hamming-0 band-0
+    # collisions, i.e. already one clique in the pair graph, and
+    # cross-signature connectivity is a function of the signature pair
+    # alone — so the doc-grain component labeling is exactly the
+    # signature-grain labeling blown back up through the (doc_id,
+    # simhash) map. The former plan materialized every doc pair
+    # (28.4M rows at the skew stress — identical-signature bot groups
+    # are quadratic in group size) and shuffled+sorted the 2x edge
+    # list before a doc-grain propagation loop; signatures are the
+    # multimodal_ahash_neardup lesson applied to CC: |signatures| <<
+    # |docs|, pair explosion never happens, and the propagation loop
+    # runs on frames bounded by the signature count. Seeded labels
+    # (min doc_id per signature) make the final relabeling emit the
+    # component's min doc_id — bit-identical to the doc-grain loop.
+    sim = simhash_frame(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = sim.groupBy("simhash").agg(F.min("doc_id").alias("label"))
+    hi = lambda side: F.shiftrightunsigned(F.col(f"{side}.simhash"), 16)  # noqa: E731
+    lo = lambda side: F.col(f"{side}.simhash") % 65536  # noqa: E731
+    a, b = sig.alias("a"), sig.alias("b")
+    lt = F.col("a.simhash") < F.col("b.simhash")
+    hamming_ok = (
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        <= SIMHASH_MAX_HAMMING
     )
-    return min_label_components(
-        docs.select(F.col("doc_id").alias("node")), edges
-    ).select(
-        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    pair = [F.col("a.simhash").alias("x"), F.col("b.simhash").alias("y")]
+    sig_pairs = (
+        a.join(b, (hi("a") == hi("b")) & lt & hamming_ok)
+        .select(*pair)
+        .unionByName(
+            a.join(
+                b, (lo("a") == lo("b")) & (hi("a") != hi("b")) & lt & hamming_ok
+            ).select(*pair)
+        )
+    )
+    # both edge directions from ONE pass over the pair generator (the
+    # former unionByName of two selects re-ran the band self-joins
+    # twice — the pair plan is not persisted)
+    edges = sig_pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                F.struct(F.col("y").alias("a"), F.col("x").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    comp = min_label_components(
+        sig.select(F.col("simhash").alias("node"), "label"), edges
+    )
+    # blow the signature labeling back up to doc grain; hint-free join —
+    # AQE broadcasts the signature-grain side while it is small and
+    # falls back to a shuffle join on a corpus whose signature count
+    # outgrows a broadcast
+    return sim.join(comp, sim.simhash == comp.node).select(
+        F.col("doc_id"), F.col("label").alias("component_id")
     )
 
 
@@ -1300,19 +1344,76 @@ def dedup_simhash_wide_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = T(spark, sf_dir, "documents")
-    # the 4 band self-joins would evaluate the signature expression 8x
+    # Round 11: aggregate on the DISTINCT-SIGNATURE grain, then blow
+    # back up to docs — the doc-pair list (quadratic in duplicate-class
+    # size; the very pathology this summary exists to avoid SHIPPING)
+    # is no longer MATERIALIZED either. A doc with signature s has
+    # (m_s - 1) Hamming-0 partners inside its own signature class
+    # (same signature ⇒ band-0 collision ⇒ always a kept pair) plus
+    # m_t partners for every adjacent signature t (band-collide,
+    # Hamming ≤ cap — a function of the signature pair alone), so
+    #   n_dups(s)      = (m_s - 1) + Σ_adjacent m_t
+    #   min_hamming(s) = 0 if m_s ≥ 2 else min_adjacent hamming(s, t)
+    # and docs with n_dups = 0 drop out exactly as the pair-grain
+    # groupBy dropped them. Identical output, |signatures|-bounded
+    # joins (the skew stress's ~550-doc bot classes alone put 13.7M
+    # Hamming-0 rows in the old pair stage).
     sim = simhash_frame(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = _wide_candidate_pairs(sim, with_sig=True)
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
-    kept = pairs.filter(hamming <= SIMHASH_MAX_HAMMING).select(
-        "doc_a", "doc_b", hamming.alias("hamming")
+    sig = (
+        sim.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    both = kept.select(F.col("doc_a").alias("doc_id"), "hamming").unionByName(
-        kept.select(F.col("doc_b").alias("doc_id"), "hamming")
+    a, b = sig.alias("a"), sig.alias("b")
+
+    def band(side: str, i: int):
+        return F.shiftrightunsigned(F.col(f"{side}.simhash"), 8 * i) % 256
+
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    neq = F.col("a.simhash") != F.col("b.simhash")
+    adj_cols = [
+        F.col("a.simhash").alias("s"),
+        F.col("b.m").alias("m_t"),
+        hamming.alias("h"),
+    ]
+    adj = None
+    for i in range(_WIDE_BANDS):
+        # symmetric adjacency (one row per ordered pair): first-match
+        # banding dedups with earlier-band inequality, exactly like the
+        # pair generator, but with s<t replaced by s!=t so each side
+        # accumulates its own partner multiset
+        cond = (band("a", i) == band("b", i)) & neq
+        for j in range(i):
+            cond = cond & (band("a", j) != band("b", j))
+        piece = a.join(b, cond & (hamming <= SIMHASH_MAX_HAMMING)).select(
+            *adj_cols
+        )
+        adj = piece if adj is None else adj.unionByName(piece)
+    cross = adj.groupBy("s").agg(
+        F.sum("m_t").alias("cross_n"), F.min("h").alias("cross_min")
     )
-    return both.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dups"),
-        F.min("hamming").cast("long").alias("min_hamming"),
+    per_sig = (
+        sig.join(cross, sig.simhash == cross.s, "left")
+        .select(
+            "simhash",
+            (
+                (F.col("m") - 1)
+                + F.coalesce(F.col("cross_n"), F.lit(0))
+            ).alias("n_dups"),
+            F.when(F.col("m") >= 2, F.lit(0))
+            .otherwise(F.col("cross_min"))
+            .alias("min_hamming"),
+        )
+        .filter(F.col("n_dups") > 0)
+    )
+    # doc expansion: hint-free join — AQE broadcasts the signature
+    # summary while it is small, shuffle join beyond
+    return sim.join(per_sig, "simhash").select(
+        "doc_id",
+        F.col("n_dups").cast("long").alias("n_dups"),
+        F.col("min_hamming").cast("long").alias("min_hamming"),
     )
 
 

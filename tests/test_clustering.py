@@ -282,3 +282,43 @@ def test_min_label_components_hand_checked(spark):
     }
     assert got == {10: 101, 11: 101, 12: 101, 13: 101, 20: 7, 21: 7,
                    30: 55}
+
+
+def test_min_label_components_loop_matches_single_task(spark, monkeypatch):
+    """Round 11: small graphs take a single-task vectorized fast path
+    (operators/graphs._cc_single_task); the distributed BSP loop
+    remains the large-graph path. Force the loop by zeroing the
+    fast-path bound and assert both paths label a randomish graph
+    (chains + cliques + isolates, seeded and unseeded) identically."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from codex_data_products_spark.operators import graphs
+
+    und = (
+        [(i, i + 1) for i in range(100, 140)]          # long chain
+        + [(200 + i, 200 + j) for i in range(6) for j in range(i + 1, 6)]
+        + [(139, 205)]                                  # chain↔clique bridge
+        + [(300, 301), (302, 303), (301, 302)]
+    )
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "a long, b long"
+    )
+    node_ids = sorted({n for e in und for n in e} | {400, 401})
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "node long")
+    seeded = spark.createDataFrame(
+        [(n, 10_000 - n) for n in node_ids], "node long, label long"
+    )
+
+    def labels(nd, ed):
+        return {
+            r["node"]: r["label"]
+            for r in graphs.min_label_components(nd, ed).collect()
+        }
+
+    fast_unseeded, fast_seeded = labels(nodes, edges), labels(seeded, edges)
+    monkeypatch.setattr(graphs, "SMALL_GRAPH_EDGES", 0)
+    loop_unseeded, loop_seeded = labels(nodes, edges), labels(seeded, edges)
+    assert fast_unseeded == loop_unseeded
+    assert fast_seeded == loop_seeded
+    # sanity: the chain+clique merged through the bridge
+    assert fast_unseeded[205] == 100 and fast_unseeded[303] == 300
