@@ -164,31 +164,34 @@ jac AS (
 def _jaccard_for_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact set Jaccard for a given (doc_a, doc_b) candidate-pair frame.
 
-    Unlike ``_jaccard_pairs`` this never enumerates non-candidate pairs:
-    candidates × their shingles → equi-join on (doc_b, shingle) → count.
-    This is the LSH scale path — verification cost is proportional to the
-    candidate set, not to all shingle-sharing pairs.
+    Unlike ``_jaccard_pairs`` this never enumerates non-candidate pairs.
+    Round 11 (guide §2.3/§2.4): the shingle sets are packed into ONE
+    array row per doc and the intersection is computed row-locally
+    (``array_intersect``) after two doc-keyed joins. The former shape
+    joined candidates to the exploded shingle table twice — shipping
+    the (candidates × shingles-of-doc) product through a
+    (doc_b, shingle) string-keyed exchange plus a pair-grain count
+    aggregate and two more size joins (7 exchanges; measured 17.5 s at
+    the substr-sf1.0 stress vs 6.9 s for this shape). Shingles per doc
+    are distinct by construction (shingle_table / the IVM log), so
+    ``collect_set`` sizes equal the old per-doc counts, and a candidate
+    pair with zero common shingles now yields jaccard 0.0 instead of
+    being dropped by the old inner count-join — every caller filters
+    ``jaccard >= JACCARD_THRESHOLD > 0``, so results are unchanged.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    size_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    size_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_shs"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("_shs").alias("_sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("_shs").alias("_sb"))
+    n_common = F.size(F.array_intersect("_sa", "_sb"))
     return (
-        common.join(size_a, "doc_a")
-        .join(size_b, "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                n_common.cast("double")
+                / (F.size("_sa") + F.size("_sb") - n_common),
                 6,
             ).alias("jaccard"),
         )
@@ -613,14 +616,34 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SYNTHETIC_EMB_THRESHOLD = 0.38
 
 
+# Unrolled fast-path width for dot_expr (round 11, guide §4.1): the
+# zip_with + aggregate fold is a CodegenFallback pair — every pair-
+# scoring hot path paid interpreted expression eval per element. A
+# left-associated unrolled sum performs the EXACT same float additions
+# in the same order ((((0.0+p1)+p2)+...), so the result is
+# bit-identical, but stays inside WholeStageCodegen (interleaved sf0.5
+# medians on dedup_embedding_cosine: 4.15 s -> 3.78 s; exceptAll-both-
+# ways == 0 rows). Vectors of any other length take the original fold
+# — the width is a compile-time fast-path choice, not a data
+# assumption.
+_DOT_UNROLL_DIM = 64
+
+
 def dot_expr(x: Column, y: Column) -> Column:
     """Sequential-fold dot product of two array<double> columns
     (deterministic order, matches DuckDB's list_dot_product)."""
-    return F.aggregate(
+    fold = F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    unrolled = F.lit(0.0)
+    for i in range(1, _DOT_UNROLL_DIM + 1):
+        unrolled = unrolled + F.element_at(x, i) * F.element_at(y, i)
+    return F.when(
+        (F.size(x) == _DOT_UNROLL_DIM) & (F.size(y) == _DOT_UNROLL_DIM),
+        unrolled,
+    ).otherwise(fold)
 
 
 def cosine_expr(a: Column, b: Column) -> Column:

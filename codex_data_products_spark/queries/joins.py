@@ -303,9 +303,14 @@ def fuzzy_join_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_name").alias("name"))
         .distinct()
     )
+    from pyspark import StorageLevel
+
+    # the deletion-key explode feeds both self-join sides — persist it
+    # once (guide §2.4); and evaluate levenshtein once, filtering on the
+    # output column instead of re-running it in a separate predicate
     keyed = names.select(
         "name", F.explode(_deletion_keys(F.col("name"))).alias("key")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     right = keyed.select(
         F.col("name").alias("name_b"), F.col("key").alias("key_b")
     )
@@ -317,11 +322,11 @@ def fuzzy_join_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("name").alias("name_a"), "name_b")
         .distinct()
-        .filter(F.levenshtein("name_a", "name_b") <= 1)
         .withColumn(
             "edit_distance",
             F.levenshtein("name_a", "name_b").cast("long"),
         )
+        .filter(F.col("edit_distance") <= 1)
     )
 
 

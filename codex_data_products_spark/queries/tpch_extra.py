@@ -619,10 +619,17 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = T(spark, sf_dir, "supplier")
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    from pyspark import StorageLevel
+
+    # late1 feeds the probe side AND the anti side below — persist the
+    # lineitem ⋈ orders join once instead of running it twice
+    # (guide §2.4; the two references have different join keys, so
+    # exchange reuse never applies)
     late1 = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     others = li.select(
         F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
