@@ -69,15 +69,30 @@ def kmeans(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     ).localCheckpoint()
 
+    def _seed_frame(seeds):
+        # Arrow-backed local relation: a list-of-rows createDataFrame
+        # is a defaultParallelism-partition Python RDD — every job
+        # referencing it pays one Python worker round-trip per
+        # partition (round 11; see streaming/dedup_ivm._empty)
+        import pandas as pd
+
+        return base.sparkSession.createDataFrame(
+            pd.DataFrame(
+                {
+                    "c_id": pd.array(
+                        [s[0] for s in seeds], dtype="int32"
+                    ),
+                    "cvec": [list(s[1]) for s in seeds],
+                }
+            ),
+            schema="c_id int, cvec array<double>",
+        )
+
     # farthest-point init: k driver-side argmax rounds (k is small)
     first = base.orderBy("vec_id").limit(1).collect()[0]
     seeds = [(0, list(first["v"]))]
     for i in range(1, k):
-        seed_df = F.broadcast(
-            base.sparkSession.createDataFrame(
-                seeds, "c_id int, cvec array<double>"
-            )
-        )
+        seed_df = F.broadcast(_seed_frame(seeds))
         d2 = (
             _dot(F.col("v"), F.col("v"))
             - 2 * _dot(F.col("v"), F.col("cvec"))
@@ -93,9 +108,7 @@ def kmeans(
             .collect()[0]
         )
         seeds.append((i, list(farthest["v"])))
-    seed_df = F.broadcast(
-        base.sparkSession.createDataFrame(seeds, "c_id int, cvec array<double>")
-    )
+    seed_df = F.broadcast(_seed_frame(seeds))
     d2_init = (
         _dot(F.col("v"), F.col("v"))
         - 2 * _dot(F.col("v"), F.col("cvec"))

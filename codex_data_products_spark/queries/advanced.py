@@ -1475,7 +1475,10 @@ FROM est JOIN exact ON est.pred = exact.pred
 @register("stats_selectivity_eval", sql=_SELECTIVITY_SQL)
 def stats_selectivity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = stats_equidepth_histogram(spark, sf_dir)
-    preds = spark.createDataFrame(
+    from codex_data_products_spark.tables import local_frame
+
+    preds = local_frame(
+        spark,
         [(p, float(a), float(b)) for p, a, b in _SEL_PREDS],
         "pred string, a double, b double",
     )

@@ -2309,11 +2309,16 @@ def positional_grams(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     once per window position.
     """
     toks = F.col("toks")
+    # g is BINARY(16) = unhex(md5) (round 11, guide §2.3 "narrower
+    # types"): bijective with the hex string, so every grouping, join
+    # and occurrence count — and therefore every output — is unchanged,
+    # but the corpus-scale gram logs, shuffles and hash probes carry 16
+    # bytes instead of 33.
     windows = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.struct(
             i.alias("pos"),
-            F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("g"),
+            F.unhex(F.md5(F.concat_ws(" ", F.slice(toks, i, k)))).alias("g"),
         ),
     )
     return (

@@ -150,7 +150,11 @@ LEFT JOIN (VALUES {_SYN_VALUES}) AS syn(synonym_lower, canonical)
 @register("join_synonym", sql=_SYN_SQL)
 def join_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = T(spark, sf_dir, "customer")
-    syn = spark.createDataFrame(_SYNONYMS, ["synonym_lower", "canonical"])
+    from codex_data_products_spark.tables import local_frame
+
+    syn = local_frame(
+        spark, _SYNONYMS, "synonym_lower string, canonical string"
+    )
     return (
         cust.join(
             F.broadcast(syn),

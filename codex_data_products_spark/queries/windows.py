@@ -176,7 +176,9 @@ def position_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s, c in seg_counts:
         offsets.append((s, acc))
         acc += c
-    off = spark.createDataFrame(offsets or [], "seg long, off long")
+    from codex_data_products_spark.tables import local_frame
+
+    off = local_frame(spark, offsets, "seg long, off long")
     labels = (
         docs.select("doc_id", seg.alias("seg"))
         .withColumn(

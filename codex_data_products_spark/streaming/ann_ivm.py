@@ -334,9 +334,24 @@ def search_ann(
                 "distributed, no driver collect)."
             )
         probed_cells = sorted({int(r["cell"]) for r in pairs})
+        # Arrow-backed local relation (round 11): a list-of-rows
+        # createDataFrame is a defaultParallelism-partition Python RDD
+        # whose every action pays one Python worker round-trip per
+        # partition; the pandas path lands as ONE JVM-side batch
+        import pandas as pd
+
         probe_df = spark.createDataFrame(
-            [(r["query_id"], r["cell"]) for r in pairs] or [],
-            "query_id long, cell long",
+            pd.DataFrame(
+                {
+                    "query_id": pd.array(
+                        [int(r["query_id"]) for r in pairs], dtype="int64"
+                    ),
+                    "cell": pd.array(
+                        [int(r["cell"]) for r in pairs], dtype="int64"
+                    ),
+                }
+            ),
+            schema="query_id long, cell long",
         )
         probes = probe_df.join(q, "query_id")
         post = ann_postings_snapshot(

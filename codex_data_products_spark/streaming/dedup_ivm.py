@@ -106,7 +106,19 @@ class DedupStateDirs:
 
 
 def _empty(spark: SparkSession, schema: str) -> DataFrame:
-    return spark.createDataFrame([], schema)
+    """JVM-native empty frame, ONE empty partition (round 11, guide
+    §4). ``createDataFrame([], schema)`` builds a defaultParallelism-
+    partition Python RDD, so every downstream action pays a Python
+    worker round-trip per partition — the per-batch
+    ``rem_df.coalesce(1).write`` of an EMPTY tombstone frame (all six
+    maintainers) measured 6-7 s of pure fixed cost per batch, serial
+    through one task. A ``range(0)`` projection is pure JVM."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+    return spark.range(0, 0, 1, 1).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+    )
 
 
 COMBINED_BATCH_CONTRACT = """Shared combined add+remove batch contract
@@ -159,9 +171,19 @@ def _remove_frame(
         )
         return rem, not rem.isEmpty()
     ids = list(dict.fromkeys(int(d) for d in remove))
+    if not ids:
+        return _empty(spark, f"{col} long"), False
+    # Arrow-backed local relation: one JVM-side batch, no Python-RDD
+    # partitions (a coalesce(1) over those serializes a worker
+    # round-trip per partition — see _empty) and no py4j per-element
+    # literal conversion (an exploded lit(ids) measured 65 s at 10⁵ ids)
+    import pandas as pd
+
     return (
-        spark.createDataFrame([(d,) for d in ids] or [], f"{col} long"),
-        bool(ids),
+        spark.createDataFrame(
+            pd.DataFrame({col: pd.array(ids, dtype="int64")})
+        ),
+        True,
     )
 
 
@@ -1114,8 +1136,26 @@ def merge_map_for_fresh_pairs(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo  # min label is always the root
         mapping = [(x, find(x)) for x in list(parent) if find(x) != x]
+        if not mapping:
+            return _empty(
+                spark, "component_id long, new_component_id long"
+            )
+        # Arrow-backed local relation — one JVM batch, no Python-RDD
+        # partitions (see _empty)
+        import pandas as pd
+
         return spark.createDataFrame(
-            mapping, "component_id long, new_component_id long"
+            pd.DataFrame(
+                {
+                    "component_id": pd.array(
+                        [m[0] for m in mapping], dtype="int64"
+                    ),
+                    "new_component_id": pd.array(
+                        [m[1] for m in mapping], dtype="int64"
+                    ),
+                }
+            ),
+            schema="component_id long, new_component_id long",
         )
 
     if n_edges <= CLUSTER_MERGE_DRIVER_CAP:

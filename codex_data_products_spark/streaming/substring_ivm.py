@@ -75,13 +75,13 @@ from codex_data_products_spark.streaming.dedup_ivm import (
     _remove_frame,
 )
 
-_GRAMS_SCHEMA = "doc_id long, n int, pos int, g string"
+_GRAMS_SCHEMA = "doc_id long, n int, pos int, g binary"
 # b = pmod(xxhash64(g), _N_OCC_BUCKETS): the occ log's PARTITION column
 # (the ANN posting-log pattern, streaming/ann_ivm.py — VERDICT r10 #4).
 # Occ reads that only need the history of a bounded gram set prune to
 # that set's bucket directories before scanning.
 _N_OCC_BUCKETS = 64
-_OCC_SCHEMA = "g string, occ long, b int"
+_OCC_SCHEMA = "g binary, occ long, b int"
 _COVERAGE_SCHEMA = (
     "doc_id long, n_tokens long, dup_tokens long, dup_fraction double"
 )
@@ -99,6 +99,16 @@ def bootstrap_substring_state(spark: SparkSession, state_dir: str) -> None:
 
 def _occ_bucket(col):
     return F.pmod(F.xxhash64(col), F.lit(_N_OCC_BUCKETS)).cast("int")
+
+
+def _clear_dir(spark: SparkSession, path: str) -> None:
+    """Remove a log dir a replaying batch would otherwise have
+    overwritten — keeps the skip-empty-tombstone write idempotent over
+    a crashed older attempt's leftovers (driver-side fs call only)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
+        fs.delete(jvm_path, True)
 
 
 def occ_log_slice(
@@ -198,14 +208,22 @@ def apply_substring_batch(
     old_grams = _prior_grams(spark, state_dir, batch_id)
 
     # -- 1. positional grams of the delta; append to the gram log;
-    #       tombstone the removed docs' gram and coverage rows
+    #       tombstone the removed docs' gram and coverage rows. An
+    #       insert-only batch writes NO tombstone dir (round 11):
+    #       _log_union reads absence as empty, so the contract is
+    #       unchanged, the write job is saved, and later log unions
+    #       stay one scan node narrower per batch; the delete keeps a
+    #       replay over an older attempt's leftovers idempotent.
     delta = positional_grams(batch_docs).persist()
     delta.write.mode("overwrite").parquet(
         f"{state_dir}/grams/batch={batch_id}"
     )
-    rem_df.coalesce(1).write.mode("overwrite").parquet(
-        f"{state_dir}/grams_removed/batch={batch_id}"
-    )
+    if has_removes:
+        rem_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/grams_removed/batch={batch_id}"
+        )
+    else:
+        _clear_dir(spark, f"{state_dir}/grams_removed/batch={batch_id}")
 
     # -- 2. the batch's NET per-gram counts (delta adds minus removed
     #       docs' rows) and the candidate grams whose dup status may
@@ -326,9 +344,12 @@ def apply_substring_batch(
             occ_old_cand.unionByName(occ_old_aff)
             .groupBy("g")
             .agg(F.max("occ_old").alias("_o"))  # overlap rows are equal
-            # change-grain; materialized once so the dup test below
-            # never re-runs the occ-log passes behind it
-            .localCheckpoint()
+            # change-grain, referenced exactly once (dup_r → the
+            # coverage write): no materialization barrier — the former
+            # localCheckpoint here was a whole extra job per repair
+            # batch for a frame nothing reads twice (round 11);
+            # occ_old_cand behind it is persisted, so no occ-log pass
+            # re-runs either way
         )
     else:
         affected = _empty(spark, _REMOVED_SCHEMA)
@@ -356,25 +377,50 @@ def apply_substring_batch(
     #       batch's coverage rows, and coverage tombstones for the
     #       repaired old docs AND the removed docs (the accumulated
     #       tombstone set stays change-grain, i.e. broadcastable
-    #       forever).
-    (
-        net_occ.filter(F.col("net") != 0)
-        .select(
-            "g",
-            F.col("net").alias("occ"),
-            _occ_bucket(F.col("g")).alias("b"),
+    #       forever). The three writes are independent (disjoint own-
+    #       batch dirs, all upstream state persisted), so they run
+    #       CONCURRENTLY (guide §2.6) — the commit's wall-clock is the
+    #       slowest write, not the sum; crash-safety is unchanged
+    #       because a replay overwrites every dir it would have
+    #       written. A no-repair, no-remove batch writes no coverage
+    #       tombstone dir at all (absence == empty, as above).
+    def _write_occ() -> None:
+        (
+            net_occ.filter(F.col("net") != 0)
+            .select(
+                "g",
+                F.col("net").alias("occ"),
+                _occ_bucket(F.col("g")).alias("b"),
+            )
+            .repartition("b")  # one writer task per populated bucket dir
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(f"{state_dir}/occ_delta/batch={batch_id}")
         )
-        .repartition("b")  # one writer task per populated bucket dir
-        .write.mode("overwrite")
-        .partitionBy("b")
-        .parquet(f"{state_dir}/occ_delta/batch={batch_id}")
-    )
-    cov_rows.write.mode("overwrite").parquet(
-        f"{state_dir}/coverage/batch={batch_id + 1}"
-    )
-    affected.unionByName(rem_df).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{state_dir}/coverage_removed/batch={batch_id + 1}")
+
+    def _write_cov() -> None:
+        cov_rows.write.mode("overwrite").parquet(
+            f"{state_dir}/coverage/batch={batch_id + 1}"
+        )
+
+    def _write_tombs() -> None:
+        if has_changed or has_removes:
+            affected.unionByName(rem_df).distinct().write.mode(
+                "overwrite"
+            ).parquet(f"{state_dir}/coverage_removed/batch={batch_id + 1}")
+        else:
+            _clear_dir(
+                spark, f"{state_dir}/coverage_removed/batch={batch_id + 1}"
+            )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(w) for w in (_write_occ, _write_cov, _write_tombs)
+        ]
+        for fut in futures:
+            fut.result()
     # rem_df/changed/occ_old_r may be localCheckpointed — drop their
     # blocks too, or every batch of a long-running drain leaks a few
     for frame in (

@@ -80,3 +80,18 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     if df.rdd.getNumPartitions() >= max(1, n // 2):
         return df
     return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
+def local_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small driver-side rows as an Arrow-backed local relation
+    (round 11, guide §4): ``createDataFrame(list_of_rows)`` builds a
+    defaultParallelism-partition Python RDD, so EVERY job referencing
+    the frame pays one Python worker round-trip per partition (~6 s
+    for a coalesce(1) write of an *empty* frame at local[32]); the
+    pandas path ships one Arrow batch and plans as a JVM LocalRelation.
+    ``rows``: list of tuples matching ``schema`` (a DDL string)."""
+    import pandas as pd
+
+    names = [f.split()[0] for f in schema.split(",")]
+    data = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+    return spark.createDataFrame(pd.DataFrame(data, columns=names), schema=schema)

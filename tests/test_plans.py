@@ -2233,8 +2233,8 @@ def test_substring_occ_log_scan_prunes_to_delta_buckets(
 
     shared_g = hashlib.md5(
         b"alpha beta gamma delta epsilon zeta eta theta"
-    ).hexdigest()
-    probe = spark.createDataFrame([(shared_g,)], "g string")
+    ).digest()  # g is binary(16) = unhex(md5) since round 11
+    probe = spark.createDataFrame([(shared_g,)], "g binary")
     buckets = _bucket_set(probe)
     assert buckets is not None and len(buckets) == 1
     pruned = occ_log_slice(spark, state, upto=0, buckets=buckets)
@@ -2253,5 +2253,5 @@ def test_substring_occ_log_scan_prunes_to_delta_buckets(
     assert part_filters, plan
     assert all(str(buckets[0]) in line for line in part_filters), plan
     # and the pruned slice still returns exactly that bucket's grams
-    rows = {r["g"]: r["occ"] for r in pruned.collect()}
+    rows = {bytes(r["g"]): r["occ"] for r in pruned.collect()}
     assert rows[shared_g] == 20
