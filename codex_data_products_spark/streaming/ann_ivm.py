@@ -60,6 +60,7 @@ from codex_data_products_spark.streaming.dedup_ivm import (
     _empty,
     _gc_log_dirs,
     _log_union,
+    _write_tombstones,
 )
 
 _CENTROID_SCHEMA = "cell long, dim long, cv double"
@@ -190,8 +191,11 @@ def apply_ann_batch(
         rem = removes.select(F.col("vec_id").cast("long"))
     else:
         rem = _empty(spark, _REMOVED_SCHEMA)
-    rem.coalesce(1).write.mode("overwrite").parquet(
-        f"{state_dir}/removed/batch={batch_id}"
+    _write_tombstones(
+        spark,
+        rem,
+        removes is not None,
+        f"{state_dir}/removed/batch={batch_id}",
     )
     cent_vec = frozen_centroids(spark, state_dir)
     if adds is not None:
@@ -476,8 +480,11 @@ def apply_pq_batch(
         rem = removes.select(F.col("vec_id").cast("long"))
     else:
         rem = _empty(spark, _REMOVED_SCHEMA)
-    rem.coalesce(1).write.mode("overwrite").parquet(
-        f"{state_dir}/pq_removed/batch={batch_id}"
+    _write_tombstones(
+        spark,
+        rem,
+        removes is not None,
+        f"{state_dir}/pq_removed/batch={batch_id}",
     )
     if adds is not None:
         rows = encode_pq(adds, frozen_pq_codebook(spark, state_dir))

@@ -121,6 +121,24 @@ def _empty(spark: SparkSession, schema: str) -> DataFrame:
     )
 
 
+def _write_tombstones(
+    spark: SparkSession, rem: DataFrame, has_removes: bool, path: str
+) -> None:
+    """Write one batch's removal-tombstone dir — or, for the common
+    insert-only batch, write NOTHING (round 11): every tombstone log is
+    read through ``_log_union``, which treats an absent ``batch=<k>``
+    dir as empty, so skipping the write saves a job per batch and keeps
+    every later log union one scan node narrower. Deleting a leftover
+    dir keeps replay over a crashed older attempt idempotent."""
+    if has_removes:
+        rem.coalesce(1).write.mode("overwrite").parquet(path)
+        return
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
+        fs.delete(jvm_path, True)
+
+
 COMBINED_BATCH_CONTRACT = """Shared combined add+remove batch contract
 (all six remove-capable IVM maintainers: apply_cluster_batch,
 apply_emb_batch, apply_substring_batch, apply_vocab_batch,
@@ -1393,8 +1411,8 @@ def apply_cluster_batch(
     fresh.write.mode("overwrite").parquet(
         f"{state_dir}/sim_pairs/batch={v}"
     )
-    rem_df.coalesce(1).write.mode("overwrite").parquet(
-        f"{state_dir}/sim_removed/batch={v}"
+    _write_tombstones(
+        spark, rem_df, has_removes, f"{state_dir}/sim_removed/batch={v}"
     )
     adds.write.mode("overwrite").parquet(f"{state_dir}/clusters/batch={v}")
     tomb.write.mode("overwrite").parquet(

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from codex_data_products_spark.streaming.dedup_ivm import (
     _doc_tombstoned_log,
     _empty,
+    _write_tombstones,
     _log_union,
     _tombstoned_pairs,
     compact_pair_log,
@@ -130,8 +131,11 @@ def apply_emb_batch(
         rem = removes.select(F.col("vec_id").cast("long").alias("doc_id"))
     else:
         rem = _empty(spark, _EMB_REMOVED_SCHEMA)
-    rem.coalesce(1).write.mode("overwrite").parquet(
-        f"{state_dir}/emb_removed/batch={batch_id}"
+    _write_tombstones(
+        spark,
+        rem,
+        removes is not None,
+        f"{state_dir}/emb_removed/batch={batch_id}",
     )
     if adds is not None:
         delta = _emb_rows(adds).localCheckpoint()

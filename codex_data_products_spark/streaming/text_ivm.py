@@ -45,6 +45,7 @@ from codex_data_products_spark.streaming.dedup_ivm import (
     _gc_log_dirs,
     _log_union,
     _remove_frame,
+    _write_tombstones,
 )
 
 _TF_SCHEMA = "lang string, term string, tf long"
@@ -105,9 +106,12 @@ def apply_vocab_batch(
     rule keeps the same-batch token-log row alive for any LATER
     removal to retract."""
     spark = batch_docs.sparkSession
-    rem_df, _ = _remove_frame(spark, remove)
-    rem_df.coalesce(1).write.mode("overwrite").parquet(
-        f"{state_dir}/tok_removed/batch={batch_id}"
+    rem_df, has_removes = _remove_frame(spark, remove)
+    _write_tombstones(
+        spark,
+        rem_df,
+        has_removes,
+        f"{state_dir}/tok_removed/batch={batch_id}",
     )
 
     per_doc = (
