@@ -616,34 +616,26 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SYNTHETIC_EMB_THRESHOLD = 0.38
 
 
-# Unrolled fast-path width for dot_expr (round 11, guide §4.1): the
-# zip_with + aggregate fold is a CodegenFallback pair — every pair-
-# scoring hot path paid interpreted expression eval per element. A
-# left-associated unrolled sum performs the EXACT same float additions
-# in the same order ((((0.0+p1)+p2)+...), so the result is
-# bit-identical, but stays inside WholeStageCodegen (interleaved sf0.5
-# medians on dedup_embedding_cosine: 4.15 s -> 3.78 s; exceptAll-both-
-# ways == 0 rows). Vectors of any other length take the original fold
-# — the width is a compile-time fast-path choice, not a data
-# assumption.
-_DOT_UNROLL_DIM = 64
-
-
 def dot_expr(x: Column, y: Column) -> Column:
     """Sequential-fold dot product of two array<double> columns
-    (deterministic order, matches DuckDB's list_dot_product)."""
-    fold = F.aggregate(
+    (deterministic order, matches DuckDB's list_dot_product).
+
+    Round 11 note (measured, then REVERTED): a 64-term unrolled sum
+    behind a ``WHEN size(x)=64`` guard was tried as a codegen fast
+    path. The guard's else-branch keeps the ``aggregate`` HOF, so the
+    whole CaseWhen stays CodegenFallback — the "fast path" is 129
+    interpreted element_at/Add node evals per row instead of one
+    two-pass fold, and plans that instantiate the dot many times (IVF
+    multiprobe) also paid plan-size blow-up. Interleaved same-session
+    medians at sf0.1: knn_ivf_multiprobe 1.82 s (fold) vs 4.54 s
+    (unroll), knn_brute_force 1.25 vs 1.75, dedup_embedding_cosine
+    1.73 vs 1.92; in a fresh bench session the multiprobe row hit 24 s.
+    The fold is the right shape until Spark codegens HOFs."""
+    return F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    unrolled = F.lit(0.0)
-    for i in range(1, _DOT_UNROLL_DIM + 1):
-        unrolled = unrolled + F.element_at(x, i) * F.element_at(y, i)
-    return F.when(
-        (F.size(x) == _DOT_UNROLL_DIM) & (F.size(y) == _DOT_UNROLL_DIM),
-        unrolled,
-    ).otherwise(fold)
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
