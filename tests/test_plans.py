@@ -2229,12 +2229,14 @@ def test_substring_occ_log_scan_prunes_to_delta_buckets(
     state = str(tmp_path / "occ_prune")
     bootstrap_substring_state(spark, state)
     apply_substring_batch(docs, state, 0)
-    import hashlib
-
-    shared_g = hashlib.md5(
-        b"alpha beta gamma delta epsilon zeta eta theta"
-    ).digest()  # g is binary(16) = unhex(md5) since round 11
-    probe = spark.createDataFrame([(shared_g,)], "g binary")
+    # g is LONG = xxhash64 over the token-array window since round 11;
+    # derive the shared gram's key through Spark itself so the probe
+    # tracks the production expression
+    shared_g = spark.sql(
+        "SELECT xxhash64(array('alpha','beta','gamma','delta',"
+        "'epsilon','zeta','eta','theta')) AS g"
+    ).first()["g"]
+    probe = spark.createDataFrame([(shared_g,)], "g long")
     buckets = _bucket_set(probe)
     assert buckets is not None and len(buckets) == 1
     pruned = occ_log_slice(spark, state, upto=0, buckets=buckets)
@@ -2253,5 +2255,5 @@ def test_substring_occ_log_scan_prunes_to_delta_buckets(
     assert part_filters, plan
     assert all(str(buckets[0]) in line for line in part_filters), plan
     # and the pruned slice still returns exactly that bucket's grams
-    rows = {bytes(r["g"]): r["occ"] for r in pruned.collect()}
+    rows = {r["g"]: r["occ"] for r in pruned.collect()}
     assert rows[shared_g] == 20

@@ -2151,14 +2151,14 @@ def test_substring_ivm_occ_log_is_delta_sized_and_sums_to_histogram(
     assert _dir_bytes(f"{state}/occ_delta/batch=0") == b0
     apply_substring_batch(docs.filter("doc_id % 3 = 2"), state, 2)
     got = {
-        (bytes(r["g"]), r["occ"])
-        for r in _log_union(spark, f"{state}/occ_delta", "g binary, occ long")
+        (r["g"], r["occ"])
+        for r in _log_union(spark, f"{state}/occ_delta", "g long, occ long")
         .groupBy("g")
         .agg(F.sum("occ").cast("long").alias("occ"))
         .collect()
     }
     want = {
-        (bytes(r["g"]), r["occ"])
+        (r["g"], r["occ"])
         for r in positional_grams(docs)
         .groupBy("g")
         .agg(F.count(F.lit(1)).cast("long").alias("occ"))
