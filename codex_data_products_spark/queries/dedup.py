@@ -112,13 +112,24 @@ def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
     persisted by the caller — it is scanned by both the agg and the
     anti-join.
     """
+    # round 11 s3 (guide §2.3 narrower types): the aggregate and the
+    # anti-join only consume shingle EQUALITY, so they run on an 8-byte
+    # xxhash64 key instead of the ~40-byte shingle string — the df
+    # exchange carries a fifth of the bytes and the hash probes are
+    # fixed-width. The string column rides through untouched (the
+    # minhash md5s downstream need it).
+    key = F.xxhash64("shingle")
     frequent = (
-        sh.groupBy("shingle")
+        sh.groupBy(key.alias("_shk"))
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > SHINGLE_DF_CAP)
-        .select("shingle")
+        .select("_shk")
     )
-    return sh.join(F.broadcast(frequent), "shingle", "left_anti")
+    return (
+        sh.withColumn("_shk", key)
+        .join(F.broadcast(frequent), "_shk", "left_anti")
+        .drop("_shk")
+    )
 
 
 _SQL_SHINGLES = f"""
@@ -179,7 +190,14 @@ def _jaccard_for_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
     being dropped by the old inner count-join — every caller filters
     ``jaccard >= JACCARD_THRESHOLD > 0``, so results are unchanged.
     """
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_shs"))
+    # round 11 s3: the packed sets only feed size() and
+    # array_intersect(), i.e. pure equality — collect 8-byte xxhash64
+    # keys instead of the shingle strings (set sizes and intersections
+    # are preserved under the injective-up-to-64-bit-collision key; the
+    # full-registry oracle sweep certifies the outputs bit-identical)
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set(F.xxhash64("shingle")).alias("_shs")
+    )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("_shs").alias("_sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("_shs").alias("_sb"))
     n_common = F.size(F.array_intersect("_sa", "_sb"))
@@ -189,10 +207,15 @@ def _jaccard_for_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                n_common.cast("double")
-                / (F.size("_sa") + F.size("_sb") - n_common),
-                6,
+            # eval_once: every caller filters this column; unguarded,
+            # the filter is pushed into the set join's condition and
+            # the array_intersect runs twice per candidate
+            eval_once(
+                F.round(
+                    n_common.cast("double")
+                    / (F.size("_sa") + F.size("_sb") - n_common),
+                    6,
+                )
             ).alias("jaccard"),
         )
     )
@@ -201,12 +224,17 @@ def _jaccard_for_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     """All-pairs set Jaccard from a (doc_id, shingle) table."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # round 11 s3: the self-join key is pure shingle equality — join on
+    # the 8-byte xxhash64 key so both exchange sides carry fixed-width
+    # longs instead of the shingle strings (the join is the query's
+    # largest shuffle)
+    keyed = sh.select("doc_id", F.xxhash64("shingle").alias("_shk"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a._shk") == F.col("b._shk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -638,6 +666,24 @@ def dot_expr(x: Column, y: Column) -> Column:
     )
 
 
+def eval_once(col: Column) -> Column:
+    """Pin an EXPENSIVE projected expression so it is evaluated exactly
+    once (round 11 s3, guide §4.4 applied to built-ins): a filter on
+    the aliased column would otherwise be pushed back through the
+    Project into the join condition, re-evaluating the expression per
+    CANDIDATE row — and, because non-equi join predicates run left to
+    right, often BEFORE the cheap vec_id ordering test. The always-true
+    WHEN on spark_partition_id() is nondeterministic to the optimizer
+    (blocks the pushdown/substitution) and bit-identical at runtime
+    (the guard branch is always taken). Measured on
+    dedup_embedding_cosine at the sf0.5 stress: 4.58 -> 2.13 s median
+    (interleaved), plan's join condition drops the fold entirely. Use
+    ONLY where the filter has nowhere better to push (directly above
+    the projecting join); a guard below a scan-prunable filter would
+    block a useful pushdown instead."""
+    return F.when(F.spark_partition_id() >= -1, col)
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns. NOTE: computes
     both norms inline (three folds per invocation) — pair-scoring hot
@@ -720,7 +766,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
+            eval_once(cos).alias("cosine"),
         )
         .filter(F.col("cosine") >= _SYNTHETIC_EMB_THRESHOLD)
     )
@@ -1130,12 +1176,16 @@ def dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sh = _frequent_shingles_removed(shingle_table(docs))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    # self-join on the 8-byte xxhash64 shingle key (round 11 s3): the
+    # join consumes equality only, so the exchanges carry longs
+    keyed = _frequent_shingles_removed(shingle_table(docs)).select(
+        "doc_id", F.xxhash64("shingle").alias("_shk")
+    )
+    sa, sb = keyed.alias("sa"), keyed.alias("sb")
     pairspace = (
         sa.join(
             sb,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
+            (F.col("sa._shk") == F.col("sb._shk"))
             & (F.col("sa.doc_id") < F.col("sb.doc_id")),
         )
         .select(
@@ -1488,12 +1538,16 @@ def dedup_simhash_wide_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     sim = simhash_frame(docs).persist(StorageLevel.MEMORY_AND_DISK)
     cand = _wide_candidate_pairs(sim).persist(StorageLevel.MEMORY_AND_DISK)
-    sh = _frequent_shingles_removed(shingle_table(docs))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    # self-join on the 8-byte xxhash64 shingle key (round 11 s3): the
+    # join consumes equality only, so the exchanges carry longs
+    keyed = _frequent_shingles_removed(shingle_table(docs)).select(
+        "doc_id", F.xxhash64("shingle").alias("_shk")
+    )
+    sa, sb = keyed.alias("sa"), keyed.alias("sb")
     pairspace = (
         sa.join(
             sb,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
+            (F.col("sa._shk") == F.col("sb._shk"))
             & (F.col("sa.doc_id") < F.col("sb.doc_id")),
         )
         .select(
@@ -1659,12 +1713,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sh = _frequent_shingles_removed(raw)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # self-join on the 8-byte xxhash64 shingle key (round 11 s3)
+    keyed = sh.select("doc_id", F.xxhash64("shingle").alias("_shk"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a._shk") == F.col("b._shk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -1757,7 +1813,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("va"),
             F.col("b.vec_id").alias("vb"),
             F.col("a.label").alias("label"),
-            cos.alias("c"),
+            eval_once(cos).alias("c"),
         )
         .filter(F.col("c") >= _SYNTHETIC_EMB_THRESHOLD)
     )
@@ -1939,10 +1995,15 @@ def prefix_jaccard_frames(items: DataFrame):
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                inter.cast("double")
-                / (F.col("n_a") + F.col("n_b") - inter),
-                6,
+            # eval_once: the threshold filter above would otherwise be
+            # pushed into the verify join, running the array_intersect
+            # twice per candidate
+            eval_once(
+                F.round(
+                    inter.cast("double")
+                    / (F.col("n_a") + F.col("n_b") - inter),
+                    6,
+                )
             ).alias("jaccard"),
         )
     )

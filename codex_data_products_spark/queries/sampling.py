@@ -766,12 +766,16 @@ def split_contamination_semantic(
         / F.sqrt(F.col("te.nsq") * F.col("tr.nsq")),
         6,
     )
+    from codex_data_products_spark.queries.dedup import eval_once
+
     pairs = (
         tr.join(te, F.col("te.label") == F.col("tr.label"))
         .select(
             F.col("te.vec_id").alias("test_vec_id"),
             F.col("tr.vec_id").alias("train_vec_id"),
-            cos.alias("c"),
+            # eval_once keeps the dot fold out of the join condition
+            # (it would run per candidate, before any cheap predicate)
+            eval_once(cos).alias("c"),
         )
         .filter(F.col("c") >= _SEM_THRESHOLD)
     )

@@ -86,6 +86,8 @@ def _fresh_emb_pairs(
     vector, so they are disjoint from the persisted pair state;
     within-delta pairs surface from both directions → normalize +
     distinct over the delta-proportional candidate set only."""
+    from codex_data_products_spark.queries.dedup import eval_once
+
     r, s = delta.alias("r"), corpus.alias("s")
     cos = F.round(
         _dot(F.col("r.v"), F.col("s.v"))
@@ -101,7 +103,11 @@ def _fresh_emb_pairs(
         .select(
             F.least(F.col("r.doc_id"), F.col("s.doc_id")).alias("doc_a"),
             F.greatest(F.col("r.doc_id"), F.col("s.doc_id")).alias("doc_b"),
-            cos.alias("cosine"),
+            # eval_once (queries.dedup): keeps the dot fold out of the
+            # join condition — unguarded, the threshold filter is
+            # pushed into the join and the fold runs twice per
+            # candidate, before the cheap doc_id predicate
+            eval_once(cos).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .distinct()

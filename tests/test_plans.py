@@ -2257,3 +2257,32 @@ def test_substring_occ_log_scan_prunes_to_delta_buckets(
     # and the pruned slice still returns exactly that bucket's grams
     rows = {r["g"]: r["occ"] for r in pruned.collect()}
     assert rows[shared_g] == 20
+
+
+def test_pair_scoring_folds_stay_out_of_join_conditions(spark, sf_dir):
+    """Round 11 s3 (guide §4.4 for built-ins): the expensive pair-score
+    expressions (dot-product folds, array_intersect) are eval_once-
+    guarded, so the threshold filters above them are NOT pushed back
+    into the pair joins — unguarded, the fold ran once per CANDIDATE
+    row inside the join condition (before the cheap id predicate) and
+    once more in the output project. The join conditions must carry
+    only the cheap predicates."""
+    from codex_data_products_spark.queries.dedup import (
+        dedup_embedding_cosine,
+        dedup_minhash_lsh,
+        dedup_semantic,
+    )
+
+    for fn in (dedup_embedding_cosine, dedup_semantic, dedup_minhash_lsh):
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        join_lines = [
+            ln for ln in plan.splitlines() if "Join" in ln and "Exchange" not in ln
+        ]
+        assert join_lines, plan
+        for ln in join_lines:
+            assert "aggregate(" not in ln, ln  # no dot fold in a join cond
+            assert "array_intersect" not in ln, ln
+        # and the guarded column still evaluates in exactly one Project
+        assert plan.count("CASE WHEN (SPARK_PARTITION_ID() >= -1)") >= 1, plan
