@@ -307,9 +307,14 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # yields no shingles, so results are unchanged on ≥8-token docs.
     tokenized = tokenized.filter(F.size("toks") >= 8)
     toks = F.col("toks")
+    # round 11 s3 (guide §2.3): the 8-gram never reaches the output —
+    # only its EQUALITY is consumed (distinct, per-shingle window) — so
+    # hash the token window to an 8-byte long at the explode: no
+    # array_join string per window, and both downstream shuffles carry
+    # fixed-width longs instead of ~50-byte strings.
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 7),
-        lambda i: F.array_join(F.slice(toks, i, 8), " "),
+        lambda i: F.xxhash64(F.slice(toks, i, 8)),
     )
     labeled = tokenized.select(
         "doc_id", "split", F.explode(shingles).alias("shingle")

@@ -75,7 +75,20 @@ def profile_batch(spark, batch_docs, state_dir, batch_id, label):
         F.count(F.lit(1)).cast("long").alias("d")
     )
     net_occ = delta_occ.withColumnRenamed("d", "net").persist()
-    cand_buckets = clock("3_bucket_set", lambda: _bucket_set(net_occ))
+    # mirrors the production gate (round 11 s3): bulk deltas skip the
+    # bucket-set collect outright
+    from codex_data_products_spark.streaming.substring_ivm import (
+        _PRUNE_COLLECT_MAX_ROWS,
+    )
+
+    cand_buckets = clock(
+        "3_bucket_set",
+        lambda: (
+            _bucket_set(net_occ)
+            if delta.count() <= _PRUNE_COLLECT_MAX_ROWS
+            else None
+        ),
+    )
     occ_old_cand = (
         occ_log_slice(spark, state_dir, batch_id - 1, buckets=cand_buckets)
         .join(net_occ.select("g"), "g", "left_semi")
