@@ -298,6 +298,15 @@ def main() -> None:
         return out
 
     head = run_suite(HEADLINE, sf_dir, f"sf{sf}", discard_first=True)
+    # Self-describing parallelism (VERDICT r11 #2): the session honors
+    # $SPARK_GRAFT_CPUS (session.py builds local[{cpus}]), but the JSON
+    # never SAID so, which made the driver's low/high-core scaling block
+    # unable to distinguish "ignored the env var" from "overhead-bound at
+    # this SF". Echo the effective master/parallelism so the artifact
+    # proves what it ran on.
+    eff_master = spark.sparkContext.master
+    eff_parallelism = spark.sparkContext.defaultParallelism
+    eff_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     result = {
         "metric": "headline_queries_total_sec",
         "value": head["value"],
@@ -309,6 +318,9 @@ def main() -> None:
         "warmup_discarded_sec": head.get("warmup_discarded_sec"),
         "load_avg_start": load_start,
         "load_wait_sec": waited,
+        "master": eff_master,
+        "defaultParallelism": eff_parallelism,
+        "shuffle_partitions": eff_shuffle,
     }
 
     # Second suite at sf0.5 (VERDICT r6 #6): the ~0.3-0.7 s per-query
@@ -508,6 +520,9 @@ def main() -> None:
         "sf": sf,
         "load_avg_start": load_start,
         "steal_pct": steal_pct,
+        "master": eff_master,
+        "defaultParallelism": eff_parallelism,
+        "shuffle_partitions": eff_shuffle,
     }
 
     print(json.dumps(result))

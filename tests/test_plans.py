@@ -2113,8 +2113,13 @@ def test_position_remap_no_forced_broadcast_of_labels(spark, sf_dir):
     assert hint_idx, "expected the offsets broadcast hints"
     for i in hint_idx:
         # every hint's subtree is the single-line offsets leaf — never
-        # the parquet documents relation or the segment-rank Window
-        assert "LogicalRDD" in lines[i + 1], lines[i : i + 2]
+        # the parquet documents relation or the segment-rank Window. The
+        # leaf's physical form depends on how the frame was built (Python
+        # RDD -> LogicalRDD; Arrow local_frame -> LocalRelation); assert the
+        # SHAPE instead: a local leaf carrying exactly the seg/off columns.
+        child = lines[i + 1]
+        assert ("LocalRelation" in child or "LogicalRDD" in child), lines[i : i + 2]
+        assert "seg#" in child and "off#" in child, lines[i : i + 2]
 
 
 def _leaked_persisted(spark):
@@ -2267,16 +2272,33 @@ def test_pair_scoring_folds_stay_out_of_join_conditions(spark, sf_dir):
     row inside the join condition (before the cheap id predicate) and
     once more in the output project. The join conditions must carry
     only the cheap predicates."""
+    import re
+
+    from pyspark.sql import functions as F
+
     from codex_data_products_spark.queries.dedup import (
         dedup_embedding_cosine,
         dedup_minhash_lsh,
+        dedup_prefix_jaccard,
         dedup_semantic,
+        dot_expr,
+    )
+    from codex_data_products_spark.queries.sampling import (
+        split_contamination_semantic,
+    )
+    from codex_data_products_spark.streaming.emb_dedup_ivm import (
+        _fresh_emb_pairs,
     )
 
-    for fn in (dedup_embedding_cosine, dedup_semantic, dedup_minhash_lsh):
-        plan = (
-            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        )
+    # ADVICE r11: eval_once relies on the optimizer treating
+    # spark_partition_id() as nondeterministic — match the guard by a
+    # case-insensitive regex on the function name (not the exact
+    # CaseWhen rendering, which is Spark-version-dependent) so a future
+    # Spark that folds the guard fails THIS test instead of silently
+    # reverting the 2x win. Verified on Spark 4.1.
+    guard_re = re.compile(r"spark_partition_id", re.IGNORECASE)
+
+    def check(plan: str) -> None:
         join_lines = [
             ln for ln in plan.splitlines() if "Join" in ln and "Exchange" not in ln
         ]
@@ -2284,5 +2306,33 @@ def test_pair_scoring_folds_stay_out_of_join_conditions(spark, sf_dir):
         for ln in join_lines:
             assert "aggregate(" not in ln, ln  # no dot fold in a join cond
             assert "array_intersect" not in ln, ln
-        # and the guarded column still evaluates in exactly one Project
-        assert plan.count("CASE WHEN (SPARK_PARTITION_ID() >= -1)") >= 1, plan
+        # and the guarded column still evaluates behind the barrier
+        assert guard_re.search(plan), plan
+
+    # ALL SIX eval_once application sites (VERDICT r11 #7). Five are
+    # registry queries; the sixth is the emb IVM pair scorer, planned
+    # here over small in-memory frames shaped like apply_emb_batch's.
+    for fn in (
+        dedup_embedding_cosine,
+        dedup_semantic,
+        dedup_minhash_lsh,
+        dedup_prefix_jaccard,
+        split_contamination_semantic,
+    ):
+        check(
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("nsq", dot_expr(F.col("v"), F.col("v")))
+    )
+    ivm_pairs = _fresh_emb_pairs(
+        emb.filter(F.col("doc_id") % 5 == 0), emb, threshold=0.38
+    )
+    check(ivm_pairs._jdf.queryExecution().executedPlan().toString())
