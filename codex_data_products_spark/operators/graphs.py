@@ -217,6 +217,93 @@ def min_label_components(
     )
 
 
+# Single-task PageRank bound (round 12, VERDICT r11 #8): the BSP loop
+# costs ~3 AQE query stages per iteration — measured 1.5-4 s of pure
+# stage fixed cost for a 600-edge nation graph at sf0.1 (half the
+# query; tools/profile_pagerank.py), and the suite ran FASTER at 8
+# cores than 32 because the per-stage overhead scales with core count.
+# Like the CC fast path above, the gate is the MEASURED edge count of
+# this run's graph, so a billion-edge graph takes the distributed loop
+# automatically. 4M edges x (2 node strings + weight) is ~200 MB of
+# Arrow in the one task.
+SMALL_PR_EDGES = int(os.environ.get("SPARK_GRAFT_PR_LOCAL_EDGES", "4000000"))
+
+
+def _round_half_up_9(arr, scale: int):
+    """Vectorized HALF_UP decimal rounding matching Spark's
+    ``round(double, scale)`` (BigDecimal.valueOf(x).setScale(scale,
+    HALF_UP).toDouble — i.e. HALF_UP on the shortest round-trip decimal
+    repr). The fast path floors x*10^s + 0.5; values within 1e-5 of the
+    tie boundary (far wider than the ~2e-7 worst-case fp error of the
+    scaled product for |x| <= 1) fall back to exact Decimal quantize on
+    repr(x), which is the same shortest repr BigDecimal.valueOf uses."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    m = float(10**scale)
+    y = arr * m
+    out = np.floor(y + 0.5) / m
+    frac = y - np.floor(y)
+    ties = np.abs(frac - 0.5) < 1e-5
+    if ties.any():
+        q = Decimal(1).scaleb(-scale)
+        for i in np.nonzero(ties)[0]:
+            out[i] = float(
+                Decimal(repr(float(arr[i]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            )
+    return out
+
+
+def _pr_single_task(n_iter: int, damping: float, round_scale: int):
+    """mapInArrow kernel factory: rows are (src, dst, w) edges; emits
+    (node, rank) after ``n_iter`` damped propagation rounds with the
+    same per-iteration HALF_UP re-rounding as the BSP loop. Weights
+    must be integral (out-degree sums stay exact); products and the
+    damping base are the identical double expressions, so outputs match
+    the distributed loop bit-for-bit up to sum-order noise the rounding
+    was designed to absorb (parity-tested in tests/test_clustering.py)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        chunks = []
+        for batch in batches:
+            chunks.append(batch)
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks).combine_chunks()
+        src, dst = tbl.column(0).chunk(0), tbl.column(1).chunk(0)
+        w = tbl.column(2).chunk(0).to_numpy(zero_copy_only=False)
+        nodes = pc.unique(pa.concat_arrays([src, dst]))
+        n = len(nodes)
+        si = pc.index_in(src, value_set=nodes).to_numpy(
+            zero_copy_only=False
+        )
+        di = pc.index_in(dst, value_set=nodes).to_numpy(
+            zero_copy_only=False
+        )
+        out_w = np.zeros(n, dtype=np.int64)
+        np.add.at(out_w, si, w.astype(np.int64))
+        share = w.astype(np.float64) / out_w[si].astype(np.float64)
+        rank = np.full(
+            n, _round_half_up_9(np.array([1.0 / n]), round_scale)[0]
+        )
+        base = (1 - damping) / n  # same Python-double lit as the loop
+        for _ in range(n_iter):
+            mass = np.zeros(n, dtype=np.float64)
+            np.add.at(mass, di, rank[si] * share)
+            rank = _round_half_up_9(base + damping * mass, round_scale)
+        yield pa.RecordBatch.from_arrays(
+            [nodes, pa.array(rank, pa.float64())], names=["node", "rank"]
+        )
+
+    return kernel
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,
@@ -232,10 +319,25 @@ def pagerank(
     Dangling nodes (no out-edges) contribute nothing; nodes with no
     in-edges settle at the damping base, matching the unrolled-CTE
     reference semantics in queries/graph.py.
+
+    A graph whose MEASURED edge count fits one task (``SMALL_PR_EDGES``)
+    is solved inside a single mapInArrow task (round 12): the 3-round
+    BSP chain was ~9 AQE query stages of fixed cost for a |nations|-
+    sized graph. Larger graphs take the distributed loop automatically.
     """
     from pyspark import StorageLevel
+    from pyspark.sql.types import IntegerType, LongType
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    integral_w = isinstance(
+        edges.schema["w"].dataType, (IntegerType, LongType)
+    )
+    if integral_w and edges.count() <= SMALL_PR_EDGES:
+        node_t = edges.schema["src"].dataType.simpleString()
+        return edges.select("src", "dst", "w").repartition(1).mapInArrow(
+            _pr_single_task(n_iter, damping, round_scale),
+            f"node {node_t}, rank double",
+        )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

@@ -100,15 +100,44 @@ _REMOVED_SCHEMA = "doc_id long"
 _PRUNE_COLLECT_MAX_ROWS = int(
     os.environ.get("SPARK_GRAFT_SUBSTR_PRUNE_MAX_ROWS", "65536")
 )
+# State format version (ADVICE r11): round 11 changed the persisted gram
+# key (g: hex string -> binary(16) -> xxhash64 long) and the occ log's
+# bucket column derives from it — resuming a state dir written under an
+# older format would fail at parquet read at best, or silently never
+# match old grams against new keys in a mixed log at worst. The marker
+# file pins the format; a state dir with gram/occ history but NO marker
+# fails fast with a re-bootstrap message instead.
+_FORMAT_MARKER = "_FORMAT_V2_GRAM_LONG"
+
+
+def _check_state_format(spark: SparkSession, state_dir: str) -> None:
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    marker = Path(f"{state_dir}/{_FORMAT_MARKER}")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        return
+    for sub in ("grams", "occ_delta"):
+        if fs.exists(Path(f"{state_dir}/{sub}")):
+            raise RuntimeError(
+                f"substring state at {state_dir} predates the long-gram-key "
+                "format (round 11: g long = xxhash64(token window), occ log "
+                "bucketed by pmod(xxhash64(g), 64)) — old and new gram keys "
+                "never match, so resuming would silently corrupt coverage. "
+                "Re-bootstrap the state from the source corpus."
+            )
+    # fresh dir (caller skipped bootstrap): stamp it now
+    fs.createNewFile(marker)
 
 
 def bootstrap_substring_state(spark: SparkSession, state_dir: str) -> None:
     """Write the empty-corpus anchors (an existing corpus is just a
     big first batch; the occ-delta log starts as an absent root —
-    ``_log_union`` reads absence as empty)."""
+    ``_log_union`` reads absence as empty) and the state format marker
+    (see ``_check_state_format``)."""
     _empty(spark, _COVERAGE_SCHEMA).write.mode("overwrite").parquet(
         f"{state_dir}/coverage/batch=0"
     )
+    _check_state_format(spark, state_dir)
 
 
 def _occ_bucket(col):
@@ -217,31 +246,16 @@ def apply_substring_batch(
     a hash join at bulk-load batch fractions. The corpus text is never
     re-read; every state write is the batch's own rows.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = batch_docs.sparkSession
+    _check_state_format(spark, state_dir)
     rem_df, has_removes = _remove_frame(spark, remove)
     old_grams = _prior_grams(spark, state_dir, batch_id)
 
-    # -- 1. positional grams of the delta; append to the gram log;
-    #       tombstone the removed docs' gram and coverage rows. An
-    #       insert-only batch writes NO tombstone dir (round 11):
-    #       _log_union reads absence as empty, so the contract is
-    #       unchanged, the write job is saved, and later log unions
-    #       stay one scan node narrower per batch; the delete keeps a
-    #       replay over an older attempt's leftovers idempotent.
+    # -- 1. positional grams of the delta and the batch's NET per-gram
+    #       counts (delta adds minus removed docs' rows).
     delta = positional_grams(batch_docs).persist()
-    delta.write.mode("overwrite").parquet(
-        f"{state_dir}/grams/batch={batch_id}"
-    )
-    if has_removes:
-        rem_df.coalesce(1).write.mode("overwrite").parquet(
-            f"{state_dir}/grams_removed/batch={batch_id}"
-        )
-    else:
-        _clear_dir(spark, f"{state_dir}/grams_removed/batch={batch_id}")
-
-    # -- 2. the batch's NET per-gram counts (delta adds minus removed
-    #       docs' rows) and the candidate grams whose dup status may
-    #       have changed — exactly the grams this batch touched.
     delta_occ = delta.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -263,148 +277,125 @@ def apply_substring_batch(
         # no gram-log slice (a semi-join against an empty doc set
         # still scans the whole log) and no re-aggregation
         net_occ = delta_occ.withColumnRenamed("d", "net").persist()
-    # the candidate occ aggregate prunes its log scan to the delta's
-    # gram BUCKETS (VERDICT r10 #4 — partition-directory pruning, the
-    # ANN probe pattern) before the row-level semi-join; a bulk-load
-    # delta that touches every bucket skips the no-op filter. The
-    # bucket-set collect itself is gated on the delta's (cached) row
-    # count: past _PRUNE_COLLECT_MAX_ROWS rows the distinct gram set
-    # covers every bucket with near certainty, so the collect job is
-    # pure overhead and pruning is skipped driver-side (round 11 s3).
-    if delta.count() <= _PRUNE_COLLECT_MAX_ROWS:
-        cand_buckets = _bucket_set(net_occ)
-    else:
-        cand_buckets = None
-    occ_old_cand = (
-        occ_log_slice(spark, state_dir, batch_id - 1, buckets=cand_buckets)
-        .join(net_occ.select("g"), "g", "left_semi")
-        .groupBy("g")
-        .agg(F.sum("occ").cast("long").alias("occ_old"))
-        .persist()  # reused by the dup test — ONE log scan pays both
-    )
-    changed = (
-        net_occ.join(occ_old_cand, "g", "left")
-        .select(
-            "g",
-            F.coalesce(F.col("occ_old"), F.lit(0)).alias("o"),
-            (
-                F.coalesce(F.col("occ_old"), F.lit(0)) + F.col("net")
-            ).alias("n2"),
-        )
-        .filter(
-            # dup-status changed AND there is an old holder to repair:
-            # o==0 grams are delta-only — their docs are recomputed
-            # anyway, and admitting them would balloon the changed set
-            # to every brand-new duplicated gram
-            ((F.col("o") >= 2) != (F.col("n2") >= 2))
-            & (F.col("o") >= 1)
-        )
-        .select("g")
-    )
 
-    # -- 3. repair set: every SURVIVING old doc holding a status-
-    #       changed gram. `changed` is change-grain — materialize it
-    #       once and, when it is EMPTY (the common insert shape: fresh
-    #       vocabulary has o==0, established duplicates stay >= 2),
-    #       SKIP the three old-log scans below outright. Round 10:
-    #       those no-op scans cost a 1% delta batch ~2x the
-    #       from-scratch recompute at the boilerplate stress — an
-    #       empty broadcast semi-join still streams the whole log.
-    changed = changed.localCheckpoint()
-    has_changed = not changed.isEmpty()
+    # -- 2. PHASE 1 (round 12, guide §2.6 — overlap independent jobs):
+    #       the gram-log append (+ removal tombstones) and the repair
+    #       discovery share only the delta cache, so they run as two
+    #       CONCURRENT jobs instead of three sequential barriers. The
+    #       discovery thread materializes ``affected`` DIRECTLY as one
+    #       eager localCheckpoint whose plan folds the status-changed
+    #       gram set in as a broadcast — the former flow paid separate
+    #       jobs for the changed checkpoint, its isEmpty probe, and the
+    #       affected fill. An insert-only batch writes NO tombstone dir
+    #       (round 11): _log_union reads absence as empty, the delete
+    #       keeps replay over an older attempt's leftovers idempotent.
+    def _write_grams() -> None:
+        delta.write.mode("overwrite").parquet(
+            f"{state_dir}/grams/batch={batch_id}"
+        )
+        if has_removes:
+            rem_df.coalesce(1).write.mode("overwrite").parquet(
+                f"{state_dir}/grams_removed/batch={batch_id}"
+            )
+        else:
+            _clear_dir(spark, f"{state_dir}/grams_removed/batch={batch_id}")
 
-    # -- 4. duplicated positions of the recompute set (the delta plus
-    #       the affected old docs) under the NEW counts. Delta doc_ids
-    #       hold no surviving old gram rows — ids are fresh by the
-    #       append contract, a re-add's earlier rows are tombstone-dead
-    #       (_prior_grams), and an atomic-replace's are excluded
-    #       because ``affected`` anti-joins this batch's removes — so
-    #       the recompute slice is exactly (old_grams ⋉ affected) ∪
-    #       delta: the corpus log is never scanned for the delta's own
-    #       rows. The dup test never shuffles the occ log either: the
-    #       affected docs' distinct grams broadcast INTO the log scan,
-    #       the surviving history sums per gram, and the batch's net
-    #       counts fold in with a full outer of two change-grain
-    #       frames (removed docs never re-emit: they are filtered out
-    #       of ``affected``, and their coverage rows die through this
-    #       batch's tombstones).
-    if has_changed:
+    def _discover():
+        # the candidate occ aggregate prunes its log scan to the
+        # touched grams' BUCKETS (VERDICT r10 #4 — partition-directory
+        # pruning, the ANN probe pattern) before the row-level
+        # semi-join; a bulk-load delta that touches every bucket skips
+        # the no-op filter. The bucket-set collect is gated on the row
+        # count of the frame actually collected (ADVICE r11: net_occ —
+        # which includes the REMOVED docs' gram set on removal
+        # batches, not just the add-side delta): past
+        # _PRUNE_COLLECT_MAX_ROWS rows the distinct gram set covers
+        # every bucket with near certainty, so the collect job is pure
+        # overhead and pruning is skipped driver-side. Counting
+        # net_occ on removal batches fills a cache every later step
+        # reuses; insert-only batches keep the cheaper delta-row count
+        # (an upper bound on net_occ's grain).
+        gate_rows = net_occ.count() if has_removes else delta.count()
+        if gate_rows <= _PRUNE_COLLECT_MAX_ROWS:
+            cand_buckets = _bucket_set(net_occ)
+        else:
+            cand_buckets = None
+        occ_old_cand = (
+            occ_log_slice(
+                spark, state_dir, batch_id - 1, buckets=cand_buckets
+            )
+            .join(net_occ.select("g"), "g", "left_semi")
+            .groupBy("g")
+            .agg(F.sum("occ").cast("long").alias("occ_old"))
+            .persist()  # reused by the dup test — ONE log scan pays both
+        )
+        changed = (
+            net_occ.join(occ_old_cand, "g", "left")
+            .select(
+                "g",
+                F.coalesce(F.col("occ_old"), F.lit(0)).alias("o"),
+                (
+                    F.coalesce(F.col("occ_old"), F.lit(0)) + F.col("net")
+                ).alias("n2"),
+            )
+            .filter(
+                # dup-status changed AND there is an old holder to
+                # repair: o==0 grams are delta-only — their docs are
+                # recomputed anyway, and admitting them would balloon
+                # the changed set to every brand-new duplicated gram
+                ((F.col("o") >= 2) != (F.col("n2") >= 2))
+                & (F.col("o") >= 1)
+            )
+            .select("g")
+        )
+        # repair set: every SURVIVING old doc holding a status-changed
+        # gram. ``changed`` is change-grain, so it broadcasts inside
+        # this same job; when the result is EMPTY (the common insert
+        # shape: fresh vocabulary has o==0, established duplicates
+        # stay >= 2) the repair path below is skipped outright.
         affected = (
             old_grams.join(F.broadcast(changed), "g", "left_semi")
             .join(F.broadcast(rem_df), "doc_id", "left_anti")
             .select("doc_id")
             .distinct()
-            .persist()
+            .localCheckpoint()
         )
-        # the affected docs' gram rows feed BOTH the repair-gram occ
-        # pass and the coverage recompute — persist them so the gram
-        # log is scanned exactly twice per repair batch (affected
-        # discovery + this slice), and derive aff_grams from the slice
-        # instead of a third scan
-        old_r_pos = old_grams.join(
-            F.broadcast(affected), "doc_id", "left_semi"
-        ).persist()
-        aff_grams = old_r_pos.select("g").distinct()
-        # prior counts for the repair grams WITHOUT a second full-set
-        # log scan: the candidate scan above already covered every
-        # gram this batch touched, so only the AFFECTED docs' grams —
-        # bounded by the status-changed grams — need their own pass,
-        # bucket-pruned to their own partition dirs.
-        occ_old_aff = (
-            occ_log_slice(
-                spark,
-                state_dir,
-                batch_id - 1,
-                buckets=_bucket_set(aff_grams),
-            )
-            .join(F.broadcast(aff_grams), "g", "left_semi")
-            .groupBy("g")
-            .agg(F.sum("occ").cast("long").alias("occ_old"))
-        )
-        occ_old_r = (
-            occ_old_cand.unionByName(occ_old_aff)
-            .groupBy("g")
-            .agg(F.max("occ_old").alias("_o"))  # overlap rows are equal
-            # change-grain, referenced exactly once (dup_r → the
-            # coverage write): no materialization barrier — the former
-            # localCheckpoint here was a whole extra job per repair
-            # batch for a frame nothing reads twice (round 11);
-            # occ_old_cand behind it is persisted, so no occ-log pass
-            # re-runs either way
-        )
-    else:
-        affected = _empty(spark, _REMOVED_SCHEMA)
-        occ_old_r = occ_old_cand.select("g", F.col("occ_old").alias("_o"))
-        old_r_pos = _empty(spark, _GRAMS_SCHEMA)
-    r_pos = old_r_pos.unionByName(delta)
-    dup_r = (
-        occ_old_r.join(net_occ, "g", "full_outer")
-        .select(
-            "g",
-            (
-                F.coalesce(F.col("_o"), F.lit(0))
-                + F.coalesce(F.col("net"), F.lit(0))
-            ).alias("occ_new"),
-        )
-        .filter(F.col("occ_new") >= 2)
-        .select("g")
-    )
-    cov_rows = _coverage_per_doc(
-        r_pos.join(F.broadcast(dup_r), "g", "left_semi")
-    )
+        return occ_old_cand, affected
 
-    # -- 5. commit: the batch's NET occ deltas (O(delta) — the fold
-    #       reconstitutes on read from delta-proportional slices), the
-    #       batch's coverage rows, and coverage tombstones for the
-    #       repaired old docs AND the removed docs (the accumulated
-    #       tombstone set stays change-grain, i.e. broadcastable
-    #       forever). The three writes are independent (disjoint own-
-    #       batch dirs, all upstream state persisted), so they run
-    #       CONCURRENTLY (guide §2.6) — the commit's wall-clock is the
-    #       slowest write, not the sum; crash-safety is unchanged
-    #       because a replay overwrites every dir it would have
-    #       written. A no-repair, no-remove batch writes no coverage
-    #       tombstone dir at all (absence == empty, as above).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        grams_fut = pool.submit(_write_grams)
+        occ_old_cand, affected = pool.submit(_discover).result()
+        grams_fut.result()
+    has_repair = not affected.isEmpty()
+
+    # -- 3. PHASE 2+commit, three concurrent lanes: the occ-delta and
+    #       tombstone writes depend only on phase-1 state, so they
+    #       start immediately and overlap the coverage lane, which
+    #       still has the repair slice to materialize. All writes are
+    #       independent (disjoint own-batch dirs, upstream state
+    #       persisted) — the commit costs the slowest lane, not the
+    #       sum; crash-safety is unchanged because a replay overwrites
+    #       every dir it would have written. A no-repair, no-remove
+    #       batch writes no coverage tombstone dir at all (absence ==
+    #       empty, as above).
+    #
+    #       Coverage lane: duplicated positions of the recompute set
+    #       (the delta plus the affected old docs) under the NEW
+    #       counts. Delta doc_ids hold no surviving old gram rows —
+    #       ids are fresh by the append contract, a re-add's earlier
+    #       rows are tombstone-dead (_prior_grams), and an
+    #       atomic-replace's are excluded because ``affected``
+    #       anti-joins this batch's removes — so the recompute slice
+    #       is exactly (old_grams ⋉ affected) ∪ delta: the corpus log
+    #       is never scanned for the delta's own rows. The dup test
+    #       never shuffles the occ log either: the affected docs'
+    #       distinct grams broadcast INTO the log scan, the surviving
+    #       history sums per gram, and the batch's net counts fold in
+    #       with a full outer of two change-grain frames (removed docs
+    #       never re-emit: they are filtered out of ``affected``, and
+    #       their coverage rows die through this batch's tombstones).
+    holder: dict = {}
+
     def _write_occ() -> None:
         (
             net_occ.filter(F.col("net") != 0)
@@ -420,12 +411,67 @@ def apply_substring_batch(
         )
 
     def _write_cov() -> None:
+        if has_repair:
+            # the affected docs' gram rows feed BOTH the repair-gram
+            # occ pass and the coverage recompute — one eager
+            # localCheckpoint, so the gram log is scanned exactly
+            # twice per repair batch (affected discovery + this
+            # slice); aff_grams and its bucket set read the
+            # checkpointed blocks, not the log.
+            old_r_pos = old_grams.join(
+                F.broadcast(affected), "doc_id", "left_semi"
+            ).localCheckpoint()
+            holder["old_r_pos"] = old_r_pos
+            aff_grams = old_r_pos.select("g").distinct()
+            # prior counts for the repair grams WITHOUT a second
+            # full-set log scan: the candidate scan above already
+            # covered every gram this batch touched, so only the
+            # AFFECTED docs' grams — bounded by the status-changed
+            # grams — need their own pass, bucket-pruned to their own
+            # partition dirs.
+            occ_old_aff = (
+                occ_log_slice(
+                    spark,
+                    state_dir,
+                    batch_id - 1,
+                    buckets=_bucket_set(aff_grams),
+                )
+                .join(F.broadcast(aff_grams), "g", "left_semi")
+                .groupBy("g")
+                .agg(F.sum("occ").cast("long").alias("occ_old"))
+            )
+            occ_old_r = (
+                occ_old_cand.unionByName(occ_old_aff)
+                .groupBy("g")
+                .agg(F.max("occ_old").alias("_o"))  # overlap rows equal
+            )
+        else:
+            old_r_pos = _empty(spark, _GRAMS_SCHEMA)
+            occ_old_r = occ_old_cand.select(
+                "g", F.col("occ_old").alias("_o")
+            )
+        r_pos = old_r_pos.unionByName(delta)
+        dup_r = (
+            occ_old_r.join(net_occ, "g", "full_outer")
+            .select(
+                "g",
+                (
+                    F.coalesce(F.col("_o"), F.lit(0))
+                    + F.coalesce(F.col("net"), F.lit(0))
+                ).alias("occ_new"),
+            )
+            .filter(F.col("occ_new") >= 2)
+            .select("g")
+        )
+        cov_rows = _coverage_per_doc(
+            r_pos.join(F.broadcast(dup_r), "g", "left_semi")
+        )
         cov_rows.write.mode("overwrite").parquet(
             f"{state_dir}/coverage/batch={batch_id + 1}"
         )
 
     def _write_tombs() -> None:
-        if has_changed or has_removes:
+        if has_repair or has_removes:
             affected.unionByName(rem_df).distinct().write.mode(
                 "overwrite"
             ).parquet(f"{state_dir}/coverage_removed/batch={batch_id + 1}")
@@ -434,25 +480,21 @@ def apply_substring_batch(
                 spark, f"{state_dir}/coverage_removed/batch={batch_id + 1}"
             )
 
-    from concurrent.futures import ThreadPoolExecutor
-
     with ThreadPoolExecutor(max_workers=3) as pool:
         futures = [
             pool.submit(w) for w in (_write_occ, _write_cov, _write_tombs)
         ]
         for fut in futures:
             fut.result()
-    # rem_df/changed/occ_old_r may be localCheckpointed — drop their
+    # rem_df/affected/old_r_pos may be localCheckpointed — drop their
     # blocks too, or every batch of a long-running drain leaks a few
     for frame in (
         delta,
         net_occ,
         occ_old_cand,
         affected,
-        changed,
         rem_df,
-        old_r_pos,
-        occ_old_r,
+        holder.get("old_r_pos", delta),
     ):
         frame.unpersist()
 
