@@ -362,10 +362,30 @@ def apply_substring_batch(
         )
         return occ_old_cand, affected
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    def _write_occ() -> None:
+        (
+            net_occ.filter(F.col("net") != 0)
+            .select(
+                "g",
+                F.col("net").alias("occ"),
+                _occ_bucket(F.col("g")).alias("b"),
+            )
+            .repartition("b")  # one writer task per populated bucket dir
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(f"{state_dir}/occ_delta/batch={batch_id}")
+        )
+
+    # the occ-delta write depends only on net_occ (cached by whichever
+    # lane computes it first), so it rides phase 1 too — measured 2.4-
+    # 2.7 s of 64-dir commit fixed cost that otherwise serializes
+    # behind the discovery barrier
+    with ThreadPoolExecutor(max_workers=3) as pool:
         grams_fut = pool.submit(_write_grams)
+        occ_fut = pool.submit(_write_occ)
         occ_old_cand, affected = pool.submit(_discover).result()
         grams_fut.result()
+        occ_fut.result()
     has_repair = not affected.isEmpty()
 
     # -- 3. PHASE 2+commit, three concurrent lanes: the occ-delta and
@@ -396,20 +416,6 @@ def apply_substring_batch(
     #       their coverage rows die through this batch's tombstones).
     holder: dict = {}
 
-    def _write_occ() -> None:
-        (
-            net_occ.filter(F.col("net") != 0)
-            .select(
-                "g",
-                F.col("net").alias("occ"),
-                _occ_bucket(F.col("g")).alias("b"),
-            )
-            .repartition("b")  # one writer task per populated bucket dir
-            .write.mode("overwrite")
-            .partitionBy("b")
-            .parquet(f"{state_dir}/occ_delta/batch={batch_id}")
-        )
-
     def _write_cov() -> None:
         if has_repair:
             # the affected docs' gram rows feed BOTH the repair-gram
@@ -422,7 +428,10 @@ def apply_substring_batch(
                 F.broadcast(affected), "doc_id", "left_semi"
             ).localCheckpoint()
             holder["old_r_pos"] = old_r_pos
-            aff_grams = old_r_pos.select("g").distinct()
+            # checkpointed: referenced twice (bucket-set collect + the
+            # broadcast semi below) — one distinct pass instead of two
+            aff_grams = old_r_pos.select("g").distinct().localCheckpoint()
+            holder["aff_grams"] = aff_grams
             # prior counts for the repair grams WITHOUT a second
             # full-set log scan: the candidate scan above already
             # covered every gram this batch touched, so only the
@@ -480,10 +489,8 @@ def apply_substring_batch(
                 spark, f"{state_dir}/coverage_removed/batch={batch_id + 1}"
             )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futures = [
-            pool.submit(w) for w in (_write_occ, _write_cov, _write_tombs)
-        ]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(w) for w in (_write_cov, _write_tombs)]
         for fut in futures:
             fut.result()
     # rem_df/affected/old_r_pos may be localCheckpointed — drop their
@@ -495,6 +502,7 @@ def apply_substring_batch(
         affected,
         rem_df,
         holder.get("old_r_pos", delta),
+        holder.get("aff_grams", delta),
     ):
         frame.unpersist()
 
