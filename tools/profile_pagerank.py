@@ -61,7 +61,6 @@ def main() -> None:
             f"iter_from_ckpt={t3 - t2:.3f}s full_query={t4 - t3:.3f}s",
             flush=True,
         )
-        n_edges = eck.count() if False else None  # noqa: F841
 
     sc.setJobDescription(None)
     e = _trade_edges(spark, sf_dir)
